@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Readers for the test parquet tables (TESTDATA.md).
+  *
+  * In production these become `spark.read.jdbc` (with the tenant filter
+  * pushed into the source, mirroring the reference's
+  * `SELECT * FROM {t} WHERE dispensary_id={id}` — utils.py:24-31) or
+  * object-store parquet/orc scans. The harness maps every table to one
+  * parquet file under a scale-factor directory. All readers return lazy
+  * DataFrames; Catalyst pushes filters/projections into the scan.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame  = table(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame  = table(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
+  def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+
+  /** events.parquet carries parquet TIMESTAMP(NANOS), which Spark's parquet
+    * reader rejects outright ([PARQUET_TYPE_ILLEGAL]). Sessions must set
+    * `spark.sql.legacy.parquet.nanosAsLong=true`; this reader then restores
+    * a micros-precision TimestampType `ts` (integer `DIV 1000` == the
+    * truncation DuckDB applies when casting TIMESTAMP_NS → TIMESTAMP, so the
+    * oracle sees identical instants). */
+  def events(s: SparkSession, d: String): DataFrame = {
+    val raw = table(s, d, "events")
+    raw.schema("ts").dataType match {
+      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case _        => raw
+    }
+  }
+
+  /** Session config every graft session needs (local test harness). */
+  def sessionConfigs: Map[String, String] = Map(
+    "spark.sql.legacy.parquet.nanosAsLong" -> "true",
+    "spark.sql.session.timeZone"           -> "UTC",
+    "spark.sql.adaptive.enabled"           -> "true")
+}

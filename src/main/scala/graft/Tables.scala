@@ -38,6 +38,9 @@ object Tables {
     * truncation DuckDB applies when casting TIMESTAMP_NS → TIMESTAMP, so the
     * oracle sees identical instants). */
   def events(s: SparkSession, d: String): DataFrame = {
+    // Runtime-settable SQLConf; set defensively so any session (Verify,
+    // Bench, tests) can read events without pre-arranged builder config.
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = table(s, d, "events")
     raw.schema("ts").dataType match {
       case LongType => raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))

@@ -17,7 +17,10 @@ object Scalars {
   /** X1 `true_or_false` (utils.py:149-157): 1 → true, anything else → false. */
   def trueOrFalse(c: Column): Column = coalesce(c === 1, lit(false))
 
-  /** X2 `account_status` (utils.py:160-168): 1 → INACTIVE, 0 → ACTIVE. */
+  /** X2 `account_status` (utils.py:160-168): 1 → INACTIVE, 0 → ACTIVE.
+    * Out-of-domain: the reference returns Python `False`; we return NULL
+    * (sane semantics, documented divergence — inputs are 0/1 in practice
+    * and the oracle SQL uses the same NULL behavior). */
   def accountStatus(c: Column): Column =
     when(c === 1, "INACTIVE").when(c === 0, "ACTIVE")
 
@@ -28,10 +31,13 @@ object Scalars {
   def createEpochMillis(c: Column): Column = unix_millis(c)
 
   /** X4 `dollars_to_cents` (utils.py:178-180): `int(d * 100)`.
-    * Double `d*100` is not exactly representable (1.01*100 = 100.999...), so
-    * a raw cast truncates wrongly; round to the nearest cent first. */
+    * Python's int() truncates the double product toward zero —
+    * int(19.99*100) == 1998, not 1999. Spark's double→long cast has
+    * identical truncate-toward-zero semantics, so `(c*100).cast(long)`
+    * reproduces the reference bit-for-bit on DOUBLE inputs. Oracle twin:
+    * `CAST(trunc(c*100) AS BIGINT)` (DuckDB's cast rounds; trunc() first). */
   def dollarsToCents(c: Column): Column =
-    round(c * 100, 0).cast(LongType)
+    (c * 100).cast(LongType)
 
   /** X5 memberType (members.py:77-79): license_type 1 → MEDICAL else REC. */
   def memberType(licenseType: Column): Column =
@@ -54,6 +60,23 @@ object Scalars {
   def dobOrEpoch0(dob: Column): Column =
     coalesce(dob, to_timestamp(lit("1970-01-01 00:00:00")))
 
+  /** X8b employees' fixed DOB constant (employees.py:76-78):
+    * every employee gets 1970-01-01 02:30:00. */
+  def employeeDob: Column = to_timestamp(lit("1970-01-01 02:30:00"))
+
+  /** X14 phone-array assembly (vendors.py:82-89, physicians.py:98-105):
+    * `[{name, number, default:true}]`, whole array null when number is. */
+  def phoneArray(name: String, number: Column): Column =
+    when(number.isNotNull,
+      array(struct(lit(name).as("name"), number.as("number"),
+        lit(true).as("default"))))
+
+  /** X17 netMarijuana (menu_items.py:142-144): `int(medicine_amount)` only
+    * when unitOfMeasure == 2 (the reference's py2 `is 2` works for small
+    * ints; semantics are plain equality). */
+  def netMarijuana(uom: Column, medicineAmount: Column): Column =
+    when(uom === 2, medicineAmount.cast("int"))
+
   /** X9 physician-name cleanup (physicians.py:93-96): strip a leading
     * `Dr` / `Dr.` / `Drs` title, case-insensitive, then trim. */
   def stripDoctorTitle(name: Column): Column =
@@ -62,20 +85,34 @@ object Scalars {
   /** X10 `_map_categories` (menu_items.py:29-33, 277-304): category
     * normalization. The reference's `singularize` NLP call only ever sees
     * three inputs (Seeds/Drinks/Edibles) → literal map. */
+  /** The reference's pass-through whitelist (menu_items.py:30-33). */
+  val CatMap: Seq[String] = Seq(
+    "Indica", "Sativa", "Hybrid", "Edible", "Concentrate", "Drink", "Clone",
+    "Seed", "Tinctures", "Gear", "Topicals", "Preroll", "Wax", "Hash")
+
   def mapCategory(category: Column, sativa: Column, indica: Column): Column = {
     val canon = lower(category)
+    // Non-cannabis flow (menu_items.py:293-304): paraphernalia/tincture/
+    // prerolled remap, 3-entry plural singularization, CAT_MAP pass-through,
+    // everything else (including 'Cannabis' falling through) → Other.
+    val fallThrough =
+      when(canon === "paraphernalia", "Gear")
+        .when(canon === "tincture", "Tinctures")
+        .when(canon === "prerolled", "Preroll")
+        .when(category === "Seeds", "Seed")
+        .when(category === "Drinks", "Drink")
+        .when(category === "Edibles", "Edible")
+        .when(category.isin(CatMap: _*), category)
+        .otherwise("Other")
+    // Cannabis flow (menu_items.py:284-291): both %s set → threshold pick,
+    // neither >80 → falls through all later ifs → 'Other' ('cannabis'
+    // matches none of them and 'Cannabis' ∉ CAT_MAP); not both set → Hybrid.
     when(canon === "cannabis",
       when(sativa > 0 && indica > 0,
-        when(sativa > 80, "Sativa").when(indica > 80, "Indica"))
+        when(sativa > 80, "Sativa").when(indica > 80, "Indica")
+          .otherwise("Other"))
         .otherwise("Hybrid"))
-      .when(canon === "paraphernalia", "Gear")
-      .when(canon === "tincture", "Tinctures")
-      .when(canon === "prerolled", "Preroll")
-      .when(category === "Seeds", "Seed")
-      .when(category === "Drinks", "Drink")
-      .when(category === "Edibles", "Edible")
-      .when(category.isin("Flower", "Concentrate", "Gear", "Topicals"), category)
-      .otherwise("Other")
+      .otherwise(fallThrough)
   }
 
   /** X11 `_active` (menu_items.py:210-216): on_hold == 1 → true. */
@@ -91,9 +128,14 @@ object Scalars {
   def taxPercent(amount: Column): Column = amount / 100.0
 
   /** F5 falsy-strip for the `keys` maps (members.py:119-122 and 5 siblings):
-    * petl removes entries whose value is falsy — None, 0, or ''. */
+    * petl removes entries whose value is falsy — None, 0, 0.0, False, ''.
+    * Our maps are MapType(String,String); numeric zeros stringify as "0" /
+    * "0.0" and booleans as "true"/"false", so the string-side predicate
+    * covers every falsy rendering the engine can produce. */
   def stripFalsy(m: Column): Column =
-    map_filter(m, (_, v) => v.isNotNull && v =!= "0" && v =!= "")
+    map_filter(m, (_, v) =>
+      v.isNotNull && v =!= "" && v =!= "0" && v =!= "0.0" &&
+        lower(v) =!= "false")
 
   /** X13-style guarded struct: null out the whole struct when the gate
     * column is null (vendors.py:74-75, physicians.py:115-116). */

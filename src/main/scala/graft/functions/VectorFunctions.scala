@@ -1,0 +1,44 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Embedding/vector layer for similarity search over `embeddings.parquet`
+  * (ArrayType(FloatType) columns). Pure higher-order-function expressions:
+  * `zip_with` + `aggregate` compile into codegen'd loops — no UDF, no
+  * serialization — and the left-to-right fold order matches DuckDB's, so
+  * dot products are bit-identical for the oracle.
+  */
+object VectorFunctions {
+
+  /** Cast array<float> → array<double> so accumulation happens in double
+    * (matches the oracle's ::DOUBLE[] cast). */
+  def asDouble(v: Column): Column = transform(v, _.cast("double"))
+
+  /** Dot product via zip_with + aggregate (sequential double fold). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def l2Norm(v: Column): Column = sqrt(dot(v, v))
+
+  /** Cosine similarity; 0.0 when either vector has zero norm. */
+  def cosine(a: Column, b: Column): Column = {
+    val d  = dot(a, b)
+    val na = l2Norm(a)
+    val nb = l2Norm(b)
+    when(na === 0.0 || nb === 0.0, 0.0).otherwise(d / (na * nb))
+  }
+
+  /** Deterministic random-hyperplane LSH bit: sign of the dot product with
+    * a ±1 pseudo-plane derived from md5(planeIdx:dim) parity. Gives a
+    * bucketing scheme reproducible in ANSI SQL for the oracle, and at scale
+    * turns O(N·Q) brute force into per-bucket probes. */
+  def hyperplaneBit(v: Column, planeIdx: Int): Column = {
+    val contrib = zip_with(v, sequence(lit(0), size(v) - 1), (x, i) =>
+      when(
+        conv(substring(md5(concat(lit(s"$planeIdx:"), i)), 1, 2), 16, 10)
+          .cast("int") % 2 === 0, x).otherwise(-x))
+    when(aggregate(contrib, lit(0.0), (acc, x) => acc + x) >= 0, 1)
+      .otherwise(0)
+  }
+}

@@ -1,0 +1,566 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.Tables
+import graft.functions.Scalars
+
+/** Relational operator inventory (SURVEY.md §2: S/P/F/J/A/O families plus
+  * the window-function extension), each as a registered query over the
+  * driver testdata with an ANSI-SQL oracle twin for DuckDB.
+  *
+  * Engine-parity rules used throughout (so hash compares are exact):
+  *  - SUM/AVG of doubles go through DECIMAL casts (exact accumulation,
+  *    order-independent) and come back as DOUBLE — never raw sum(double),
+  *    whose result depends on partition-dependent addition order.
+  *  - Every computed integer is pinned to BIGINT on both sides (DuckDB's
+  *    len()/rank() return BIGINT, Spark's size()/rank() return INT).
+  *  - Every ordered pick (top-k, last-wins) carries a full deterministic
+  *    tiebreak.
+  * Scale notes are on each query: broadcast the bounded side, keep filters
+  * at the scan, shuffle only on true aggregation/join keys.
+  */
+object Relational {
+  private val D182 = DecimalType(18, 2)
+  private val D184 = DecimalType(18, 4)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- S: scans / sources --------------------------------------------
+    // S1 tenant-filtered scan (utils.py:24-31). Filter reaches the parquet
+    // scan via Catalyst pushdown — at 100 TB this is partition/row-group
+    // pruning, not a full read.
+    "s1_filtered_scan" -> ((s, d) =>
+      Tables.orders(s, d).filter(col("o_custkey") === 7L)),
+
+    // S2 join-scan (utils.py:34-39): users⋈dispensary_users analog —
+    // project only the left side's columns after an equi-join on a
+    // broadcastable dim.
+    "s2_join_scan" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val n = Tables.nation(s, d).filter(col("n_regionkey") === 2)
+      c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .select(c.columns.map(c(_)): _*)
+    }),
+
+    // S3 join+sort scan (utils.py:42-47).
+    "s3_join_sort_scan" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val c = Tables.customer(s, d)
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .select(o("o_orderkey"), o("o_totalprice"), c("c_name"))
+        .orderBy(col("o_orderkey").desc)
+    }),
+
+    // S5 JSON sink shape (etl_import.py:59-64): deterministic field order
+    // via struct order; one compact JSON string per row.
+    "s5_json_lines" -> ((s, d) =>
+      Tables.nation(s, d).select(
+        col("n_nationkey"),
+        to_json(struct(col("n_nationkey").as("id"), col("n_name").as("name")))
+          .as("doc"))),
+
+    // ---- P: projection --------------------------------------------------
+    // P1 cut (members.py:45-55).
+    "p1_cut" -> ((s, d) =>
+      Tables.customer(s, d).select("c_custkey", "c_name", "c_mktsegment")),
+
+    // P2 cutout (menu_items.py:115).
+    "p2_cutout" -> ((s, d) => Tables.orders(s, d).drop("o_orderpriority")),
+
+    // P3 addfield placeholder (members.py:57-61).
+    "p3_addfield" -> ((s, d) =>
+      Tables.part(s, d).select(
+        col("p_partkey"),
+        lit(null).cast("string").as("placeholder"),
+        col("p_name"))),
+
+    // P4 fieldmap (members.py:63-100): one select carries every rename /
+    // derivation — the whole OrderedDict fuses into a single codegen'd
+    // projection.
+    "p4_fieldmap" -> ((s, d) =>
+      Tables.orders(s, d).select(
+        col("o_orderkey").as("id"),
+        lower(col("o_orderstatus")).as("status"),
+        Scalars.dollarsToCents(col("o_totalprice")).as("total_cents"),
+        (col("o_orderpriority") === "1-URGENT").as("urgent"))),
+
+    // P5 bulk rename (settings.py:83-106).
+    "p5_rename" -> ((s, d) =>
+      Tables.part(s, d).withColumnsRenamed(Map(
+        "p_partkey" -> "part_id", "p_name" -> "part_name",
+        "p_brand" -> "brand"))),
+
+    // P7 constant injection (members.py:125).
+    "p7_const" -> ((s, d) =>
+      Tables.nation(s, d).select(
+        col("n_nationkey"),
+        lit("Drivers License").as("identification_type"))),
+
+    // ---- F: filters -----------------------------------------------------
+    // F1 pushdown filter — shows up as PushedFilters in the scan node.
+    "f1_pushdown_filter" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1995-06-01").cast("timestamp") &&
+          col("l_returnflag") === "R")
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_shipdate")),
+
+    // F2 row predicate (etl.select, menu_items.py:113).
+    "f2_predicate" -> ((s, d) =>
+      Tables.events(s, d)
+        .filter(col("event_type") === "purchase" && col("value") > 100)
+        .select("event_id", "user_id", "value")),
+
+    // F3 nested-field filter (menu_items.py:196-199, sane semantics):
+    // build the nested doc, then filter on the struct field.
+    "f3_active_filter" -> ((s, d) =>
+      Tables.part(s, d)
+        .select(col("p_partkey"),
+          struct((col("p_size") > 25).as("active"),
+            col("p_retailprice").as("price")).as("details"))
+        .filter(col("details.active"))
+        .select(col("p_partkey"), col("details.active").as("active"),
+          col("details.price").as("price"))),
+
+    // F4 any-null-drops-all conditional prune (vendors.py:77-80).
+    "f4_conditional_prune" -> ((s, d) => {
+      val gate = col("s_acctbal") < 0
+      Tables.supplier(s, d).select(
+        col("s_suppkey"),
+        when(!gate, concat(lit("LIC-"), col("s_suppkey"))).as("licence"),
+        when(!gate, Scalars.maskEmail(col("s_name"))).as("email"),
+        when(!gate, concat(lit("https://"),
+          lower(regexp_replace(col("s_name"), "#", "")),
+          lit(".example.com"))).as("website"))
+    }),
+
+    // F5 falsy-strip of the keys map (members.py:105-122): build the sparse
+    // map, strip falsy values, emit the sorted surviving key set.
+    "f5_strip_falsy" -> ((s, d) =>
+      Tables.customer(s, d).select(
+        col("c_custkey"),
+        concat_ws(",", array_sort(map_keys(Scalars.stripFalsy(map(
+          lit("bal0"), when(col("c_acctbal") < 0, "0").otherwise("1"),
+          lit("name"), col("c_name"),
+          lit("seg"), when(col("c_mktsegment") =!= "BUILDING",
+            col("c_mktsegment"))))))).as("kept_keys"))),
+
+    // ---- J: joins -------------------------------------------------------
+    // J1 equi inner join (utils.py:34-39).
+    "j1_inner_join" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val n = Tables.nation(s, d)
+      c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .select(c("c_custkey"), c("c_name"), n("n_name"))
+    }),
+
+    // J3 keyed merge (menu_items.py:106): base ⋈ own projection on the key.
+    // (At scale the right answer is to fuse the projection into one select —
+    // kept as a genuine self-join here to preserve the operator's shape;
+    // Catalyst reuses the scan on both sides.)
+    "j3_keyed_merge" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val proj = o.select(col("o_orderkey"),
+        concat(lit("S-"), col("o_orderstatus")).as("status_tag"))
+      o.join(proj, Seq("o_orderkey"))
+        .select(col("o_orderkey"), col("o_totalprice"), col("status_tag"))
+    }),
+
+    // J4 correlated scalar lookup decorrelated to a broadcast join
+    // (menu_items.py:219-234): N+1 per-row SQL becomes one map-side join.
+    "j4_broadcast_lookup" -> ((s, d) => {
+      val l  = Tables.lineitem(s, d)
+      val su = Tables.supplier(s, d)
+      l.join(broadcast(su), l("l_suppkey") === su("s_suppkey"))
+        .select(l("l_orderkey"), l("l_linenumber"),
+          when(l("l_quantity") > 25, su("s_acctbal")).otherwise(0.0)
+            .as("restock_level"))
+    }),
+
+    // J5 existence probe → left semi join (menu_items.py:237-251).
+    "j5_semi_join" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+    }),
+
+    // J6 dim lookup + enum swap (menu_items.py:254-274).
+    "j6_dim_lookup" -> ((s, d) => {
+      val l = Tables.lineitem(s, d)
+      val p = Tables.part(s, d)
+      l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+        .select(l("l_orderkey"), l("l_linenumber"),
+          when(p("p_size") === 1, 2).otherwise(1).as("uom"))
+    }),
+
+    // J7 left join + default on miss (employees.py:135-177), including the
+    // role when-chain.
+    "j7_left_default" -> ((s, d) => {
+      val c   = Tables.customer(s, d)
+      val act = Tables.orders(s, d).select(col("o_custkey")).distinct()
+      c.join(act, c("c_custkey") === act("o_custkey"), "left")
+        .select(c("c_custkey"),
+          when(act("o_custkey").isNotNull, "ACTIVE").otherwise("INACTIVE")
+            .as("status"),
+          when(c("c_custkey") === 3, "store-manager")
+            .when(c("c_mktsegment").isin("BUILDING", "AUTOMOBILE"),
+              "site-admin")
+            .otherwise("budtender").as("role"))
+    }),
+
+    // J8 set lookup, last-wins (settings.py:236-263 + :171-176): window
+    // row_number over a full deterministic order, keep row 1.
+    "j8_last_wins_group" -> ((s, d) => {
+      val w = Window.partitionBy("s_nationkey").orderBy(col("s_suppkey").desc)
+      Tables.supplier(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("s_nationkey").as("nation_id"),
+          col("s_name").as("last_supplier"),
+          Scalars.taxPercent(col("s_acctbal")).as("tax_pct"))
+    }),
+
+    // J9 price join, last-wins per item (menu_items.py:111-116, :161-175).
+    "j9_price_last_wins" -> ((s, d) => {
+      val w = Window.partitionBy("l_partkey")
+        .orderBy(col("l_shipdate").desc, col("l_orderkey").desc,
+          col("l_linenumber").desc)
+      Tables.lineitem(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("l_partkey"), col("l_extendedprice").as("last_price"),
+          col("l_orderkey").as("src_order"))
+    }),
+
+    // J10 reverse dict lookup → plain join on id (menu_items.py:84-89,284).
+    "j10_reverse_lookup" -> ((s, d) => {
+      val n = Tables.nation(s, d)
+      val r = Tables.region(s, d)
+      n.join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .select(n("n_nationkey"), n("n_name"), r("r_name"))
+    }),
+
+    // ---- A: aggregation -------------------------------------------------
+    // A1 SELECT DISTINCT (menu_items.py:242).
+    "a1_distinct" -> ((s, d) =>
+      Tables.lineitem(s, d).select("l_returnflag", "l_linestatus").distinct()),
+
+    // A2 etl.lookup → grouped collect (menu_items.py:231): sorted array for
+    // deterministic compare; min() covers the scalar-[0] use.
+    "a2_grouped_collect" -> ((s, d) =>
+      Tables.orders(s, d).groupBy("o_custkey").agg(
+        sort_array(collect_list(col("o_orderkey"))).as("order_keys"),
+        min(col("o_totalprice")).as("min_total"))),
+
+    // A3 merge duplicate-row coalesce (employees.py:83): union-all of base +
+    // enrichment rows, then per-key max-coalesce (order-insensitive, unlike
+    // first()).
+    "a3_merge_coalesce" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val base = o.select(col("o_orderkey"), col("o_totalprice"),
+        lit(null).cast("string").as("tag"))
+      val enrich = o.select(col("o_orderkey"),
+        lit(null).cast("double").as("o_totalprice"),
+        concat(lit("T-"), col("o_orderstatus")).as("tag"))
+      base.unionByName(enrich).groupBy("o_orderkey").agg(
+        max(col("o_totalprice")).as("total"), max(col("tag")).as("tag"))
+    }),
+
+    // A4 last-wins fold (settings.py:108-227): latest order per customer.
+    "a4_last_wins_fold" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+      Tables.orders(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("o_custkey"), col("o_totalprice").as("last_total"),
+          col("o_orderstatus").as("last_status"))
+    }),
+
+    // Headline Q1-style aggregate (§7.3-5): partial aggregation map-side,
+    // 4-group output — the shuffle moves ~nothing at any scale.
+    "q1_agg" -> ((s, d) =>
+      Tables.lineitem(s, d).groupBy("l_returnflag", "l_linestatus").agg(
+        sum(col("l_quantity").cast(D182)).cast("double").as("sum_qty"),
+        sum(col("l_extendedprice").cast(D182)).cast("double")
+          .as("sum_base_price"),
+        sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast(D184)).cast("double").as("sum_disc_price"),
+        (sum(col("l_quantity").cast(D182)).cast("double") /
+          count(lit(1))).as("avg_qty"),
+        count(lit(1)).as("count_order"))),
+
+    // Headline Q3-style top-k: join → agg → global top 10 with full
+    // tiebreak. TopK after agg is a tiny shuffle (AQE coalesces).
+    "q3_topk" -> ((s, d) => {
+      val c = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+      val o = Tables.orders(s, d)
+      val l = Tables.lineitem(s, d)
+      c.join(o, c("c_custkey") === o("o_custkey"))
+        .join(l, o("o_orderkey") === l("l_orderkey"))
+        .groupBy(o("o_orderkey"), o("o_orderdate"))
+        .agg(sum((l("l_extendedprice") * (lit(1.0) - l("l_discount")))
+          .cast(D184)).cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderkey"))
+        .limit(10)
+    }),
+
+    // Headline Q5-style multi-join aggregate: dims broadcast, facts shuffle
+    // once on the join key chain.
+    "q5_join_agg" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d)
+      val l = Tables.lineitem(s, d)
+      val su = Tables.supplier(s, d)
+      val n = Tables.nation(s, d)
+      c.join(o, c("c_custkey") === o("o_custkey"))
+        .join(l, o("o_orderkey") === l("l_orderkey"))
+        .join(broadcast(su), l("l_suppkey") === su("s_suppkey"))
+        .join(broadcast(n), su("s_nationkey") === n("n_nationkey"))
+        .groupBy(n("n_name"))
+        .agg(sum((l("l_extendedprice") * (lit(1.0) - l("l_discount")))
+          .cast(D184)).cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+    }),
+
+    // Standard stats surface (min/max exact on raw doubles, avg via the
+    // decimal trick).
+    "agg_stats" -> ((s, d) =>
+      Tables.customer(s, d).groupBy("c_mktsegment").agg(
+        count(lit(1)).as("n_customers"),
+        min(col("c_acctbal")).as("min_bal"),
+        max(col("c_acctbal")).as("max_bal"),
+        (sum(col("c_acctbal").cast(D182)).cast("double") /
+          count(lit(1))).as("avg_bal"))),
+
+    // ---- O: sort / limit ------------------------------------------------
+    // O1 ORDER BY id DESC (utils.py:45).
+    "o1_sort_desc" -> ((s, d) =>
+      Tables.nation(s, d).select("n_nationkey", "n_name")
+        .orderBy(col("n_nationkey").desc)),
+
+    // O2/top-k: global limit after total order — Spark runs this as a
+    // TakeOrderedAndProject (no full sort materialization).
+    "o2_topk_limit" -> ((s, d) =>
+      Tables.orders(s, d).select("o_orderkey", "o_totalprice")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey")).limit(20)),
+
+    // ---- W: window-function extension (§2.9) ----------------------------
+    "w1_rank" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"),
+          rank().over(w).cast("long").as("rnk"))
+        .filter(col("rnk") <= 3)
+    }),
+
+    "w2_lag_delta" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      Tables.events(s, d).select(
+        col("event_id"), col("user_id"),
+        (col("value") - lag(col("value"), 1, 0.0).over(w)).as("delta"))
+    }),
+
+    "w3_running_sum" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d).select(
+        col("event_id"), col("user_id"),
+        sum(col("value").cast(D182)).over(w).cast("double").as("running"))
+    }))
+
+  val oracle: Map[String, String] = Map(
+    "s1_filtered_scan" -> "SELECT * FROM orders WHERE o_custkey = 7",
+    "s2_join_scan" ->
+      """SELECT c.* FROM customer c
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |WHERE n.n_regionkey = 2""".stripMargin,
+    "s3_join_sort_scan" ->
+      """SELECT o.o_orderkey, o.o_totalprice, c.c_name FROM orders o
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |ORDER BY o.o_orderkey DESC""".stripMargin,
+    "s5_json_lines" ->
+      """SELECT n_nationkey,
+        |  '{"id":' || n_nationkey || ',"name":"' || n_name || '"}' AS doc
+        |FROM nation""".stripMargin,
+    "p1_cut" -> "SELECT c_custkey, c_name, c_mktsegment FROM customer",
+    "p2_cutout" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |  o_orderdate FROM orders""".stripMargin,
+    "p3_addfield" ->
+      "SELECT p_partkey, CAST(NULL AS VARCHAR) AS placeholder, p_name FROM part",
+    "p4_fieldmap" ->
+      """SELECT o_orderkey AS id, lower(o_orderstatus) AS status,
+        |  CAST(trunc(o_totalprice * 100) AS BIGINT) AS total_cents,
+        |  o_orderpriority = '1-URGENT' AS urgent
+        |FROM orders""".stripMargin,
+    "p5_rename" ->
+      """SELECT p_partkey AS part_id, p_name AS part_name, p_brand AS brand,
+        |  p_type, p_size, p_retailprice FROM part""".stripMargin,
+    "p7_const" ->
+      "SELECT n_nationkey, 'Drivers License' AS identification_type FROM nation",
+    "f1_pushdown_filter" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_shipdate
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1995-06-01 00:00:00'
+        |  AND l_returnflag = 'R'""".stripMargin,
+    "f2_predicate" ->
+      """SELECT event_id, user_id, value FROM events
+        |WHERE event_type = 'purchase' AND value > 100""".stripMargin,
+    "f3_active_filter" ->
+      """SELECT p_partkey, true AS active, p_retailprice AS price
+        |FROM part WHERE p_size > 25""".stripMargin,
+    "f4_conditional_prune" ->
+      """SELECT s_suppkey,
+        |  CASE WHEN NOT (s_acctbal < 0) THEN 'LIC-' || s_suppkey END AS licence,
+        |  CASE WHEN NOT (s_acctbal < 0)
+        |    THEN substr(md5(s_name), 1, 12) || '@example.org' END AS email,
+        |  CASE WHEN NOT (s_acctbal < 0)
+        |    THEN 'https://' || lower(replace(s_name, '#', '')) ||
+        |      '.example.com' END AS website
+        |FROM supplier""".stripMargin,
+    "f5_strip_falsy" ->
+      """SELECT c_custkey, concat_ws(',',
+        |  CASE WHEN (CASE WHEN c_acctbal < 0 THEN '0' ELSE '1' END)
+        |    NOT IN ('', '0', '0.0', 'false') THEN 'bal0' END,
+        |  CASE WHEN c_name IS NOT NULL
+        |    AND c_name NOT IN ('', '0', '0.0', 'false') THEN 'name' END,
+        |  CASE WHEN c_mktsegment <> 'BUILDING'
+        |    AND c_mktsegment NOT IN ('', '0', '0.0', 'false') THEN 'seg' END
+        |  ) AS kept_keys
+        |FROM customer""".stripMargin,
+    "j1_inner_join" ->
+      """SELECT c.c_custkey, c.c_name, n.n_name FROM customer c
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey""".stripMargin,
+    "j3_keyed_merge" ->
+      """SELECT o.o_orderkey, o.o_totalprice, p.status_tag FROM orders o
+        |JOIN (SELECT o_orderkey, 'S-' || o_orderstatus AS status_tag
+        |      FROM orders) p ON o.o_orderkey = p.o_orderkey""".stripMargin,
+    "j4_broadcast_lookup" ->
+      """SELECT l.l_orderkey, l.l_linenumber,
+        |  CASE WHEN l.l_quantity > 25 THEN s.s_acctbal ELSE 0.0 END
+        |    AS restock_level
+        |FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey""".stripMargin,
+    "j5_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey)""".stripMargin,
+    "j6_dim_lookup" ->
+      """SELECT l.l_orderkey, l.l_linenumber,
+        |  CASE WHEN p.p_size = 1 THEN 2 ELSE 1 END AS uom
+        |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey""".stripMargin,
+    "j7_left_default" ->
+      """SELECT c.c_custkey,
+        |  CASE WHEN a.o_custkey IS NOT NULL THEN 'ACTIVE'
+        |       ELSE 'INACTIVE' END AS status,
+        |  CASE WHEN c.c_custkey = 3 THEN 'store-manager'
+        |       WHEN c.c_mktsegment IN ('BUILDING', 'AUTOMOBILE')
+        |         THEN 'site-admin'
+        |       ELSE 'budtender' END AS role
+        |FROM customer c
+        |LEFT JOIN (SELECT DISTINCT o_custkey FROM orders) a
+        |  ON c.c_custkey = a.o_custkey""".stripMargin,
+    "j8_last_wins_group" ->
+      """SELECT s_nationkey AS nation_id, s_name AS last_supplier,
+        |  s_acctbal / 100.0 AS tax_pct
+        |FROM (SELECT *, row_number() OVER (PARTITION BY s_nationkey
+        |        ORDER BY s_suppkey DESC) AS rn FROM supplier)
+        |WHERE rn = 1""".stripMargin,
+    "j9_price_last_wins" ->
+      """SELECT l_partkey, l_extendedprice AS last_price,
+        |  l_orderkey AS src_order
+        |FROM (SELECT *, row_number() OVER (PARTITION BY l_partkey
+        |        ORDER BY l_shipdate DESC, l_orderkey DESC,
+        |          l_linenumber DESC) AS rn FROM lineitem)
+        |WHERE rn = 1""".stripMargin,
+    "j10_reverse_lookup" ->
+      """SELECT n.n_nationkey, n.n_name, r.r_name FROM nation n
+        |JOIN region r ON n.n_regionkey = r.r_regionkey""".stripMargin,
+    "a1_distinct" ->
+      "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+    "a2_grouped_collect" ->
+      """SELECT o_custkey, list_sort(list(o_orderkey)) AS order_keys,
+        |  min(o_totalprice) AS min_total
+        |FROM orders GROUP BY o_custkey""".stripMargin,
+    "a3_merge_coalesce" ->
+      """SELECT o_orderkey, max(o_totalprice) AS total, max(tag) AS tag
+        |FROM (
+        |  SELECT o_orderkey, o_totalprice, CAST(NULL AS VARCHAR) AS tag
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey, CAST(NULL AS DOUBLE), 'T-' || o_orderstatus
+        |  FROM orders)
+        |GROUP BY o_orderkey""".stripMargin,
+    "a4_last_wins_fold" ->
+      """SELECT o_custkey, o_totalprice AS last_total,
+        |  o_orderstatus AS last_status
+        |FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+        |        ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        |      FROM orders)
+        |WHERE rn = 1""".stripMargin,
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS sum_base_price,
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+        |    AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+        |    AS avg_qty,
+        |  count(*) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q3_topk" ->
+      """SELECT o.o_orderkey, o.o_orderdate,
+        |  CAST(sum(CAST(l.l_extendedprice * (1.0 - l.l_discount)
+        |    AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM customer c
+        |JOIN orders o ON c.c_custkey = o.o_custkey
+        |JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        |WHERE c.c_mktsegment = 'BUILDING'
+        |GROUP BY o.o_orderkey, o.o_orderdate
+        |ORDER BY revenue DESC, o.o_orderkey LIMIT 10""".stripMargin,
+    "q5_join_agg" ->
+      """SELECT n.n_name,
+        |  CAST(sum(CAST(l.l_extendedprice * (1.0 - l.l_discount)
+        |    AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_items
+        |FROM customer c
+        |JOIN orders o ON c.c_custkey = o.o_custkey
+        |JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |GROUP BY n.n_name""".stripMargin,
+    "agg_stats" ->
+      """SELECT c_mktsegment, count(*) AS n_customers,
+        |  min(c_acctbal) AS min_bal, max(c_acctbal) AS max_bal,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+        |    AS avg_bal
+        |FROM customer GROUP BY c_mktsegment""".stripMargin,
+    "o1_sort_desc" ->
+      "SELECT n_nationkey, n_name FROM nation ORDER BY n_nationkey DESC",
+    "o2_topk_limit" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin,
+    "w1_rank" ->
+      """SELECT o_custkey, o_orderkey, rnk FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |    rank() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+        |  FROM orders)
+        |WHERE rnk <= 3""".stripMargin,
+    "w2_lag_delta" ->
+      """SELECT event_id, user_id,
+        |  value - lag(value, 1, 0.0) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id) AS delta
+        |FROM events""".stripMargin,
+    "w3_running_sum" ->
+      """SELECT event_id, user_id,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    AS running
+        |FROM events""".stripMargin)
+}

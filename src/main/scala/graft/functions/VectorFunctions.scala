@@ -34,10 +34,12 @@ object VectorFunctions {
     * bucketing scheme reproducible in ANSI SQL for the oracle, and at scale
     * turns O(N·Q) brute force into per-bucket probes. */
   def hyperplaneBit(v: Column, planeIdx: Int): Column = {
+    // Coefficient = parity of the first hex nibble of md5("plane:dim") —
+    // an IN-list parity test is expressible identically in ANSI SQL,
+    // which keeps the oracle bit-for-bit compatible.
     val contrib = zip_with(v, sequence(lit(0), size(v) - 1), (x, i) =>
-      when(
-        conv(substring(md5(concat(lit(s"$planeIdx:"), i)), 1, 2), 16, 10)
-          .cast("int") % 2 === 0, x).otherwise(-x))
+      when(substring(md5(concat(lit(s"$planeIdx:"), i.cast("string"))), 1, 1)
+        .isin("0", "2", "4", "6", "8", "a", "c", "e"), x).otherwise(-x))
     when(aggregate(contrib, lit(0.0), (acc, x) => acc + x) >= 0, 1)
       .otherwise(0)
   }

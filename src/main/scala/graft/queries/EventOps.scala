@@ -1,0 +1,95 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.Tables
+
+/** Event-time windowing over `events.parquet`, batch-first (SURVEY §2.10):
+  * tumbling / sliding aggregation and gap-based sessionization — the same
+  * `window()` expressions drive the Structured Streaming variant in
+  * `graft.streaming.EventStream` (identical code path, plus watermark).
+  *
+  * Scale: a windowed groupBy shuffles on (bucket, type) with map-side
+  * partial aggregation; sessionization shuffles once on user_id and sorts
+  * within partitions (Spark's window exec) — both are single-shuffle plans
+  * that hold at 1000 executors because user_id/bucket cardinality scales
+  * with the data.
+  */
+object EventOps {
+  private val D182 = DecimalType(18, 2)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Tumbling 10-minute windows (epoch-aligned in both engines).
+    "ev_tumbling" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "10 minutes").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(D182)).cast("double").as("total"))
+        .select(col("w.start").as("window_start"), col("event_type"),
+          col("n"), col("total"))),
+
+    // Sliding 10-minute windows, 5-minute slide → each event lands in 2.
+    "ev_sliding" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "10 minutes", "5 minutes").as("w"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(D182)).cast("double").as("total"))
+        .select(col("w.start").as("window_start"), col("event_type"),
+          col("n"), col("total"))),
+
+    // Gap-based sessionization (30-minute inactivity gap) per user:
+    // lag → new-session flag → running session index → per-session agg.
+    // Micros arithmetic on both engines (DuckDB epoch() is fractional
+    // seconds; epoch_us matches Spark's unix_micros exactly).
+    "ev_sessionize" -> ((s, d) => {
+      val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val gapUs  = 30L * 60 * 1000000
+      Tables.events(s, d)
+        .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUser))
+        .withColumn("new_sess",
+          when(col("prev_us").isNull ||
+            unix_micros(col("ts")) - col("prev_us") > gapUs, 1L)
+            .otherwise(0L))
+        .withColumn("session_idx", sum(col("new_sess")).over(byUser))
+        .groupBy("user_id", "session_idx")
+        .agg(count(lit(1)).as("n_events"),
+          min(col("ts")).as("session_start"),
+          max(col("ts")).as("session_end"),
+          sum(col("value").cast(D182)).cast("double").as("session_value"))
+    }))
+
+  val oracle: Map[String, String] = Map(
+    "ev_tumbling" ->
+      """SELECT time_bucket(INTERVAL '10 minutes', ts) AS window_start,
+        |  event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "ev_sliding" ->
+      """WITH both_grids AS (
+        |  SELECT time_bucket(INTERVAL '10 minutes', ts) AS window_start,
+        |    event_type, value FROM events
+        |  UNION ALL
+        |  SELECT time_bucket(INTERVAL '10 minutes', ts,
+        |      INTERVAL '5 minutes') AS window_start,
+        |    event_type, value FROM events)
+        |SELECT window_start, event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM both_grids GROUP BY 1, 2""".stripMargin,
+    "ev_sessionize" ->
+      """WITH flagged AS (
+        |  SELECT *, CASE WHEN prev_us IS NULL
+        |      OR epoch_us(ts) - prev_us > 30 * 60 * 1000000
+        |    THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS new_sess
+        |  FROM (SELECT *, lag(epoch_us(ts), 1) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS prev_us FROM events)),
+        |sess AS (SELECT *, CAST(sum(new_sess) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND
+        |    CURRENT ROW) AS BIGINT) AS session_idx FROM flagged)
+        |SELECT user_id, session_idx, count(*) AS n_events,
+        |  min(ts) AS session_start, max(ts) AS session_end,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
+        |FROM sess GROUP BY user_id, session_idx""".stripMargin)
+}

@@ -1,0 +1,114 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.VectorFunctions._
+
+/** Approximate-nearest-neighbor / similarity search over
+  * `embeddings.parquet` (ArrayType(FloatType), dim 64).
+  *
+  * Three tiers, mirroring how ANN scales to 100 TB:
+  *  - brute-force cosine top-k: the correctness baseline. The query set is
+  *    broadcast, so the fact side streams once with no shuffle; cost is
+  *    O(N·|Q|) — fine for small Q, the oracle for everything else.
+  *  - IVF top-k: candidates restricted to the query's coarse cell (the
+  *    `label` column stands in for a k-means centroid assignment, which at
+  *    scale is a one-time clustering job). Probing 1/k of the data turns
+  *    an O(N) scan into O(N/cells) per query.
+  *  - random-hyperplane LSH bucketing: content-derived 8-bit signature →
+  *    co-bucketed vectors are candidate neighbors; bucket id is computable
+  *    per-row (no model state), so it shards embarrassingly.
+  *
+  * Scores are rounded to 6 decimals on BOTH engines so fold-order ulp
+  * noise can never flip a rank; ranking ties break on candidate id.
+  */
+object Similarity {
+
+  private def cosScore(vec: Column, qVec: Column): Column =
+    round(cosine(vec, qVec), 6)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "emb_cosine_topk" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), asDouble(col("embedding")).as("vec"))
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("vec").as("q_vec"))
+      val w = Window.partitionBy("q_id")
+        .orderBy(col("score").desc, col("cand_id"))
+      e.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id").as("cand_id"),
+          cosScore(col("vec"), col("q_vec")).as("score"))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 10)
+    }),
+
+    "emb_ivf_topk" -> ((s, d) => {
+      val e = Tables.embeddings(s, d).select(col("vec_id"), col("label"),
+        asDouble(col("embedding")).as("vec"))
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+          col("vec").as("q_vec"))
+      val w = Window.partitionBy("q_id")
+        .orderBy(col("score").desc, col("cand_id"))
+      e.join(broadcast(q), col("label") === col("q_label") &&
+          col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id").as("cand_id"),
+          cosScore(col("vec"), col("q_vec")).as("score"))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 5)
+    }),
+
+    "emb_lsh_bucket" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), asDouble(col("embedding")).as("vec"))
+      val bits = (0 until 8).map(p => hyperplaneBit(col("vec"), p)
+        .cast("string"))
+      e.select(col("vec_id"), concat(bits: _*).as("bucket"))
+    }))
+
+  /** DuckDB cosine with the same zero-norm guard + 6-dp rounding. */
+  private def sqlCos(a: String, b: String): String =
+    s"""round(CASE WHEN sqrt(list_dot_product($a, $a)) = 0
+       |  OR sqrt(list_dot_product($b, $b)) = 0 THEN 0.0
+       |  ELSE list_dot_product($a, $b) /
+       |    (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))
+       |  END, 6)""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "emb_cosine_topk" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS vec
+         |  FROM embeddings),
+         |q AS (SELECT vec_id AS q_id, vec AS q_vec FROM e WHERE vec_id < 5),
+         |sc AS (SELECT q.q_id, e.vec_id AS cand_id,
+         |    ${sqlCos("e.vec", "q.q_vec")} AS score
+         |  FROM e CROSS JOIN q WHERE e.vec_id <> q.q_id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY q_id
+         |    ORDER BY score DESC, cand_id) AS rnk FROM sc)
+         |SELECT q_id, cand_id, score, rnk FROM r WHERE rnk <= 10""".stripMargin,
+    "emb_ivf_topk" ->
+      s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS vec
+         |  FROM embeddings),
+         |q AS (SELECT vec_id AS q_id, label AS q_label, vec AS q_vec
+         |  FROM e WHERE vec_id < 5),
+         |sc AS (SELECT q.q_id, e.vec_id AS cand_id,
+         |    ${sqlCos("e.vec", "q.q_vec")} AS score
+         |  FROM e JOIN q ON e.label = q.q_label AND e.vec_id <> q.q_id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY q_id
+         |    ORDER BY score DESC, cand_id) AS rnk FROM sc)
+         |SELECT q_id, cand_id, score, rnk FROM r WHERE rnk <= 5""".stripMargin,
+    "emb_lsh_bucket" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS vec
+        |  FROM embeddings),
+        |b AS (SELECT vec_id,
+        |  [CASE WHEN list_sum([CASE WHEN substr(md5(p || ':' || (i-1)), 1, 1)
+        |        IN ('0','2','4','6','8','a','c','e')
+        |        THEN vec[i] ELSE -vec[i] END
+        |      for i in range(1, len(vec) + 1)]) >= 0
+        |    THEN '1' ELSE '0' END
+        |   for p in range(0, 8)] AS bits
+        |  FROM e)
+        |SELECT vec_id, array_to_string(bits, '') AS bucket FROM b""".stripMargin)
+}

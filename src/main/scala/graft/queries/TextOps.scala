@@ -1,0 +1,279 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.TextFunctions._
+
+/** Text-analysis + deduplication operators over `documents.parquet` — the
+  * LLM-training-data half of the engine (north star: exact dedup,
+  * MinHash-LSH and SimHash near-dedup, n-gram Jaccard, token counting,
+  * quality scoring, language-ID, fingerprinting, multimodal feature stub).
+  *
+  * 100 TB posture: every operator is a scan → projection → (optional
+  * groupBy on a content-derived key). Near-dup candidate generation is
+  * band-bucketed (pairs only inside an LSH bucket, never all-pairs) and
+  * SimHash uses an explode+groupBy that partial-aggregates map-side.
+  */
+object TextOps {
+
+  /** Shared DuckDB CTE: whitespace tokens per doc (matches tokens()). */
+  private val TokedCte =
+    """toked AS (SELECT doc_id, list_filter(
+      |  regexp_split_to_array(trim(text), '\s+'), t -> t != '') AS toks
+      |  FROM documents)""".stripMargin
+
+  /** Shared DuckDB CTE: word 3-gram shingles per doc (matches shingles()). */
+  private val ShingledCte =
+    """sh AS (SELECT doc_id,
+      |  [array_to_string(toks[i:i+2], ' ')
+      |   for i in range(1, greatest(len(toks) - 1, 1))] AS shingles
+      |  FROM toked)""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Token counting (whitespace + subword-boundary BPE-ish approximation).
+    "txt_token_stats" -> ((s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        tokenCount(col("text")).cast("long").as("n_tokens"),
+        subwordCount(col("text")).cast("long").as("n_subwords"),
+        punctCount(col("text")).cast("long").as("punct_cnt"))),
+
+    // Quality scoring: stopword / punctuation / mean-token-length features.
+    "txt_quality" -> ((s, d) => {
+      val toks  = tokens(col("text"))
+      val nTok  = size(toks).cast("long")
+      val stops = stopwordHits(toks, LangProfiles.flatMap(_._2)).cast("long")
+      Tables.documents(s, d).select(
+        col("doc_id"), nTok.as("n_tokens"),
+        when(nTok > 0, stops.cast("double") / nTok).otherwise(0.0)
+          .as("stop_ratio"),
+        when(length(col("text")) > 0,
+          punctCount(col("text")).cast("double") / length(col("text")))
+          .otherwise(0.0).as("punct_ratio"),
+        when(nTok > 0,
+          (length(concat_ws("", toks)).cast("double")) / nTok)
+          .otherwise(0.0).as("mean_token_len"))
+    }),
+
+    // Heuristic language-ID: argmax of per-language stopword evidence.
+    "txt_lang_id" -> ((s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"), langId(tokens(col("text"))).as("lang_guess"))),
+
+    // Content fingerprint: md5 over normalized text.
+    "txt_fingerprint" -> ((s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"), fingerprint(col("text")).as("fp"))),
+
+    // Exact dedup: hash-groupBy; keep the min doc_id per content hash.
+    // At 100 TB this is one shuffle on a 32-hex key with map-side combine.
+    "dedup_exact" -> ((s, d) =>
+      Tables.documents(s, d).groupBy(md5(col("text")).as("content_hash"))
+        .agg(min(col("doc_id")).as("keep_id"),
+          count(lit(1)).as("n_copies"))),
+
+    // MinHash-LSH banding table: 8 hashes → 4 bands of 2 rows. The join
+    // key for candidate generation — bucket sizes stay tiny because a
+    // band collision already implies high similarity.
+    "dedup_minhash_bands" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          shingles(tokens(col("text")), 3).as("sh"))
+        .select(col("doc_id"),
+          explode(lshBands(minhashSig(col("sh"), 8), 8)).as("band"))
+        .select(col("doc_id"), col("band.band_idx").as("band_idx"),
+          col("band.band_hash").as("band_hash"))),
+
+    // MinHash-LSH candidate pairs: self-join ONLY within (band_idx,
+    // band_hash) buckets — the 100 TB-safe alternative to all-pairs.
+    "dedup_minhash_pairs" -> ((s, d) => {
+      val bands = Tables.documents(s, d)
+        .select(col("doc_id"), shingles(tokens(col("text")), 3).as("sh"))
+        .select(col("doc_id"),
+          explode(lshBands(minhashSig(col("sh"), 8), 8)).as("band"))
+        .select(col("doc_id"), col("band.band_idx").as("band_idx"),
+          col("band.band_hash").as("band_hash"))
+      bands.as("a").join(bands.as("b"),
+          col("a.band_idx") === col("b.band_idx") &&
+            col("a.band_hash") === col("b.band_hash") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("left_id"), col("b.doc_id").as("right_id"))
+        .distinct()
+    }),
+
+    // n-gram Jaccard similarity on deterministic adjacent-id pairs
+    // (the verification step that follows LSH candidate generation).
+    "ngram_jaccard" -> ((s, d) => {
+      val sh = Tables.documents(s, d).select(col("doc_id"),
+        array_distinct(shingles(tokens(col("text")), 3)).as("sh"))
+      val a = sh.select(col("doc_id").as("left_id"), col("sh").as("sh_a"))
+      val b = sh.select(col("doc_id").as("right_id"), col("sh").as("sh_b"))
+      a.join(b, col("right_id") === col("left_id") + 1)
+        .select(col("left_id"), col("right_id"),
+          when(size(array_union(col("sh_a"), col("sh_b"))) > 0,
+            size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+              size(array_union(col("sh_a"), col("sh_b"))))
+            .otherwise(0.0).as("jaccard"))
+    }),
+
+    // 64-bit SimHash: explode tokens × bits, per-bit signed majority,
+    // reassemble as a 64-char bitstring. Partial aggregation keeps the
+    // shuffle at |docs|×64 rows of tiny tuples regardless of doc length.
+    "dedup_simhash" -> ((s, d) => {
+      val docs  = Tables.documents(s, d)
+      val toked = docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+      val tok   = toked.select(col("doc_id"), explode(col("toks")).as("tok"))
+      val h     = tok.select(col("doc_id"), tokenHashPrefix(col("tok")).as("hx"))
+      val bits  = h.select(col("doc_id"), col("hx"),
+          explode(sequence(lit(0), lit(63))).as("b"))
+        .withColumn("v",
+          conv(col("hx").substr((col("b") / 4).cast("int") + 1, lit(1)),
+            16, 10).cast("int"))
+        .withColumn("bv",
+          when(col("b") % 4 === 0, (col("v") / 8).cast("int") % 2)
+            .when(col("b") % 4 === 1, (col("v") / 4).cast("int") % 2)
+            .when(col("b") % 4 === 2, (col("v") / 2).cast("int") % 2)
+            .otherwise(col("v") % 2))
+      val perBit = bits.groupBy("doc_id", "b")
+        .agg(sum(col("bv") * 2 - 1).as("sgn"))
+        .select(col("doc_id"), col("b"),
+          when(col("sgn") >= 0, "1").otherwise("0").as("ob"))
+      val sh = perBit.groupBy("doc_id")
+        .agg(concat_ws("", transform(
+          array_sort(collect_list(struct(col("b"), col("ob")))),
+          x => x.getField("ob"))).as("simhash"))
+      docs.select(col("doc_id")).join(sh, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("simhash"), lit("1" * 64)).as("simhash"))
+    }),
+
+    // Multimodal plumbing: opaque binary payload + typed metadata. The
+    // decode step is a deterministic stub (no image libs in-container);
+    // the schema/partitioning/feature shape is the real, tested part.
+    "mm_features" -> ((s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        expr("octet_length(text)").cast("long").as("byte_len"),
+        sha2(col("text").cast("binary"), 256).as("content_hash"),
+        (col("n_chars") % 640).cast("long").as("fake_width"),
+        (expr("octet_length(text)").cast("long") * 3 % 480).as("fake_height"),
+        lit(3).as("channels")))
+  )
+
+  val oracle: Map[String, String] = Map(
+    "txt_token_stats" ->
+      s"""WITH $TokedCte
+         |SELECT d.doc_id, len(t.toks) AS n_tokens,
+         |  len(list_filter(regexp_split_to_array(trim(d.text),
+         |    '[^A-Za-z0-9]+'), x -> x != '')) AS n_subwords,
+         |  length(d.text) - length(regexp_replace(d.text, '[.,!?;:]', '',
+         |    'g')) AS punct_cnt
+         |FROM documents d JOIN toked t ON d.doc_id = t.doc_id""".stripMargin,
+    "txt_quality" ->
+      s"""WITH $TokedCte,
+         |f AS (SELECT d.doc_id, d.text, t.toks, len(t.toks) AS n_tokens,
+         |  len(list_filter(t.toks, x -> list_contains(
+         |    ['the','a','and','of','to','in','is',
+         |     'el','la','de','y','que','en','los',
+         |     'der','die','und','das','ist','von','ein'], x))) AS stops,
+         |  length(d.text) - length(regexp_replace(d.text, '[.,!?;:]', '',
+         |    'g')) AS punct
+         |  FROM documents d JOIN toked t ON d.doc_id = t.doc_id)
+         |SELECT doc_id, n_tokens,
+         |  CASE WHEN n_tokens > 0
+         |    THEN CAST(stops AS DOUBLE) / n_tokens ELSE 0.0 END AS stop_ratio,
+         |  CASE WHEN length(text) > 0
+         |    THEN CAST(punct AS DOUBLE) / length(text) ELSE 0.0 END
+         |    AS punct_ratio,
+         |  CASE WHEN n_tokens > 0
+         |    THEN CAST(length(array_to_string(toks, '')) AS DOUBLE) / n_tokens
+         |    ELSE 0.0 END AS mean_token_len
+         |FROM f""".stripMargin,
+    "txt_lang_id" ->
+      s"""WITH $TokedCte,
+         |sc AS (SELECT doc_id,
+         |  len(list_filter(toks, x -> list_contains(
+         |    ['the','a','and','of','to','in','is'], x))) AS s_en,
+         |  len(list_filter(toks, x -> list_contains(
+         |    ['el','la','de','y','que','en','los'], x))) AS s_es,
+         |  len(list_filter(toks, x -> list_contains(
+         |    ['der','die','und','das','ist','von','ein'], x))) AS s_de
+         |  FROM toked)
+         |SELECT doc_id,
+         |  CASE WHEN greatest(s_en, s_es, s_de) = 0 THEN 'und'
+         |       WHEN s_en = greatest(s_en, s_es, s_de) THEN 'en'
+         |       WHEN s_es = greatest(s_en, s_es, s_de) THEN 'es'
+         |       ELSE 'de' END AS lang_guess
+         |FROM sc""".stripMargin,
+    "txt_fingerprint" ->
+      """SELECT doc_id, md5(array_to_string(list_filter(
+        |  regexp_split_to_array(trim(lower(text)), '\s+'), t -> t != ''),
+        |  ' ')) AS fp
+        |FROM documents""".stripMargin,
+    "dedup_exact" ->
+      """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
+        |  count(*) AS n_copies
+        |FROM documents GROUP BY md5(text)""".stripMargin,
+    "dedup_minhash_bands" ->
+      s"""WITH $TokedCte, $ShingledCte,
+         |bands AS (SELECT doc_id, unnest([0,1,2,3]) AS band_idx, shingles
+         |  FROM sh)
+         |SELECT doc_id, band_idx,
+         |  md5(coalesce(list_min([md5((band_idx*2) || ':' || s)
+         |        for s in shingles]), md5((band_idx*2) || ':'))
+         |    || '|' ||
+         |    coalesce(list_min([md5((band_idx*2+1) || ':' || s)
+         |        for s in shingles]), md5((band_idx*2+1) || ':')))
+         |  AS band_hash
+         |FROM bands""".stripMargin,
+    "dedup_minhash_pairs" ->
+      s"""WITH $TokedCte, $ShingledCte,
+         |bands AS (SELECT doc_id, unnest([0,1,2,3]) AS band_idx, shingles
+         |  FROM sh),
+         |bt AS (SELECT doc_id, band_idx,
+         |  md5(coalesce(list_min([md5((band_idx*2) || ':' || s)
+         |        for s in shingles]), md5((band_idx*2) || ':'))
+         |    || '|' ||
+         |    coalesce(list_min([md5((band_idx*2+1) || ':' || s)
+         |        for s in shingles]), md5((band_idx*2+1) || ':')))
+         |  AS band_hash FROM bands)
+         |SELECT DISTINCT a.doc_id AS left_id, b.doc_id AS right_id
+         |FROM bt a JOIN bt b
+         |  ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+         |  AND a.doc_id < b.doc_id""".stripMargin,
+    "ngram_jaccard" ->
+      s"""WITH $TokedCte, $ShingledCte,
+         |ds AS (SELECT doc_id, list_distinct(shingles) AS sh FROM sh)
+         |SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+         |  CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) > 0
+         |    THEN CAST(len(list_filter(list_distinct(a.sh),
+         |      x -> list_contains(b.sh, x))) AS DOUBLE) /
+         |      len(list_distinct(list_concat(a.sh, b.sh)))
+         |    ELSE 0.0 END AS jaccard
+         |FROM ds a JOIN ds b ON b.doc_id = a.doc_id + 1""".stripMargin,
+    "dedup_simhash" ->
+      s"""WITH $TokedCte,
+         |tok AS (SELECT doc_id, unnest(toks) AS tok FROM toked),
+         |h AS (SELECT doc_id, substr(md5(tok), 1, 16) AS hx FROM tok),
+         |bits AS (SELECT doc_id, b,
+         |  strpos('0123456789abcdef', substr(hx, (b // 4) + 1, 1)) - 1 AS v
+         |  FROM h CROSS JOIN (SELECT unnest(range(0, 64)) AS b)),
+         |bitv AS (SELECT doc_id, b,
+         |  CASE b % 4 WHEN 0 THEN (v // 8) % 2 WHEN 1 THEN (v // 4) % 2
+         |    WHEN 2 THEN (v // 2) % 2 ELSE v % 2 END AS bv FROM bits),
+         |agg AS (SELECT doc_id, b,
+         |  CASE WHEN sum(2 * bv - 1) >= 0 THEN '1' ELSE '0' END AS ob
+         |  FROM bitv GROUP BY doc_id, b),
+         |shh AS (SELECT doc_id, string_agg(ob, '' ORDER BY b) AS simhash
+         |  FROM agg GROUP BY doc_id)
+         |SELECT d.doc_id, coalesce(shh.simhash, repeat('1', 64)) AS simhash
+         |FROM documents d LEFT JOIN shh ON d.doc_id = shh.doc_id""".stripMargin,
+    "mm_features" ->
+      """SELECT doc_id, octet_length(encode(text)) AS byte_len,
+        |  sha256(text) AS content_hash,
+        |  n_chars % 640 AS fake_width,
+        |  octet_length(encode(text)) * 3 % 480 AS fake_height,
+        |  3 AS channels
+        |FROM documents""".stripMargin)
+}

@@ -9,16 +9,16 @@ import graft.queries._
 object SparkEntry {
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    Relational.queries("q5_join_agg")(spark, "/root/testdata/sf0.001")
+    Entities.queries("members_doc")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ TextOps.queries ++ Similarity.queries ++
-      EventOps.queries
+      EventOps.queries ++ Entities.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracle ++ TextOps.oracle ++ Similarity.oracle ++
-      EventOps.oracle
+      EventOps.oracle ++ Entities.oracle
 }

@@ -1,0 +1,382 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.Scalars._
+
+/** The six reference entity pipelines (members.py, employees.py,
+  * menu_items.py, vendors.py, physicians.py, settings.py) re-expressed as
+  * single declarative DataFrame plans over the testdata analogs:
+  * fieldmap-style projections, keys-map falsy-stripping, nested
+  * address/phone assembly, correlated lookups decorrelated into broadcast /
+  * semi joins, and last-wins folds via windows.
+  *
+  * Structs/arrays are built columnar and FLATTENED in the output so the
+  * DuckDB oracle can hash-compare scalars (nested shapes themselves are
+  * pinned by the scalatest golden-document suite instead).
+  *
+  * Scale: every pipeline is scan → broadcast-join dims → one projection;
+  * the only shuffles are the last-wins windows (keyed by the entity id) —
+  * no row loops, no collect, no N+1 lookups (the reference's per-row SQL
+  * round-trips become map-side joins).
+  */
+object Entities {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // members.py:38-163 — customer⋈nation⋈region, fieldmap + keys map +
+    // address struct + enum scalars.
+    "members_doc" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val n = Tables.nation(s, d)
+      val r = Tables.region(s, d)
+      val dob = when(col("c_custkey") % 5 === 0,
+        to_timestamp(lit("1990-03-15 00:00:00")))
+      val keysMap = stripFalsy(map(
+        lit("custkey"), col("c_custkey").cast("string"),
+        lit("caregiver"), when(col("c_custkey") % 3 === 0, "77"),
+        lit("points"), when(col("c_acctbal") < 0, "0").otherwise("12")))
+      c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .select(
+          c("c_custkey").as("id"),
+          c("c_name").as("name"),
+          memberType(col("c_nationkey") % 2).as("member_type"),
+          accountStatus(col("c_custkey") % 2).as("status"),
+          trueOrFalse(col("c_nationkey") % 2).as("tax_exempt"),
+          dobOrEpoch0(dob).as("dob"),
+          dollarsToCents(col("c_acctbal")).as("balance_cents"),
+          n("n_name").as("addr_city"),
+          r("r_name").as("addr_country"),
+          concat_ws(",", transform(array_sort(map_keys(keysMap)),
+            k => concat(k, lit("="), element_at(keysMap, k))))
+            .as("keys_kv"))
+    }),
+
+    // employees.py:40-177 — supplier⋈nation + activity semi-probe + role
+    // chain + masked email + fixed DOB.
+    "employees_doc" -> ((s, d) => {
+      val su  = Tables.supplier(s, d)
+      val n   = Tables.nation(s, d)
+      val act = Tables.lineitem(s, d).select(col("l_suppkey")).distinct()
+      val first = when(col("s_suppkey") % 4 =!= 0,
+        split(col("s_name"), "#").getItem(0))
+      val last  = when(col("s_suppkey") % 3 =!= 0, col("n_name"))
+      su.join(broadcast(n), su("s_nationkey") === n("n_nationkey"))
+        .join(act, su("s_suppkey") === act("l_suppkey"), "left")
+        .select(
+          su("s_suppkey").as("id"),
+          setName(first, last, concat(lit("user"), col("s_suppkey")))
+            .as("name"),
+          maskEmail(su("s_name")).as("email"),
+          when(act("l_suppkey").isNotNull, "ACTIVE").otherwise("INACTIVE")
+            .as("status"),
+          when(su("s_suppkey") === 3, "store-manager")
+            .when(su("s_nationkey").isin(1, 2), "site-admin")
+            .otherwise("budtender").as("role"),
+          employeeDob.as("dob"))
+    }),
+
+    // menu_items.py:41-314 — part + last-price fold (J9) + existence probe
+    // (J5) + uom dim swap (J6) + category normalization (X10) + cents/url.
+    "menu_items_doc" -> ((s, d) => {
+      val p = Tables.part(s, d)
+      val l = Tables.lineitem(s, d)
+      val w = Window.partitionBy("l_partkey")
+        .orderBy(col("l_shipdate").desc, col("l_orderkey").desc,
+          col("l_linenumber").desc)
+      val lastPrice = l.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("l_partkey"), col("l_extendedprice").as("last_price"))
+      val wm = l.filter(col("l_returnflag") === "R")
+        .select(col("l_partkey").as("wm_partkey")).distinct()
+      val catName = when(col("p_partkey") % 8 === 0, "Cannabis")
+        .when(col("p_partkey") % 8 === 1, "Paraphernalia")
+        .when(col("p_partkey") % 8 === 2, "Tincture")
+        .when(col("p_partkey") % 8 === 3, "Prerolled")
+        .when(col("p_partkey") % 8 === 4, "Seeds")
+        .when(col("p_partkey") % 8 === 5, "Edibles")
+        .when(col("p_partkey") % 8 === 6, "Flower")
+        .otherwise("Wax")
+      val uom  = when(col("p_size") === 1, 2).otherwise(1)
+      val file = when(col("p_partkey") % 4 =!= 0,
+        concat(lit("img_"), col("p_partkey"), lit(".jpg")))
+      p.join(lastPrice, p("p_partkey") === lastPrice("l_partkey"), "left")
+        .join(wm, p("p_partkey") === wm("wm_partkey"), "left")
+        .select(
+          p("p_partkey").as("id"),
+          p("p_name").as("name"),
+          mapCategory(catName, col("p_size"), lit(100) - col("p_size"))
+            .as("category"),
+          dollarsToCents(col("last_price")).as("price_cents"),
+          wm("wm_partkey").isNotNull.as("share_on_wm"),
+          uom.as("uom"),
+          activeFlag(col("p_size") % 2).as("active"),
+          netMarijuana(uom, p("p_retailprice")).as("net_mj"),
+          imageUrl("assets-bucket", p("p_partkey"), "large", file)
+            .as("image_url"))
+    }),
+
+    // vendors.py:30-128 — address struct (gated), phone array, any-null-
+    // drops-all licence/email/website trio.
+    "vendors_doc" -> ((s, d) => {
+      val su = Tables.supplier(s, d)
+      val n  = Tables.nation(s, d)
+      val r  = Tables.region(s, d)
+      val gate = when(col("s_suppkey") % 5 =!= 0, col("n_name"))
+      val addr = structWhenPresent(gate, struct(
+        concat(col("s_suppkey"), lit(" Main St")).as("line1"),
+        col("n_name").as("city"),
+        col("r_name").as("country")))
+      val phone = phoneArray("business",
+        when(col("s_suppkey") % 3 =!= 0,
+          concat(lit("555-010"), col("s_suppkey"))))
+      val licence = concat(lit("LIC-"), col("s_suppkey"))
+      val email   = maskEmail(col("s_name"))
+      val website = when(col("s_suppkey") % 2 =!= 0,
+        concat(lit("https://v"), col("s_suppkey"), lit(".example.com")))
+      val anyNull = licence.isNull || email.isNull || website.isNull
+      su.join(broadcast(n), su("s_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .select(
+          su("s_suppkey").as("id"),
+          su("s_name").as("name"),
+          addr.getField("line1").as("addr_line1"),
+          addr.getField("city").as("addr_city"),
+          addr.getField("country").as("addr_country"),
+          element_at(phone, 1).getField("name").as("phone_name"),
+          element_at(phone, 1).getField("number").as("phone_number"),
+          element_at(phone, 1).getField("default").as("phone_default"),
+          when(!anyNull, licence).as("licence"),
+          when(!anyNull, email).as("email"),
+          when(!anyNull, website).as("website"))
+    }),
+
+    // physicians.py:30-136 — Dr-title strip regex, constant specialty,
+    // any-present-gated address array, work phone.
+    "physicians_doc" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val rawName = when(col("c_custkey") % 3 === 0,
+        concat(lit("Dr. "), col("c_name")))
+        .when(col("c_custkey") % 7 === 0, concat(lit("Drs "), col("c_name")))
+        .otherwise(col("c_name"))
+      val line1 = when(col("c_custkey") % 4 =!= 0,
+        concat(col("c_custkey"), lit(" Elm St")))
+      val city = when(col("c_custkey") % 6 =!= 0, col("c_mktsegment"))
+      val anyPresent = line1.isNotNull || city.isNotNull
+      val addrArr = when(anyPresent,
+        array(struct(line1.as("line1"), city.as("city"))))
+      val phone = phoneArray("work",
+        when(col("c_custkey") % 2 === 0,
+          concat(lit("555-020"), col("c_custkey"))))
+      c.select(
+        col("c_custkey").as("id"),
+        stripDoctorTitle(rawName).as("name"),
+        lit("General").as("specialty"),
+        element_at(addrArr, 1).getField("line1").as("addr_line1"),
+        element_at(addrArr, 1).getField("city").as("addr_city"),
+        element_at(phone, 1).getField("name").as("phone_name"),
+        element_at(phone, 1).getField("number").as("phone_number"))
+    }),
+
+    // settings.py:31-267 — widest nesting: tax last-wins (J8), logo URL,
+    // medicalLimits monthly = two_week*2, pp-gated crm settings.
+    "settings_doc" -> ((s, d) => {
+      val n  = Tables.nation(s, d)
+      val r  = Tables.region(s, d)
+      val su = Tables.supplier(s, d)
+      val w = Window.partitionBy("s_nationkey").orderBy(col("s_suppkey").desc)
+      val lastTax = su.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("s_nationkey"), col("s_name").as("tax_name"),
+          col("s_acctbal").as("tax_amount"))
+      val logoFile = when(col("n_regionkey") =!= 0,
+        concat(lit("logo_"), col("n_nationkey"), lit(".png")))
+      val ppEnabled = trueOrFalse(col("n_regionkey") % 2)
+      n.join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .join(broadcast(lastTax), n("n_nationkey") === lastTax("s_nationkey"),
+          "left")
+        .select(
+          n("n_nationkey").as("id"),
+          concat(lit("org-"), n("n_regionkey")).as("organization"),
+          trueOrFalse(col("n_nationkey") % 2).as("menu_show_tax"),
+          imageUrl("assets-bucket", n("n_nationkey"), "original", logoFile)
+            .as("logo_url"),
+          col("tax_name"),
+          taxPercent(col("tax_amount")).as("tax_pct"),
+          (n("n_nationkey") * 7).as("limit_two_week"),
+          (n("n_nationkey") * 7 * 2).as("limit_monthly"),
+          ppEnabled.as("pp_enabled"),
+          when(ppEnabled, 2.5).as("points_per_dollar"))
+    }),
+
+    // etl_import.py:21-58 — payload assembly: one summary row with entity
+    // counts + audit flags (crossJoin of single-row aggregates; no
+    // collect()).
+    "payload_summary" -> ((s, d) => {
+      def cnt(df: DataFrame, name: String) =
+        df.agg(count(lit(1)).as(name))
+      cnt(Tables.customer(s, d), "members")
+        .crossJoin(cnt(Tables.supplier(s, d), "employees"))
+        .crossJoin(cnt(Tables.part(s, d), "products"))
+        .crossJoin(cnt(Tables.nation(s, d), "settings"))
+        .select(
+          lit("import").as("kind"),
+          lit(false).as("validated"),
+          lit(false).as("imported"),
+          col("members"), col("employees"), col("products"), col("settings"))
+    }))
+
+  private val KeysKvSql =
+    """concat_ws(',',
+      |  CASE WHEN c_custkey % 3 = 0 THEN 'caregiver=77' END,
+      |  CASE WHEN c_custkey <> 0 THEN 'custkey=' || c_custkey END,
+      |  CASE WHEN NOT (c_acctbal < 0) THEN 'points=12' END)""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "members_doc" ->
+      s"""SELECT c.c_custkey AS id, c.c_name AS name,
+         |  CASE WHEN c.c_nationkey % 2 = 1 THEN 'MEDICAL'
+         |    ELSE 'RECREATIONAL' END AS member_type,
+         |  CASE WHEN c.c_custkey % 2 = 1 THEN 'INACTIVE'
+         |    WHEN c.c_custkey % 2 = 0 THEN 'ACTIVE' END AS status,
+         |  c.c_nationkey % 2 = 1 AS tax_exempt,
+         |  CASE WHEN c.c_custkey % 5 = 0
+         |    THEN TIMESTAMP '1990-03-15 00:00:00'
+         |    ELSE TIMESTAMP '1970-01-01 00:00:00' END AS dob,
+         |  CAST(trunc(c.c_acctbal * 100) AS BIGINT) AS balance_cents,
+         |  n.n_name AS addr_city, r.r_name AS addr_country,
+         |  $KeysKvSql AS keys_kv
+         |FROM customer c
+         |JOIN nation n ON c.c_nationkey = n.n_nationkey
+         |JOIN region r ON n.n_regionkey = r.r_regionkey""".stripMargin,
+    "employees_doc" ->
+      """SELECT s.s_suppkey AS id,
+        |  CASE WHEN (CASE WHEN s.s_suppkey % 4 <> 0
+        |        THEN split_part(s.s_name, '#', 1) END) IS NULL
+        |      AND (CASE WHEN s.s_suppkey % 3 <> 0 THEN n.n_name END) IS NULL
+        |    THEN 'user' || s.s_suppkey
+        |    ELSE concat_ws(' ',
+        |      CASE WHEN s.s_suppkey % 4 <> 0
+        |        THEN split_part(s.s_name, '#', 1) END,
+        |      CASE WHEN s.s_suppkey % 3 <> 0 THEN n.n_name END) END AS name,
+        |  substr(md5(s.s_name), 1, 12) || '@example.org' AS email,
+        |  CASE WHEN a.l_suppkey IS NOT NULL THEN 'ACTIVE'
+        |    ELSE 'INACTIVE' END AS status,
+        |  CASE WHEN s.s_suppkey = 3 THEN 'store-manager'
+        |    WHEN s.s_nationkey IN (1, 2) THEN 'site-admin'
+        |    ELSE 'budtender' END AS role,
+        |  TIMESTAMP '1970-01-01 02:30:00' AS dob
+        |FROM supplier s
+        |JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |LEFT JOIN (SELECT DISTINCT l_suppkey FROM lineitem) a
+        |  ON s.s_suppkey = a.l_suppkey""".stripMargin,
+    "menu_items_doc" ->
+      """WITH lastp AS (
+        |  SELECT l_partkey, l_extendedprice AS last_price
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY l_partkey
+        |      ORDER BY l_shipdate DESC, l_orderkey DESC, l_linenumber DESC)
+        |      AS rn FROM lineitem) WHERE rn = 1),
+        |wm AS (SELECT DISTINCT l_partkey AS wm_partkey FROM lineitem
+        |  WHERE l_returnflag = 'R'),
+        |base AS (SELECT p.*, lp.last_price, w.wm_partkey,
+        |  CASE p.p_partkey % 8 WHEN 0 THEN 'Cannabis'
+        |    WHEN 1 THEN 'Paraphernalia' WHEN 2 THEN 'Tincture'
+        |    WHEN 3 THEN 'Prerolled' WHEN 4 THEN 'Seeds'
+        |    WHEN 5 THEN 'Edibles' WHEN 6 THEN 'Flower'
+        |    ELSE 'Wax' END AS cat_name,
+        |  CASE WHEN p.p_size = 1 THEN 2 ELSE 1 END AS uom
+        |  FROM part p
+        |  LEFT JOIN lastp lp ON p.p_partkey = lp.l_partkey
+        |  LEFT JOIN wm w ON p.p_partkey = w.wm_partkey)
+        |SELECT p_partkey AS id, p_name AS name,
+        |  CASE WHEN lower(cat_name) = 'cannabis' THEN
+        |      CASE WHEN p_size > 0 AND (100 - p_size) > 0 THEN
+        |          CASE WHEN p_size > 80 THEN 'Sativa'
+        |            WHEN (100 - p_size) > 80 THEN 'Indica'
+        |            ELSE 'Other' END
+        |        ELSE 'Hybrid' END
+        |    WHEN lower(cat_name) = 'paraphernalia' THEN 'Gear'
+        |    WHEN lower(cat_name) = 'tincture' THEN 'Tinctures'
+        |    WHEN lower(cat_name) = 'prerolled' THEN 'Preroll'
+        |    WHEN cat_name = 'Seeds' THEN 'Seed'
+        |    WHEN cat_name = 'Drinks' THEN 'Drink'
+        |    WHEN cat_name = 'Edibles' THEN 'Edible'
+        |    WHEN cat_name IN ('Indica','Sativa','Hybrid','Edible',
+        |      'Concentrate','Drink','Clone','Seed','Tinctures','Gear',
+        |      'Topicals','Preroll','Wax','Hash') THEN cat_name
+        |    ELSE 'Other' END AS category,
+        |  CAST(trunc(last_price * 100) AS BIGINT) AS price_cents,
+        |  wm_partkey IS NOT NULL AS share_on_wm,
+        |  uom,
+        |  coalesce(p_size % 2 = 1, false) AS active,
+        |  CASE WHEN uom = 2 THEN CAST(trunc(p_retailprice) AS INT) END
+        |    AS net_mj,
+        |  CASE WHEN p_partkey % 4 <> 0
+        |    THEN 'assets-bucket/' || p_partkey || '/large/img_' ||
+        |      p_partkey || '.jpg' END AS image_url
+        |FROM base""".stripMargin,
+    "vendors_doc" ->
+      """SELECT s.s_suppkey AS id, s.s_name AS name,
+        |  CASE WHEN s.s_suppkey % 5 <> 0
+        |    THEN s.s_suppkey || ' Main St' END AS addr_line1,
+        |  CASE WHEN s.s_suppkey % 5 <> 0 THEN n.n_name END AS addr_city,
+        |  CASE WHEN s.s_suppkey % 5 <> 0 THEN r.r_name END AS addr_country,
+        |  CASE WHEN s.s_suppkey % 3 <> 0 THEN 'business' END AS phone_name,
+        |  CASE WHEN s.s_suppkey % 3 <> 0
+        |    THEN '555-010' || s.s_suppkey END AS phone_number,
+        |  CASE WHEN s.s_suppkey % 3 <> 0 THEN true END AS phone_default,
+        |  CASE WHEN s.s_suppkey % 2 <> 0
+        |    THEN 'LIC-' || s.s_suppkey END AS licence,
+        |  CASE WHEN s.s_suppkey % 2 <> 0
+        |    THEN substr(md5(s.s_name), 1, 12) || '@example.org' END AS email,
+        |  CASE WHEN s.s_suppkey % 2 <> 0
+        |    THEN 'https://v' || s.s_suppkey || '.example.com' END AS website
+        |FROM supplier s
+        |JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey""".stripMargin,
+    "physicians_doc" ->
+      """SELECT c_custkey AS id,
+        |  trim(regexp_replace(
+        |    CASE WHEN c_custkey % 3 = 0 THEN 'Dr. ' || c_name
+        |      WHEN c_custkey % 7 = 0 THEN 'Drs ' || c_name
+        |      ELSE c_name END,
+        |    '^(Dr(?:.)?s|(?:Dr.?))', '', 'i')) AS name,
+        |  'General' AS specialty,
+        |  CASE WHEN c_custkey % 4 <> 0
+        |    THEN c_custkey || ' Elm St' END AS addr_line1,
+        |  CASE WHEN (c_custkey % 4 <> 0 OR c_custkey % 6 <> 0)
+        |      AND c_custkey % 6 <> 0
+        |    THEN c_mktsegment END AS addr_city,
+        |  CASE WHEN c_custkey % 2 = 0 THEN 'work' END AS phone_name,
+        |  CASE WHEN c_custkey % 2 = 0
+        |    THEN '555-020' || c_custkey END AS phone_number
+        |FROM customer""".stripMargin,
+    "settings_doc" ->
+      """WITH lasttax AS (
+        |  SELECT s_nationkey, s_name AS tax_name, s_acctbal AS tax_amount
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY s_nationkey
+        |      ORDER BY s_suppkey DESC) AS rn FROM supplier) WHERE rn = 1)
+        |SELECT n.n_nationkey AS id,
+        |  'org-' || n.n_regionkey AS organization,
+        |  n.n_nationkey % 2 = 1 AS menu_show_tax,
+        |  CASE WHEN n.n_regionkey <> 0
+        |    THEN 'assets-bucket/' || n.n_nationkey || '/original/logo_' ||
+        |      n.n_nationkey || '.png' END AS logo_url,
+        |  t.tax_name, t.tax_amount / 100.0 AS tax_pct,
+        |  CAST(n.n_nationkey * 7 AS INT) AS limit_two_week,
+        |  CAST(n.n_nationkey * 7 * 2 AS INT) AS limit_monthly,
+        |  n.n_regionkey % 2 = 1 AS pp_enabled,
+        |  CASE WHEN n.n_regionkey % 2 = 1 THEN CAST(2.5 AS DOUBLE) END
+        |    AS points_per_dollar
+        |FROM nation n
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        |LEFT JOIN lasttax t ON n.n_nationkey = t.s_nationkey""".stripMargin,
+    "payload_summary" ->
+      """SELECT 'import' AS kind, false AS validated, false AS imported,
+        |  (SELECT count(*) FROM customer) AS members,
+        |  (SELECT count(*) FROM supplier) AS employees,
+        |  (SELECT count(*) FROM part) AS products,
+        |  (SELECT count(*) FROM nation) AS settings""".stripMargin)
+}

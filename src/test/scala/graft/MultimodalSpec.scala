@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.multimodal.Multimodal
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def media = Seq(
+    (1L, "tiny-image-bytes", "image/png"),
+    (2L, "", "image/jpeg"),
+    (3L, "some-longer-video-like-payload-bytes", "video/mp4"))
+    .toDF("media_id", "payload_str", "mime")
+    .select($"media_id", $"payload_str".cast("binary").as("payload"), $"mime")
+
+  test("extractFeatures: schema pinned, deterministic stub dims, byte lens") {
+    val feats = Multimodal.extractFeatures(media)
+    assert(feats.schema == Multimodal.featureSchema)
+    val rows = feats.orderBy("media_id")
+      .as[(Long, Long, Int, Int, Int)].collect()
+    assert(rows.map(_._2).toSeq == Seq(16L, 0L, 36L))    // byte lengths
+    assert(rows.forall(r => r._3 >= 16 && r._4 >= 16 && r._5 == 3))
+    val again = Multimodal.extractFeatures(media).orderBy("media_id")
+      .as[(Long, Long, Int, Int, Int)].collect()
+    assert(rows.toSeq == again.toSeq)                    // deterministic
+  }
+
+  test("sampleFrames: generator shape with stride filter") {
+    val frames = Multimodal.sampleFrames(media.filter($"media_id" === 3), 4, 2)
+    val idx = frames.select("frame_idx").as[Int].collect().toSeq
+    assert(idx.nonEmpty && idx.forall(_ % 2 == 0))
+  }
+}

@@ -1,0 +1,50 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.EventStream
+
+/** Structured Streaming variant: the SAME tumblingAgg used in batch
+  * (EventOps.ev_tumbling) runs incrementally over a MemoryStream and must
+  * produce identical final windows. */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(min: Int, sec: Int = 0): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 00:$min%02d:$sec%02d")
+
+  test("tumblingStream over MemoryStream equals batch tumblingAgg") {
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Seq(
+      (ts(1), "a", 1.0), (ts(4), "a", 2.0), (ts(11), "a", 4.0),
+      (ts(12), "b", 8.0), (ts(25), "a", 16.0))
+
+    val stream = MemoryStream[(Timestamp, String, Double)]
+    stream.addData(rows)
+    val sdf = stream.toDF().toDF("ts", "event_type", "value")
+    val q = EventStream.tumblingStream(sdf, "10 minutes", "0 seconds")
+      .writeStream.format("memory").queryName("tumbling_out")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val streamed = spark.table("tumbling_out")
+      .select("window_start", "event_type", "n", "total")
+      .as[(Timestamp, String, Long, Double)].collect().toSet
+    val batch = EventStream.tumblingAgg(
+      rows.toDF("ts", "event_type", "value"), "10 minutes")
+      .as[(Timestamp, String, Long, Double)].collect().toSet
+    assert(streamed == batch)
+    assert(batch == Set(
+      (ts(0), "a", 2L, 3.0), (ts(10), "a", 1L, 4.0),
+      (ts(10), "b", 1L, 8.0), (ts(20), "a", 1L, 16.0)))
+  }
+
+  test("mapGroupsWithState running totals accumulate per key") {
+    val out = EventStream.runningTotals(
+      Seq(EventStream.UserEvent(1L, 2.0), EventStream.UserEvent(1L, 3.0),
+        EventStream.UserEvent(2L, 7.0)).toDS())
+      .collect().map(t => t.user_id -> ((t.n, t.total))).toMap
+    assert(out(1L) == ((2L, 5.0)) && out(2L) == ((1L, 7.0)))
+  }
+}

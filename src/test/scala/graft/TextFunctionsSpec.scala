@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions._
+
+class TextFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tokens drops empties; empty text → []") {
+    val out = Seq("a  b c", "", "   ").toDF("t")
+      .select(tokens($"t")).as[Seq[String]].collect()
+    assert(out.toSeq == Seq(Seq("a", "b", "c"), Nil, Nil))
+  }
+
+  test("shingles: fewer than n tokens → empty; overlapping 3-grams") {
+    val out = Seq("a b c d", "a b").toDF("t")
+      .select(shingles(tokens($"t"), 3)).as[Seq[String]].collect()
+    assert(out.toSeq == Seq(Seq("a b c", "b c d"), Nil))
+  }
+
+  test("minhashSig: identical docs share signatures; empty docs collide") {
+    val df = Seq("x y z w", "x y z w", "", "").toDF("t")
+      .select(minhashSig(shingles(tokens($"t"), 3), 8).as("sig"))
+    val sigs = df.as[Seq[String]].collect()
+    assert(sigs(0) == sigs(1) && sigs(2) == sigs(3))
+    assert(sigs(0) != sigs(2) && sigs.forall(_.size == 8))
+  }
+
+  test("langId: stopword argmax with und fallback") {
+    val out = Seq("the cat of the hat", "el que de la", "der und das ist",
+      "zzz qqq").toDF("t")
+      .select(langId(tokens($"t"))).as[String].collect()
+    assert(out.toSeq == Seq("en", "es", "de", "und"))
+  }
+
+  test("fingerprint is case/whitespace-normalized") {
+    val out = Seq("Hello  World", "hello world", "helloworld").toDF("t")
+      .select(fingerprint($"t")).as[String].collect()
+    assert(out(0) == out(1) && out(0) != out(2))
+  }
+
+  test("lshBands: equal signatures → equal band hashes (bucketing key)") {
+    val df = Seq("p q r s t", "p q r s t").toDF("t")
+      .select(explode(lshBands(minhashSig(shingles(tokens($"t"), 3), 8), 8))
+        .as("b"))
+      .select($"b.band_idx", $"b.band_hash")
+    val bands = df.as[(Int, String)].collect().toSeq
+    assert(bands.size == 8 && bands.distinct.size == 4)
+  }
+}

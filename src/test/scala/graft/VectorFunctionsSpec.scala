@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions._
+
+class VectorFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("dot and l2Norm on known vectors") {
+    val df = Seq((Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0, 6.0))).toDF("a", "b")
+    val (d, n) = df.select(dot($"a", $"b"), l2Norm($"a"))
+      .as[(Double, Double)].collect().head
+    assert(d == 32.0)
+    assert(math.abs(n - math.sqrt(14.0)) < 1e-12)
+  }
+
+  test("cosine: parallel → 1, orthogonal → 0, zero-norm guarded → 0") {
+    val df = Seq(
+      (Seq(1.0, 0.0), Seq(2.0, 0.0)),
+      (Seq(1.0, 0.0), Seq(0.0, 3.0)),
+      (Seq(0.0, 0.0), Seq(1.0, 1.0))).toDF("a", "b")
+    val out = df.select(cosine($"a", $"b")).as[Double].collect()
+    assert(out(0) == 1.0 && out(1) == 0.0 && out(2) == 0.0)
+  }
+
+  test("hyperplaneBit is deterministic and plane-dependent") {
+    val df = Seq(Seq(0.5, -1.5, 2.0, 0.25)).toDF("v")
+    val a = df.select((0 until 8).map(p =>
+      hyperplaneBit($"v", p).as(s"b$p")): _*).collect().head
+    val b = df.select((0 until 8).map(p =>
+      hyperplaneBit($"v", p).as(s"b$p")): _*).collect().head
+    assert(a == b)
+    assert((0 until 8).map(a.getInt).toSet.subsetOf(Set(0, 1)))
+  }
+}

@@ -48,6 +48,25 @@ object Tables {
     }
   }
 
+  /** Production source path for S1/S4 (utils.py:24-31, :34-47): JDBC scan
+    * with the tenant filter expressed as a DataFrame filter — Catalyst
+    * pushes it into the generated `WHERE`, reproducing the reference's
+    * hand-inlined `WHERE dispensary_id={id}` without string templating.
+    * `partitionColumn/numPartitions` shard the read across executors
+    * (the reference reads single-threaded; at 100 TB the source must
+    * parallelize or it IS the bottleneck). Untestable in this harness
+    * (no database in-container); the parquet readers above are the
+    * test-time stand-in with identical lazy/pushdown semantics. */
+  def jdbcTable(s: SparkSession, url: String, table: String,
+      partitionColumn: String, lowerBound: Long, upperBound: Long,
+      numPartitions: Int, props: java.util.Properties): DataFrame =
+    s.read
+      .option("partitionColumn", partitionColumn)
+      .option("lowerBound", lowerBound)
+      .option("upperBound", upperBound)
+      .option("numPartitions", numPartitions)
+      .jdbc(url, table, props)
+
   /** Session config every graft session needs (local test harness). */
   def sessionConfigs: Map[String, String] = Map(
     "spark.sql.legacy.parquet.nanosAsLong" -> "true",

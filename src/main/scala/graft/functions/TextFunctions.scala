@@ -31,17 +31,29 @@ object TextFunctions {
         i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
       .otherwise(array().cast("array<string>"))
 
-  /** MinHash signature as k lexicographic minima of seeded md5 hex digests.
-    * Using the md5 *string* as the hash value keeps Spark and the DuckDB
+  /** MinHash signature as k lexicographic minima of md5-hex slices: two
+    * md5 digests per shingle (plain + "8:"-seeded) cut into four 8-hex
+    * (32-bit) slices each → 8 hash functions for 2 digest computations.
+    * Using hex *substrings* as hash values keeps Spark and the DuckDB
     * oracle bit-identical (no integer-overflow semantics to reconcile).
-    * Empty shingle sets get the seed-only digest so empty docs collide with
-    * each other, never with real docs. */
-  def minhashSig(shingleCol: Column, numHashes: Int): Column =
+    * Empty shingle sets get the seed-only digest slices so empty docs
+    * collide with each other, never with real docs.
+    * (TextOps.signatures is the fan-out formulation of the same function —
+    * explode + min() aggregate — used by the registered queries so each
+    * digest is computed exactly once per shingle.) */
+  def minhashSlice(digest: Column, j: Int): Column =
+    substring(digest, (j % 4) * 8 + 1, 8)
+
+  def minhashSig(shingleCol: Column, numHashes: Int): Column = {
+    require(numHashes <= 8, "slice scheme yields at most 8 hashes")
     array((0 until numHashes).map { j =>
+      val prefix = if (j < 4) "" else "8:"
       coalesce(
-        array_min(transform(shingleCol, s => md5(concat(lit(s"$j:"), s)))),
-        md5(lit(s"$j:")))
+        array_min(transform(shingleCol,
+          s => minhashSlice(md5(concat(lit(prefix), s)), j))),
+        minhashSlice(md5(lit(prefix)), j))
     }: _*)
+  }
 
   /** LSH band keys: adjacent pairs of signature entries hashed together.
     * rows-per-band = 2 → bands = numHashes/2. Candidate pairs are generated

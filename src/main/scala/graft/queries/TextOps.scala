@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.TextFunctions._
@@ -29,6 +29,66 @@ object TextOps {
       |  [array_to_string(toks[i:i+2], ' ')
       |   for i in range(1, greatest(len(toks) - 1, 1))] AS shingles
       |  FROM toked)""".stripMargin
+
+  /** MinHash signature table: doc_id, h0..h7 — the fan-out formulation of
+    * TextFunctions.minhashSig (two md5 digests per shingle computed ONCE,
+    * then 8 slice-minima via map-side partial aggregation; one shuffle of
+    * 8×8 hex chars per doc regardless of document length). */
+  private def signatures(s: SparkSession, d: String): DataFrame = {
+    val ex = Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode_outer(shingles(tokens(col("text")), 3)).as("sgl"))
+      .select(col("doc_id"), md5(col("sgl")).as("m1"),
+        md5(concat(lit("8:"), col("sgl"))).as("m2"))
+    val aggs = (0 until 8).map { j =>
+      val src = if (j < 4) col("m1") else col("m2")
+      min(minhashSlice(src, j)).as(s"h$j")
+    }
+    ex.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+      .select(col("doc_id") +: (0 until 8).map { j =>
+        val prefix = if (j < 4) "" else "8:"
+        coalesce(col(s"h$j"), minhashSlice(md5(lit(prefix)), j)).as(s"h$j")
+      }: _*)
+  }
+
+  /** LSH band table from the signature table: 4 bands × 2 rows. */
+  private def bandTable(s: SparkSession, d: String): DataFrame =
+    signatures(s, d).select(col("doc_id"), explode(array((0 until 4).map {
+      b =>
+        struct(lit(b).as("band_idx"),
+          md5(concat(col(s"h${2 * b}"), lit("|"), col(s"h${2 * b + 1}")))
+            .as("band_hash"))
+    }: _*)).as("band"))
+      .select(col("doc_id"), col("band.band_idx").as("band_idx"),
+        col("band.band_hash").as("band_hash"))
+
+  /** Shared DuckDB CTEs reproducing signatures/bandTable. */
+  private val SigCte =
+    s"""$TokedCte, $ShingledCte,
+       |ex AS (SELECT doc_id, unnest(shingles) AS sgl FROM sh),
+       |m AS (SELECT doc_id, md5(sgl) AS m1, md5('8:' || sgl) AS m2 FROM ex),
+       |rawsig AS (SELECT doc_id,
+       |  min(substr(m1, 1, 8)) AS h0, min(substr(m1, 9, 8)) AS h1,
+       |  min(substr(m1, 17, 8)) AS h2, min(substr(m1, 25, 8)) AS h3,
+       |  min(substr(m2, 1, 8)) AS h4, min(substr(m2, 9, 8)) AS h5,
+       |  min(substr(m2, 17, 8)) AS h6, min(substr(m2, 25, 8)) AS h7
+       |  FROM m GROUP BY doc_id),
+       |sig AS (SELECT d.doc_id,
+       |  coalesce(h0, substr(md5(''), 1, 8)) AS h0,
+       |  coalesce(h1, substr(md5(''), 9, 8)) AS h1,
+       |  coalesce(h2, substr(md5(''), 17, 8)) AS h2,
+       |  coalesce(h3, substr(md5(''), 25, 8)) AS h3,
+       |  coalesce(h4, substr(md5('8:'), 1, 8)) AS h4,
+       |  coalesce(h5, substr(md5('8:'), 9, 8)) AS h5,
+       |  coalesce(h6, substr(md5('8:'), 17, 8)) AS h6,
+       |  coalesce(h7, substr(md5('8:'), 25, 8)) AS h7
+       |  FROM documents d LEFT JOIN rawsig ON d.doc_id = rawsig.doc_id),
+       |bt AS (SELECT doc_id, unnest([0,1,2,3]) AS band_idx,
+       |  h0, h1, h2, h3, h4, h5, h6, h7 FROM sig),
+       |bands AS (SELECT doc_id, band_idx,
+       |  md5(CASE band_idx WHEN 0 THEN h0 || '|' || h1
+       |    WHEN 1 THEN h2 || '|' || h3 WHEN 2 THEN h4 || '|' || h5
+       |    ELSE h6 || '|' || h7 END) AS band_hash FROM bt)""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Token counting (whitespace + subword-boundary BPE-ish approximation).
@@ -76,37 +136,38 @@ object TextOps {
     // MinHash-LSH banding table: 8 hashes → 4 bands of 2 rows. The join
     // key for candidate generation — bucket sizes stay tiny because a
     // band collision already implies high similarity.
-    "dedup_minhash_bands" -> ((s, d) =>
-      Tables.documents(s, d)
-        .select(col("doc_id"),
-          shingles(tokens(col("text")), 3).as("sh"))
-        .select(col("doc_id"),
-          explode(lshBands(minhashSig(col("sh"), 8), 8)).as("band"))
-        .select(col("doc_id"), col("band.band_idx").as("band_idx"),
-          col("band.band_hash").as("band_hash"))),
+    "dedup_minhash_bands" -> ((s, d) => bandTable(s, d)),
 
-    // MinHash-LSH candidate pairs: self-join ONLY within (band_idx,
-    // band_hash) buckets — the 100 TB-safe alternative to all-pairs.
+    // MinHash-LSH candidate pairs, generated BUCKET-LOCALLY: group by
+    // (band_idx, band_hash), collect the tiny member list, emit sorted
+    // combinations. One aggregation, no self-join (which would compute
+    // the signature subtree twice), no all-pairs anywhere — the 100 TB
+    // path: cost is Σ |bucket|², and band collisions already imply high
+    // similarity so buckets stay small.
     "dedup_minhash_pairs" -> ((s, d) => {
-      val bands = Tables.documents(s, d)
-        .select(col("doc_id"), shingles(tokens(col("text")), 3).as("sh"))
-        .select(col("doc_id"),
-          explode(lshBands(minhashSig(col("sh"), 8), 8)).as("band"))
-        .select(col("doc_id"), col("band.band_idx").as("band_idx"),
-          col("band.band_hash").as("band_hash"))
-      bands.as("a").join(bands.as("b"),
-          col("a.band_idx") === col("b.band_idx") &&
-            col("a.band_hash") === col("b.band_hash") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("left_id"), col("b.doc_id").as("right_id"))
+      val buckets = bandTable(s, d)
+        .groupBy("band_idx", "band_hash")
+        .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+        .filter(size(col("ids")) > 1)
+      val pairs = flatten(transform(col("ids"), (x, i) =>
+        transform(slice(col("ids"), i + 2, size(col("ids"))),
+          y => struct(x.as("left_id"), y.as("right_id")))))
+      buckets.select(explode(pairs).as("p"))
+        .select(col("p.left_id").as("left_id"),
+          col("p.right_id").as("right_id"))
         .distinct()
     }),
 
     // n-gram Jaccard similarity on deterministic adjacent-id pairs
     // (the verification step that follows LSH candidate generation).
     "ngram_jaccard" -> ((s, d) => {
+      // Persist the shingle-set table: both join sides read the cached
+      // plan instead of re-tokenizing (at 100 TB this materialization is
+      // a written intermediate table; candidate pairs then join against
+      // it once per side).
       val sh = Tables.documents(s, d).select(col("doc_id"),
         array_distinct(shingles(tokens(col("text")), 3)).as("sh"))
+        .persist()
       val a = sh.select(col("doc_id").as("left_id"), col("sh").as("sh_a"))
       val b = sh.select(col("doc_id").as("right_id"), col("sh").as("sh_b"))
       a.join(b, col("right_id") === col("left_id") + 1)
@@ -117,35 +178,28 @@ object TextOps {
             .otherwise(0.0).as("jaccard"))
     }),
 
-    // 64-bit SimHash: explode tokens × bits, per-bit signed majority,
-    // reassemble as a 64-char bitstring. Partial aggregation keeps the
-    // shuffle at |docs|×64 rows of tiny tuples regardless of doc length.
+    // 64-bit SimHash: explode to (doc, token-hash) rows, then ONE hash
+    // aggregate with 64 codegen'd sum() columns (bit j's ±1 contribution
+    // uses literal shift/mask, so the whole thing stays in whole-stage
+    // codegen — higher-order-function folds don't codegen and measured
+    // slower; 64-wide partial aggregation shuffles one 64-int row per doc
+    // regardless of document length).
     "dedup_simhash" -> ((s, d) => {
-      val docs  = Tables.documents(s, d)
-      val toked = docs.select(col("doc_id"), tokens(col("text")).as("toks"))
-      val tok   = toked.select(col("doc_id"), explode(col("toks")).as("tok"))
-      val h     = tok.select(col("doc_id"), tokenHashPrefix(col("tok")).as("hx"))
-      val bits  = h.select(col("doc_id"), col("hx"),
-          explode(sequence(lit(0), lit(63))).as("b"))
-        .withColumn("v",
-          conv(col("hx").substr((col("b") / 4).cast("int") + 1, lit(1)),
-            16, 10).cast("int"))
-        .withColumn("bv",
-          when(col("b") % 4 === 0, (col("v") / 8).cast("int") % 2)
-            .when(col("b") % 4 === 1, (col("v") / 4).cast("int") % 2)
-            .when(col("b") % 4 === 2, (col("v") / 2).cast("int") % 2)
-            .otherwise(col("v") % 2))
-      val perBit = bits.groupBy("doc_id", "b")
-        .agg(sum(col("bv") * 2 - 1).as("sgn"))
-        .select(col("doc_id"), col("b"),
-          when(col("sgn") >= 0, "1").otherwise("0").as("ob"))
-      val sh = perBit.groupBy("doc_id")
-        .agg(concat_ws("", transform(
-          array_sort(collect_list(struct(col("b"), col("ob")))),
-          x => x.getField("ob"))).as("simhash"))
-      docs.select(col("doc_id")).join(sh, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          coalesce(col("simhash"), lit("1" * 64)).as("simhash"))
+      val tok = Tables.documents(s, d)
+        .select(col("doc_id"), explode_outer(tokens(col("text"))).as("tok"))
+        .select(col("doc_id"), tokenHashPrefix(col("tok")).as("hx"))
+      val sums = (0 until 64).map { b =>
+        val v = conv(substring(col("hx"), b / 4 + 1, 1), 16, 10).cast("int")
+        val bit = shiftright(v, 3 - b % 4).bitwiseAND(lit(1))
+        sum(bit * 2 - 1).as(s"s$b")
+      }
+      tok.groupBy("doc_id").agg(sums.head, sums.tail: _*)
+        .select(col("doc_id"), concat((0 until 64).map { b =>
+          // explode_outer emits one null-token row for empty docs; its
+          // contributions are null → sum null → treat as >=0 ("1"),
+          // matching the defined all-ones signature for empty documents.
+          when(col(s"s$b") >= 0 || col(s"s$b").isNull, "1").otherwise("0")
+        }: _*).as("simhash"))
     }),
 
     // Multimodal plumbing: opaque binary payload + typed metadata. The
@@ -216,30 +270,12 @@ object TextOps {
         |  count(*) AS n_copies
         |FROM documents GROUP BY md5(text)""".stripMargin,
     "dedup_minhash_bands" ->
-      s"""WITH $TokedCte, $ShingledCte,
-         |bands AS (SELECT doc_id, unnest([0,1,2,3]) AS band_idx, shingles
-         |  FROM sh)
-         |SELECT doc_id, band_idx,
-         |  md5(coalesce(list_min([md5((band_idx*2) || ':' || s)
-         |        for s in shingles]), md5((band_idx*2) || ':'))
-         |    || '|' ||
-         |    coalesce(list_min([md5((band_idx*2+1) || ':' || s)
-         |        for s in shingles]), md5((band_idx*2+1) || ':')))
-         |  AS band_hash
-         |FROM bands""".stripMargin,
+      s"""WITH $SigCte
+         |SELECT doc_id, band_idx, band_hash FROM bands""".stripMargin,
     "dedup_minhash_pairs" ->
-      s"""WITH $TokedCte, $ShingledCte,
-         |bands AS (SELECT doc_id, unnest([0,1,2,3]) AS band_idx, shingles
-         |  FROM sh),
-         |bt AS (SELECT doc_id, band_idx,
-         |  md5(coalesce(list_min([md5((band_idx*2) || ':' || s)
-         |        for s in shingles]), md5((band_idx*2) || ':'))
-         |    || '|' ||
-         |    coalesce(list_min([md5((band_idx*2+1) || ':' || s)
-         |        for s in shingles]), md5((band_idx*2+1) || ':')))
-         |  AS band_hash FROM bands)
+      s"""WITH $SigCte
          |SELECT DISTINCT a.doc_id AS left_id, b.doc_id AS right_id
-         |FROM bt a JOIN bt b
+         |FROM bands a JOIN bands b
          |  ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
          |  AND a.doc_id < b.doc_id""".stripMargin,
     "ngram_jaccard" ->

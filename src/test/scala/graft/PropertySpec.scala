@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.functions.Scalars._
+import graft.functions.TextFunctions._
+
+/** Property tests (SURVEY §5.4): invariants that must hold for ALL inputs.
+  * Uses scalacheck generators directly with deterministic seeds (the
+  * scalatestplus bridge isn't in the offline cache); each property is
+  * evaluated over a batch of generated cases in ONE Spark job so the
+  * suite stays fast. */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def cases[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(i.toLong)))
+
+  test("dollarsToCents equals JVM/python truncation for arbitrary amounts") {
+    val ds = cases(Gen.chooseNum(-10000000, 10000000), 200)
+      .map(_ / 100.0)
+    val got = ds.toDF("d").select(dollarsToCents($"d")).as[Long].collect()
+    val want = ds.map(d => (d * 100).toLong) // double→long == python int()
+    assert(got.toSeq == want)
+  }
+
+  test("stripFalsy never keeps falsy values and only keeps input values") {
+    val strGen = Gen.oneOf(Gen.alphaNumStr.map(_.take(6)),
+      Gen.oneOf("", "0", "0.0", "false", "FALSE", "1"))
+    val listGen = Gen.listOfN(6, Gen.option(strGen))
+    val falsy = Set("", "0", "0.0", "false")
+    cases(listGen, 60).foreach { vs =>
+      val entries = vs.zipWithIndex.flatMap { case (v, i) =>
+        Seq(lit(s"k$i"), v.map(lit(_)).getOrElse(lit(null).cast("string")))
+      }
+      val kept = Seq(1).toDF("x")
+        .select(map_values(stripFalsy(map(entries: _*))).as("v"))
+        .as[Seq[String]].collect().head
+      assert(kept.forall(v => v != null && !falsy(v.toLowerCase)))
+      assert(kept.toSet.subsetOf(vs.flatten.toSet))
+    }
+  }
+
+  test("mapCategory is total: output always in CAT_MAP ∪ {Other}") {
+    val valid = (CatMap ++ Seq("Other")).toSet
+    val g = for {
+      c <- Gen.oneOf(Gen.alphaStr.map(_.take(10)),
+        Gen.oneOf("Cannabis", "cannabis", "Seeds", "Flower", "Wax",
+          "Paraphernalia", "Tincture", "Prerolled", "Drinks", "Edibles"))
+      s <- Gen.chooseNum(0, 100)
+      i <- Gen.chooseNum(0, 100)
+    } yield (c, s, i)
+    val rows = cases(g, 150)
+    val out = rows.toDF("c", "s", "i")
+      .select(mapCategory($"c", $"s", $"i")).as[String].collect()
+    assert(out.forall(valid))
+  }
+
+  test("shingle count == max(tokens - n + 1, 0) for any token list") {
+    val g = Gen.listOfN(12, Gen.chooseNum(0, 49)).map(ws =>
+      ws.take(ws.headOption.getOrElse(0) % 13).map(w => s"w$w")
+        .mkString(" "))
+    val texts = cases(g, 80)
+    val out = texts.toDF("t")
+      .select(size(tokens($"t")), size(shingles(tokens($"t"), 3)))
+      .as[(Int, Int)].collect()
+    out.foreach { case (nTok, nSh) =>
+      assert(nSh == math.max(nTok - 2, 0))
+    }
+  }
+
+  test("minhash signature is permutation-insensitive to shingle ORDER only") {
+    // Same shingle SET → same signature, regardless of token order
+    // producing it; different sets → (almost surely) different sigs.
+    val df = Seq("a b c a b c", "a b c a b c", "c b a c b a", "x y z w")
+      .toDF("t")
+      .select(minhashSig(shingles(tokens($"t"), 3), 8).as("sig"))
+    val sigs = df.as[Seq[String]].collect()
+    assert(sigs(0) == sigs(1))      // identical docs
+    assert(sigs(0) != sigs(3))      // different content
+  }
+}

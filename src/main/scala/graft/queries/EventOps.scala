@@ -21,14 +21,12 @@ object EventOps {
   private val D182 = DecimalType(18, 2)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // Tumbling 10-minute windows (epoch-aligned in both engines).
+    // Tumbling 10-minute windows (epoch-aligned in both engines). The
+    // SAME function drives the Structured Streaming variant
+    // (EventStream.tumblingStream) — one definition, two execution modes.
     "ev_tumbling" -> ((s, d) =>
-      Tables.events(s, d)
-        .groupBy(window(col("ts"), "10 minutes").as("w"), col("event_type"))
-        .agg(count(lit(1)).as("n"),
-          sum(col("value").cast(D182)).cast("double").as("total"))
-        .select(col("w.start").as("window_start"), col("event_type"),
-          col("n"), col("total"))),
+      graft.streaming.EventStream.tumblingAgg(Tables.events(s, d),
+        "10 minutes")),
 
     // Sliding 10-minute windows, 5-minute slide → each event lands in 2.
     "ev_sliding" -> ((s, d) =>

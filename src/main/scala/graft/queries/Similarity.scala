@@ -61,6 +61,18 @@ object Similarity {
         .filter(col("rnk") <= 5)
     }),
 
+    // Unit-norm projection — the preprocessing step real ANN indexes
+    // assume; rounded 6dp both engines so elementwise compare is exact.
+    "emb_normalize" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), asDouble(col("embedding")).as("vec"))
+      val nrm = l2Norm(col("vec"))
+      e.select(col("vec_id"), round(nrm, 6).as("norm"),
+        when(nrm === 0.0, col("vec"))
+          .otherwise(transform(col("vec"), x => round(x / nrm, 6)))
+          .as("unit_vec"))
+    }),
+
     "emb_lsh_bucket" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
         .select(col("vec_id"), asDouble(col("embedding")).as("vec"))
@@ -99,6 +111,15 @@ object Similarity {
          |r AS (SELECT *, row_number() OVER (PARTITION BY q_id
          |    ORDER BY score DESC, cand_id) AS rnk FROM sc)
          |SELECT q_id, cand_id, score, rnk FROM r WHERE rnk <= 5""".stripMargin,
+    "emb_normalize" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS vec
+        |  FROM embeddings),
+        |n AS (SELECT vec_id, vec, sqrt(list_dot_product(vec, vec)) AS nrm
+        |  FROM e)
+        |SELECT vec_id, round(nrm, 6) AS norm,
+        |  CASE WHEN nrm = 0 THEN vec
+        |    ELSE [round(x / nrm, 6) for x in vec] END AS unit_vec
+        |FROM n""".stripMargin,
     "emb_lsh_bucket" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS vec
         |  FROM embeddings),

@@ -202,6 +202,34 @@ object TextOps {
         }: _*).as("simhash"))
     }),
 
+    // Exact-dedup result set: the surviving documents (min doc_id per
+    // content hash) — what a training pipeline actually feeds downstream.
+    "dedup_exact_keep" -> ((s, d) => {
+      val keep = Tables.documents(s, d)
+        .groupBy(md5(col("text")).as("content_hash"))
+        .agg(min(col("doc_id")).as("doc_id"))
+      Tables.documents(s, d).join(keep, Seq("doc_id"), "left_semi")
+        .select("doc_id", "lang", "source", "n_chars")
+    }),
+
+    // Vocabulary: global top-50 tokens by frequency (explode + two-level
+    // aggregation; partial aggs make the shuffle carry distinct tokens
+    // per partition, not token instances — the standard vocab-count shape
+    // at corpus scale).
+    "vocab_topk" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(explode(tokens(col("text"))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("freq"))
+        .orderBy(col("freq").desc, col("token")).limit(50)),
+
+    // Bigram counts: top-30 word 2-grams (n-gram LM / tokenizer-training
+    // statistics).
+    "bigram_topk" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(explode(shingles(tokens(col("text")), 2)).as("bigram"))
+        .groupBy("bigram").agg(count(lit(1)).as("freq"))
+        .orderBy(col("freq").desc, col("bigram")).limit(30)),
+
     // Multimodal plumbing: opaque binary payload + typed metadata. The
     // decode step is a deterministic stub (no image libs in-container);
     // the schema/partitioning/feature shape is the real, tested part.
@@ -305,6 +333,22 @@ object TextOps {
          |  FROM agg GROUP BY doc_id)
          |SELECT d.doc_id, coalesce(shh.simhash, repeat('1', 64)) AS simhash
          |FROM documents d LEFT JOIN shh ON d.doc_id = shh.doc_id""".stripMargin,
+    "dedup_exact_keep" ->
+      """SELECT doc_id, lang, source, n_chars FROM documents
+        |WHERE doc_id IN (SELECT min(doc_id) FROM documents
+        |                 GROUP BY md5(text))""".stripMargin,
+    "vocab_topk" ->
+      s"""WITH $TokedCte,
+         |tok AS (SELECT unnest(toks) AS token FROM toked)
+         |SELECT token, count(*) AS freq FROM tok GROUP BY token
+         |ORDER BY freq DESC, token LIMIT 50""".stripMargin,
+    "bigram_topk" ->
+      s"""WITH $TokedCte,
+         |bg AS (SELECT unnest([array_to_string(toks[i:i+1], ' ')
+         |    for i in range(1, greatest(len(toks), 1))]) AS bigram
+         |  FROM toked)
+         |SELECT bigram, count(*) AS freq FROM bg GROUP BY bigram
+         |ORDER BY freq DESC, bigram LIMIT 30""".stripMargin,
     "mm_features" ->
       """SELECT doc_id, octet_length(encode(text)) AS byte_len,
         |  sha256(text) AS content_hash,

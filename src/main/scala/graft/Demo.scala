@@ -55,6 +55,17 @@ object Demo {
     val nIds  = coll.select("_id").distinct().count()
     println(s"[demo] sinks: $nJson json docs written; " +
       s"$nIds distinct _ids in collection")
+
+    // Scale ops: salted join parity on a skewed key distribution.
+    val li = Tables.lineitem(spark, sfDir)
+    val su = Tables.supplier(spark, sfDir)
+    val plainN = li.join(su,
+      li("l_suppkey") === su("s_suppkey")).count()
+    val saltedN = operators.ScaleOps.saltedJoin(li,
+      su.withColumnRenamed("s_suppkey", "l_suppkey"), "l_suppkey", 8)
+      .count()
+    println(s"[demo] scaleops: salted join rows=$saltedN, plain=$plainN, " +
+      s"equal=${saltedN == plainN}")
     spark.stop()
   }
 }

@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.ScaleOps
+
+/** Plan-level assertions for the scale utilities: salting preserves join
+  * results; bucketed joins run shuffle-free; partitioned reads prune. */
+class ScaleOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("saltedJoin returns exactly the plain join's rows under skew") {
+    // 90% of left rows share key 1 (skew), right has few rows per key.
+    val left = (1 to 1000).map(i => (if (i % 10 == 0) i % 7 else 1, s"l$i"))
+      .toDF("k", "lv")
+    val right = (0 to 6).map(k => (k, s"r$k")).toDF("k", "rv")
+    val plain = left.join(right, "k").select("k", "lv", "rv")
+      .collect().map(_.toString).sorted
+    val salted = ScaleOps.saltedJoin(left, right, "k", 8)
+      .select(left("k"), col("lv"), col("rv"))
+      .collect().map(_.toString).sorted
+    assert(salted.toSeq == plain.toSeq)
+  }
+
+  test("bucketed tables join without a shuffle (no Exchange in plan)") {
+    Seq("bkt_a", "bkt_b").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(
+        spark.conf.get("spark.sql.warehouse.dir")
+          .stripPrefix("file:"), t)
+      org.apache.commons.io.FileUtils.deleteQuietly(loc)
+    }
+    val a = (1 to 500).map(i => (i.toLong, s"a$i")).toDF("id", "av")
+    val b = (1 to 500).map(i => (i.toLong, s"b$i")).toDF("id", "bv")
+    ScaleOps.writeBucketed(a, "bkt_a", "id", 4)
+    ScaleOps.writeBucketed(b, "bkt_b", "id", 4)
+    // Force the shuffle-join path (at real scale the sides exceed the
+    // broadcast threshold anyway) to show bucketing replaces the shuffle.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("bkt_a").join(spark.table("bkt_b"), "id")
+      val physical = joined.queryExecution.executedPlan.toString
+      assert(!physical.contains("Exchange"),
+        s"bucketed join should be shuffle-free, got:\n$physical")
+      assert(physical.contains("SortMergeJoin"))
+      assert(joined.count() == 500)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("partitionBy write + filter read prunes partitions in the scan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-part").toString
+    val df = (1 to 300).map(i => (i, s"d${i % 3}", i * 1.0))
+      .toDF("id", "day", "v")
+    ScaleOps.writePartitioned(df, dir, "day")
+    val read = spark.read.parquet(dir).filter(col("day") === "d1")
+    // inputFiles reports the pre-pruning listing; the pruning evidence is
+    // the PartitionFilters entry on the file scan node.
+    val plan = read.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("(day"),
+      s"expected directory-level partition pruning, got:\n$plan")
+    assert(read.count() == 100)
+  }
+}

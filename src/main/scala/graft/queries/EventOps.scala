@@ -38,6 +38,20 @@ object EventOps {
         .select(col("w.start").as("window_start"), col("event_type"),
           col("n"), col("total"))),
 
+    // Native session windows (Spark's session_window merges events with
+    // gaps < 30 min; end = last event + gap). Same session boundaries as
+    // the manual lag-based ev_sessionize below — the oracle derives
+    // start/end from that formulation.
+    "ev_session_window" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("user_id"),
+          session_window(col("ts"), "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast(D182)).cast("double").as("session_value"))
+        .select(col("user_id"), col("w.start").as("session_start"),
+          col("w.end").as("session_end"), col("n_events"),
+          col("session_value"))),
+
     // Gap-based sessionization (30-minute inactivity gap) per user:
     // lag → new-session flag → running session index → per-session agg.
     // Micros arithmetic on both engines (DuckDB epoch() is fractional
@@ -76,6 +90,21 @@ object EventOps {
         |SELECT window_start, event_type, count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM both_grids GROUP BY 1, 2""".stripMargin,
+    "ev_session_window" ->
+      """WITH flagged AS (
+        |  SELECT *, CASE WHEN prev_us IS NULL
+        |      OR epoch_us(ts) - prev_us > 30 * 60 * 1000000
+        |    THEN 1 ELSE 0 END AS new_sess
+        |  FROM (SELECT *, lag(epoch_us(ts), 1) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS prev_us FROM events)),
+        |sess AS (SELECT *, sum(new_sess) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND
+        |    CURRENT ROW) AS session_idx FROM flagged)
+        |SELECT user_id, min(ts) AS session_start,
+        |  max(ts) + INTERVAL '30 minutes' AS session_end,
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
+        |FROM sess GROUP BY user_id, session_idx""".stripMargin,
     "ev_sessionize" ->
       """WITH flagged AS (
         |  SELECT *, CASE WHEN prev_us IS NULL

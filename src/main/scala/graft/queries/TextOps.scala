@@ -230,6 +230,28 @@ object TextOps {
         .groupBy("bigram").agg(count(lit(1)).as("freq"))
         .orderBy(col("freq").desc, col("bigram")).limit(30)),
 
+    // Flagship corpus-cleaning pipeline: quality gate → language gate →
+    // exact dedup, composed from the operators above — the end-to-end
+    // shape of an LLM training-data prep job. One scan, one projection,
+    // one semi-join against the dedup keep-set.
+    "pipeline_clean_corpus" -> ((s, d) => {
+      val docs  = Tables.documents(s, d)
+      val toks  = tokens(col("text"))
+      val nTok  = size(toks).cast("long")
+      val stops = stopwordHits(toks, LangProfiles.flatMap(_._2)).cast("long")
+      val scored = docs.select(col("doc_id"), col("source"),
+        nTok.as("n_tokens"),
+        when(nTok > 0, stops.cast("double") / nTok).otherwise(0.0)
+          .as("stop_ratio"),
+        langId(toks).as("lang_guess"))
+      val gated = scored.filter(col("n_tokens") >= 20 &&
+        col("stop_ratio") >= 0.05 && col("lang_guess") =!= "und")
+      val keep = docs.groupBy(md5(col("text")).as("h"))
+        .agg(min(col("doc_id")).as("doc_id"))
+      gated.join(keep, Seq("doc_id"), "left_semi")
+        .select("doc_id", "source", "n_tokens", "lang_guess")
+    }),
+
     // Multimodal plumbing: opaque binary payload + typed metadata. The
     // decode step is a deterministic stub (no image libs in-container);
     // the schema/partitioning/feature shape is the real, tested part.
@@ -333,6 +355,32 @@ object TextOps {
          |  FROM agg GROUP BY doc_id)
          |SELECT d.doc_id, coalesce(shh.simhash, repeat('1', 64)) AS simhash
          |FROM documents d LEFT JOIN shh ON d.doc_id = shh.doc_id""".stripMargin,
+    "pipeline_clean_corpus" ->
+      s"""WITH $TokedCte,
+         |f AS (SELECT t.doc_id, d.source, len(t.toks) AS n_tokens,
+         |  CASE WHEN len(t.toks) > 0 THEN
+         |    CAST(len(list_filter(t.toks, x -> list_contains(
+         |      ['the','a','and','of','to','in','is',
+         |       'el','la','de','y','que','en','los',
+         |       'der','die','und','das','ist','von','ein'], x)))
+         |      AS DOUBLE) / len(t.toks) ELSE 0.0 END AS stop_ratio,
+         |  len(list_filter(t.toks, x -> list_contains(
+         |    ['the','a','and','of','to','in','is'], x))) AS s_en,
+         |  len(list_filter(t.toks, x -> list_contains(
+         |    ['el','la','de','y','que','en','los'], x))) AS s_es,
+         |  len(list_filter(t.toks, x -> list_contains(
+         |    ['der','die','und','das','ist','von','ein'], x))) AS s_de
+         |  FROM documents d JOIN toked t ON d.doc_id = t.doc_id),
+         |scored AS (SELECT doc_id, source, n_tokens, stop_ratio,
+         |  CASE WHEN greatest(s_en, s_es, s_de) = 0 THEN 'und'
+         |       WHEN s_en = greatest(s_en, s_es, s_de) THEN 'en'
+         |       WHEN s_es = greatest(s_en, s_es, s_de) THEN 'es'
+         |       ELSE 'de' END AS lang_guess FROM f)
+         |SELECT doc_id, source, n_tokens, lang_guess FROM scored
+         |WHERE n_tokens >= 20 AND stop_ratio >= 0.05
+         |  AND lang_guess <> 'und'
+         |  AND doc_id IN (SELECT min(doc_id) FROM documents
+         |                 GROUP BY md5(text))""".stripMargin,
     "dedup_exact_keep" ->
       """SELECT doc_id, lang, source, n_chars FROM documents
         |WHERE doc_id IN (SELECT min(doc_id) FROM documents

@@ -35,16 +35,33 @@ object TextOps {
     * then 8 slice-minima via map-side partial aggregation; one shuffle of
     * 8×8 hex chars per doc regardless of document length). */
   private def signatures(s: SparkSession, d: String): DataFrame = {
+    // Shingles via posexplode + window lead instead of the HOF
+    // transform/slice chain: higher-order functions are interpreted
+    // (no whole-stage codegen) and measured ~3× slower here. The window
+    // and the downstream groupBy share the doc_id partitioning, so this
+    // costs one shuffle total.
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("doc_id").orderBy("pos")
     val ex = Tables.documents(s, d)
       .select(col("doc_id"),
-        explode_outer(shingles(tokens(col("text")), 3)).as("sgl"))
+        posexplode_outer(split(trim(col("text")), "\\s+"))
+          .as(Seq("pos", "tok")))
+      .filter(col("tok") =!= "")
+      .withColumn("sgl",
+        when(lead(col("tok"), 2).over(w).isNotNull,
+          concat_ws(" ", col("tok"), lead(col("tok"), 1).over(w),
+            lead(col("tok"), 2).over(w))))
       .select(col("doc_id"), md5(col("sgl")).as("m1"),
         md5(concat(lit("8:"), col("sgl"))).as("m2"))
     val aggs = (0 until 8).map { j =>
       val src = if (j < 4) col("m1") else col("m2")
       min(minhashSlice(src, j)).as(s"h$j")
     }
-    ex.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+    // Left join back to documents so token-less docs keep a (default)
+    // signature — mirrors the oracle's LEFT JOIN + coalesce.
+    val raw = ex.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+    Tables.documents(s, d).select(col("doc_id"))
+      .join(raw, Seq("doc_id"), "left")
       .select(col("doc_id") +: (0 until 8).map { j =>
         val prefix = if (j < 4) "" else "8:"
         coalesce(col(s"h$j"), minhashSlice(md5(lit(prefix)), j)).as(s"h$j")
@@ -161,12 +178,26 @@ object TextOps {
     // n-gram Jaccard similarity on deterministic adjacent-id pairs
     // (the verification step that follows LSH candidate generation).
     "ngram_jaccard" -> ((s, d) => {
-      // Persist the shingle-set table: both join sides read the cached
-      // plan instead of re-tokenizing (at 100 TB this materialization is
-      // a written intermediate table; candidate pairs then join against
-      // it once per side).
-      val sh = Tables.documents(s, d).select(col("doc_id"),
-        array_distinct(shingles(tokens(col("text")), 3)).as("sh"))
+      // Shingle sets via the codegen'd window-lead path + collect_set
+      // (sizes only are used downstream, so set order doesn't matter).
+      // Persisted: both join sides read the cached table instead of
+      // re-tokenizing (at 100 TB this materialization is a written
+      // intermediate table; candidate pairs then join against it).
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("doc_id").orderBy("pos")
+      val shRows = Tables.documents(s, d)
+        .select(col("doc_id"),
+          posexplode(split(trim(col("text")), "\\s+")).as(Seq("pos", "tok")))
+        .filter(col("tok") =!= "")
+        .withColumn("sgl",
+          when(lead(col("tok"), 2).over(w).isNotNull,
+            concat_ws(" ", col("tok"), lead(col("tok"), 1).over(w),
+              lead(col("tok"), 2).over(w))))
+      val sh = Tables.documents(s, d).select(col("doc_id"))
+        .join(shRows.groupBy("doc_id")
+          .agg(collect_set(col("sgl")).as("sh0")), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("sh0"), array().cast("array<string>")).as("sh"))
         .persist()
       val a = sh.select(col("doc_id").as("left_id"), col("sh").as("sh_a"))
       val b = sh.select(col("doc_id").as("right_id"), col("sh").as("sh_b"))
@@ -223,12 +254,20 @@ object TextOps {
         .orderBy(col("freq").desc, col("token")).limit(50)),
 
     // Bigram counts: top-30 word 2-grams (n-gram LM / tokenizer-training
-    // statistics).
-    "bigram_topk" -> ((s, d) =>
+    // statistics). Window-lead formulation keeps it in codegen.
+    "bigram_topk" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("doc_id").orderBy("pos")
       Tables.documents(s, d)
-        .select(explode(shingles(tokens(col("text")), 2)).as("bigram"))
+        .select(col("doc_id"),
+          posexplode(split(trim(col("text")), "\\s+")).as(Seq("pos", "tok")))
+        .filter(col("tok") =!= "")
+        .withColumn("nxt", lead(col("tok"), 1).over(w))
+        .filter(col("nxt").isNotNull)
+        .select(concat_ws(" ", col("tok"), col("nxt")).as("bigram"))
         .groupBy("bigram").agg(count(lit(1)).as("freq"))
-        .orderBy(col("freq").desc, col("bigram")).limit(30)),
+        .orderBy(col("freq").desc, col("bigram")).limit(30)
+    }),
 
     // Flagship corpus-cleaning pipeline: quality gate → language gate →
     // exact dedup, composed from the operators above — the end-to-end

@@ -347,7 +347,58 @@ object Relational {
       Tables.orders(s, d).select("o_orderkey", "o_totalprice")
         .orderBy(col("o_totalprice").desc, col("o_orderkey")).limit(20)),
 
+    // ---- Set operations (§2.7 — beyond-reference, Spark-native) ---------
+    // union / intersect / except over compatible projections.
+    "set_ops" -> ((s, d) => {
+      val building = Tables.customer(s, d)
+        .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+      val active = Tables.orders(s, d)
+        .select(col("o_custkey").as("c_custkey")).distinct()
+      val inBoth    = building.intersect(active)
+        .withColumn("tag", lit("both"))
+      val buildOnly = building.except(active)
+        .withColumn("tag", lit("building_only"))
+      inBoth.unionByName(buildOnly)
+    }),
+
+    // Grouping sets: ROLLUP over returnflag/linestatus with decimal-exact
+    // totals (subtotal + grand-total rows).
+    "agg_rollup" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(sum(col("l_quantity").cast(D182)).cast("double").as("sum_qty"),
+          count(lit(1)).as("n"))),
+
+    // Pivot: order counts per status × priority-class (CASE-aggregation
+    // twin in the oracle keeps it ANSI).
+    "agg_pivot" -> ((s, d) =>
+      Tables.orders(s, d)
+        .groupBy("o_orderstatus")
+        .pivot("o_orderpriority",
+          Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))
+        .agg(count(lit(1)))
+        .withColumnsRenamed(Map(
+          "1-URGENT" -> "urgent", "2-HIGH" -> "high", "3-MEDIUM" -> "medium",
+          "4-NOT SPECIFIED" -> "unspecified", "5-LOW" -> "low"))
+        // pivot yields NULL for empty cells; the oracle's FILTER-count
+        // yields 0 — align on 0.
+        .na.fill(0L,
+          Seq("urgent", "high", "medium", "unspecified", "low"))),
+
     // ---- W: window-function extension (§2.9) ----------------------------
+    "w4_ntile" -> ((s, d) => {
+      val w = Window.orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.orders(s, d).select(col("o_orderkey"),
+        ntile(4).over(w).cast("long").as("quartile"))
+    }),
+
+    "w5_first_value" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      Tables.orders(s, d).select(col("o_custkey"), col("o_orderkey"),
+        first_value(col("o_totalprice")).over(w).as("first_total"))
+    }),
+
     "w1_rank" -> ((s, d) => {
       val w = Window.partitionBy("o_custkey")
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
@@ -544,6 +595,42 @@ object Relational {
     "o2_topk_limit" ->
       """SELECT o_orderkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin,
+    "set_ops" ->
+      """WITH building AS (SELECT c_custkey FROM customer
+        |  WHERE c_mktsegment = 'BUILDING'),
+        |active AS (SELECT DISTINCT o_custkey AS c_custkey FROM orders)
+        |SELECT c_custkey, 'both' AS tag
+        |FROM (SELECT c_custkey FROM building
+        |      INTERSECT SELECT c_custkey FROM active)
+        |UNION ALL
+        |SELECT c_custkey, 'building_only' AS tag
+        |FROM (SELECT c_custkey FROM building
+        |      EXCEPT SELECT c_custkey FROM active)""".stripMargin,
+    "agg_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  count(*) AS n
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+    "agg_pivot" ->
+      """SELECT o_orderstatus,
+        |  count(*) FILTER (o_orderpriority = '1-URGENT') AS urgent,
+        |  count(*) FILTER (o_orderpriority = '2-HIGH') AS high,
+        |  count(*) FILTER (o_orderpriority = '3-MEDIUM') AS medium,
+        |  count(*) FILTER (o_orderpriority = '4-NOT SPECIFIED')
+        |    AS unspecified,
+        |  count(*) FILTER (o_orderpriority = '5-LOW') AS low
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
+    "w4_ntile" ->
+      """SELECT o_orderkey,
+        |  ntile(4) OVER (ORDER BY o_totalprice DESC, o_orderkey)
+        |    AS quartile
+        |FROM orders""".stripMargin,
+    "w5_first_value" ->
+      """SELECT o_custkey, o_orderkey,
+        |  first_value(o_totalprice) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey) AS first_total
+        |FROM orders""".stripMargin,
     "w1_rank" ->
       """SELECT o_custkey, o_orderkey, rnk FROM (
         |  SELECT o_custkey, o_orderkey,

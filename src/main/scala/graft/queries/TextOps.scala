@@ -138,6 +138,14 @@ object TextOps {
       Tables.documents(s, d).select(
         col("doc_id"), langId(tokens(col("text"))).as("lang_guess"))),
 
+    // Text normalization: lowercase, strip punctuation, collapse
+    // whitespace — the canonical pre-dedup cleanup transform.
+    "txt_normalize" -> ((s, d) =>
+      Tables.documents(s, d).select(col("doc_id"),
+        trim(regexp_replace(
+          regexp_replace(lower(col("text")), "[.,!?;:]", ""),
+          "\\s+", " ")).as("norm_text"))),
+
     // Content fingerprint: md5 over normalized text.
     "txt_fingerprint" -> ((s, d) =>
       Tables.documents(s, d).select(
@@ -349,6 +357,11 @@ object TextOps {
          |       WHEN s_es = greatest(s_en, s_es, s_de) THEN 'es'
          |       ELSE 'de' END AS lang_guess
          |FROM sc""".stripMargin,
+    "txt_normalize" ->
+      """SELECT doc_id, trim(regexp_replace(
+        |  regexp_replace(lower(text), '[.,!?;:]', '', 'g'),
+        |  '\s+', ' ', 'g')) AS norm_text
+        |FROM documents""".stripMargin,
     "txt_fingerprint" ->
       """SELECT doc_id, md5(array_to_string(list_filter(
         |  regexp_split_to_array(trim(lower(text)), '\s+'), t -> t != ''),

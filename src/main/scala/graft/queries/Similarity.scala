@@ -89,10 +89,11 @@ object Similarity {
         col("u").as("ua"))
       val b = e.select(col("vec_id").as("right_id"),
         col("label").as("label_b"), col("u").as("ub"))
+      graft.expressions.VectorExpressions.register(s)
       a.join(b, col("label") === col("label_b") &&
           col("left_id") < col("right_id"))
         .select(col("left_id"), col("right_id"),
-          round(dot(col("ua"), col("ub")), 6).as("score"))
+          round(expr("graft_vec_dot(ua, ub)"), 6).as("score"))
         .filter(col("score") >= 0.3)
     }),
 

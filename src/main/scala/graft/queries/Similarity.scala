@@ -27,37 +27,45 @@ import graft.functions.VectorFunctions._
   */
 object Similarity {
 
-  private def cosScore(vec: Column, qVec: Column): Column =
-    round(cosine(vec, qVec), 6)
+  /** Shared preprocessing: unit-normalized vectors (+ optional label) so
+    * cosine == one native dot product per candidate pair. */
+  private def unitVecs(s: SparkSession, d: String): DataFrame = {
+    graft.expressions.VectorExpressions.register(s)
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"),
+        asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", l2Norm(col("v")))
+      .filter(col("nrm") > 0)
+      .select(col("vec_id"), col("label"),
+        transform(col("v"), x => x / col("nrm")).as("u"))
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "emb_cosine_topk" -> ((s, d) => {
-      val e = Tables.embeddings(s, d)
-        .select(col("vec_id"), asDouble(col("embedding")).as("vec"))
+      val e = unitVecs(s, d)
       val q = e.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("q_id"), col("vec").as("q_vec"))
+        .select(col("vec_id").as("q_id"), col("u").as("q_u"))
       val w = Window.partitionBy("q_id")
         .orderBy(col("score").desc, col("cand_id"))
       e.crossJoin(broadcast(q))
         .filter(col("vec_id") =!= col("q_id"))
         .select(col("q_id"), col("vec_id").as("cand_id"),
-          cosScore(col("vec"), col("q_vec")).as("score"))
+          round(expr("graft_vec_dot(u, q_u)"), 6).as("score"))
         .withColumn("rnk", row_number().over(w).cast("long"))
         .filter(col("rnk") <= 10)
     }),
 
     "emb_ivf_topk" -> ((s, d) => {
-      val e = Tables.embeddings(s, d).select(col("vec_id"), col("label"),
-        asDouble(col("embedding")).as("vec"))
+      val e = unitVecs(s, d)
       val q = e.filter(col("vec_id") < 5)
         .select(col("vec_id").as("q_id"), col("label").as("q_label"),
-          col("vec").as("q_vec"))
+          col("u").as("q_u"))
       val w = Window.partitionBy("q_id")
         .orderBy(col("score").desc, col("cand_id"))
       e.join(broadcast(q), col("label") === col("q_label") &&
           col("vec_id") =!= col("q_id"))
         .select(col("q_id"), col("vec_id").as("cand_id"),
-          cosScore(col("vec"), col("q_vec")).as("score"))
+          round(expr("graft_vec_dot(u, q_u)"), 6).as("score"))
         .withColumn("rnk", row_number().over(w).cast("long"))
         .filter(col("rnk") <= 5)
     }),
@@ -78,18 +86,11 @@ object Similarity {
       // SMJ, 5× slower despite full codegen). At larger cells, switch to
       // a native BLAS/Expression batch — the cell restriction (O(Σ|cell|²))
       // is what actually carries this to 100 TB.
-      val e = Tables.embeddings(s, d)
-        .select(col("vec_id"), col("label"),
-          asDouble(col("embedding")).as("v"))
-        .withColumn("nrm", l2Norm(col("v")))
-        .filter(col("nrm") > 0)
-        .select(col("vec_id"), col("label"),
-          transform(col("v"), x => x / col("nrm")).as("u"))
+      val e = unitVecs(s, d)
       val a = e.select(col("vec_id").as("left_id"), col("label"),
         col("u").as("ua"))
       val b = e.select(col("vec_id").as("right_id"),
         col("label").as("label_b"), col("u").as("ub"))
-      graft.expressions.VectorExpressions.register(s)
       a.join(b, col("label") === col("label_b") &&
           col("left_id") < col("right_id"))
         .select(col("left_id"), col("right_id"),
@@ -117,46 +118,40 @@ object Similarity {
       e.select(col("vec_id"), concat(bits: _*).as("bucket"))
     }))
 
-  /** DuckDB cosine with the same zero-norm guard + 6-dp rounding. */
-  private def sqlCos(a: String, b: String): String =
-    s"""round(CASE WHEN sqrt(list_dot_product($a, $a)) = 0
-       |  OR sqrt(list_dot_product($b, $b)) = 0 THEN 0.0
-       |  ELSE list_dot_product($a, $b) /
-       |    (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))
-       |  END, 6)""".stripMargin
+  /** Shared oracle CTE matching unitVecs. */
+  private val UnitCte =
+    """e AS (SELECT vec_id, label,
+      |  [x / sqrt(list_dot_product(v, v)) for x in v] AS u
+      |  FROM (SELECT vec_id, label, embedding::DOUBLE[] AS v
+      |        FROM embeddings)
+      |  WHERE sqrt(list_dot_product(v, v)) > 0)""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "emb_cosine_topk" ->
-      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS vec
-         |  FROM embeddings),
-         |q AS (SELECT vec_id AS q_id, vec AS q_vec FROM e WHERE vec_id < 5),
+      s"""WITH $UnitCte,
+         |q AS (SELECT vec_id AS q_id, u AS q_u FROM e WHERE vec_id < 5),
          |sc AS (SELECT q.q_id, e.vec_id AS cand_id,
-         |    ${sqlCos("e.vec", "q.q_vec")} AS score
+         |    round(list_dot_product(e.u, q.q_u), 6) AS score
          |  FROM e CROSS JOIN q WHERE e.vec_id <> q.q_id),
          |r AS (SELECT *, row_number() OVER (PARTITION BY q_id
          |    ORDER BY score DESC, cand_id) AS rnk FROM sc)
          |SELECT q_id, cand_id, score, rnk FROM r WHERE rnk <= 10""".stripMargin,
     "emb_ivf_topk" ->
-      s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS vec
-         |  FROM embeddings),
-         |q AS (SELECT vec_id AS q_id, label AS q_label, vec AS q_vec
+      s"""WITH $UnitCte,
+         |q AS (SELECT vec_id AS q_id, label AS q_label, u AS q_u
          |  FROM e WHERE vec_id < 5),
          |sc AS (SELECT q.q_id, e.vec_id AS cand_id,
-         |    ${sqlCos("e.vec", "q.q_vec")} AS score
+         |    round(list_dot_product(e.u, q.q_u), 6) AS score
          |  FROM e JOIN q ON e.label = q.q_label AND e.vec_id <> q.q_id),
          |r AS (SELECT *, row_number() OVER (PARTITION BY q_id
          |    ORDER BY score DESC, cand_id) AS rnk FROM sc)
          |SELECT q_id, cand_id, score, rnk FROM r WHERE rnk <= 5""".stripMargin,
     "dedup_embedding" ->
-      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
-        |  FROM embeddings),
-        |n AS (SELECT vec_id, label,
-        |  [x / sqrt(list_dot_product(v, v)) for x in v] AS u
-        |  FROM e WHERE sqrt(list_dot_product(v, v)) > 0)
-        |SELECT a.vec_id AS left_id, b.vec_id AS right_id,
-        |  round(list_dot_product(a.u, b.u), 6) AS score
-        |FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
-        |WHERE round(list_dot_product(a.u, b.u), 6) >= 0.3""".stripMargin,
+      s"""WITH $UnitCte
+         |SELECT a.vec_id AS left_id, b.vec_id AS right_id,
+         |  round(list_dot_product(a.u, b.u), 6) AS score
+         |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+         |WHERE round(list_dot_product(a.u, b.u), 6) >= 0.3""".stripMargin,
     "emb_normalize" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS vec
         |  FROM embeddings),

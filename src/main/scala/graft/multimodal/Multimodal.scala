@@ -57,6 +57,27 @@ object Multimodal {
     spark.createDataFrame(rdd, featureSchema)
   }
 
+  /** STUB resize: deterministic byte-domain downsample standing in for an
+    * image resize (real impl swaps the body for a codec scale call; the
+    * operator shape — binary in, binary out + new dims, partition-
+    * parallel projection — is unchanged). Keeps every `factor`-th byte. */
+  def resizeStub(media: DataFrame, factor: Int): DataFrame = {
+    val spark = media.sparkSession
+    val rdd = media.select("media_id", "payload").rdd.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val payload = if (r.isNullAt(1)) Array.empty[Byte]
+        else r.getAs[Array[Byte]](1)
+        val resized = payload.grouped(factor).map(_.head).toArray
+        Row(id, resized, resized.length.toLong)
+      }
+    }
+    spark.createDataFrame(rdd, StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = true),
+      StructField("byte_len", LongType, nullable = false))))
+  }
+
   /** Frame sampling for video-shaped payloads: emit every `stride`-th
     * fixed-size chunk as a "frame" (stub for keyframe extraction). A
     * generator-shaped op: one input row → N output rows, columnar via

@@ -44,6 +44,10 @@ object Demo {
     val feats = multimodal.Multimodal.extractFeatures(media)
     println(s"[demo] multimodal: extracted features for ${feats.count()} " +
       s"payloads, schema=${feats.schema.map(_.name).mkString(",")}")
+    val resized = multimodal.Multimodal.resizeStub(media, 4)
+    val shrunk = resized.agg(sum(col("byte_len"))).head.getLong(0)
+    println(s"[demo] multimodal: resize stub kept $shrunk bytes " +
+      s"across ${resized.count()} payloads")
 
     // Sinks: members pipeline → JSON-lines + doc-collection sinks.
     val members = queries.Entities.queries("members_doc")(spark, sfDir)

@@ -386,6 +386,10 @@ object Relational {
           Seq("urgent", "high", "medium", "unspecified", "low"))),
 
     // ---- W: window-function extension (§2.9) ----------------------------
+    // NB: an unpartitioned window collapses to a single task — acceptable
+    // for a global-quartile demo, but at 100 TB the pattern is
+    // repartitionByRange + per-range ranking with offset correction (or
+    // approx percentile cutpoints + a codegen'd bucket lookup).
     "w4_ntile" -> ((s, d) => {
       val w = Window.orderBy(col("o_totalprice").desc, col("o_orderkey"))
       Tables.orders(s, d).select(col("o_orderkey"),

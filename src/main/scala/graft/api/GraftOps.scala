@@ -1,0 +1,153 @@
+package graft.api
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions._
+import graft.functions.VectorFunctions._
+
+/** User-facing DataFrame API — the "switch from the reference" surface.
+  * Every operator is a pure `DataFrame → DataFrame` function over caller
+  * columns (no harness coupling); the registered queries in
+  * `graft.queries.*` delegate here, so the DuckDB oracle continuously
+  * guards these exact implementations.
+  */
+object GraftOps {
+
+  /** MinHash signature table (id, h0..h7): word-3-gram shingles via the
+    * codegen'd posexplode + window-lead path, two md5 digests per shingle
+    * sliced into 8×32-bit hex minima via map-side partial aggregation.
+    * Token-less rows keep a default signature (LEFT JOIN + coalesce). */
+  def minhashSignatures(docs: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val w = Window.partitionBy(idCol).orderBy("pos")
+    val ex = docs
+      .select(col(idCol),
+        posexplode_outer(split(trim(col(textCol)), "\\s+"))
+          .as(Seq("pos", "tok")))
+      .filter(col("tok") =!= "")
+      .withColumn("sgl",
+        when(lead(col("tok"), 2).over(w).isNotNull,
+          concat_ws(" ", col("tok"), lead(col("tok"), 1).over(w),
+            lead(col("tok"), 2).over(w))))
+      .select(col(idCol), md5(col("sgl")).as("m1"),
+        md5(concat(lit("8:"), col("sgl"))).as("m2"))
+    val aggs = (0 until 8).map { j =>
+      val src = if (j < 4) col("m1") else col("m2")
+      min(minhashSlice(src, j)).as(s"h$j")
+    }
+    val raw = ex.groupBy(idCol).agg(aggs.head, aggs.tail: _*)
+    docs.select(col(idCol)).join(raw, Seq(idCol), "left")
+      .select(col(idCol) +: (0 until 8).map { j =>
+        val prefix = if (j < 4) "" else "8:"
+        coalesce(col(s"h$j"), minhashSlice(md5(lit(prefix)), j)).as(s"h$j")
+      }: _*)
+  }
+
+  /** LSH band table (id, band_idx, band_hash): 4 bands × 2 signature rows
+    * — the bucketing key for near-dup candidate generation. */
+  def minhashBands(docs: DataFrame, idCol: String, textCol: String)
+      : DataFrame =
+    minhashSignatures(docs, idCol, textCol)
+      .select(col(idCol), explode(array((0 until 4).map { b =>
+        struct(lit(b).as("band_idx"),
+          md5(concat(col(s"h${2 * b}"), lit("|"), col(s"h${2 * b + 1}")))
+            .as("band_hash"))
+      }: _*)).as("band"))
+      .select(col(idCol), col("band.band_idx").as("band_idx"),
+        col("band.band_hash").as("band_hash"))
+
+  /** Near-dup candidate pairs, generated bucket-locally (collect the tiny
+    * bucket membership, emit sorted combinations) — Σ|bucket|² cost, no
+    * self-join, no all-pairs. */
+  def minhashCandidatePairs(docs: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val buckets = minhashBands(docs, idCol, textCol)
+      .groupBy("band_idx", "band_hash")
+      .agg(sort_array(collect_list(col(idCol))).as("ids"))
+      .filter(size(col("ids")) > 1)
+    val pairs = flatten(transform(col("ids"), (x, i) =>
+      transform(slice(col("ids"), i + 2, size(col("ids"))),
+        y => struct(x.as("left_id"), y.as("right_id")))))
+    buckets.select(explode(pairs).as("p"))
+      .select(col("p.left_id").as("left_id"),
+        col("p.right_id").as("right_id"))
+      .distinct()
+  }
+
+  /** Exact-dedup survivor set: rows whose id is the minimum for their
+    * content hash (hash-groupBy + left-semi back to the input). */
+  def dedupExact(docs: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val keep = docs.groupBy(md5(col(textCol)).as("__h"))
+      .agg(min(col(idCol)).as(idCol))
+    docs.join(keep.select(idCol), Seq(idCol), "left_semi")
+  }
+
+  /** 64-bit SimHash per row as a 64-char bitstring (explode + one hash
+    * aggregate with 64 codegen'd sum columns). */
+  def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = docs
+      .select(col(idCol), explode_outer(tokens(col(textCol))).as("tok"))
+      .select(col(idCol), tokenHashPrefix(col("tok")).as("hx"))
+    val sums = (0 until 64).map { b =>
+      val v = conv(substring(col("hx"), b / 4 + 1, 1), 16, 10).cast("int")
+      val bit = shiftright(v, 3 - b % 4).bitwiseAND(lit(1))
+      sum(bit * 2 - 1).as(s"s$b")
+    }
+    tok.groupBy(idCol).agg(sums.head, sums.tail: _*)
+      .select(col(idCol), concat((0 until 64).map { b =>
+        when(col(s"s$b") >= 0 || col(s"s$b").isNull, "1").otherwise("0")
+      }: _*).as("simhash"))
+  }
+
+  /** Quality features: token count, stopword ratio, punctuation ratio,
+    * mean token length. */
+  def qualityFeatures(docs: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val toks  = tokens(col(textCol))
+    val nTok  = size(toks).cast("long")
+    val stops = stopwordHits(toks, LangProfiles.flatMap(_._2)).cast("long")
+    docs.select(col(idCol), nTok.as("n_tokens"),
+      when(nTok > 0, stops.cast("double") / nTok).otherwise(0.0)
+        .as("stop_ratio"),
+      when(length(col(textCol)) > 0,
+        punctCount(col(textCol)).cast("double") / length(col(textCol)))
+        .otherwise(0.0).as("punct_ratio"),
+      when(nTok > 0,
+        (length(concat_ws("", toks)).cast("double")) / nTok)
+        .otherwise(0.0).as("mean_token_len"))
+  }
+
+  /** Heuristic language-ID column for a text column. */
+  def languageOf(textCol: Column): Column = langId(tokens(textCol))
+
+  /** Unit-normalized embeddings (id, label?, u) — cosine becomes one dot
+    * product per pair downstream; rows with zero norm are dropped. */
+  def unitNormalize(emb: DataFrame, vecCol: String): DataFrame = {
+    val v = transform(col(vecCol), _.cast("double"))
+    emb.withColumn("__v", v)
+      .withColumn("__nrm", l2Norm(col("__v")))
+      .filter(col("__nrm") > 0)
+      .withColumn(vecCol, transform(col("__v"), x => x / col("__nrm")))
+      .drop("__v", "__nrm")
+  }
+
+  /** Brute-force cosine top-k: queries broadcast against the corpus;
+    * scores via the native graft_vec_dot expression, ranked with a full
+    * deterministic tiebreak. Inputs must be unit-normalized. */
+  def cosineTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int): DataFrame = {
+    graft.expressions.VectorExpressions.register(corpus.sparkSession)
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_u"))
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("score").desc, col("cand_id"))
+    corpus.select(col(idCol).as("cand_id"), col(vecCol).as("u"))
+      .crossJoin(broadcast(q))
+      .filter(col("cand_id") =!= col("q_id"))
+      .select(col("q_id"), col("cand_id"),
+        round(expr("graft_vec_dot(u, q_u)"), 6).as("score"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+  }
+}

@@ -27,8 +27,10 @@ object Scalars {
   /** X3 `create_epoch` (utils.py:171-175): timestamp → epoch seconds. */
   def createEpoch(c: Column): Column = unix_timestamp(c)
 
-  /** Epoch milliseconds (json_structure:70 `createdAtEpoch`). */
-  def createEpochMillis(c: Column): Column = unix_millis(c)
+  /** Epoch milliseconds (json_structure:70 `createdAtEpoch`). Parquet
+    * scans yield TIMESTAMP_NTZ, which unix_millis rejects — cast through
+    * TIMESTAMP (identity instant under the fixed UTC session zone). */
+  def createEpochMillis(c: Column): Column = unix_millis(c.cast("timestamp"))
 
   /** X4 `dollars_to_cents` (utils.py:178-180): `int(d * 100)`.
     * Python's int() truncates the double product toward zero —

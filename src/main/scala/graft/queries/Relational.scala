@@ -347,6 +347,42 @@ object Relational {
       Tables.orders(s, d).select("o_orderkey", "o_totalprice")
         .orderBy(col("o_totalprice").desc, col("o_orderkey")).limit(20)),
 
+    // Every reference scalar (SURVEY §2.8 X1-X17) in ONE projection over
+    // orders — the explicit per-function correctness battery; all the
+    // Scalars also appear in realistic context in the entity pipelines.
+    "scalars_battery" -> ((s, d) => {
+      val k = col("o_orderkey")
+      val cat = when(k % 6 === 0, "Cannabis")
+        .when(k % 6 === 1, "Paraphernalia").when(k % 6 === 2, "Seeds")
+        .when(k % 6 === 3, "Wax").when(k % 6 === 4, "Flower")
+        .otherwise("Tincture")
+      Tables.orders(s, d).select(
+        k.as("id"),
+        Scalars.trueOrFalse(k % 2).as("x1_bool"),
+        Scalars.accountStatus(k % 2).as("x2_status"),
+        Scalars.createEpoch(col("o_orderdate")).as("x3_epoch"),
+        Scalars.createEpochMillis(col("o_orderdate")).as("x3_epoch_ms"),
+        Scalars.dollarsToCents(col("o_totalprice")).as("x4_cents"),
+        Scalars.memberType(k % 2).as("x5_member_type"),
+        Scalars.setName(when(k % 3 =!= 0, "Ann"), when(k % 4 =!= 0, "Lee"),
+          concat(lit("u"), k)).as("x6_name"),
+        Scalars.maskEmail(col("o_orderpriority")).as("x7_email"),
+        Scalars.dobOrEpoch0(when(k % 5 === 0, col("o_orderdate")))
+          .as("x8_dob"),
+        Scalars.employeeDob.as("x8b_employee_dob"),
+        Scalars.stripDoctorTitle(concat(
+          when(k % 3 === 0, "Dr. ").when(k % 7 === 0, "Drs ").otherwise(""),
+          lit("Who"))).as("x9_clean_name"),
+        Scalars.mapCategory(cat, (k % 101).cast("int"),
+          (lit(100) - k % 101).cast("int")).as("x10_category"),
+        Scalars.activeFlag(k % 2).as("x11_active"),
+        Scalars.imageUrl("assets-bucket", k, "large",
+          when(k % 4 =!= 0, "f.jpg")).as("x12_url"),
+        Scalars.taxPercent(col("o_totalprice")).as("x16_tax_pct"),
+        Scalars.netMarijuana(when(k % 2 === 0, 2).otherwise(1),
+          col("o_totalprice")).as("x17_net"))
+    }),
+
     // ---- Set operations (§2.7 — beyond-reference, Spark-native) ---------
     // union / intersect / except over compatible projections.
     "set_ops" -> ((s, d) => {
@@ -599,6 +635,53 @@ object Relational {
     "o2_topk_limit" ->
       """SELECT o_orderkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin,
+    "scalars_battery" ->
+      """SELECT o_orderkey AS id,
+        |  o_orderkey % 2 = 1 AS x1_bool,
+        |  CASE WHEN o_orderkey % 2 = 1 THEN 'INACTIVE'
+        |       WHEN o_orderkey % 2 = 0 THEN 'ACTIVE' END AS x2_status,
+        |  CAST(floor(epoch(o_orderdate)) AS BIGINT) AS x3_epoch,
+        |  epoch_ms(o_orderdate) AS x3_epoch_ms,
+        |  CAST(trunc(o_totalprice * 100) AS BIGINT) AS x4_cents,
+        |  CASE WHEN o_orderkey % 2 = 1 THEN 'MEDICAL'
+        |       ELSE 'RECREATIONAL' END AS x5_member_type,
+        |  CASE WHEN (CASE WHEN o_orderkey % 3 <> 0 THEN 'Ann' END) IS NULL
+        |         AND (CASE WHEN o_orderkey % 4 <> 0 THEN 'Lee' END) IS NULL
+        |    THEN 'u' || o_orderkey
+        |    ELSE concat_ws(' ',
+        |      CASE WHEN o_orderkey % 3 <> 0 THEN 'Ann' END,
+        |      CASE WHEN o_orderkey % 4 <> 0 THEN 'Lee' END) END AS x6_name,
+        |  substr(md5(o_orderpriority), 1, 12) || '@example.org' AS x7_email,
+        |  CASE WHEN o_orderkey % 5 = 0 THEN o_orderdate
+        |    ELSE TIMESTAMP '1970-01-01 00:00:00' END AS x8_dob,
+        |  TIMESTAMP '1970-01-01 02:30:00' AS x8b_employee_dob,
+        |  trim(regexp_replace(
+        |    (CASE WHEN o_orderkey % 3 = 0 THEN 'Dr. '
+        |          WHEN o_orderkey % 7 = 0 THEN 'Drs ' ELSE '' END) || 'Who',
+        |    '^(Dr(?:.)?s|(?:Dr.?))', '', 'i')) AS x9_clean_name,
+        |  CASE WHEN lower(CASE o_orderkey % 6 WHEN 0 THEN 'Cannabis'
+        |      WHEN 1 THEN 'Paraphernalia' WHEN 2 THEN 'Seeds'
+        |      WHEN 3 THEN 'Wax' WHEN 4 THEN 'Flower'
+        |      ELSE 'Tincture' END) = 'cannabis' THEN
+        |      CASE WHEN (o_orderkey % 101) > 0
+        |          AND (100 - o_orderkey % 101) > 0 THEN
+        |          CASE WHEN (o_orderkey % 101) > 80 THEN 'Sativa'
+        |            WHEN (100 - o_orderkey % 101) > 80 THEN 'Indica'
+        |            ELSE 'Other' END
+        |        ELSE 'Hybrid' END
+        |    WHEN o_orderkey % 6 = 1 THEN 'Gear'
+        |    WHEN o_orderkey % 6 = 5 THEN 'Tinctures'
+        |    WHEN o_orderkey % 6 = 2 THEN 'Seed'
+        |    WHEN o_orderkey % 6 = 3 THEN 'Wax'
+        |    ELSE 'Other' END AS x10_category,
+        |  coalesce(o_orderkey % 2 = 1, false) AS x11_active,
+        |  CASE WHEN o_orderkey % 4 <> 0
+        |    THEN 'assets-bucket/' || o_orderkey || '/large/f.jpg' END
+        |    AS x12_url,
+        |  o_totalprice / 100.0 AS x16_tax_pct,
+        |  CASE WHEN o_orderkey % 2 = 0
+        |    THEN CAST(trunc(o_totalprice) AS INT) END AS x17_net
+        |FROM orders""".stripMargin,
     "set_ops" ->
       """WITH building AS (SELECT c_custkey FROM customer
         |  WHERE c_mktsegment = 'BUILDING'),

@@ -41,18 +41,11 @@ object Similarity {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Delegates to the user-facing API so the oracle guards GraftOps.
     "emb_cosine_topk" -> ((s, d) => {
       val e = unitVecs(s, d)
-      val q = e.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("q_id"), col("u").as("q_u"))
-      val w = Window.partitionBy("q_id")
-        .orderBy(col("score").desc, col("cand_id"))
-      e.crossJoin(broadcast(q))
-        .filter(col("vec_id") =!= col("q_id"))
-        .select(col("q_id"), col("vec_id").as("cand_id"),
-          round(expr("graft_vec_dot(u, q_u)"), 6).as("score"))
-        .withColumn("rnk", row_number().over(w).cast("long"))
-        .filter(col("rnk") <= 10)
+      graft.api.GraftOps.cosineTopK(e, e.filter(col("vec_id") < 5),
+        "vec_id", "u", 10)
     }),
 
     "emb_ivf_topk" -> ((s, d) => {

@@ -34,50 +34,13 @@ object TextOps {
     * TextFunctions.minhashSig (two md5 digests per shingle computed ONCE,
     * then 8 slice-minima via map-side partial aggregation; one shuffle of
     * 8×8 hex chars per doc regardless of document length). */
-  private def signatures(s: SparkSession, d: String): DataFrame = {
-    // Shingles via posexplode + window lead instead of the HOF
-    // transform/slice chain: higher-order functions are interpreted
-    // (no whole-stage codegen) and measured ~3× slower here. The window
-    // and the downstream groupBy share the doc_id partitioning, so this
-    // costs one shuffle total.
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("doc_id").orderBy("pos")
-    val ex = Tables.documents(s, d)
-      .select(col("doc_id"),
-        posexplode_outer(split(trim(col("text")), "\\s+"))
-          .as(Seq("pos", "tok")))
-      .filter(col("tok") =!= "")
-      .withColumn("sgl",
-        when(lead(col("tok"), 2).over(w).isNotNull,
-          concat_ws(" ", col("tok"), lead(col("tok"), 1).over(w),
-            lead(col("tok"), 2).over(w))))
-      .select(col("doc_id"), md5(col("sgl")).as("m1"),
-        md5(concat(lit("8:"), col("sgl"))).as("m2"))
-    val aggs = (0 until 8).map { j =>
-      val src = if (j < 4) col("m1") else col("m2")
-      min(minhashSlice(src, j)).as(s"h$j")
-    }
-    // Left join back to documents so token-less docs keep a (default)
-    // signature — mirrors the oracle's LEFT JOIN + coalesce.
-    val raw = ex.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
-    Tables.documents(s, d).select(col("doc_id"))
-      .join(raw, Seq("doc_id"), "left")
-      .select(col("doc_id") +: (0 until 8).map { j =>
-        val prefix = if (j < 4) "" else "8:"
-        coalesce(col(s"h$j"), minhashSlice(md5(lit(prefix)), j)).as(s"h$j")
-      }: _*)
-  }
+  /** Delegates to the user-facing API (graft.api.GraftOps) — the oracle
+    * below therefore continuously guards the library implementation. */
+  private def docsOf(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
 
-  /** LSH band table from the signature table: 4 bands × 2 rows. */
   private def bandTable(s: SparkSession, d: String): DataFrame =
-    signatures(s, d).select(col("doc_id"), explode(array((0 until 4).map {
-      b =>
-        struct(lit(b).as("band_idx"),
-          md5(concat(col(s"h${2 * b}"), lit("|"), col(s"h${2 * b + 1}")))
-            .as("band_hash"))
-    }: _*)).as("band"))
-      .select(col("doc_id"), col("band.band_idx").as("band_idx"),
-        col("band.band_hash").as("band_hash"))
+    graft.api.GraftOps.minhashBands(docsOf(s, d), "doc_id", "text")
 
   /** Shared DuckDB CTEs reproducing signatures/bandTable. */
   private val SigCte =
@@ -117,26 +80,13 @@ object TextOps {
         punctCount(col("text")).cast("long").as("punct_cnt"))),
 
     // Quality scoring: stopword / punctuation / mean-token-length features.
-    "txt_quality" -> ((s, d) => {
-      val toks  = tokens(col("text"))
-      val nTok  = size(toks).cast("long")
-      val stops = stopwordHits(toks, LangProfiles.flatMap(_._2)).cast("long")
-      Tables.documents(s, d).select(
-        col("doc_id"), nTok.as("n_tokens"),
-        when(nTok > 0, stops.cast("double") / nTok).otherwise(0.0)
-          .as("stop_ratio"),
-        when(length(col("text")) > 0,
-          punctCount(col("text")).cast("double") / length(col("text")))
-          .otherwise(0.0).as("punct_ratio"),
-        when(nTok > 0,
-          (length(concat_ws("", toks)).cast("double")) / nTok)
-          .otherwise(0.0).as("mean_token_len"))
-    }),
+    "txt_quality" -> ((s, d) =>
+      graft.api.GraftOps.qualityFeatures(docsOf(s, d), "doc_id", "text")),
 
     // Heuristic language-ID: argmax of per-language stopword evidence.
     "txt_lang_id" -> ((s, d) =>
-      Tables.documents(s, d).select(
-        col("doc_id"), langId(tokens(col("text"))).as("lang_guess"))),
+      docsOf(s, d).select(col("doc_id"),
+        graft.api.GraftOps.languageOf(col("text")).as("lang_guess"))),
 
     // Text normalization: lowercase, strip punctuation, collapse
     // whitespace — the canonical pre-dedup cleanup transform.
@@ -169,19 +119,9 @@ object TextOps {
     // the signature subtree twice), no all-pairs anywhere — the 100 TB
     // path: cost is Σ |bucket|², and band collisions already imply high
     // similarity so buckets stay small.
-    "dedup_minhash_pairs" -> ((s, d) => {
-      val buckets = bandTable(s, d)
-        .groupBy("band_idx", "band_hash")
-        .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-        .filter(size(col("ids")) > 1)
-      val pairs = flatten(transform(col("ids"), (x, i) =>
-        transform(slice(col("ids"), i + 2, size(col("ids"))),
-          y => struct(x.as("left_id"), y.as("right_id")))))
-      buckets.select(explode(pairs).as("p"))
-        .select(col("p.left_id").as("left_id"),
-          col("p.right_id").as("right_id"))
-        .distinct()
-    }),
+    "dedup_minhash_pairs" -> ((s, d) =>
+      graft.api.GraftOps.minhashCandidatePairs(docsOf(s, d), "doc_id",
+        "text")),
 
     // n-gram Jaccard similarity on deterministic adjacent-id pairs
     // (the verification step that follows LSH candidate generation).
@@ -223,33 +163,14 @@ object TextOps {
     // codegen — higher-order-function folds don't codegen and measured
     // slower; 64-wide partial aggregation shuffles one 64-int row per doc
     // regardless of document length).
-    "dedup_simhash" -> ((s, d) => {
-      val tok = Tables.documents(s, d)
-        .select(col("doc_id"), explode_outer(tokens(col("text"))).as("tok"))
-        .select(col("doc_id"), tokenHashPrefix(col("tok")).as("hx"))
-      val sums = (0 until 64).map { b =>
-        val v = conv(substring(col("hx"), b / 4 + 1, 1), 16, 10).cast("int")
-        val bit = shiftright(v, 3 - b % 4).bitwiseAND(lit(1))
-        sum(bit * 2 - 1).as(s"s$b")
-      }
-      tok.groupBy("doc_id").agg(sums.head, sums.tail: _*)
-        .select(col("doc_id"), concat((0 until 64).map { b =>
-          // explode_outer emits one null-token row for empty docs; its
-          // contributions are null → sum null → treat as >=0 ("1"),
-          // matching the defined all-ones signature for empty documents.
-          when(col(s"s$b") >= 0 || col(s"s$b").isNull, "1").otherwise("0")
-        }: _*).as("simhash"))
-    }),
+    "dedup_simhash" -> ((s, d) =>
+      graft.api.GraftOps.simhash(docsOf(s, d), "doc_id", "text")),
 
     // Exact-dedup result set: the surviving documents (min doc_id per
     // content hash) — what a training pipeline actually feeds downstream.
-    "dedup_exact_keep" -> ((s, d) => {
-      val keep = Tables.documents(s, d)
-        .groupBy(md5(col("text")).as("content_hash"))
-        .agg(min(col("doc_id")).as("doc_id"))
-      Tables.documents(s, d).join(keep, Seq("doc_id"), "left_semi")
-        .select("doc_id", "lang", "source", "n_chars")
-    }),
+    "dedup_exact_keep" -> ((s, d) =>
+      graft.api.GraftOps.dedupExact(docsOf(s, d), "doc_id", "text")
+        .select("doc_id", "lang", "source", "n_chars")),
 
     // Vocabulary: global top-50 tokens by frequency (explode + two-level
     // aggregation; partial aggs make the shuffle carry distinct tokens

@@ -96,6 +96,31 @@ object TextOps {
           regexp_replace(lower(col("text")), "[.,!?;:]", ""),
           "\\s+", " ")).as("norm_text"))),
 
+    // Winnowing fingerprints (rolling-hash document fingerprinting, the
+    // MOSS scheme): hash every word 3-gram, slide a window of 4 hashes,
+    // keep each window's minimum, emit the distinct minima per doc. The
+    // fingerprint set is robust to local edits — overlapping docs share
+    // most minima. All codegen: posexplode + lead-shingles + frame-min.
+    "txt_winnow_fp" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val wLead = Window.partitionBy("doc_id").orderBy("pos")
+      val wFrame = Window.partitionBy("doc_id").orderBy("pos")
+        .rowsBetween(Window.currentRow, 3)
+      docsOf(s, d)
+        .select(col("doc_id"),
+          posexplode(split(trim(col("text")), "\\s+")).as(Seq("pos", "tok")))
+        .filter(col("tok") =!= "")
+        .withColumn("sgl",
+          when(lead(col("tok"), 2).over(wLead).isNotNull,
+            concat_ws(" ", col("tok"), lead(col("tok"), 1).over(wLead),
+              lead(col("tok"), 2).over(wLead))))
+        .withColumn("h", substring(md5(col("sgl")), 1, 8))
+        .withColumn("wmin", min(col("h")).over(wFrame))
+        .filter(col("wmin").isNotNull)
+        .select(col("doc_id"), col("wmin").as("fp"))
+        .distinct()
+    }),
+
     // Content fingerprint: md5 over normalized text.
     "txt_fingerprint" -> ((s, d) =>
       Tables.documents(s, d).select(
@@ -283,6 +308,21 @@ object TextOps {
         |  regexp_replace(lower(text), '[.,!?;:]', '', 'g'),
         |  '\s+', ' ', 'g')) AS norm_text
         |FROM documents""".stripMargin,
+    "txt_winnow_fp" ->
+      s"""WITH $TokedCte,
+         |pos AS (SELECT doc_id, unnest(toks) AS tok,
+         |  generate_subscripts(toks, 1) AS pos FROM toked),
+         |sgl AS (SELECT doc_id, pos,
+         |  CASE WHEN lead(tok, 2) OVER w IS NOT NULL
+         |    THEN concat_ws(' ', tok, lead(tok, 1) OVER w,
+         |      lead(tok, 2) OVER w) END AS sgl
+         |  FROM pos WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+         |h AS (SELECT doc_id, pos, substr(md5(sgl), 1, 8) AS h FROM sgl),
+         |wm AS (SELECT doc_id, min(h) OVER (PARTITION BY doc_id
+         |    ORDER BY pos ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING)
+         |    AS wmin FROM h)
+         |SELECT DISTINCT doc_id, wmin AS fp FROM wm
+         |WHERE wmin IS NOT NULL""".stripMargin,
     "txt_fingerprint" ->
       """SELECT doc_id, md5(array_to_string(list_filter(
         |  regexp_split_to_array(trim(lower(text)), '\s+'), t -> t != ''),

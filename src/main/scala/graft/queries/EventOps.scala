@@ -29,28 +29,19 @@ object EventOps {
         "10 minutes")),
 
     // Sliding 10-minute windows, 5-minute slide → each event lands in 2.
+    // Shared with the streaming variant (EventStream.slidingStream).
     "ev_sliding" -> ((s, d) =>
-      Tables.events(s, d)
-        .groupBy(window(col("ts"), "10 minutes", "5 minutes").as("w"),
-          col("event_type"))
-        .agg(count(lit(1)).as("n"),
-          sum(col("value").cast(D182)).cast("double").as("total"))
-        .select(col("w.start").as("window_start"), col("event_type"),
-          col("n"), col("total"))),
+      graft.streaming.EventStream.slidingAgg(Tables.events(s, d),
+        "10 minutes", "5 minutes")),
 
     // Native session windows (Spark's session_window merges events with
     // gaps < 30 min; end = last event + gap). Same session boundaries as
     // the manual lag-based ev_sessionize below — the oracle derives
     // start/end from that formulation.
+    // Shared with the streaming variant (EventStream.sessionStream).
     "ev_session_window" -> ((s, d) =>
-      Tables.events(s, d)
-        .groupBy(col("user_id"),
-          session_window(col("ts"), "30 minutes").as("w"))
-        .agg(count(lit(1)).as("n_events"),
-          sum(col("value").cast(D182)).cast("double").as("session_value"))
-        .select(col("user_id"), col("w.start").as("session_start"),
-          col("w.end").as("session_end"), col("n_events"),
-          col("session_value"))),
+      graft.streaming.EventStream.sessionAgg(Tables.events(s, d),
+        "30 minutes")),
 
     // Gap-based sessionization (30-minute inactivity gap) per user:
     // lag → new-session flag → running session index → per-session agg.

@@ -34,6 +34,39 @@ object EventStream {
       watermarkDelay: String): DataFrame =
     tumblingAgg(events.withWatermark("ts", watermarkDelay), windowDur)
 
+  /** Sliding event-time aggregation (each event lands in dur/slide
+    * windows); same code drives batch (EventOps.ev_sliding) and, with a
+    * watermark, streaming. */
+  def slidingAgg(events: DataFrame, windowDur: String, slide: String)
+      : DataFrame =
+    events
+      .groupBy(window(col("ts"), windowDur, slide).as("w"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(D182)).cast("double").as("total"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n"), col("total"))
+
+  def slidingStream(events: DataFrame, windowDur: String, slide: String,
+      watermarkDelay: String): DataFrame =
+    slidingAgg(events.withWatermark("ts", watermarkDelay), windowDur, slide)
+
+  /** Session-window aggregation (gap-merged); session_window is
+    * streaming-capable — with a watermark the state store holds only
+    * open sessions. Same code as EventOps.ev_session_window. */
+  def sessionAgg(events: DataFrame, gap: String): DataFrame =
+    events
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("w"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(D182)).cast("double").as("session_value"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n_events"),
+        col("session_value"))
+
+  def sessionStream(events: DataFrame, gap: String,
+      watermarkDelay: String): DataFrame =
+    sessionAgg(events.withWatermark("ts", watermarkDelay), gap)
+
   val streamingOutputMode: OutputMode = OutputMode.Append()
 
   /** Per-user running totals via mapGroupsWithState — the custom-state

@@ -40,6 +40,44 @@ class StreamingSpec extends SparkSpec {
       (ts(10), "b", 1L, 8.0), (ts(20), "a", 1L, 16.0)))
   }
 
+  test("slidingStream over MemoryStream equals batch slidingAgg") {
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Seq((ts(1), "a", 1.0), (ts(7), "a", 2.0), (ts(12), "b", 4.0))
+    val stream = MemoryStream[(Timestamp, String, Double)]
+    stream.addData(rows)
+    val sdf = stream.toDF().toDF("ts", "event_type", "value")
+    val q = EventStream
+      .slidingStream(sdf, "10 minutes", "5 minutes", "0 seconds")
+      .writeStream.format("memory").queryName("sliding_out")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("sliding_out")
+      .as[(Timestamp, String, Long, Double)].collect().toSet
+    val batch = EventStream
+      .slidingAgg(rows.toDF("ts", "event_type", "value"),
+        "10 minutes", "5 minutes")
+      .as[(Timestamp, String, Long, Double)].collect().toSet
+    // 2 windows per event; a@00:01 and a@00:07 share [00:00,00:10) → 5
+    assert(streamed == batch && batch.size == 5)
+  }
+
+  test("sessionStream over MemoryStream merges gap-adjacent events") {
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Seq((1L, ts(0), 1.0), (1L, ts(20), 2.0), (1L, ts(55), 4.0))
+    val stream = MemoryStream[(Long, Timestamp, Double)]
+    stream.addData(rows)
+    val sdf = stream.toDF().toDF("user_id", "ts", "value")
+    val q = EventStream.sessionStream(sdf, "30 minutes", "0 seconds")
+      .writeStream.format("memory").queryName("session_out")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val out = spark.table("session_out")
+      .select("user_id", "n_events", "session_value")
+      .as[(Long, Long, Double)].collect().toSet
+    // ts(0) and ts(20) merge (gap 20m < 30m); ts(55) starts a new session
+    assert(out == Set((1L, 2L, 3.0), (1L, 1L, 4.0)))
+  }
+
   test("mapGroupsWithState running totals accumulate per key") {
     val out = EventStream.runningTotals(
       Seq(EventStream.UserEvent(1L, 2.0), EventStream.UserEvent(1L, 3.0),

@@ -69,6 +69,65 @@ object EventStream {
 
   val streamingOutputMode: OutputMode = OutputMode.Append()
 
+  /** Streaming sessionization with CUSTOM state — flatMapGroupsWithState
+    * + event-time timeout. Unlike session_window (which Spark manages),
+    * this owns the state machine: in-batch events fold into the open
+    * session (closing + emitting when the gap is exceeded), the open
+    * session is parked in the state store with a timeout at
+    * `end + gap`, and when the watermark passes that point the session
+    * is emitted and its state evicted. State per key is one small tuple,
+    * partitioned by user_id — horizontal scale comes from key count.
+    * This is the shape for logic session_window can't express
+    * (dynamic gaps, per-session caps, CEP-ish rules). */
+  case class SessionEvent(user_id: Long, ts: java.sql.Timestamp,
+    value: Double)
+  case class OpenSession(startUs: Long, endUs: Long, n: Long, total: Double)
+  case class ClosedSession(user_id: Long, session_start: java.sql.Timestamp,
+    session_end: java.sql.Timestamp, n_events: Long, session_value: Double)
+
+  def sessionizeWithState(events: Dataset[SessionEvent], gapMinutes: Int)
+      : Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    val gapUs = gapMinutes.toLong * 60 * 1000000
+    def close(uid: Long, s: OpenSession): ClosedSession =
+      ClosedSession(uid, new java.sql.Timestamp(s.startUs / 1000),
+        new java.sql.Timestamp(s.endUs / 1000), s.n, s.total)
+    events
+      .withWatermark("ts", "0 seconds")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenSession, ClosedSession](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (uid, rows, state: GroupState[OpenSession]) =>
+          if (state.hasTimedOut) {
+            val out = close(uid, state.get)
+            state.remove()
+            Iterator(out)
+          } else {
+            val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.value))
+            var open = state.getOption
+            val closed = Seq.newBuilder[ClosedSession]
+            sorted.foreach { e =>
+              val us = e.ts.getTime * 1000
+              open match {
+                case Some(s) if us - s.endUs <= gapUs =>
+                  open = Some(OpenSession(s.startUs, math.max(s.endUs, us),
+                    s.n + 1, s.total + e.value))
+                case Some(s) =>
+                  closed += close(uid, s)
+                  open = Some(OpenSession(us, us, 1L, e.value))
+                case None =>
+                  open = Some(OpenSession(us, us, 1L, e.value))
+              }
+            }
+            open.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp((s.endUs + gapUs) / 1000)
+            }
+            closed.result().iterator
+          }
+      }
+  }
+
   /** Per-user running totals via mapGroupsWithState — the custom-state
     * primitive for logic windows can't express (counters, sessions with
     * dynamic gaps, CEP-ish patterns). State is one small tuple per key,

@@ -78,6 +78,50 @@ class StreamingSpec extends SparkSpec {
     assert(out == Set((1L, 2L, 3.0), (1L, 1L, 4.0)))
   }
 
+  test("flatMapGroupsWithState sessionization: watermark timeout emits " +
+    "and evicts") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[EventStream.SessionEvent]
+    val q = EventStream.sessionizeWithState(stream.toDS(), 30)
+      .writeStream.format("memory").queryName("fmgws_sessions")
+      .outputMode("append").start()
+    try {
+      // batch 1: u1 has two gap-adjacent events → one OPEN session
+      stream.addData(EventStream.SessionEvent(1L, ts(0), 1.0),
+        EventStream.SessionEvent(1L, ts(10), 2.0))
+      q.processAllAvailable()
+      assert(spark.table("fmgws_sessions").count() == 0) // still open
+      // batch 2: far-future event on another key advances the watermark
+      // past u1's timeout (00:10 + 30m = 00:40)
+      stream.addData(EventStream.SessionEvent(2L,
+        Timestamp.valueOf("2024-01-01 02:00:00"), 8.0))
+      q.processAllAvailable()
+      // batch 3: another tick lets the timeout fire
+      stream.addData(EventStream.SessionEvent(2L,
+        Timestamp.valueOf("2024-01-01 03:00:00"), 16.0))
+      q.processAllAvailable()
+      val out = spark.table("fmgws_sessions")
+        .select("user_id", "n_events", "session_value")
+        .as[(Long, Long, Double)].collect().toSet
+      assert(out.contains((1L, 2L, 3.0)),
+        s"u1's closed session should have been emitted on timeout: $out")
+      // in-batch gap split: one batch containing a gap closes in place.
+      // Timestamps must sit ABOVE the current watermark (03:00) or the
+      // watermark filter drops them before the state function runs.
+      stream.addData(
+        EventStream.SessionEvent(3L,
+          Timestamp.valueOf("2024-01-01 04:00:00"), 1.0),
+        EventStream.SessionEvent(3L,
+          Timestamp.valueOf("2024-01-01 04:50:00"), 2.0))
+      q.processAllAvailable()
+      val u3 = spark.table("fmgws_sessions")
+        .filter($"user_id" === 3L)
+        .select("n_events", "session_value").as[(Long, Double)]
+        .collect().toSet
+      assert(u3 == Set((1L, 1.0))) // first closed in-batch; second open
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState running totals accumulate per key") {
     val out = EventStream.runningTotals(
       Seq(EventStream.UserEvent(1L, 2.0), EventStream.UserEvent(1L, 3.0),

@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pipe forked run output straight through without sbt's "[info] " prefix:
+// the driver parses graft.Bench's single JSON stdout line, and a prefixed
+// line does not start with '{' (BENCH_r01 parsed:null).
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -248,10 +248,14 @@ object Relational {
       Tables.lineitem(s, d).select("l_returnflag", "l_linestatus").distinct()),
 
     // A2 etl.lookup → grouped collect (menu_items.py:231): sorted array for
-    // deterministic compare; min() covers the scalar-[0] use.
+    // deterministic compare; min() covers the scalar-[0] use. The array is
+    // emitted comma-joined: the driver's comparator hashes a pandas frame
+    // and cannot sort array-typed cells (CORRECTNESS_r02 err).
     "a2_grouped_collect" -> ((s, d) =>
       Tables.orders(s, d).groupBy("o_custkey").agg(
-        sort_array(collect_list(col("o_orderkey"))).as("order_keys"),
+        concat_ws(",",
+          transform(sort_array(collect_list(col("o_orderkey"))),
+            x => x.cast("string"))).as("order_keys"),
         min(col("o_totalprice")).as("min_total"))),
 
     // A3 merge duplicate-row coalesce (employees.py:83): union-all of base +
@@ -573,7 +577,8 @@ object Relational {
     "a1_distinct" ->
       "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
     "a2_grouped_collect" ->
-      """SELECT o_custkey, list_sort(list(o_orderkey)) AS order_keys,
+      """SELECT o_custkey,
+        |  array_to_string(list_sort(list(o_orderkey)), ',') AS order_keys,
         |  min(o_totalprice) AS min_total
         |FROM orders GROUP BY o_custkey""".stripMargin,
     "a3_merge_coalesce" ->

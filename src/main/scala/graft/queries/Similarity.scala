@@ -93,13 +93,18 @@ object Similarity {
 
     // Unit-norm projection — the preprocessing step real ANN indexes
     // assume; rounded 6dp both engines so elementwise compare is exact.
+    // The vector is emitted as a comma-joined DECIMAL(12,6) string: the
+    // driver's comparator hashes a pandas frame, which cannot sort
+    // array-typed cells (CORRECTNESS_r02 err) — scalar columns only.
     "emb_normalize" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
         .select(col("vec_id"), asDouble(col("embedding")).as("vec"))
       val nrm = l2Norm(col("vec"))
+      val unit = when(nrm === 0.0, col("vec"))
+        .otherwise(transform(col("vec"), x => round(x / nrm, 6)))
       e.select(col("vec_id"), round(nrm, 6).as("norm"),
-        when(nrm === 0.0, col("vec"))
-          .otherwise(transform(col("vec"), x => round(x / nrm, 6)))
+        concat_ws(",",
+          transform(unit, x => x.cast(DecimalType(12, 6)).cast("string")))
           .as("unit_vec"))
     }),
 
@@ -149,11 +154,16 @@ object Similarity {
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS vec
         |  FROM embeddings),
         |n AS (SELECT vec_id, vec, sqrt(list_dot_product(vec, vec)) AS nrm
-        |  FROM e)
-        |SELECT vec_id, round(nrm, 6) AS norm,
+        |  FROM e),
+        |u AS (SELECT vec_id, round(nrm, 6) AS norm,
         |  CASE WHEN nrm = 0 THEN vec
-        |    ELSE [round(x / nrm, 6) for x in vec] END AS unit_vec
-        |FROM n""".stripMargin,
+        |    ELSE [round(x / nrm, 6) for x in vec] END AS uvec
+        |FROM n)
+        |SELECT vec_id, norm,
+        |  array_to_string(
+        |    [CAST(CAST(y AS DECIMAL(12,6)) AS VARCHAR) for y in uvec],
+        |    ',') AS unit_vec
+        |FROM u""".stripMargin,
     "emb_lsh_bucket" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS vec
         |  FROM embeddings),

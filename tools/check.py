@@ -43,6 +43,21 @@ def main():
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
         try:
+            # The driver's comparator hashes a pandas frame and crashes on
+            # array/struct/map cells (pandas sort_values: unhashable
+            # ndarray) — reject nested output types up front so a query
+            # can't pass locally and die in the driver (round-2 lesson:
+            # a2_grouped_collect / emb_normalize).
+            desc = con.execute(
+                f"DESCRIBE SELECT * FROM '{out_dir}/{name}/*.parquet'"
+            ).fetchall()
+            nested = [(c, t) for c, t, *_ in desc
+                      if "[]" in t or "STRUCT" in t or "MAP" in t]
+            if nested:
+                print(f"FAIL {name}: nested output columns {nested} "
+                      "(driver comparator cannot hash these)")
+                n_fail += 1
+                continue
             got = con.execute(
                 f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
             g_cols = [d[0] for d in got.description]

@@ -43,4 +43,27 @@ object VectorFunctions {
     when(aggregate(contrib, lit(0.0), (acc, x) => acc + x) >= 0, 1)
       .otherwise(0)
   }
+
+  /** The ±1 hyperplane coefficients are a pure function of (plane, dim) —
+    * hashing them per ROW (as `hyperplaneBit`'s expression does, 64 md5
+    * digests per row per plane) is wasted work at any scale. Precompute
+    * the plane once on the driver; same md5-nibble-parity scheme, so the
+    * result is bit-identical to `hyperplaneBit` and to the SQL oracle. */
+  def hyperplaneSigns(planeIdx: Int, dim: Int): Array[Double] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(dim) { i =>
+      md.reset()
+      val h = md.digest(s"$planeIdx:$i".getBytes("UTF-8"))
+      if (((h(0) >> 4) & 0xF) % 2 == 0) 1.0 else -1.0
+    }
+  }
+
+  /** Codegen hyperplane bit: one native `graft_vec_dot` against the
+    * precomputed literal plane (requires `VectorExpressions.register`).
+    * Fold order over the vector is identical to `hyperplaneBit`'s, so the
+    * sign — and thus the bucket — matches exactly. Floating-point note:
+    * (+x) + (-y) sums in the same sequence either way. */
+  def hyperplaneBitFast(v: Column, planeIdx: Int, dim: Int): Column =
+    when(call_function("graft_vec_dot", v,
+      lit(hyperplaneSigns(planeIdx, dim))) >= 0, 1).otherwise(0)
 }

@@ -34,7 +34,8 @@ object Similarity {
     Tables.embeddings(s, d)
       .select(col("vec_id"), col("label"),
         asDouble(col("embedding")).as("v"))
-      .withColumn("nrm", l2Norm(col("v")))
+      .withColumn("nrm",
+        sqrt(call_function("graft_vec_dot", col("v"), col("v"))))
       .filter(col("nrm") > 0)
       .select(col("vec_id"), col("label"),
         transform(col("v"), x => x / col("nrm")).as("u"))
@@ -97,9 +98,10 @@ object Similarity {
     // driver's comparator hashes a pandas frame, which cannot sort
     // array-typed cells (CORRECTNESS_r02 err) — scalar columns only.
     "emb_normalize" -> ((s, d) => {
+      graft.expressions.VectorExpressions.register(s)
       val e = Tables.embeddings(s, d)
         .select(col("vec_id"), asDouble(col("embedding")).as("vec"))
-      val nrm = l2Norm(col("vec"))
+      val nrm = sqrt(call_function("graft_vec_dot", col("vec"), col("vec")))
       val unit = when(nrm === 0.0, col("vec"))
         .otherwise(transform(col("vec"), x => round(x / nrm, 6)))
       e.select(col("vec_id"), round(nrm, 6).as("norm"),
@@ -108,13 +110,21 @@ object Similarity {
           .as("unit_vec"))
     }),
 
+    // 8 planes × one native dot against a driver-precomputed ±1 literal
+    // each — replaces the interpreted HOF that hashed md5("plane:dim")
+    // per element per ROW (bit-identical; see hyperplaneBitFast).
     "emb_lsh_bucket" -> ((s, d) => {
+      graft.expressions.VectorExpressions.register(s)
       val e = Tables.embeddings(s, d)
         .select(col("vec_id"), asDouble(col("embedding")).as("vec"))
-      val bits = (0 until 8).map(p => hyperplaneBit(col("vec"), p)
-        .cast("string"))
+      val bits = (0 until 8).map(p =>
+        hyperplaneBitFast(col("vec"), p, EmbDim).cast("string"))
       e.select(col("vec_id"), concat(bits: _*).as("bucket"))
     }))
+
+  /** embeddings.parquet vector dimensionality (fixed; asserted in
+    * VectorFunctionsSpec against the data). */
+  private val EmbDim = 64
 
   /** Shared oracle CTE matching unitVecs. */
   private val UnitCte =

@@ -153,9 +153,12 @@ object TextOps {
     "ngram_jaccard" -> ((s, d) => {
       // Shingle sets via the codegen'd window-lead path + collect_set
       // (sizes only are used downstream, so set order doesn't matter).
-      // Persisted: both join sides read the cached table instead of
-      // re-tokenizing (at 100 TB this materialization is a written
-      // intermediate table; candidate pairs then join against it).
+      // Pairing is NOT a self-join: each doc's set is exploded into its
+      // two pair roles (left of pair doc_id, right of pair doc_id-1) and
+      // one groupBy(pair_id) reassembles both sides. One tokenize pass,
+      // one shuffle (each set shipped twice, same bytes a join would
+      // move), no persist — the round-2 version cached the shingle table
+      // to stop the self-join recomputing it, and leaked the cache.
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy("doc_id").orderBy("pos")
       val shRows = Tables.documents(s, d)
@@ -171,11 +174,21 @@ object TextOps {
           .agg(collect_set(col("sgl")).as("sh0")), Seq("doc_id"), "left")
         .select(col("doc_id"),
           coalesce(col("sh0"), array().cast("array<string>")).as("sh"))
-        .persist()
-      val a = sh.select(col("doc_id").as("left_id"), col("sh").as("sh_a"))
-      val b = sh.select(col("doc_id").as("right_id"), col("sh").as("sh_b"))
-      a.join(b, col("right_id") === col("left_id") + 1)
-        .select(col("left_id"), col("right_id"),
+      val roled = sh.select(col("sh"), explode(array(
+          struct(col("doc_id").as("pair_id"), lit("L").as("role")),
+          struct((col("doc_id") - 1).as("pair_id"), lit("R").as("role"))))
+          .as("r"))
+        .select(col("r.pair_id"), col("r.role"), col("sh"))
+      // Exactly one row per (pair_id, role), so first(ignoreNulls) is
+      // deterministic here despite its general ordering caveat.
+      roled.groupBy("pair_id").agg(
+          first(when(col("role") === "L", col("sh")), ignoreNulls = true)
+            .as("sh_a"),
+          first(when(col("role") === "R", col("sh")), ignoreNulls = true)
+            .as("sh_b"))
+        .filter(col("sh_a").isNotNull && col("sh_b").isNotNull)
+        .select(col("pair_id").as("left_id"),
+          (col("pair_id") + 1).as("right_id"),
           when(size(array_union(col("sh_a"), col("sh_b"))) > 0,
             size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
               size(array_union(col("sh_a"), col("sh_b"))))

@@ -23,6 +23,27 @@ class VectorFunctionsSpec extends SparkSpec {
     assert(out(0) == 1.0 && out(1) == 0.0 && out(2) == 0.0)
   }
 
+  test("hyperplaneBitFast matches hyperplaneBit bit-for-bit") {
+    graft.expressions.VectorExpressions.register(spark)
+    val rng = new scala.util.Random(42)
+    val dim = 64
+    val vecs = Seq.fill(50)(Seq.fill(dim)(rng.nextGaussian() * 3))
+    val df = vecs.toDF("v")
+    val slow = df.select((0 until 8).map(p =>
+      hyperplaneBit($"v", p).as(s"b$p")): _*).collect()
+    val fast = df.select((0 until 8).map(p =>
+      hyperplaneBitFast($"v", p, dim).as(s"b$p")): _*).collect()
+    assert(slow.toSeq == fast.toSeq)
+  }
+
+  test("embeddings testdata dimensionality matches Similarity.EmbDim") {
+    // hyperplaneBitFast bakes the plane length at plan time; a dim drift
+    // in the data would silently truncate the dot product.
+    val dims = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(size($"embedding")).distinct().as[Int].collect()
+    assert(dims.toSeq == Seq(64))
+  }
+
   test("hyperplaneBit is deterministic and plane-dependent") {
     val df = Seq(Seq(0.5, -1.5, 2.0, 0.25)).toDF("v")
     val a = df.select((0 until 8).map(p =>

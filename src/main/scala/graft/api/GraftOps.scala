@@ -150,4 +150,41 @@ object GraftOps {
       .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= k)
   }
+
+  /** Bounded-round connected components via iterated min-label
+    * propagation: after round t, a node's label is the minimum id within
+    * graph distance t, so `rounds` ≥ cluster diameter yields exact
+    * components. Near-dup graphs (LSH candidate pairs) are unions of
+    * small bucket-cliques, so a small fixed bound covers them; at larger
+    * diameters switch to pointer-doubling (log rounds) or
+    * alternating-star, and ALWAYS run over a materialized edge table —
+    * each round rescans the edges, so feeding an unmaterialized pipeline
+    * here recomputes it per round.
+    *
+    * Output: one row per node — (idCol, cluster_id = min id reachable
+    * within `rounds` hops). Isolated nodes label themselves. */
+  def connectedComponents(nodes: DataFrame, idCol: String,
+      edges: DataFrame, srcCol: String, dstCol: String,
+      rounds: Int): DataFrame = {
+    // Symmetrize with ONE pass over edges (explode both directions)
+    // rather than a union of two reads — halves the upstream recompute
+    // when the edge input is a pipeline instead of a table.
+    val e = edges.select(explode(array(
+        struct(col(srcCol).cast("long").as("s"),
+          col(dstCol).cast("long").as("t")),
+        struct(col(dstCol).cast("long").as("s"),
+          col(srcCol).cast("long").as("t")))).as("p"))
+      .select(col("p.s").as("__src"), col("p.t").as("__dst"))
+    var lbl = nodes.select(col(idCol).cast("long").as("__id"),
+      col(idCol).cast("long").as("cluster_id"))
+    (1 to rounds).foreach { _ =>
+      val nbr = e.join(lbl, col("__dst") === col("__id"))
+        .groupBy("__src").agg(min("cluster_id").as("__nmin"))
+      lbl = lbl.join(nbr, col("__id") === col("__src"), "left")
+        .select(col("__id"),
+          least(col("cluster_id"),
+            coalesce(col("__nmin"), col("cluster_id"))).as("cluster_id"))
+    }
+    lbl.select(col("__id").as(idCol), col("cluster_id"))
+  }
 }

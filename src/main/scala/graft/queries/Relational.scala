@@ -339,6 +339,31 @@ object Relational {
         (sum(col("c_acctbal").cast(D182)).cast("double") /
           count(lit(1))).as("avg_bal"))),
 
+    // Exact interpolated percentiles per group (DuckDB quantile_cont
+    // parity: both engines use rank = p·(n−1) linear interpolation).
+    // Exact percentile buffers each group's values — right for a gate
+    // check; at 100 TB swap in approx_percentile (GK sketch, mergeable,
+    // bounded memory) — the plan shape is otherwise identical.
+    "agg_percentiles" -> ((s, d) =>
+      Tables.lineitem(s, d).groupBy("l_returnflag").agg(
+        round(expr("percentile(l_extendedprice, 0.5)"), 6).as("p50"),
+        round(expr("percentile(l_extendedprice, 0.9)"), 6).as("p90"),
+        round(expr("percentile(l_extendedprice, 0.99)"), 6).as("p99"))),
+
+    // PII scrub: mask every digit of the identifier except the last four
+    // and count the redactions — pure per-row projection (regex class
+    // only, no lookaround, so Java regex and RE2 agree).
+    "pii_scrub" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val len = length(col("c_name"))
+      val pre = col("c_name").substr(lit(1), len - 4)
+      c.select(col("c_custkey"),
+        concat(regexp_replace(pre, "[0-9]", "*"),
+          col("c_name").substr(len - 3, lit(4))).as("name_masked"),
+        length(regexp_replace(pre, "[^0-9]", "")).cast("long")
+          .as("n_redacted"))
+    }),
+
     // ---- O: sort / limit ------------------------------------------------
     // O1 ORDER BY id DESC (utils.py:45).
     "o1_sort_desc" -> ((s, d) =>
@@ -635,6 +660,20 @@ object Relational {
         |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*)
         |    AS avg_bal
         |FROM customer GROUP BY c_mktsegment""".stripMargin,
+    "agg_percentiles" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
+        |  round(quantile_cont(l_extendedprice, 0.9), 6) AS p90,
+        |  round(quantile_cont(l_extendedprice, 0.99), 6) AS p99
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "pii_scrub" ->
+      """SELECT c_custkey,
+        |  regexp_replace(substr(c_name, 1, length(c_name) - 4),
+        |    '[0-9]', '*', 'g')
+        |    || substr(c_name, length(c_name) - 3, 4) AS name_masked,
+        |  length(regexp_replace(substr(c_name, 1, length(c_name) - 4),
+        |    '[^0-9]', '', 'g')) AS n_redacted
+        |FROM customer""".stripMargin,
     "o1_sort_desc" ->
       "SELECT n_nationkey, n_name FROM nation ORDER BY n_nationkey DESC",
     "o2_topk_limit" ->

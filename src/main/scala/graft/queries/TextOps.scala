@@ -204,6 +204,100 @@ object TextOps {
     "dedup_simhash" -> ((s, d) =>
       graft.api.GraftOps.simhash(docsOf(s, d), "doc_id", "text")),
 
+    // Transitive near-dup clusters: LSH candidate pairs are edges, and
+    // the canonical (minimum) doc id propagates through bounded-round
+    // min-label CC — the step real dedup pipelines run after candidate
+    // generation, since near-duplication is transitive (A≈B, B≈C ⇒ drop
+    // two of three). 2 rounds covers diameter-2 chains; the oracle
+    // computes the same bounded reachability recursively, so both sides
+    // agree by construction at any diameter.
+    "dedup_cluster_cc" -> ((s, d) => {
+      val docs = docsOf(s, d)
+      val pairs = graft.api.GraftOps.minhashCandidatePairs(
+        docs, "doc_id", "text")
+      graft.api.GraftOps.connectedComponents(
+          docs.select(col("doc_id")), "doc_id",
+          pairs, "left_id", "right_id", rounds = 2)
+        .select(col("doc_id"), col("cluster_id"),
+          (col("doc_id") === col("cluster_id")).as("is_canonical"))
+    }),
+
+    // TF-IDF top-3 terms per document — the classic relevance/keyword
+    // surface. Corpus size joins in as a broadcast 1-row aggregate (no
+    // driver-side count()); ties break on term so ranking is total.
+    "txt_tfidf_topk" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = docsOf(s, d)
+      val tf = docs
+        .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val n = docs.agg(count(lit(1)).as("n_docs"))
+      val w = Window.partitionBy("doc_id")
+        .orderBy(col("score").desc, col("term"))
+      tf.join(dfreq, "term").crossJoin(broadcast(n))
+        .select(col("doc_id"), col("term"),
+          round(col("tf") * log(col("n_docs").cast("double") / col("df")),
+            6).as("score"))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 3)
+        .select("doc_id", "term", "score", "rnk")
+    }),
+
+    // Deterministic stratified sampling: md5-bucket the (lang, doc_id)
+    // key into 256 cells via its first two hex chars and keep cells below
+    // a per-stratum threshold — downsamples the dominant language (en →
+    // ~10%) while keeping half of everything else. Pure per-row filter:
+    // no shuffle, no sort, no state; reproducible on any engine, which is
+    // exactly what corpus-mixture rebalancing needs at 100 TB.
+    "samp_stratified" -> ((s, d) =>
+      docsOf(s, d)
+        .filter(substring(md5(concat_ws(":", col("lang"), col("doc_id"))),
+          1, 2) < when(col("lang") === "en", lit("1a")).otherwise(lit("80")))
+        .select("doc_id", "lang", "source")),
+
+    // Repetition ratio (Gopher-style quality signal): share of word
+    // 3-grams that are repeats of an earlier 3-gram in the same doc.
+    // Same codegen'd shingle path as winnowing; one aggregate.
+    "txt_repetition" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("doc_id").orderBy("pos")
+      val sgl = Tables.documents(s, d)
+        .select(col("doc_id"),
+          posexplode(split(trim(col("text")), "\\s+")).as(Seq("pos", "tok")))
+        .filter(col("tok") =!= "")
+        .withColumn("sgl",
+          when(lead(col("tok"), 2).over(w).isNotNull,
+            concat_ws(" ", col("tok"), lead(col("tok"), 1).over(w),
+              lead(col("tok"), 2).over(w))))
+        .filter(col("sgl").isNotNull)
+      val stats = sgl.groupBy("doc_id").agg(
+        count(lit(1)).as("n_sh0"),
+        count_distinct(col("sgl")).as("n_uniq0"))
+      Tables.documents(s, d).select("doc_id")
+        .join(stats, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_sh0"), lit(0L)).as("n_sh"),
+          coalesce(col("n_uniq0"), lit(0L)).as("n_uniq"),
+          round(when(col("n_sh0").isNotNull && col("n_sh0") > 0,
+            lit(1.0) - col("n_uniq0").cast("double") / col("n_sh0"))
+            .otherwise(0.0), 6).as("rep_ratio"))
+    }),
+
+    // Inverted index: token → sorted posting list + document frequency,
+    // floored at df ≥ 10 to keep the index head-heavy. Postings are
+    // emitted comma-joined (driver comparator takes scalars only); at
+    // scale the same plan writes the array column, bucketed by token.
+    "idx_inverted" -> ((s, d) =>
+      docsOf(s, d)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+        .distinct()
+        .groupBy("token").agg(
+          count(lit(1)).as("df"),
+          concat_ws(",", transform(sort_array(collect_list(col("doc_id"))),
+            x => x.cast("string"))).as("postings"))
+        .filter(col("df") >= 10)),
+
     // Exact-dedup result set: the surviving documents (min doc_id per
     // content hash) — what a training pipeline actually feeds downstream.
     "dedup_exact_keep" -> ((s, d) =>
@@ -411,6 +505,59 @@ object TextOps {
       """SELECT doc_id, lang, source, n_chars FROM documents
         |WHERE doc_id IN (SELECT min(doc_id) FROM documents
         |                 GROUP BY md5(text))""".stripMargin,
+    // Bounded reachability (min id within ≤2 hops) — matches the Spark
+    // side's 2-round label propagation by construction.
+    "dedup_cluster_cc" ->
+      s"""WITH RECURSIVE $SigCte,
+         |pr AS (SELECT DISTINCT a.doc_id AS left_id, b.doc_id AS right_id
+         |  FROM bands a JOIN bands b
+         |    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+         |    AND a.doc_id < b.doc_id),
+         |e AS (SELECT left_id AS a, right_id AS b FROM pr
+         |  UNION SELECT right_id, left_id FROM pr),
+         |reach AS (
+         |  SELECT a AS src, a AS dst, 0 AS dep
+         |    FROM (SELECT DISTINCT a FROM e)
+         |  UNION
+         |  SELECT r.src, e2.b AS dst, r.dep + 1
+         |    FROM reach r JOIN e e2 ON e2.a = r.dst WHERE r.dep < 2),
+         |cm AS (SELECT src, min(dst) AS cl FROM reach GROUP BY src)
+         |SELECT d.doc_id, coalesce(cm.cl, d.doc_id) AS cluster_id,
+         |  coalesce(cm.cl, d.doc_id) = d.doc_id AS is_canonical
+         |FROM documents d LEFT JOIN cm ON d.doc_id = cm.src""".stripMargin,
+    "txt_tfidf_topk" ->
+      s"""WITH $TokedCte,
+         |tok AS (SELECT doc_id, unnest(toks) AS term FROM toked),
+         |tf AS (SELECT doc_id, term, count(*) AS tf
+         |  FROM tok GROUP BY doc_id, term),
+         |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         |n AS (SELECT count(*) AS n_docs FROM documents),
+         |sc AS (SELECT tf.doc_id, tf.term,
+         |    round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / dfreq.df), 6)
+         |      AS score
+         |  FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN n),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+         |    ORDER BY score DESC, term) AS rnk FROM sc)
+         |SELECT doc_id, term, score, rnk FROM r WHERE rnk <= 3""".stripMargin,
+    "samp_stratified" ->
+      """SELECT doc_id, lang, source FROM documents
+        |WHERE substr(md5(lang || ':' || CAST(doc_id AS VARCHAR)), 1, 2)
+        |  < CASE WHEN lang = 'en' THEN '1a' ELSE '80' END""".stripMargin,
+    "txt_repetition" ->
+      s"""WITH $TokedCte, $ShingledCte,
+         |st AS (SELECT doc_id, len(shingles) AS n_sh,
+         |  len(list_distinct(shingles)) AS n_uniq FROM sh)
+         |SELECT doc_id, n_sh, n_uniq,
+         |  round(CASE WHEN n_sh > 0
+         |    THEN CAST(1 AS DOUBLE) - CAST(n_uniq AS DOUBLE) / n_sh
+         |    ELSE CAST(0 AS DOUBLE) END, 6) AS rep_ratio
+         |FROM st""".stripMargin,
+    "idx_inverted" ->
+      s"""WITH $TokedCte,
+         |tok AS (SELECT DISTINCT doc_id, unnest(toks) AS token FROM toked)
+         |SELECT token, count(*) AS df,
+         |  array_to_string(list_sort(list(doc_id)), ',') AS postings
+         |FROM tok GROUP BY token HAVING count(*) >= 10""".stripMargin,
     "vocab_topk" ->
       s"""WITH $TokedCte,
          |tok AS (SELECT unnest(toks) AS token FROM toked)

@@ -346,9 +346,14 @@ object Relational {
     // bounded memory) — the plan shape is otherwise identical.
     "agg_percentiles" -> ((s, d) =>
       Tables.lineitem(s, d).groupBy("l_returnflag").agg(
-        round(expr("percentile(l_extendedprice, 0.5)"), 6).as("p50"),
-        round(expr("percentile(l_extendedprice, 0.9)"), 6).as("p90"),
-        round(expr("percentile(l_extendedprice, 0.99)"), 6).as("p99"))),
+        // One percentile agg with an array of ps: the group's values are
+        // buffered ONCE, not once per requested percentile.
+        expr("percentile(l_extendedprice, array(0.5D, 0.9D, 0.99D))")
+          .as("ps"))
+        .select(col("l_returnflag"),
+          round(element_at(col("ps"), 1), 6).as("p50"),
+          round(element_at(col("ps"), 2), 6).as("p90"),
+          round(element_at(col("ps"), 3), 6).as("p99"))),
 
     // PII scrub: mask every digit of the identifier except the last four
     // and count the redactions — pure per-row projection (regex class

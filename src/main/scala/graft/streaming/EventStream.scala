@@ -69,6 +69,18 @@ object EventStream {
 
   val streamingOutputMode: OutputMode = OutputMode.Append()
 
+  /** Streaming exact deduplication — the streaming twin of
+    * `GraftOps.dedupExact`: first event per key wins, and
+    * dropDuplicatesWithinWatermark evicts a key's dedup state once the
+    * watermark passes it, so state is bounded by the lateness horizon ×
+    * key arrival rate rather than growing with the whole history (the
+    * property that keeps this runnable forever on a 100 TB/day feed;
+    * plain dropDuplicates would hold every key seen). */
+  def dedupStream(events: DataFrame, keyCols: Seq[String],
+      watermarkDelay: String): DataFrame =
+    events.withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
+
   /** Streaming sessionization with CUSTOM state — flatMapGroupsWithState
     * + event-time timeout. Unlike session_window (which Spark manages),
     * this owns the state machine: in-batch events fold into the open

@@ -122,6 +122,38 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedupStream keeps first event per key and bounds state by " +
+    "watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Timestamp, String, Double)]
+    val q = EventStream.dedupStream(
+      stream.toDF().toDF("ts", "event_id", "value"), Seq("event_id"),
+      "10 minutes")
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      // e1 twice in one batch + once again later within the watermark
+      // horizon → exactly one survivor.
+      stream.addData((ts(0), "e1", 1.0), (ts(1), "e1", 2.0),
+        (ts(2), "e2", 4.0))
+      q.processAllAvailable()
+      stream.addData((ts(3), "e1", 8.0))
+      q.processAllAvailable()
+      // far-future event advances the watermark past e1's state; a
+      // REarrival after eviction is admitted again (the documented
+      // within-watermark contract — exactly-once only inside the horizon).
+      stream.addData((ts(59, 59), "e3", 16.0))
+      q.processAllAvailable()
+      stream.addData((Timestamp.valueOf("2024-01-01 01:10:00"), "e1", 32.0))
+      q.processAllAvailable()
+      val out = spark.table("dedup_out")
+        .select("event_id", "value").as[(String, Double)].collect().toSeq
+      assert(out.count(_._1 == "e1") == 2, s"got $out") // pre+post eviction
+      assert(out.filter(_._1 == "e1").map(_._2).toSet == Set(1.0, 32.0))
+      assert(out.count(_._1 == "e2") == 1)
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState running totals accumulate per key") {
     val out = EventStream.runningTotals(
       Seq(EventStream.UserEvent(1L, 2.0), EventStream.UserEvent(1L, 3.0),

@@ -45,7 +45,10 @@ object Bench {
     // compact: 3-decimal seconds, and if it still would not fit, drop the
     // FASTEST queries from the map (total stays over ALL queries). Full
     // precision for every query goes to bench_full.json for local audit.
-    def fmt(v: Double): String = f"$v%.3f"
+    // Locale.ROOT: a comma-decimal default locale would emit 52,123 and
+    // break the JSON line (the parsed:null failure class).
+    def fmt(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     def line(qs: Seq[(String, Double)], omitted: Int): String = {
       val m = qs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")

@@ -157,9 +157,9 @@ object GraftOps {
     * components. Near-dup graphs (LSH candidate pairs) are unions of
     * small bucket-cliques, so a small fixed bound covers them; at larger
     * diameters switch to pointer-doubling (log rounds) or
-    * alternating-star, and ALWAYS run over a materialized edge table —
-    * each round rescans the edges, so feeding an unmaterialized pipeline
-    * here recomputes it per round.
+    * alternating-star. The function materializes the symmetrized edge
+    * table and each round's labels itself (localCheckpoint), so callers
+    * may pass an unmaterialized pipeline as `edges`.
     *
     * Output: one row per node — (idCol, cluster_id = min id reachable
     * within `rounds` hops). Isolated nodes label themselves. */
@@ -169,12 +169,21 @@ object GraftOps {
     // Symmetrize with ONE pass over edges (explode both directions)
     // rather than a union of two reads — halves the upstream recompute
     // when the edge input is a pipeline instead of a table.
+    // localCheckpoint materializes the (possibly expensive) upstream
+    // pipeline ONCE — each of the `rounds` iterations rescans the stored
+    // blocks instead of recomputing the edge derivation (for LSH pairs
+    // that derivation is the whole minhash pipeline). Iterative graph
+    // algorithms must also cut their OWN lineage: lbl references itself
+    // twice per round, so the uncheckpointed plan doubles every
+    // iteration — checkpointing lbl per round keeps the plan flat and
+    // bounds optimizer time at any `rounds`.
     val e = edges.select(explode(array(
         struct(col(srcCol).cast("long").as("s"),
           col(dstCol).cast("long").as("t")),
         struct(col(dstCol).cast("long").as("s"),
           col(srcCol).cast("long").as("t")))).as("p"))
       .select(col("p.s").as("__src"), col("p.t").as("__dst"))
+      .localCheckpoint()
     var lbl = nodes.select(col(idCol).cast("long").as("__id"),
       col(idCol).cast("long").as("cluster_id"))
     (1 to rounds).foreach { _ =>
@@ -184,6 +193,7 @@ object GraftOps {
         .select(col("__id"),
           least(col("cluster_id"),
             coalesce(col("__nmin"), col("cluster_id"))).as("cluster_id"))
+        .localCheckpoint()
     }
     lbl.select(col("__id").as(idCol), col("cluster_id"))
   }

@@ -361,10 +361,14 @@ object Relational {
     "pii_scrub" -> ((s, d) => {
       val c = Tables.customer(s, d)
       val len = length(col("c_name"))
-      val pre = col("c_name").substr(lit(1), len - 4)
+      // greatest() guards names shorter than 4 chars: without it Spark's
+      // negative-length substr yields '' but DuckDB substr ERRORS, so the
+      // oracle run would crash rather than mismatch.
+      val pre = col("c_name").substr(lit(1), greatest(len - 4, lit(0)))
       c.select(col("c_custkey"),
         concat(regexp_replace(pre, "[0-9]", "*"),
-          col("c_name").substr(len - 3, lit(4))).as("name_masked"),
+          col("c_name").substr(greatest(len - 3, lit(1)), lit(4)))
+          .as("name_masked"),
         length(regexp_replace(pre, "[^0-9]", "")).cast("long")
           .as("n_redacted"))
     }),
@@ -673,10 +677,12 @@ object Relational {
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "pii_scrub" ->
       """SELECT c_custkey,
-        |  regexp_replace(substr(c_name, 1, length(c_name) - 4),
+        |  regexp_replace(substr(c_name, 1, greatest(length(c_name) - 4, 0)),
         |    '[0-9]', '*', 'g')
-        |    || substr(c_name, length(c_name) - 3, 4) AS name_masked,
-        |  length(regexp_replace(substr(c_name, 1, length(c_name) - 4),
+        |    || substr(c_name, greatest(length(c_name) - 3, 1), 4)
+        |    AS name_masked,
+        |  length(regexp_replace(
+        |    substr(c_name, 1, greatest(length(c_name) - 4, 0)),
         |    '[^0-9]', '', 'g')) AS n_redacted
         |FROM customer""".stripMargin,
     "o1_sort_desc" ->

@@ -252,7 +252,11 @@ object TextOps {
     // exactly what corpus-mixture rebalancing needs at 100 TB.
     "samp_stratified" -> ((s, d) =>
       docsOf(s, d)
-        .filter(substring(md5(concat_ws(":", col("lang"), col("doc_id"))),
+        // coalesce lang to '' on BOTH engines: concat_ws would silently
+        // skip a NULL lang (hashing just the doc_id) while the oracle's
+        // `||` would propagate NULL and drop the row entirely.
+        .filter(substring(md5(concat_ws(":", coalesce(col("lang"), lit("")),
+          col("doc_id"))),
           1, 2) < when(col("lang") === "en", lit("1a")).otherwise(lit("80")))
         .select("doc_id", "lang", "source")),
 
@@ -541,7 +545,8 @@ object TextOps {
          |SELECT doc_id, term, score, rnk FROM r WHERE rnk <= 3""".stripMargin,
     "samp_stratified" ->
       """SELECT doc_id, lang, source FROM documents
-        |WHERE substr(md5(lang || ':' || CAST(doc_id AS VARCHAR)), 1, 2)
+        |WHERE substr(md5(coalesce(lang, '') || ':'
+        |    || CAST(doc_id AS VARCHAR)), 1, 2)
         |  < CASE WHEN lang = 'en' THEN '1a' ELSE '80' END""".stripMargin,
     "txt_repetition" ->
       s"""WITH $TokedCte, $ShingledCte,

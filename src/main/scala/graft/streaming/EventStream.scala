@@ -77,8 +77,8 @@ object EventStream {
     * property that keeps this runnable forever on a 100 TB/day feed;
     * plain dropDuplicates would hold every key seen). */
   def dedupStream(events: DataFrame, keyCols: Seq[String],
-      watermarkDelay: String): DataFrame =
-    events.withWatermark("ts", watermarkDelay)
+      watermarkDelay: String, tsCol: String = "ts"): DataFrame =
+    events.withWatermark(tsCol, watermarkDelay)
       .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
 
   /** Streaming sessionization with CUSTOM state — flatMapGroupsWithState

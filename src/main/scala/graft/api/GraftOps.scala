@@ -87,12 +87,20 @@ object GraftOps {
   /** 64-bit SimHash per row as a 64-char bitstring (explode + one hash
     * aggregate with 64 codegen'd sum columns). */
   def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // Parse the 16-hex-digit token hash ONCE into two unsigned-32-bit
+    // longs (2 convs/row); each bit sum is then a shift+mask on a long —
+    // vs the naive 64 substring+conv expressions inside the aggregate,
+    // which partial aggregation does NOT common-subexpression-eliminate.
     val tok = docs
       .select(col(idCol), explode_outer(tokens(col(textCol))).as("tok"))
       .select(col(idCol), tokenHashPrefix(col("tok")).as("hx"))
+      .select(col(idCol),
+        conv(substring(col("hx"), 1, 8), 16, 10).cast("long").as("hi"),
+        conv(substring(col("hx"), 9, 8), 16, 10).cast("long").as("lo"))
     val sums = (0 until 64).map { b =>
-      val v = conv(substring(col("hx"), b / 4 + 1, 1), 16, 10).cast("int")
-      val bit = shiftright(v, 3 - b % 4).bitwiseAND(lit(1))
+      val bit =
+        if (b < 32) shiftright(col("hi"), 31 - b).bitwiseAND(lit(1L))
+        else shiftright(col("lo"), 63 - b).bitwiseAND(lit(1L))
       sum(bit * 2 - 1).as(s"s$b")
     }
     tok.groupBy(idCol).agg(sums.head, sums.tail: _*)

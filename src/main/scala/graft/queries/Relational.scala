@@ -460,14 +460,37 @@ object Relational {
           Seq("urgent", "high", "medium", "unspecified", "low"))),
 
     // ---- W: window-function extension (§2.9) ----------------------------
-    // NB: an unpartitioned window collapses to a single task — acceptable
-    // for a global-quartile demo, but at 100 TB the pattern is
-    // repartitionByRange + per-range ranking with offset correction (or
-    // approx percentile cutpoints + a codegen'd bucket lookup).
+    // Distributed exact ntile: a naive global window collapses to one
+    // task. Instead (a) range-bucket on the sort key (monotone, so global
+    // order = bucket order + in-bucket order), (b) per-bucket row_number
+    // — a PARTITIONED window, scales with executors, (c) cumulative
+    // bucket offsets over the tiny bucket-count table (bounded by the
+    // value range, not the data size) broadcast back, (d) re-derive the
+    // ntile bucket from the exact global row number in closed form. At
+    // 100 TB the only change is picking cutpoints via approx_percentile
+    // instead of fixed width.
     "w4_ntile" -> ((s, d) => {
-      val w = Window.orderBy(col("o_totalprice").desc, col("o_orderkey"))
-      Tables.orders(s, d).select(col("o_orderkey"),
-        ntile(4).over(w).cast("long").as("quartile"))
+      val o = Tables.orders(s, d).select("o_orderkey", "o_totalprice")
+        .withColumn("bkt", floor(col("o_totalprice") / 1000.0))
+      val wIn = Window.partitionBy("bkt")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      val counts = o.groupBy("bkt").agg(count(lit(1)).as("cnt"))
+      // Global order is price DESC → higher buckets come first.
+      val wCum = Window.orderBy(col("bkt").desc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offs = counts
+        .select(col("bkt"), coalesce(sum("cnt").over(wCum), lit(0L)).as("off"))
+      val tot = counts.agg(sum("cnt").as("n"))
+      // ntile(4) closed form: first (n mod 4) tiles hold ceil(n/4) rows.
+      val base = floor(col("n") / 4).cast("long")
+      val rem = col("n") % 4
+      val boundary = rem * (base + 1)
+      val rn = col("off") + row_number().over(wIn)
+      o.join(broadcast(offs), "bkt").crossJoin(broadcast(tot))
+        .select(col("o_orderkey"),
+          when(rn <= boundary, floor((rn - 1) / (base + 1)) + 1)
+            .otherwise(rem + floor((rn - boundary - 1) / base) + 1)
+            .cast("long").as("quartile"))
     }),
 
     "w5_first_value" -> ((s, d) => {

@@ -159,6 +159,45 @@ object GraftOps {
       .filter(col("rnk") <= k)
   }
 
+  /** Distributed as-of (backward) join: for each left row, attach the
+    * payload of the latest right row with the same key and
+    * `right.tsCol <= left.tsCol` (ties: the right row wins, i.e. the
+    * match is inclusive). Implemented as union-tag + one PARTITIONED
+    * window — a single shuffle on the key, no range-candidate explosion,
+    * no broadcast requirement on either side; this is the shape that
+    * holds at 100 TB where a naive inequality join degenerates to
+    * per-key cross products. Payload columns are returned as
+    * `asof_<name>` (null when no right row precedes the left row).
+    *
+    * Precondition for determinism: (key, ts) unique within `right`
+    * (pre-aggregate `right` if not — same rule DuckDB's ASOF JOIN needs
+    * to pick a unique match). */
+  def asofJoin(left: DataFrame, right: DataFrame, keyCol: String,
+      tsCol: String, payloadCols: Seq[String]): DataFrame = {
+    val leftOther = left.columns.toSeq
+      .filterNot(c => c == keyCol || c == tsCol)
+    val r2 = right.select(
+      Seq(col(keyCol), col(tsCol), lit(0).as("__typ")) ++
+        payloadCols.map(col) ++
+        leftOther.map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
+    val l2 = left.select(
+      Seq(col(keyCol), col(tsCol), lit(1).as("__typ")) ++
+        payloadCols.map(c =>
+          lit(null).cast(right.schema(c).dataType).as(c)) ++
+        leftOther.map(col): _*)
+    // Right rows sort before left rows at equal ts (typ 0 < 1), so a
+    // right row at exactly left.ts is visible to the left row.
+    val w = Window.partitionBy(keyCol).orderBy(tsCol, "__typ")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    r2.unionByName(l2)
+      .select(
+        Seq(col(keyCol), col(tsCol)) ++ leftOther.map(col) ++
+          payloadCols.map(c =>
+            last(col(c), ignoreNulls = true).over(w).as(s"asof_$c")) :+
+          col("__typ"): _*)
+      .filter(col("__typ") === 1).drop("__typ")
+  }
+
   /** Bounded-round connected components via iterated min-label
     * propagation: after round t, a node's label is the minimum id within
     * graph distance t, so `rounds` ≥ cluster diameter yields exact

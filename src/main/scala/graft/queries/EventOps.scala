@@ -62,6 +62,57 @@ object EventOps {
           min(col("ts")).as("session_start"),
           max(col("ts")).as("session_end"),
           sum(col("value").cast(D182)).cast("double").as("session_value"))
+    }),
+
+    // As-of (backward) join: each purchase attributed to the user's
+    // latest click at-or-before it — the attribution/point-in-time-lookup
+    // operator Spark has no built-in for. Delegates to GraftOps.asofJoin
+    // (union-tag + one partitioned window: single shuffle on user_id, no
+    // per-key cross product). (user_id, ts) is unique in events, so the
+    // match is deterministic; the oracle is DuckDB's native ASOF JOIN.
+    "j11_asof_join" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("click_id"),
+          unix_micros(col("ts")).as("click_us"))
+      val purch = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      graft.api.GraftOps
+        .asofJoin(purch, clicks, "user_id", "ts", Seq("click_id", "click_us"))
+        .select(col("event_id"), col("user_id"),
+          col("asof_click_id").as("click_id"),
+          (unix_micros(col("ts")) - col("asof_click_us")).as("gap_us"))
+    }),
+
+    // Range (interval) join via time-bin bucketing: clicks within the
+    // hour before each purchase. A naive inequality join degenerates to
+    // a per-key cross product; binning both sides to the interval width
+    // and equi-joining on (key, bin) ∪ (key, bin+1) makes it a plain
+    // shuffle join touching only O(matches) candidate pairs — the
+    // scale-correct shape for interval joins (DuckDB reaches the same
+    // result with its IEJoin).
+    "j12_range_join" -> ((s, d) => {
+      val binUs = 3600L * 1000000L
+      val ev = Tables.events(s, d)
+      val purch = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("p_us"))
+        .withColumn("bin", floor(col("p_us") / binUs).cast("long"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), unix_micros(col("ts")).as("c_us"))
+        .withColumn("cbin", floor(col("c_us") / binUs).cast("long"))
+        .withColumn("bin", explode(array(col("cbin"), col("cbin") + 1)))
+      // A (purchase, click) pair meets on exactly one bin value, so no
+      // pair-level dedup is needed before the count.
+      val matched = purch.join(clicks, Seq("user_id", "bin"))
+        .filter(col("c_us") > col("p_us") - binUs &&
+          col("c_us") <= col("p_us"))
+        .groupBy("event_id").agg(count(lit(1)).as("n_clicks_1h"))
+      purch.select("event_id", "user_id")
+        .join(matched, Seq("event_id"), "left")
+        .select(col("event_id"), col("user_id"),
+          coalesce(col("n_clicks_1h"), lit(0L)).as("n_clicks_1h"))
     }))
 
   val oracle: Map[String, String] = Map(
@@ -109,5 +160,19 @@ object EventOps {
         |SELECT user_id, session_idx, count(*) AS n_events,
         |  min(ts) AS session_start, max(ts) AS session_end,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
-        |FROM sess GROUP BY user_id, session_idx""".stripMargin)
+        |FROM sess GROUP BY user_id, session_idx""".stripMargin,
+    "j11_asof_join" ->
+      """WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT * FROM events WHERE event_type = 'click')
+        |SELECT p.event_id, p.user_id, c.event_id AS click_id,
+        |  epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+        |FROM p ASOF LEFT JOIN c
+        |  ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin,
+    "j12_range_join" ->
+      """WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT * FROM events WHERE event_type = 'click')
+        |SELECT p.event_id, p.user_id, count(c.ts) AS n_clicks_1h
+        |FROM p LEFT JOIN c ON p.user_id = c.user_id
+        |  AND c.ts > p.ts - INTERVAL '1 hour' AND c.ts <= p.ts
+        |GROUP BY p.event_id, p.user_id""".stripMargin)
 }

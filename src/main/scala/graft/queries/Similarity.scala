@@ -120,6 +120,32 @@ object Similarity {
       val bits = (0 until 8).map(p =>
         hyperplaneBitFast(col("vec"), p, EmbDim).cast("string"))
       e.select(col("vec_id"), concat(bits: _*).as("bucket"))
+    }),
+
+    // Symmetric int8 scalar quantization (the memory lever for ANN at
+    // scale: 4× smaller vectors, dot products on integers). Per-row
+    // projection — scale = 127/max|x|, code = round-half-away(x·scale) —
+    // plus the reconstruction L2 error. Rounding is spelled as
+    // trunc(x + ±0.5) on BOTH engines because Spark's round() and
+    // DuckDB's round() need not agree with each other at exact .5
+    // (and DuckDB CAST(double AS BIGINT) rounds while Spark's truncates).
+    "emb_quantize_int8" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      val mx = array_max(transform(col("v"), x => abs(x)))
+      val scale = when(mx > 0, lit(127.0) / mx).otherwise(lit(1.0))
+      def code(x: Column) =
+        (x * col("scale") + when(x >= 0, 0.5).otherwise(-0.5)).cast("long")
+      e.withColumn("scale", scale)
+        .select(col("vec_id"),
+          round(col("scale"), 6).as("scale_r"),
+          concat_ws(",", transform(col("v"),
+            x => code(x).cast("string"))).as("codes"),
+          round(sqrt(aggregate(col("v"), lit(0.0), (acc, x) => {
+            val err = x - code(x).cast("double") / col("scale")
+            acc + err * err
+          })), 6).as("l2_err"))
+        .withColumnRenamed("scale_r", "scale")
     }))
 
   /** embeddings.parquet vector dimensionality (fixed; asserted in
@@ -185,5 +211,27 @@ object Similarity {
         |    THEN '1' ELSE '0' END
         |   for p in range(0, 8)] AS bits
         |  FROM e)
-        |SELECT vec_id, array_to_string(bits, '') AS bucket FROM b""".stripMargin)
+        |SELECT vec_id, array_to_string(bits, '') AS bucket FROM b""".stripMargin,
+    "emb_quantize_int8" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+        |  FROM embeddings),
+        |m AS (SELECT vec_id, v,
+        |  CASE WHEN list_max(list_transform(v, x -> abs(x))) > 0
+        |    THEN CAST(127 AS DOUBLE)
+        |      / list_max(list_transform(v, x -> abs(x)))
+        |    ELSE CAST(1 AS DOUBLE) END AS scale
+        |  FROM e)
+        |SELECT vec_id, round(scale, 6) AS scale,
+        |  array_to_string([CAST(trunc(x * scale + CASE WHEN x >= 0
+        |      THEN CAST(0.5 AS DOUBLE) ELSE CAST(-0.5 AS DOUBLE) END)
+        |      AS BIGINT) for x in v], ',') AS codes,
+        |  round(sqrt(list_sum([
+        |    (x - CAST(trunc(x * scale + CASE WHEN x >= 0
+        |        THEN CAST(0.5 AS DOUBLE) ELSE CAST(-0.5 AS DOUBLE) END)
+        |        AS BIGINT) / scale)
+        |    * (x - CAST(trunc(x * scale + CASE WHEN x >= 0
+        |        THEN CAST(0.5 AS DOUBLE) ELSE CAST(-0.5 AS DOUBLE) END)
+        |        AS BIGINT) / scale)
+        |    for x in v])), 6) AS l2_err
+        |FROM m""".stripMargin)
 }

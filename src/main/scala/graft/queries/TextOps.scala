@@ -366,7 +366,99 @@ object TextOps {
         sha2(col("text").cast("binary"), 256).as("content_hash"),
         (col("n_chars") % 640).cast("long").as("fake_width"),
         (expr("octet_length(text)").cast("long") * 3 % 480).as("fake_height"),
-        lit(3).as("channels")))
+        lit(3).as("channels"))),
+
+    // Benchmark decontamination: flag training docs sharing any word
+    // 8-gram with the held-out set (doc_id % 20 == 0 stands in for the
+    // eval benchmark). The benchmark's distinct grams are BROADCAST —
+    // the realistic asymmetry (benchmarks are tiny, the corpus is
+    // 100 TB), so the corpus side streams once with no shuffle until the
+    // final per-doc count. 8-gram construction stays in codegen
+    // (posexplode + window leads, same path as winnowing).
+    "txt_decontaminate" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("doc_id").orderBy("pos")
+      val grams = docsOf(s, d)
+        .select(col("doc_id"),
+          posexplode(split(trim(col("text")), "\\s+")).as(Seq("pos", "tok")))
+        .filter(col("tok") =!= "")
+        .withColumn("g",
+          when(lead(col("tok"), 7).over(w).isNotNull,
+            concat_ws(" ", col("tok") +: (1 to 7).map(i =>
+              lead(col("tok"), i).over(w)): _*)))
+        .filter(col("g").isNotNull)
+        .select(col("doc_id"), col("g"))
+      val bench = grams.filter(col("doc_id") % 20 === 0)
+        .select("g").distinct()
+      grams.filter(col("doc_id") % 20 =!= 0)
+        .join(broadcast(bench), Seq("g"))
+        .groupBy("doc_id")
+        .agg(count_distinct(col("g")).as("n_shared_grams"))
+    }),
+
+    // Gopher-style quality rules: token count, mean word length, and
+    // stopword hits per doc, plus the combined keep flag. Pure per-row
+    // projection over the token array — no shuffle at any scale.
+    "txt_gopher_quality" -> ((s, d) => {
+      val toks = tokens(col("text"))
+      val stop = Seq("the", "be", "to", "of", "and", "a", "in", "that",
+        "have", "with")
+      docsOf(s, d).select(col("doc_id"), toks.as("toks"))
+        .select(col("doc_id"),
+          size(col("toks")).cast("long").as("n_words"),
+          round(when(size(col("toks")) > 0,
+            aggregate(col("toks"), lit(0L), (acc, t) => acc + length(t))
+              .cast("double") / size(col("toks"))).otherwise(0.0), 6)
+            .as("mean_word_len"),
+          size(filter(col("toks"), t => lower(t).isin(stop: _*)))
+            .cast("long").as("n_stop"))
+        .withColumn("keep",
+          col("n_words").between(30, 100000) &&
+            col("mean_word_len").between(3.0, 5.0) && col("n_stop") >= 2)
+    }),
+
+    // Fixed-size token chunking (context-window packing precursor):
+    // each doc splits into contiguous 64-token chunks. Per-row array
+    // slicing — embarrassingly parallel; chunk count derives from the
+    // token count, so no state crosses rows.
+    "chunk_docs" -> ((s, d) =>
+      docsOf(s, d)
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+        .filter(size(col("toks")) > 0)
+        .select(col("doc_id"), col("toks"),
+          size(col("toks")).cast("long").as("n"))
+        .select(col("doc_id"), col("n"),
+          posexplode(transform(
+            sequence(lit(0L), floor((col("n") - 1) / 64).cast("long")),
+            i => array_join(slice(col("toks"),
+              (i * 64 + 1).cast("int"), lit(64)), " ")))
+            .as(Seq("chunk_id", "chunk_text")))
+        .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+          col("chunk_text"),
+          least(lit(64L), col("n") - col("chunk_id") * 64).cast("long")
+            .as("n_tokens"))),
+
+    // Deterministic global shuffle (training-order randomization):
+    // position = rank under md5(doc_id) order. Same distributed-rank
+    // shape as w4_ntile — the hash's first byte is a monotone bucket, so
+    // per-bucket row_number + broadcast cumulative offsets give the
+    // exact global position without a single-partition sort.
+    "shuf_deterministic" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val keyed = docsOf(s, d)
+        .select(col("doc_id"), md5(col("doc_id").cast("string")).as("k"))
+        .withColumn("bkt", conv(substring(col("k"), 1, 2), 16, 10)
+          .cast("int"))
+      val wIn = Window.partitionBy("bkt").orderBy("k", "doc_id")
+      val counts = keyed.groupBy("bkt").agg(count(lit(1)).as("cnt"))
+      val wCum = Window.orderBy(col("bkt"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offs = counts.select(col("bkt"),
+        coalesce(sum("cnt").over(wCum), lit(0L)).as("off"))
+      keyed.join(broadcast(offs), Seq("bkt"))
+        .select(col("doc_id"),
+          (col("off") + row_number().over(wIn)).cast("long").as("pos"))
+    })
   )
 
   val oracle: Map[String, String] = Map(
@@ -581,5 +673,49 @@ object TextOps {
         |  n_chars % 640 AS fake_width,
         |  octet_length(encode(text)) * 3 % 480 AS fake_height,
         |  3 AS channels
+        |FROM documents""".stripMargin,
+    "txt_decontaminate" ->
+      s"""WITH $TokedCte,
+         |grams AS (SELECT doc_id,
+         |  unnest([array_to_string(toks[i+1:i+8], ' ')
+         |          for i in range(greatest(len(toks) - 7, 0))]) AS g
+         |  FROM toked),
+         |bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 20 = 0)
+         |SELECT doc_id, count(DISTINCT g) AS n_shared_grams
+         |FROM grams JOIN bench USING (g)
+         |WHERE doc_id % 20 <> 0
+         |GROUP BY doc_id""".stripMargin,
+    "txt_gopher_quality" ->
+      s"""WITH $TokedCte,
+         |m AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_words,
+         |  round(CASE WHEN len(toks) > 0 THEN
+         |      CAST(list_sum(list_transform(toks, t -> length(t)))
+         |        AS DOUBLE) / len(toks)
+         |    ELSE 0.0 END, 6) AS mean_word_len,
+         |  CAST(len(list_filter(toks, t -> list_contains(
+         |    ['the','be','to','of','and','a','in','that','have','with'],
+         |    lower(t)))) AS BIGINT) AS n_stop
+         |  FROM toked)
+         |SELECT doc_id, n_words, mean_word_len, n_stop,
+         |  n_words BETWEEN 30 AND 100000
+         |    AND mean_word_len BETWEEN 3.0 AND 5.0
+         |    AND n_stop >= 2 AS keep
+         |FROM m""".stripMargin,
+    "chunk_docs" ->
+      s"""WITH $TokedCte,
+         |t AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n
+         |  FROM toked WHERE len(toks) > 0)
+         |SELECT doc_id,
+         |  unnest(range(CAST(ceil(n / 64.0) AS BIGINT))) AS chunk_id,
+         |  unnest([array_to_string(toks[i*64+1 : i*64+64], ' ')
+         |          for i in range(CAST(ceil(n / 64.0) AS BIGINT))])
+         |    AS chunk_text,
+         |  unnest([least(CAST(64 AS BIGINT), n - i*64)
+         |          for i in range(CAST(ceil(n / 64.0) AS BIGINT))])
+         |    AS n_tokens
+         |FROM t""".stripMargin,
+    "shuf_deterministic" ->
+      """SELECT doc_id, row_number() OVER (
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS pos
         |FROM documents""".stripMargin)
 }

@@ -1,0 +1,103 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import graft.api.GraftOps
+
+/** Unit fixtures for the round-4 operators: as-of join semantics
+  * (inclusive match, no-predecessor null, per-key isolation), range-join
+  * bin coverage, chunking boundaries, int8 quantization rounding, and
+  * the distributed global-rank used by shuf_deterministic/w4_ntile. */
+class AsofChunkSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("asofJoin picks latest at-or-before per key, null when none") {
+    val right = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 100L),
+      (1L, ts("2024-01-01 11:00:00"), 101L),
+      (2L, ts("2024-01-01 10:30:00"), 200L))
+      .toDF("user_id", "ts", "click_id")
+    val left = Seq(
+      (1L, ts("2024-01-01 10:30:00"), 10L), // between the two clicks
+      (1L, ts("2024-01-01 11:00:00"), 11L), // exactly at click 101 (tie)
+      (2L, ts("2024-01-01 10:00:00"), 20L), // before any click for key 2
+      (3L, ts("2024-01-01 12:00:00"), 30L)) // key with no clicks at all
+      .toDF("user_id", "ts", "event_id")
+    val out = GraftOps.asofJoin(left, right, "user_id", "ts", Seq("click_id"))
+      .select("event_id", "asof_click_id").as[(Long, Option[Long])]
+      .collect().toMap
+    assert(out(10L).contains(100L)) // strictly-before match
+    assert(out(11L).contains(101L)) // tie is inclusive: same-ts right wins
+    assert(out(20L).isEmpty)        // no predecessor
+    assert(out(30L).isEmpty)        // key absent from right
+  }
+
+  test("asofJoin does not leak matches across keys") {
+    val right = Seq((1L, ts("2024-01-01 09:00:00"), 1L))
+      .toDF("user_id", "ts", "click_id")
+    val left = Seq((2L, ts("2024-01-01 10:00:00"), 2L))
+      .toDF("user_id", "ts", "event_id")
+    val out = GraftOps.asofJoin(left, right, "user_id", "ts", Seq("click_id"))
+    assert(out.count() == 1 && out.filter($"asof_click_id".isNull).count() == 1)
+  }
+
+  test("chunk_docs splits on exact 64-token boundaries") {
+    // 130 tokens -> chunks of 64, 64, 2.
+    val text = (1 to 130).map(i => s"t$i").mkString(" ")
+    val df = Seq((1L, text)).toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length($"text").cast("long"))
+    df.createOrReplaceTempView("chunk_fixture")
+    val toks = split(trim($"text"), "\\s+")
+    val out = df.select($"doc_id", toks.as("toks"),
+        size(toks).cast("long").as("n"))
+      .select($"doc_id", $"n",
+        posexplode(transform(
+          sequence(lit(0L), floor(($"n" - 1) / 64).cast("long")),
+          i => array_join(slice($"toks", (i * 64 + 1).cast("int"), lit(64)),
+            " "))).as(Seq("chunk_id", "chunk_text")))
+      .select($"chunk_id".cast("long"),
+        least(lit(64L), $"n" - $"chunk_id" * 64).as("n_tokens"),
+        size(split($"chunk_text", " ")).cast("long").as("actual"))
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(out.map(r => (r._1, r._2)).toSeq == Seq((0L, 64L), (1L, 64L), (2L, 2L)))
+    assert(out.forall(r => r._2 == r._3)) // declared == actual token count
+  }
+
+  test("int8 quantization codes are bounded and round half away from zero") {
+    val df = Seq((1L, Array(1.0f, -1.0f, 0.5f, -0.5f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val v = transform($"embedding", x => x.cast("double"))
+    val mx = array_max(transform(v, x => abs(x)))
+    val out = df.select($"vec_id", v.as("v"),
+        when(mx > 0, lit(127.0) / mx).otherwise(lit(1.0)).as("scale"))
+      .select(transform($"v", x =>
+        (x * $"scale" + when(x >= 0, 0.5).otherwise(-0.5)).cast("long"))
+        .as("codes"))
+      .as[Seq[Long]].head()
+    assert(out == Seq(127L, -127L, 64L, -64L, 0L)) // 63.5 rounds away -> 64
+    assert(out.forall(c => c >= -127 && c <= 127))
+  }
+
+  test("distributed global rank matches single-partition row_number") {
+    import org.apache.spark.sql.expressions.Window
+    val docs = (1L to 500L).toDF("doc_id")
+    val keyed = docs
+      .select($"doc_id", md5($"doc_id".cast("string")).as("k"))
+      .withColumn("bkt", conv(substring($"k", 1, 2), 16, 10).cast("int"))
+    val wIn = Window.partitionBy("bkt").orderBy("k", "doc_id")
+    val counts = keyed.groupBy("bkt").agg(count(lit(1)).as("cnt"))
+    val wCum = Window.orderBy($"bkt")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = counts.select($"bkt",
+      coalesce(sum("cnt").over(wCum), lit(0L)).as("off"))
+    val distributed = keyed.join(broadcast(offs), Seq("bkt"))
+      .select($"doc_id", ($"off" + row_number().over(wIn)).as("pos"))
+    val global = keyed.select($"doc_id",
+      row_number().over(Window.orderBy("k", "doc_id")).cast("long").as("pos"))
+    assert(distributed.except(global).count() == 0 &&
+      global.except(distributed).count() == 0)
+  }
+}

@@ -285,16 +285,24 @@ object Relational {
 
     // Headline Q1-style aggregate (§7.3-5): partial aggregation map-side,
     // 4-group output — the shuffle moves ~nothing at any scale.
-    "q1_agg" -> ((s, d) =>
+    // Exact fixed-point aggregation on scaled longs: the 2-/4-decimal
+    // inputs sum as integers (whole-stage-codegen primitive buffers)
+    // instead of DECIMAL(28,x) (sum widens past precision 18 → boxed
+    // BigDecimal buffer). trunc(x·10^k + 0.5) is the engine-neutral
+    // half-away rounding; the result is bit-identical to the decimal
+    // path and order-independent.
+    "q1_agg" -> ((s, d) => {
+      val qty100 = (col("l_quantity") * 100.0 + 0.5).cast("long")
+      val price100 = (col("l_extendedprice") * 100.0 + 0.5).cast("long")
+      val disc10k = (col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+        * 10000.0 + 0.5).cast("long")
       Tables.lineitem(s, d).groupBy("l_returnflag", "l_linestatus").agg(
-        sum(col("l_quantity").cast(D182)).cast("double").as("sum_qty"),
-        sum(col("l_extendedprice").cast(D182)).cast("double")
-          .as("sum_base_price"),
-        sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-          .cast(D184)).cast("double").as("sum_disc_price"),
-        (sum(col("l_quantity").cast(D182)).cast("double") /
-          count(lit(1))).as("avg_qty"),
-        count(lit(1)).as("count_order"))),
+        (sum(qty100).cast("double") / 100.0).as("sum_qty"),
+        (sum(price100).cast("double") / 100.0).as("sum_base_price"),
+        (sum(disc10k).cast("double") / 10000.0).as("sum_disc_price"),
+        (sum(qty100).cast("double") / 100.0 / count(lit(1))).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+    }),
 
     // Headline Q3-style top-k: join → agg → global top 10 with full
     // tiebreak. TopK after agg is a tiny shuffle (AQE coalesces).
@@ -305,8 +313,9 @@ object Relational {
       c.join(o, c("c_custkey") === o("o_custkey"))
         .join(l, o("o_orderkey") === l("l_orderkey"))
         .groupBy(o("o_orderkey"), o("o_orderdate"))
-        .agg(sum((l("l_extendedprice") * (lit(1.0) - l("l_discount")))
-          .cast(D184)).cast("double").as("revenue"))
+        .agg((sum((l("l_extendedprice") * (lit(1.0) - l("l_discount"))
+          * 10000.0 + 0.5).cast("long")).cast("double") / 10000.0)
+          .as("revenue"))
         .orderBy(col("revenue").desc, col("o_orderkey"))
         .limit(10)
     }),
@@ -324,8 +333,9 @@ object Relational {
         .join(broadcast(su), l("l_suppkey") === su("s_suppkey"))
         .join(broadcast(n), su("s_nationkey") === n("n_nationkey"))
         .groupBy(n("n_name"))
-        .agg(sum((l("l_extendedprice") * (lit(1.0) - l("l_discount")))
-          .cast(D184)).cast("double").as("revenue"),
+        .agg((sum((l("l_extendedprice") * (lit(1.0) - l("l_discount"))
+          * 10000.0 + 0.5).cast("long")).cast("double") / 10000.0)
+          .as("revenue"),
           count(lit(1)).as("n_items"))
     }),
 
@@ -656,19 +666,21 @@ object Relational {
         |WHERE rn = 1""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
-        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
-        |    AS sum_base_price,
-        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
-        |    AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
-        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*)
-        |    AS avg_qty,
+        |  CAST(sum(CAST(trunc(l_quantity * 100.0 + 0.5) AS BIGINT))
+        |    AS DOUBLE) / 100.0 AS sum_qty,
+        |  CAST(sum(CAST(trunc(l_extendedprice * 100.0 + 0.5) AS BIGINT))
+        |    AS DOUBLE) / 100.0 AS sum_base_price,
+        |  CAST(sum(CAST(trunc(l_extendedprice * (1.0 - l_discount)
+        |    * 10000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 10000.0
+        |    AS sum_disc_price,
+        |  CAST(sum(CAST(trunc(l_quantity * 100.0 + 0.5) AS BIGINT))
+        |    AS DOUBLE) / 100.0 / count(*) AS avg_qty,
         |  count(*) AS count_order
         |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
     "q3_topk" ->
       """SELECT o.o_orderkey, o.o_orderdate,
-        |  CAST(sum(CAST(l.l_extendedprice * (1.0 - l.l_discount)
-        |    AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |  CAST(sum(CAST(trunc(l.l_extendedprice * (1.0 - l.l_discount)
+        |    * 10000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue
         |FROM customer c
         |JOIN orders o ON c.c_custkey = o.o_custkey
         |JOIN lineitem l ON o.o_orderkey = l.l_orderkey
@@ -677,8 +689,8 @@ object Relational {
         |ORDER BY revenue DESC, o.o_orderkey LIMIT 10""".stripMargin,
     "q5_join_agg" ->
       """SELECT n.n_name,
-        |  CAST(sum(CAST(l.l_extendedprice * (1.0 - l.l_discount)
-        |    AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |  CAST(sum(CAST(trunc(l.l_extendedprice * (1.0 - l.l_discount)
+        |    * 10000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue,
         |  count(*) AS n_items
         |FROM customer c
         |JOIN orders o ON c.c_custkey = o.o_custkey

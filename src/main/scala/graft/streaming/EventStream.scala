@@ -81,6 +81,37 @@ object EventStream {
     events.withWatermark(tsCol, watermarkDelay)
       .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
 
+  /** Streaming attribution — the streaming shape of the batch as-of join
+    * (GraftOps.asofJoin / j11): each purchase left-outer joins the
+    * clicks of the same user within the preceding `horizon`. Both sides
+    * are watermarked and the join condition bounds the click's age, so
+    * the state store only retains `horizon + watermark` worth of clicks
+    * per user — the condition every unbounded stream-stream join needs
+    * to avoid infinite state. Emits one row per (purchase, click-in-
+    * horizon) pair, click columns null when no click preceded the
+    * purchase (Spark emits the null row once the watermark proves no
+    * match can arrive).
+    *
+    * Unlike batch as-of, a stream can't pick "the latest" click at emit
+    * time without a second stateful stage; downstream takes max(click_ts)
+    * per purchase — same final answer, streaming-incremental shape. */
+  def attributionJoin(purchases: DataFrame, clicks: DataFrame,
+      horizon: String, watermarkDelay: String): DataFrame = {
+    val p = purchases.select(col("user_id"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"))
+      .withWatermark("p_ts", watermarkDelay)
+    val c = clicks.select(col("user_id").as("c_user"),
+        col("ts").as("c_ts"), col("event_id").as("click_id"))
+      .withWatermark("c_ts", watermarkDelay)
+    p.join(c,
+      col("user_id") === col("c_user") &&
+        col("c_ts") <= col("p_ts") &&
+        col("c_ts") >= col("p_ts") - expr(s"INTERVAL $horizon"),
+      "leftOuter")
+      .select(col("purchase_id"), col("user_id"), col("p_ts"),
+        col("click_id"), col("c_ts"))
+  }
+
   /** Streaming sessionization with CUSTOM state — flatMapGroupsWithState
     * + event-time timeout. Unlike session_window (which Spark manages),
     * this owns the state machine: in-batch events fold into the open

@@ -154,6 +154,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("attributionJoin pairs purchases with in-horizon clicks, " +
+    "null row when none") {
+    implicit val sqlCtx = spark.sqlContext
+    val purchases = MemoryStream[(Long, Timestamp, Long)]
+    val clicks = MemoryStream[(Long, Timestamp, Long)]
+    def df(m: MemoryStream[(Long, Timestamp, Long)]) =
+      m.toDF().toDF("user_id", "ts", "event_id")
+    val q = EventStream
+      .attributionJoin(df(purchases), df(clicks), "'1' HOUR", "10 minutes")
+      .writeStream.format("memory").queryName("attr_out")
+      .outputMode("append").start()
+    try {
+      // user 1: clicks at 00:05 (in horizon) and a purchase at 00:30;
+      // user 2: purchase with NO preceding click.
+      clicks.addData((1L, ts(5), 100L))
+      purchases.addData((1L, ts(30), 10L), (2L, ts(31), 20L))
+      q.processAllAvailable()
+      // Advance both watermarks far enough that the no-match row for
+      // user 2 is provably final and gets emitted.
+      clicks.addData((9L, Timestamp.valueOf("2024-01-01 03:00:00"), 999L))
+      purchases.addData((9L, Timestamp.valueOf("2024-01-01 03:00:00"), 99L))
+      q.processAllAvailable()
+      val out = spark.table("attr_out")
+        .select("purchase_id", "click_id")
+        .as[(Long, Option[Long])].collect().toSeq
+      assert(out.contains((10L, Some(100L))), s"got $out")
+      assert(out.contains((20L, None)), s"got $out") // watermark-final null
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState running totals accumulate per key") {
     val out = EventStream.runningTotals(
       Seq(EventStream.UserEvent(1L, 2.0), EventStream.UserEvent(1L, 3.0),

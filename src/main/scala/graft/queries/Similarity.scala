@@ -122,6 +122,49 @@ object Similarity {
       e.select(col("vec_id"), concat(bits: _*).as("bucket"))
     }),
 
+    // One spherical k-means iteration (k=4): deterministic seed
+    // centroids (first k ids) → assign (argmax cosine) → recompute
+    // centroids → reassign. This is the "one-time clustering job" that
+    // produces emb_ivf_topk's coarse cells. Fully declarative: scoring
+    // is a broadcast of the k tiny centroids against the fact side (at
+    // scale MLlib instead collects k·dim floats to the driver per
+    // iteration — same cost shape); the argmax is a per-vector window
+    // over k rows; the centroid update sums components through
+    // DECIMAL(20,15) so partial-aggregation order can never wiggle an
+    // ulp (components are unit-bounded, so the integer part fits ~1e5
+    // members per cluster — widen for more).
+    "emb_kmeans_iter" -> ((s, d) => {
+      graft.expressions.VectorExpressions.register(s)
+      def dot(a: Column, b: Column) = call_function("graft_vec_dot", a, b)
+      val e = unitVecs(s, d).select("vec_id", "u")
+      val c0 = e.filter(col("vec_id") < 4)
+        .select(col("vec_id").as("cid"), col("u").as("cu"))
+      val wBest = Window.partitionBy("vec_id")
+        .orderBy(col("sc").desc, col("cid"))
+      val a0 = e.crossJoin(broadcast(c0))
+        .select(col("vec_id"), col("u"), col("cid"),
+          round(dot(col("u"), col("cu")), 6).as("sc"))
+        .withColumn("rn", row_number().over(wBest)).filter(col("rn") === 1)
+        .select(col("vec_id"), col("u"), col("cid").as("cl"))
+      val c1 = a0
+        .select(col("cl"), posexplode(col("u")).as(Seq("idx", "val")))
+        .groupBy("cl", "idx")
+        .agg(sum(col("val").cast(DecimalType(20, 15))).cast("double")
+          .as("sv"))
+        .groupBy("cl")
+        .agg(transform(array_sort(collect_list(struct(col("idx"),
+          col("sv")))), x => x.getField("sv")).as("raw"))
+        .withColumn("nrm", sqrt(dot(col("raw"), col("raw"))))
+        .select(col("cl").as("cid"),
+          transform(col("raw"), x => x / col("nrm")).as("cu"))
+      e.crossJoin(broadcast(c1))
+        .select(col("vec_id"), col("cid"),
+          round(dot(col("u"), col("cu")), 6).as("sc"))
+        .withColumn("rn", row_number().over(wBest)).filter(col("rn") === 1)
+        .select(col("vec_id"), col("cid").as("cluster"), col("sc")
+          .as("score"))
+    }),
+
     // Symmetric int8 scalar quantization (the memory lever for ANN at
     // scale: 4× smaller vectors, dot products on integers). Per-row
     // projection — scale = 127/max|x|, code = round-half-away(x·scale) —
@@ -212,6 +255,31 @@ object Similarity {
         |   for p in range(0, 8)] AS bits
         |  FROM e)
         |SELECT vec_id, array_to_string(bits, '') AS bucket FROM b""".stripMargin,
+    "emb_kmeans_iter" ->
+      s"""WITH $UnitCte,
+         |c0 AS (SELECT vec_id AS cid, u AS cu FROM e WHERE vec_id < 4),
+         |a0 AS (SELECT e.vec_id, e.u,
+         |  (SELECT s.cid FROM (SELECT c0.cid,
+         |      round(list_dot_product(e.u, c0.cu), 6) AS sc FROM c0) s
+         |   ORDER BY s.sc DESC, s.cid LIMIT 1) AS cl FROM e),
+         |sums AS (SELECT cl, idx,
+         |  CAST(sum(CAST(val AS DECIMAL(20,15))) AS DOUBLE) AS sv
+         |  FROM (SELECT cl, unnest(u) AS val,
+         |        generate_subscripts(u, 1) AS idx FROM a0)
+         |  GROUP BY cl, idx),
+         |craw AS (SELECT cl AS cid, list(sv ORDER BY idx) AS raw
+         |  FROM sums GROUP BY cl),
+         |c1 AS (SELECT cid,
+         |  [x / sqrt(list_dot_product(raw, raw)) for x in raw] AS cu
+         |  FROM craw)
+         |SELECT e.vec_id,
+         |  (SELECT s.cid FROM (SELECT c1.cid,
+         |      round(list_dot_product(e.u, c1.cu), 6) AS sc FROM c1) s
+         |   ORDER BY s.sc DESC, s.cid LIMIT 1) AS cluster,
+         |  (SELECT s.sc FROM (SELECT c1.cid,
+         |      round(list_dot_product(e.u, c1.cu), 6) AS sc FROM c1) s
+         |   ORDER BY s.sc DESC, s.cid LIMIT 1) AS score
+         |FROM e""".stripMargin,
     "emb_quantize_int8" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
         |  FROM embeddings),

@@ -198,6 +198,74 @@ object GraftOps {
       .filter(col("__typ") === 1).drop("__typ")
   }
 
+  /** Contiguous fixed-size token chunking (context-window packing
+    * precursor): one row per `chunkSize`-token chunk, with
+    * (id, chunk_id, chunk_text, n_tokens). Pure per-row array slicing —
+    * embarrassingly parallel; token-less rows produce no chunks. */
+  def chunkTokens(docs: DataFrame, idCol: String, textCol: String,
+      chunkSize: Int): DataFrame =
+    docs
+      .select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .filter(size(col("__toks")) > 0)
+      .select(col(idCol), col("__toks"),
+        size(col("__toks")).cast("long").as("__n"))
+      .select(col(idCol), col("__n"),
+        posexplode(transform(
+          sequence(lit(0L),
+            floor((col("__n") - 1) / chunkSize).cast("long")),
+          i => array_join(slice(col("__toks"),
+            (i * chunkSize + 1).cast("int"), lit(chunkSize)), " ")))
+          .as(Seq("chunk_id", "chunk_text")))
+      .select(col(idCol), col("chunk_id").cast("long").as("chunk_id"),
+        col("chunk_text"),
+        least(lit(chunkSize.toLong), col("__n") - col("chunk_id") * chunkSize)
+          .cast("long").as("n_tokens"))
+
+  /** Benchmark decontamination: ids of `docs` rows sharing at least one
+    * word n-gram with `benchmark`, with the count of distinct shared
+    * grams. The benchmark's gram set is broadcast — benchmarks are tiny,
+    * the corpus is not, so the corpus side streams with no shuffle until
+    * the per-doc count. */
+  def decontaminate(docs: DataFrame, benchmark: DataFrame, idCol: String,
+      textCol: String, n: Int): DataFrame = {
+    def grams(df: DataFrame): DataFrame = {
+      val w = Window.partitionBy(idCol).orderBy("pos")
+      df.select(col(idCol),
+          posexplode(split(trim(col(textCol)), "\\s+")).as(Seq("pos", "tok")))
+        .filter(col("tok") =!= "")
+        .withColumn("g",
+          when(lead(col("tok"), n - 1).over(w).isNotNull,
+            concat_ws(" ", col("tok") +: (1 until n).map(i =>
+              lead(col("tok"), i).over(w)): _*)))
+        .filter(col("g").isNotNull)
+        .select(col(idCol), col("g"))
+    }
+    grams(docs)
+      .join(broadcast(grams(benchmark).select("g").distinct()), Seq("g"))
+      .groupBy(idCol)
+      .agg(count_distinct(col("g")).as("n_shared_grams"))
+  }
+
+  /** Symmetric int8 scalar quantization of a double-array column:
+    * (scale, codes, l2_err) per row. Rounding is trunc(x ± 0.5) — engine
+    * neutral (Spark round() and DuckDB round()/CAST need not agree at
+    * exact halves). */
+  def quantizeInt8(emb: DataFrame, idCol: String, vecCol: String)
+      : DataFrame = {
+    val mx = array_max(transform(col(vecCol), x => abs(x)))
+    def code(x: Column) =
+      (x * col("__scale") + when(x >= 0, 0.5).otherwise(-0.5)).cast("long")
+    emb.withColumn("__scale", when(mx > 0, lit(127.0) / mx).otherwise(1.0))
+      .select(col(idCol),
+        round(col("__scale"), 6).as("scale"),
+        concat_ws(",", transform(col(vecCol),
+          x => code(x).cast("string"))).as("codes"),
+        round(sqrt(aggregate(col(vecCol), lit(0.0), (acc, x) => {
+          val err = x - code(x).cast("double") / col("__scale")
+          acc + err * err
+        })), 6).as("l2_err"))
+  }
+
   /** Bounded-round connected components via iterated min-label
     * propagation: after round t, a node's label is the minimum id within
     * graph distance t, so `rounds` ≥ cluster diameter yields exact

@@ -383,6 +383,17 @@ object Relational {
           .as("n_redacted"))
     }),
 
+    // HLL++ approximate distinct counting next to the exact answer —
+    // the sketch that replaces count_distinct at 100 TB (mergeable,
+    // fixed memory, no distinct-key shuffle). Registered WITHOUT an
+    // oracle twin (sketch estimates are engine-specific; the driver
+    // records a rows-only check); the ±2 % accuracy contract is pinned
+    // by ApproxDistinctSpec instead.
+    "agg_approx_distinct" -> ((s, d) =>
+      Tables.orders(s, d).groupBy("o_orderpriority").agg(
+        count_distinct(col("o_custkey")).as("exact_nd"),
+        approx_count_distinct(col("o_custkey"), 0.02).as("approx_nd"))),
+
     // ---- O: sort / limit ------------------------------------------------
     // O1 ORDER BY id DESC (utils.py:45).
     "o1_sort_desc" -> ((s, d) =>

@@ -172,24 +172,11 @@ object Similarity {
     // trunc(x + ±0.5) on BOTH engines because Spark's round() and
     // DuckDB's round() need not agree with each other at exact .5
     // (and DuckDB CAST(double AS BIGINT) rounds while Spark's truncates).
-    "emb_quantize_int8" -> ((s, d) => {
-      val e = Tables.embeddings(s, d)
-        .select(col("vec_id"), asDouble(col("embedding")).as("v"))
-      val mx = array_max(transform(col("v"), x => abs(x)))
-      val scale = when(mx > 0, lit(127.0) / mx).otherwise(lit(1.0))
-      def code(x: Column) =
-        (x * col("scale") + when(x >= 0, 0.5).otherwise(-0.5)).cast("long")
-      e.withColumn("scale", scale)
-        .select(col("vec_id"),
-          round(col("scale"), 6).as("scale_r"),
-          concat_ws(",", transform(col("v"),
-            x => code(x).cast("string"))).as("codes"),
-          round(sqrt(aggregate(col("v"), lit(0.0), (acc, x) => {
-            val err = x - code(x).cast("double") / col("scale")
-            acc + err * err
-          })), 6).as("l2_err"))
-        .withColumnRenamed("scale_r", "scale")
-    }))
+    "emb_quantize_int8" -> ((s, d) =>
+      graft.api.GraftOps.quantizeInt8(
+        Tables.embeddings(s, d)
+          .select(col("vec_id"), asDouble(col("embedding")).as("v")),
+        "vec_id", "v")))
 
   /** embeddings.parquet vector dimensionality (fixed; asserted in
     * VectorFunctionsSpec against the data). */

@@ -376,24 +376,11 @@ object TextOps {
     // final per-doc count. 8-gram construction stays in codegen
     // (posexplode + window leads, same path as winnowing).
     "txt_decontaminate" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy("doc_id").orderBy("pos")
-      val grams = docsOf(s, d)
-        .select(col("doc_id"),
-          posexplode(split(trim(col("text")), "\\s+")).as(Seq("pos", "tok")))
-        .filter(col("tok") =!= "")
-        .withColumn("g",
-          when(lead(col("tok"), 7).over(w).isNotNull,
-            concat_ws(" ", col("tok") +: (1 to 7).map(i =>
-              lead(col("tok"), i).over(w)): _*)))
-        .filter(col("g").isNotNull)
-        .select(col("doc_id"), col("g"))
-      val bench = grams.filter(col("doc_id") % 20 === 0)
-        .select("g").distinct()
-      grams.filter(col("doc_id") % 20 =!= 0)
-        .join(broadcast(bench), Seq("g"))
-        .groupBy("doc_id")
-        .agg(count_distinct(col("g")).as("n_shared_grams"))
+      val docs = docsOf(s, d)
+      graft.api.GraftOps.decontaminate(
+        docs.filter(col("doc_id") % 20 =!= 0),
+        docs.filter(col("doc_id") % 20 === 0),
+        "doc_id", "text", n = 8)
     }),
 
     // Gopher-style quality rules: token count, mean word length, and
@@ -422,21 +409,24 @@ object TextOps {
     // slicing — embarrassingly parallel; chunk count derives from the
     // token count, so no state crosses rows.
     "chunk_docs" -> ((s, d) =>
-      docsOf(s, d)
-        .select(col("doc_id"), tokens(col("text")).as("toks"))
-        .filter(size(col("toks")) > 0)
-        .select(col("doc_id"), col("toks"),
-          size(col("toks")).cast("long").as("n"))
-        .select(col("doc_id"), col("n"),
-          posexplode(transform(
-            sequence(lit(0L), floor((col("n") - 1) / 64).cast("long")),
-            i => array_join(slice(col("toks"),
-              (i * 64 + 1).cast("int"), lit(64)), " ")))
-            .as(Seq("chunk_id", "chunk_text")))
-        .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
-          col("chunk_text"),
-          least(lit(64L), col("n") - col("chunk_id") * 64).cast("long")
-            .as("n_tokens"))),
+      graft.api.GraftOps.chunkTokens(docsOf(s, d), "doc_id", "text", 64)),
+
+    // Corpus mixture reweighting: per-language sampling weights that
+    // would rebalance the corpus to uniform language shares (the
+    // data-mixture step before training). Two tiny aggregates + a
+    // broadcast of the 1-row totals — no data-sized shuffle beyond the
+    // language groupBy.
+    "samp_mixture_weights" -> ((s, d) => {
+      val counts = docsOf(s, d).groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"))
+      val tot = counts.agg(sum("n_docs").as("total"),
+        count(lit(1)).as("n_langs"))
+      counts.crossJoin(broadcast(tot))
+        .select(col("lang"), col("n_docs"),
+          round(col("n_docs").cast("double") / col("total"), 6).as("share"),
+          round((col("total").cast("double") / col("n_langs")) /
+            col("n_docs"), 6).as("weight"))
+    }),
 
     // Deterministic global shuffle (training-order randomization):
     // position = rank under md5(doc_id) order. Same distributed-rank
@@ -717,5 +707,14 @@ object TextOps {
     "shuf_deterministic" ->
       """SELECT doc_id, row_number() OVER (
         |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS pos
-        |FROM documents""".stripMargin)
+        |FROM documents""".stripMargin,
+    "samp_mixture_weights" ->
+      """WITH c AS (SELECT lang, count(*) AS n_docs
+        |  FROM documents GROUP BY lang),
+        |t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS total,
+        |  count(*) AS n_langs FROM c)
+        |SELECT lang, n_docs,
+        |  round(CAST(n_docs AS DOUBLE) / total, 6) AS share,
+        |  round((CAST(total AS DOUBLE) / n_langs) / n_docs, 6) AS weight
+        |FROM c, t""".stripMargin)
 }

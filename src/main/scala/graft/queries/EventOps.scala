@@ -64,6 +64,21 @@ object EventOps {
           sum(col("value").cast(D182)).cast("double").as("session_value"))
     }),
 
+    // Semi-structured extraction: schema'd from_json over the props
+    // payload column, then a plain aggregate — JSON parse is per-row
+    // (codegen'd Jackson path), so the operator shards like any
+    // projection; at scale the parse happens once and the extracted
+    // column is columnar from then on.
+    "ev_json_extract" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(col("event_type"),
+          from_json(col("props"),
+            org.apache.spark.sql.types.StructType.fromDDL("k BIGINT"))
+            .getField("k").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"))),
+
     // As-of (backward) join: each purchase attributed to the user's
     // latest click at-or-before it — the attribution/point-in-time-lookup
     // operator Spark has no built-in for. Delegates to GraftOps.asofJoin
@@ -161,6 +176,13 @@ object EventOps {
         |  min(ts) AS session_start, max(ts) AS session_end,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
         |FROM sess GROUP BY user_id, session_idx""".stripMargin,
+    "ev_json_extract" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+        |    AS sum_k,
+        |  min(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
+        |  max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
+        |FROM events GROUP BY event_type""".stripMargin,
     "j11_asof_join" ->
       """WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
         |c AS (SELECT * FROM events WHERE event_type = 'click')

@@ -81,6 +81,54 @@ class AsofChunkSpec extends SparkSpec {
     assert(out.forall(c => c >= -127 && c <= 127))
   }
 
+  test("asofJoin equals the naive per-row latest-lookup on random data") {
+    // Differential test: 60 left rows × 40 right rows over 8 keys with
+    // colliding timestamps; the distributed union-window formulation
+    // must agree with a literal Scala reference implementation.
+    val rnd = new scala.util.Random(42)
+    val right = (0 until 40).map { i =>
+      (rnd.nextInt(8).toLong, ts(f"2024-01-01 ${rnd.nextInt(24)}%02d:${rnd.nextInt(60)}%02d:00"), i.toLong)
+    }.distinct
+    // Unique (key, ts) on the right — the operator's documented
+    // determinism precondition.
+    val rightU = right.groupBy(r => (r._1, r._2)).map(_._2.head).toSeq
+    val left = (100 until 160).map { i =>
+      (rnd.nextInt(10).toLong, ts(f"2024-01-01 ${rnd.nextInt(24)}%02d:${rnd.nextInt(60)}%02d:00"), i.toLong)
+    }
+    val out = GraftOps.asofJoin(
+      left.toDF("user_id", "ts", "event_id"),
+      rightU.toDF("user_id", "ts", "click_id"),
+      "user_id", "ts", Seq("click_id"))
+      .select("event_id", "asof_click_id")
+      .as[(Long, Option[Long])].collect().toMap
+    val naive = left.map { case (k, t, id) =>
+      val preceding = rightU.filter(r => r._1 == k && !r._2.after(t))
+      id -> (if (preceding.isEmpty) None
+             else Some(preceding.maxBy(r => (r._2.getTime, r._3))._3))
+    }.toMap
+    // maxBy tiebreak on click_id is irrelevant post-dedup (unique ts per
+    // key) but keeps the reference total.
+    assert(out == naive)
+  }
+
+  test("chunkTokens concatenation rebuilds the original token stream") {
+    val rnd = new scala.util.Random(7)
+    val docs = (1L to 30L).map { i =>
+      i -> (0 until rnd.nextInt(200)).map(j => s"w$j").mkString(" ")
+    }
+    val out = GraftOps.chunkTokens(
+      docs.toDF("doc_id", "text"), "doc_id", "text", 64)
+      .orderBy("doc_id", "chunk_id")
+      .select("doc_id", "chunk_text")
+      .as[(Long, String)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).mkString(" ")).toMap
+    docs.foreach { case (id, text) =>
+      val toks = text.trim.split("\\s+").filter(_.nonEmpty).mkString(" ")
+      if (toks.isEmpty) assert(!out.contains(id)) // token-less: no chunks
+      else assert(out(id) == toks, s"doc $id")
+    }
+  }
+
   test("distributed global rank matches single-partition row_number") {
     import org.apache.spark.sql.expressions.Window
     val docs = (1L to 500L).toDF("doc_id")

@@ -339,6 +339,25 @@ object Relational {
           count(lit(1)).as("n_items"))
     }),
 
+    // Q14-style promo share: fact ⋈ broadcast part dim, conditional
+    // scaled-long sums, one global 1-row aggregate. Covers the last
+    // fixture table (part) and the conditional-aggregate shape.
+    "q14_promo_share" -> ((s, d) => {
+      val l = Tables.lineitem(s, d)
+      val p = Tables.part(s, d)
+      val disc10k = (col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+        * 10000.0 + 0.5).cast("long")
+      l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+        .agg(
+          (sum(when(col("p_type") === "PROMO", disc10k).otherwise(0L))
+            .cast("double") / 10000.0).as("promo_revenue"),
+          (sum(disc10k).cast("double") / 10000.0).as("total_revenue"))
+        .select(
+          round(col("promo_revenue") * 100.0 / col("total_revenue"), 6)
+            .as("promo_pct"),
+          col("promo_revenue"), col("total_revenue"))
+    }),
+
     // Standard stats surface (min/max exact on raw doubles, avg via the
     // decimal trick).
     "agg_stats" -> ((s, d) =>
@@ -709,6 +728,19 @@ object Relational {
         |JOIN supplier s ON l.l_suppkey = s.s_suppkey
         |JOIN nation n ON s.s_nationkey = n.n_nationkey
         |GROUP BY n.n_name""".stripMargin,
+    "q14_promo_share" ->
+      """WITH a AS (SELECT
+        |  CAST(sum(CASE WHEN p.p_type = 'PROMO'
+        |    THEN CAST(trunc(l.l_extendedprice * (1.0 - l.l_discount)
+        |      * 10000.0 + 0.5) AS BIGINT) ELSE 0 END) AS DOUBLE) / 10000.0
+        |    AS promo_revenue,
+        |  CAST(sum(CAST(trunc(l.l_extendedprice * (1.0 - l.l_discount)
+        |    * 10000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 10000.0
+        |    AS total_revenue
+        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey)
+        |SELECT round(promo_revenue * 100.0 / total_revenue, 6) AS promo_pct,
+        |  promo_revenue, total_revenue
+        |FROM a""".stripMargin,
     "agg_stats" ->
       """SELECT c_mktsegment, count(*) AS n_customers,
         |  min(c_acctbal) AS min_bal, max(c_acctbal) AS max_bal,

@@ -413,6 +413,93 @@ object Relational {
         count_distinct(col("o_custkey")).as("exact_nd"),
         approx_count_distinct(col("o_custkey"), 0.02).as("approx_nd"))),
 
+    // Anti join (NOT EXISTS): customers who never produced an event —
+    // completes the join-type matrix (inner/left/semi/ANTI/asof/range).
+    // Spark plans a BroadcastHashJoin LeftAnti here; at scale it becomes
+    // a shuffle anti join on the same key with no plan change.
+    "j13_anti_join" -> ((s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.events(s, d).select(col("user_id")),
+          col("c_custkey") === col("user_id"), "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")),
+
+    // Full outer join of two keyed aggregates with deliberately
+    // part-overlapping key ranges — exercises both-null-side handling.
+    "j14_full_outer" -> ((s, d) => {
+      val c = Tables.customer(s, d).filter(col("c_nationkey") < 15)
+        .groupBy("c_nationkey").agg(count(lit(1)).as("n_cust"))
+      val su = Tables.supplier(s, d).filter(col("s_nationkey") > 9)
+        .groupBy("s_nationkey").agg(count(lit(1)).as("n_supp"))
+      c.join(su, col("c_nationkey") === col("s_nationkey"), "full_outer")
+        .select(
+          coalesce(col("c_nationkey"), col("s_nationkey")).as("nationkey"),
+          coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+          coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+    }),
+
+    // CDC merge/upsert: apply a changes feed (insert/update/delete ops)
+    // onto a base table — the lakehouse MERGE INTO shape, composed from
+    // anti join (deletes) + left join & coalesce (updates) + union
+    // (inserts). The changes feed is derived deterministically from the
+    // base so the oracle can reproduce it.
+    "cdc_merge" -> ((s, d) => {
+      val base = Tables.customer(s, d)
+        .select("c_custkey", "c_name", "c_acctbal")
+      val updates = base.filter(col("c_custkey") % 5 === 0)
+        .select(col("c_custkey"), (col("c_acctbal") + 100.0).as("new_bal"))
+      val deletes = base.filter(col("c_custkey") % 7 === 0 &&
+        col("c_custkey") % 5 =!= 0).select("c_custkey")
+      val inserts = base.filter(col("c_custkey") % 11 === 0)
+        .select((col("c_custkey") + 1000000L).as("c_custkey"),
+          concat(lit("NEW-"), col("c_name")).as("c_name"),
+          lit(0.0).as("c_acctbal"))
+      base
+        .join(deletes, Seq("c_custkey"), "left_anti")
+        .join(updates, Seq("c_custkey"), "left")
+        .select(col("c_custkey"), col("c_name"),
+          coalesce(col("new_bal"), col("c_acctbal")).as("c_acctbal"))
+        .unionByName(inserts)
+    }),
+
+    // Fuzzy-match join: per-supplier nearest other supplier name by
+    // Levenshtein distance, BLOCKED by nation so candidate pairs are
+    // bucket-local (the scale answer to string-similarity joins: block
+    // first, never all-pairs). Tiebreak on candidate key keeps top-1
+    // total.
+    "j15_fuzzy_block" -> ((s, d) => {
+      val a = Tables.supplier(s, d)
+        .select(col("s_nationkey").as("nk"), col("s_suppkey").as("a_key"),
+          col("s_name").as("a_name"))
+      val b = Tables.supplier(s, d)
+        .select(col("s_nationkey").as("nk"), col("s_suppkey").as("b_key"),
+          col("s_name").as("b_name"))
+      val w = Window.partitionBy("a_key")
+        .orderBy(col("dist"), col("b_key"))
+      a.join(b, Seq("nk")).filter(col("a_key") =!= col("b_key"))
+        .withColumn("dist",
+          levenshtein(col("a_name"), col("b_name")).cast("long"))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("a_key").as("s_suppkey"), col("a_name").as("s_name"),
+          col("b_key").as("match_key"), col("b_name").as("match_name"),
+          col("dist"))
+    }),
+
+    // Unpivot (wide → long, the inverse of agg_pivot): per-status
+    // priority counts melt back into (status, priority, n) rows.
+    "p8_unpivot" -> ((s, d) => {
+      val wide = Tables.orders(s, d)
+        .groupBy("o_orderstatus")
+        .pivot("o_orderpriority",
+          Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))
+        .agg(count(lit(1)))
+        .na.fill(0L,
+          Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))
+      wide.unpivot(Array(col("o_orderstatus")),
+          Array(col("1-URGENT"), col("2-HIGH"), col("3-MEDIUM"),
+            col("4-NOT SPECIFIED"), col("5-LOW")),
+          "priority", "n")
+    }),
+
     // ---- O: sort / limit ------------------------------------------------
     // O1 ORDER BY id DESC (utils.py:45).
     "o1_sort_desc" -> ((s, d) =>
@@ -547,6 +634,17 @@ object Relational {
         .select(col("o_custkey"), col("o_orderkey"),
           rank().over(w).cast("long").as("rnk"))
         .filter(col("rnk") <= 3)
+    }),
+
+    // Relative-position window functions (partitioned — scales with
+    // segment cardinality); rounded to 6 on both engines so the
+    // (rank-1)/(n-1) division can never differ in the last ulp.
+    "w6_percent_rank" -> ((s, d) => {
+      val w = Window.partitionBy("c_mktsegment")
+        .orderBy(col("c_acctbal"), col("c_custkey"))
+      Tables.customer(s, d).select(col("c_mktsegment"), col("c_custkey"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cume"))
     }),
 
     "w2_lag_delta" -> ((s, d) => {
@@ -762,6 +860,64 @@ object Relational {
         |  length(regexp_replace(
         |    substr(c_name, 1, greatest(length(c_name) - 4, 0)),
         |    '[^0-9]', '', 'g')) AS n_redacted
+        |FROM customer""".stripMargin,
+    "j13_anti_join" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM events e
+        |  WHERE e.user_id = c.c_custkey)""".stripMargin,
+    "j14_full_outer" ->
+      """WITH c AS (SELECT c_nationkey, count(*) AS n_cust FROM customer
+        |  WHERE c_nationkey < 15 GROUP BY c_nationkey),
+        |s AS (SELECT s_nationkey, count(*) AS n_supp FROM supplier
+        |  WHERE s_nationkey > 9 GROUP BY s_nationkey)
+        |SELECT coalesce(c.c_nationkey, s.s_nationkey) AS nationkey,
+        |  coalesce(c.n_cust, 0) AS n_cust,
+        |  coalesce(s.n_supp, 0) AS n_supp
+        |FROM c FULL OUTER JOIN s ON c.c_nationkey = s.s_nationkey"""
+        .stripMargin,
+    "cdc_merge" ->
+      """WITH base AS (SELECT c_custkey, c_name, c_acctbal FROM customer),
+        |upd AS (SELECT c_custkey, c_acctbal + 100.0 AS new_bal FROM base
+        |  WHERE c_custkey % 5 = 0),
+        |del AS (SELECT c_custkey FROM base
+        |  WHERE c_custkey % 7 = 0 AND c_custkey % 5 <> 0),
+        |ins AS (SELECT c_custkey + 1000000 AS c_custkey,
+        |  'NEW-' || c_name AS c_name, 0.0 AS c_acctbal FROM base
+        |  WHERE c_custkey % 11 = 0)
+        |SELECT b.c_custkey, b.c_name,
+        |  coalesce(u.new_bal, b.c_acctbal) AS c_acctbal
+        |FROM base b LEFT JOIN upd u ON b.c_custkey = u.c_custkey
+        |WHERE NOT EXISTS (SELECT 1 FROM del d
+        |  WHERE d.c_custkey = b.c_custkey)
+        |UNION ALL SELECT * FROM ins""".stripMargin,
+    "j15_fuzzy_block" ->
+      """WITH p AS (SELECT a.s_suppkey, a.s_name,
+        |    b.s_suppkey AS match_key, b.s_name AS match_name,
+        |    CAST(levenshtein(a.s_name, b.s_name) AS BIGINT) AS dist
+        |  FROM supplier a JOIN supplier b
+        |    ON a.s_nationkey = b.s_nationkey
+        |    AND a.s_suppkey <> b.s_suppkey),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY s_suppkey
+        |    ORDER BY dist, match_key) AS rn FROM p)
+        |SELECT s_suppkey, s_name, match_key, match_name, dist
+        |FROM r WHERE rn = 1""".stripMargin,
+    "p8_unpivot" ->
+      """WITH st AS (SELECT DISTINCT o_orderstatus FROM orders),
+        |pr AS (SELECT unnest(['1-URGENT','2-HIGH','3-MEDIUM',
+        |  '4-NOT SPECIFIED','5-LOW']) AS priority),
+        |cnt AS (SELECT o_orderstatus, o_orderpriority, count(*) AS n
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT st.o_orderstatus, pr.priority,
+        |  coalesce(cnt.n, CAST(0 AS BIGINT)) AS n
+        |FROM st CROSS JOIN pr
+        |LEFT JOIN cnt ON cnt.o_orderstatus = st.o_orderstatus
+        |  AND cnt.o_orderpriority = pr.priority""".stripMargin,
+    "w6_percent_rank" ->
+      """SELECT c_mktsegment, c_custkey,
+        |  round(percent_rank() OVER (PARTITION BY c_mktsegment
+        |    ORDER BY c_acctbal, c_custkey), 6) AS pct_rank,
+        |  round(cume_dist() OVER (PARTITION BY c_mktsegment
+        |    ORDER BY c_acctbal, c_custkey), 6) AS cume
         |FROM customer""".stripMargin,
     "o1_sort_desc" ->
       "SELECT n_nationkey, n_name FROM nation ORDER BY n_nationkey DESC",

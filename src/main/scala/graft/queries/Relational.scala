@@ -570,6 +570,27 @@ object Relational {
         .agg(sum(col("l_quantity").cast(D182)).cast("double").as("sum_qty"),
           count(lit(1)).as("n"))),
 
+    // Full cube over two dimensions (all 4 grouping-set combinations in
+    // one pass — partial-aggregated per set, one shuffle).
+    "agg_cube" -> ((s, d) =>
+      Tables.orders(s, d)
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          (sum((col("o_totalprice") * 100.0 + 0.5).cast("long"))
+            .cast("double") / 100.0).as("sum_total"))),
+
+    // Calendar dimension extraction + histogram — the date-function
+    // surface (year/month/quarter/day-of-week) with the engines'
+    // differing DOW conventions reconciled (Spark dayofweek is 1=Sunday;
+    // DuckDB dayofweek is 0=Sunday).
+    "agg_date_parts" -> ((s, d) =>
+      Tables.orders(s, d)
+        .groupBy(year(col("o_orderdate")).cast("long").as("y"),
+          quarter(col("o_orderdate")).cast("long").as("q"),
+          month(col("o_orderdate")).cast("long").as("m"),
+          (dayofweek(col("o_orderdate")) - 1).cast("long").as("dow"))
+        .agg(count(lit(1)).as("n_orders"))),
+
     // Pivot: order counts per status × priority-class (CASE-aggregation
     // twin in the oracle keeps it ANSI).
     "agg_pivot" -> ((s, d) =>
@@ -988,6 +1009,19 @@ object Relational {
         |  count(*) AS n
         |FROM lineitem
         |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+    "agg_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |  CAST(sum(CAST(trunc(o_totalprice * 100.0 + 0.5) AS BIGINT))
+        |    AS DOUBLE) / 100.0 AS sum_total
+        |FROM orders
+        |GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin,
+    "agg_date_parts" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS y,
+        |  CAST(quarter(o_orderdate) AS BIGINT) AS q,
+        |  CAST(month(o_orderdate) AS BIGINT) AS m,
+        |  CAST(dayofweek(o_orderdate) AS BIGINT) AS dow,
+        |  count(*) AS n_orders
+        |FROM orders GROUP BY 1, 2, 3, 4""".stripMargin,
     "agg_pivot" ->
       """SELECT o_orderstatus,
         |  count(*) FILTER (o_orderpriority = '1-URGENT') AS urgent,

@@ -266,6 +266,55 @@ object GraftOps {
         })), 6).as("l2_err"))
   }
 
+  /** Bounded-round PageRank over an UNDIRECTED graph (edges are
+    * symmetrized, so no node dangles as long as it has any edge;
+    * isolated nodes keep teleport-only mass). Same iterative discipline
+    * as connectedComponents: edge table and per-round rank table are
+    * localCheckpoint'ed, so the plan stays flat and the edge derivation
+    * runs once. Per-round contributions are summed through
+    * DECIMAL(28,18) — rank mass is ≤ 1 per node, so the sum is exact
+    * and partition-order independent, which keeps the output
+    * bit-identical across cluster layouts (the property the oracle
+    * compare needs). Ranks are the damping-0.85 standard:
+    * pr' = (1-d)/N + d·Σ pr/deg. */
+  def pageRank(nodes: DataFrame, idCol: String,
+      edges: DataFrame, srcCol: String, dstCol: String,
+      rounds: Int, damping: Double = 0.85): DataFrame = {
+    val e = edges.select(explode(array(
+        struct(col(srcCol).cast("long").as("s"),
+          col(dstCol).cast("long").as("t")),
+        struct(col(dstCol).cast("long").as("s"),
+          col(srcCol).cast("long").as("t")))).as("p"))
+      .select(col("p.s").as("__src"), col("p.t").as("__dst"))
+      .distinct()
+      .localCheckpoint()
+    val deg = e.groupBy("__src").agg(count(lit(1)).as("__deg"))
+    val n = nodes.select(col(idCol).cast("long").as("__id")).distinct()
+      .localCheckpoint()
+    // N enters the plan as a broadcast 1-row aggregate — no driver-side
+    // count(), the whole computation stays declarative.
+    val tot = n.agg(count(lit(1)).cast("double").as("__n"))
+    var pr = n.crossJoin(broadcast(tot))
+      .select(col("__id"), (lit(1.0) / col("__n")).as("rank"))
+    (1 to rounds).foreach { _ =>
+      val contrib = e
+        .join(pr, col("__src") === col("__id"))
+        .join(deg, Seq("__src"))
+        .select(col("__dst"), (col("rank") / col("__deg")).as("__c"))
+        .groupBy("__dst")
+        .agg(sum(col("__c")
+          .cast(org.apache.spark.sql.types.DecimalType(28, 18)))
+          .cast("double").as("__in"))
+      pr = n.join(contrib, col("__id") === col("__dst"), "left")
+        .crossJoin(broadcast(tot))
+        .select(col("__id"),
+          (lit(1.0 - damping) / col("__n") +
+            lit(damping) * coalesce(col("__in"), lit(0.0))).as("rank"))
+        .localCheckpoint()
+    }
+    pr.select(col("__id").as(idCol), round(col("rank"), 10).as("rank"))
+  }
+
   /** Bounded-round connected components via iterated min-label
     * propagation: after round t, a node's label is the minimum id within
     * graph distance t, so `rounds` ≥ cluster diameter yields exact

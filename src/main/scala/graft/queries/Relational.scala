@@ -413,6 +413,22 @@ object Relational {
         count_distinct(col("o_custkey")).as("exact_nd"),
         approx_count_distinct(col("o_custkey"), 0.02).as("approx_nd"))),
 
+    // Bounded-round PageRank over the supplier↔part co-occurrence graph
+    // (edges = distinct lineitem pairs, part ids offset by 1e6). Second
+    // iterative graph operator after connectedComponents — same
+    // checkpoint discipline, decimal-summed contributions keep every
+    // round bit-exact across partition layouts. The oracle unrolls the
+    // two rounds as CTEs with the identical arithmetic.
+    "graph_pagerank" -> ((s, d) => {
+      val edges = Tables.lineitem(s, d)
+        .select(col("l_suppkey").cast("long").as("src"),
+          (col("l_partkey") + 1000000L).as("dst")).distinct()
+      val nodes = edges.select(col("src").as("node_id"))
+        .union(edges.select(col("dst"))).distinct()
+      graft.api.GraftOps.pageRank(nodes, "node_id",
+        edges, "src", "dst", rounds = 2)
+    }),
+
     // Anti join (NOT EXISTS): customers who never produced an event —
     // completes the join-type matrix (inner/left/semi/ANTI/asof/range).
     // Spark plans a BroadcastHashJoin LeftAnti here; at scale it becomes
@@ -882,6 +898,37 @@ object Relational {
         |    substr(c_name, 1, greatest(length(c_name) - 4, 0)),
         |    '[^0-9]', '', 'g')) AS n_redacted
         |FROM customer""".stripMargin,
+    "graph_pagerank" ->
+      """WITH ed0 AS (SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS src,
+        |  CAST(l_partkey + 1000000 AS BIGINT) AS dst FROM lineitem),
+        |e AS (SELECT src AS s, dst AS t FROM ed0
+        |      UNION SELECT dst, src FROM ed0),
+        |deg AS (SELECT s, count(*) AS deg FROM e GROUP BY s),
+        |n AS (SELECT DISTINCT s AS id FROM e),
+        |t AS (SELECT CAST(count(*) AS DOUBLE) AS nn FROM n),
+        |pr0 AS (SELECT id, CAST(1 AS DOUBLE) / t.nn AS rank FROM n, t),
+        |c1 AS (SELECT e.t AS dst,
+        |  CAST(sum(CAST(pr.rank / deg.deg AS DECIMAL(28,18))) AS DOUBLE)
+        |    AS inn
+        |  FROM e JOIN pr0 pr ON e.s = pr.id JOIN deg ON deg.s = e.s
+        |  GROUP BY e.t),
+        |pr1 AS (SELECT n.id,
+        |  (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / t.nn
+        |    + CAST(0.85 AS DOUBLE) * coalesce(c1.inn, CAST(0 AS DOUBLE))
+        |    AS rank
+        |  FROM n LEFT JOIN c1 ON n.id = c1.dst, t),
+        |c2 AS (SELECT e.t AS dst,
+        |  CAST(sum(CAST(pr.rank / deg.deg AS DECIMAL(28,18))) AS DOUBLE)
+        |    AS inn
+        |  FROM e JOIN pr1 pr ON e.s = pr.id JOIN deg ON deg.s = e.s
+        |  GROUP BY e.t),
+        |pr2 AS (SELECT n.id,
+        |  (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / t.nn
+        |    + CAST(0.85 AS DOUBLE) * coalesce(c2.inn, CAST(0 AS DOUBLE))
+        |    AS rank
+        |  FROM n LEFT JOIN c2 ON n.id = c2.dst, t)
+        |SELECT id AS node_id, round(rank, 10) AS rank FROM pr2"""
+        .stripMargin,
     "j13_anti_join" ->
       """SELECT c_custkey, c_name, c_mktsegment FROM customer c
         |WHERE NOT EXISTS (SELECT 1 FROM events e

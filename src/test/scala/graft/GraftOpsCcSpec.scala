@@ -34,4 +34,29 @@ class GraftOpsCcSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(out == run(4))
   }
+
+  test("pageRank matches hand-computed path graph and conserves mass") {
+    // Path 1-2-3: deg 1,2,1; pr0 = 1/3 each.
+    // round 1: in(1)=in(3)=pr(2)/2=1/6, in(2)=pr(1)+pr(3)=2/3
+    //   pr1(1)=pr1(3)=0.05+0.85/6, pr1(2)=0.05+0.85*2/3.
+    val n3 = Seq(1L, 2L, 3L).toDF("id")
+    val e3 = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
+    val got = GraftOps.pageRank(n3, "id", e3, "a", "b", rounds = 1)
+      .as[(Long, Double)].collect().toMap
+    assert(math.abs(got(1L) - (0.05 + 0.85 / 6)) < 1e-9)
+    assert(math.abs(got(2L) - (0.05 + 0.85 * 2 / 3)) < 1e-9)
+    assert(math.abs(got(1L) - got(3L)) < 1e-12)
+    // No dangling nodes on a symmetrized graph → total mass stays 1.
+    assert(math.abs(got.values.sum - 1.0) < 1e-9)
+  }
+
+  test("pageRank gives higher rank to higher-degree nodes") {
+    // Star: center 1 linked to 2,3,4,5.
+    val n = Seq(1L, 2L, 3L, 4L, 5L).toDF("id")
+    val e = Seq((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L)).toDF("a", "b")
+    val got = GraftOps.pageRank(n, "id", e, "a", "b", rounds = 2)
+      .as[(Long, Double)].collect().toMap
+    assert(got(1L) > got(2L))
+    assert(Seq(2L, 3L, 4L, 5L).map(got).distinct.size == 1) // symmetry
+  }
 }

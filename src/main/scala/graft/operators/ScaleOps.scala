@@ -47,8 +47,18 @@ object ScaleOps {
       .saveAsTable(table)
 
   /** Partitioned-by-column write: directory-level partition pruning for
-    * the common time/tenant predicates (PartitionFilters in the scan). */
-  def writePartitioned(df: DataFrame, path: String, partitionCol: String)
+    * the common time/tenant predicates (PartitionFilters in the scan).
+    * Repartitions by the same keys first so each Hive partition is
+    * written by the task(s) that own it — without this, every task
+    * writes a file into every partition directory (tasks × partitions
+    * small files, the classic layout failure at scale); with it, file
+    * count is one per owning task, bounded further by
+    * maxRecordsPerFile. */
+  def writePartitioned(df: DataFrame, path: String, partitionCols: String*)
       : Unit =
-    df.write.mode("overwrite").partitionBy(partitionCol).parquet(path)
+    df.repartition(partitionCols.map(col): _*)
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", 1000000L)
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
 }

@@ -59,5 +59,10 @@ class ScaleOpsSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters") && plan.contains("(day"),
       s"expected directory-level partition pruning, got:\n$plan")
     assert(read.count() == 100)
+    // Small-file guard: the pre-write repartition means each partition
+    // dir holds files from only the owning task(s), not one per task.
+    val files = new java.io.File(s"$dir/day=d1")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    assert(files == 1, s"expected 1 file in day=d1, got $files")
   }
 }

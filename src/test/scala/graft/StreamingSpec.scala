@@ -184,6 +184,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("attributionJoin pairs a click that ARRIVES after the purchase " +
+    "(within watermark)") {
+    implicit val sqlCtx = spark.sqlContext
+    val purchases = MemoryStream[(Long, Timestamp, Long)]
+    val clicks = MemoryStream[(Long, Timestamp, Long)]
+    def df(m: MemoryStream[(Long, Timestamp, Long)]) =
+      m.toDF().toDF("user_id", "ts", "event_id")
+    val q = EventStream
+      .attributionJoin(df(purchases), df(clicks), "'1' HOUR", "10 minutes")
+      .writeStream.format("memory").queryName("attr_late_out")
+      .outputMode("append").start()
+    try {
+      // The purchase is processed FIRST; the matching click (event-time
+      // before the purchase) arrives a batch later. The join must have
+      // buffered the purchase and still emit the pair — the reason a
+      // stream-stream join holds both sides in state until the
+      // watermark closes the window.
+      purchases.addData((1L, ts(30), 10L))
+      q.processAllAvailable()
+      clicks.addData((1L, ts(25), 100L))
+      q.processAllAvailable()
+      val out = spark.table("attr_late_out")
+        .select("purchase_id", "click_id")
+        .as[(Long, Option[Long])].collect().toSeq
+      assert(out.contains((10L, Some(100L))), s"got $out")
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState running totals accumulate per key") {
     val out = EventStream.runningTotals(
       Seq(EventStream.UserEvent(1L, 2.0), EventStream.UserEvent(1L, 3.0),

@@ -133,36 +133,25 @@ object Similarity {
     // DECIMAL(20,15) so partial-aggregation order can never wiggle an
     // ulp (components are unit-bounded, so the integer part fits ~1e5
     // members per cluster — widen for more).
-    "emb_kmeans_iter" -> ((s, d) => {
-      graft.expressions.VectorExpressions.register(s)
-      def dot(a: Column, b: Column) = call_function("graft_vec_dot", a, b)
-      val e = unitVecs(s, d).select("vec_id", "u")
-      val c0 = e.filter(col("vec_id") < 4)
-        .select(col("vec_id").as("cid"), col("u").as("cu"))
-      val wBest = Window.partitionBy("vec_id")
-        .orderBy(col("sc").desc, col("cid"))
-      val a0 = e.crossJoin(broadcast(c0))
-        .select(col("vec_id"), col("u"), col("cid"),
-          round(dot(col("u"), col("cu")), 6).as("sc"))
-        .withColumn("rn", row_number().over(wBest)).filter(col("rn") === 1)
-        .select(col("vec_id"), col("u"), col("cid").as("cl"))
-      val c1 = a0
-        .select(col("cl"), posexplode(col("u")).as(Seq("idx", "val")))
-        .groupBy("cl", "idx")
-        .agg(sum(col("val").cast(DecimalType(20, 15))).cast("double")
-          .as("sv"))
-        .groupBy("cl")
-        .agg(transform(array_sort(collect_list(struct(col("idx"),
-          col("sv")))), x => x.getField("sv")).as("raw"))
-        .withColumn("nrm", sqrt(dot(col("raw"), col("raw"))))
-        .select(col("cl").as("cid"),
-          transform(col("raw"), x => x / col("nrm")).as("cu"))
-      e.crossJoin(broadcast(c1))
-        .select(col("vec_id"), col("cid"),
-          round(dot(col("u"), col("cu")), 6).as("sc"))
-        .withColumn("rn", row_number().over(wBest)).filter(col("rn") === 1)
-        .select(col("vec_id"), col("cid").as("cluster"), col("sc")
-          .as("score"))
+    "emb_kmeans_iter" -> ((s, d) =>
+      kmeansAssign(s, d).select("vec_id", "cluster", "score")),
+
+    // IVF search over the k-means cells just produced — the composed
+    // end-to-end ANN path (cluster → probe own cell → top-k), replacing
+    // emb_ivf_topk's label stand-in with real learned cells.
+    "emb_ivf_kmeans_topk" -> ((s, d) => {
+      val cells = kmeansAssign(s, d).select("vec_id", "u", "cluster")
+      val q = cells.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("cluster").as("q_cluster"),
+          col("u").as("q_u"))
+      val w = Window.partitionBy("q_id")
+        .orderBy(col("score").desc, col("cand_id"))
+      cells.join(broadcast(q), col("cluster") === col("q_cluster") &&
+          col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id").as("cand_id"),
+          round(expr("graft_vec_dot(u, q_u)"), 6).as("score"))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 5)
     }),
 
     // Symmetric int8 scalar quantization (the memory lever for ANN at
@@ -182,6 +171,43 @@ object Similarity {
     * VectorFunctionsSpec against the data). */
   private val EmbDim = 64
 
+  /** One spherical k-means iteration → (vec_id, u, cluster, score).
+    * Deterministic seed centroids (first k ids), argmax-cosine
+    * assignment as a k-row window, centroid update summed through
+    * DECIMAL(20,15) for partition-order exactness. Shared by
+    * emb_kmeans_iter and emb_ivf_kmeans_topk. */
+  private def kmeansAssign(s: SparkSession, d: String): DataFrame = {
+    graft.expressions.VectorExpressions.register(s)
+    def dot(a: Column, b: Column) = call_function("graft_vec_dot", a, b)
+    val e = unitVecs(s, d).select("vec_id", "u")
+    val c0 = e.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("cid"), col("u").as("cu"))
+    val wBest = Window.partitionBy("vec_id")
+      .orderBy(col("sc").desc, col("cid"))
+    val a0 = e.crossJoin(broadcast(c0))
+      .select(col("vec_id"), col("u"), col("cid"),
+        round(dot(col("u"), col("cu")), 6).as("sc"))
+      .withColumn("rn", row_number().over(wBest)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("u"), col("cid").as("cl"))
+    val c1 = a0
+      .select(col("cl"), posexplode(col("u")).as(Seq("idx", "val")))
+      .groupBy("cl", "idx")
+      .agg(sum(col("val").cast(DecimalType(20, 15))).cast("double")
+        .as("sv"))
+      .groupBy("cl")
+      .agg(transform(array_sort(collect_list(struct(col("idx"),
+        col("sv")))), x => x.getField("sv")).as("raw"))
+      .withColumn("nrm", sqrt(dot(col("raw"), col("raw"))))
+      .select(col("cl").as("cid"),
+        transform(col("raw"), x => x / col("nrm")).as("cu"))
+    e.crossJoin(broadcast(c1))
+      .select(col("vec_id"), col("u"), col("cid"),
+        round(dot(col("u"), col("cu")), 6).as("sc"))
+      .withColumn("rn", row_number().over(wBest)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("u"), col("cid").as("cluster"),
+        col("sc").as("score"))
+  }
+
   /** Shared oracle CTE matching unitVecs. */
   private val UnitCte =
     """e AS (SELECT vec_id, label,
@@ -189,6 +215,35 @@ object Similarity {
       |  FROM (SELECT vec_id, label, embedding::DOUBLE[] AS v
       |        FROM embeddings)
       |  WHERE sqrt(list_dot_product(v, v)) > 0)""".stripMargin
+
+  /** Shared oracle CTE chain: one spherical k-means iteration ending in
+    * `a2` = (vec_id, u, cluster, score) — the assignment table both
+    * emb_kmeans_iter and emb_ivf_kmeans_topk read. */
+  private val KmeansCte =
+    s"""$UnitCte,
+       |c0 AS (SELECT vec_id AS cid, u AS cu FROM e WHERE vec_id < 4),
+       |a0 AS (SELECT e.vec_id, e.u,
+       |  (SELECT s.cid FROM (SELECT c0.cid,
+       |      round(list_dot_product(e.u, c0.cu), 6) AS sc FROM c0) s
+       |   ORDER BY s.sc DESC, s.cid LIMIT 1) AS cl FROM e),
+       |sums AS (SELECT cl, idx,
+       |  CAST(sum(CAST(val AS DECIMAL(20,15))) AS DOUBLE) AS sv
+       |  FROM (SELECT cl, unnest(u) AS val,
+       |        generate_subscripts(u, 1) AS idx FROM a0)
+       |  GROUP BY cl, idx),
+       |craw AS (SELECT cl AS cid, list(sv ORDER BY idx) AS raw
+       |  FROM sums GROUP BY cl),
+       |c1 AS (SELECT cid,
+       |  [x / sqrt(list_dot_product(raw, raw)) for x in raw] AS cu
+       |  FROM craw),
+       |a2 AS (SELECT e.vec_id, e.u,
+       |  (SELECT s.cid FROM (SELECT c1.cid,
+       |      round(list_dot_product(e.u, c1.cu), 6) AS sc FROM c1) s
+       |   ORDER BY s.sc DESC, s.cid LIMIT 1) AS cluster,
+       |  (SELECT s.sc FROM (SELECT c1.cid,
+       |      round(list_dot_product(e.u, c1.cu), 6) AS sc FROM c1) s
+       |   ORDER BY s.sc DESC, s.cid LIMIT 1) AS score
+       |  FROM e)""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "emb_cosine_topk" ->
@@ -243,30 +298,20 @@ object Similarity {
         |  FROM e)
         |SELECT vec_id, array_to_string(bits, '') AS bucket FROM b""".stripMargin,
     "emb_kmeans_iter" ->
-      s"""WITH $UnitCte,
-         |c0 AS (SELECT vec_id AS cid, u AS cu FROM e WHERE vec_id < 4),
-         |a0 AS (SELECT e.vec_id, e.u,
-         |  (SELECT s.cid FROM (SELECT c0.cid,
-         |      round(list_dot_product(e.u, c0.cu), 6) AS sc FROM c0) s
-         |   ORDER BY s.sc DESC, s.cid LIMIT 1) AS cl FROM e),
-         |sums AS (SELECT cl, idx,
-         |  CAST(sum(CAST(val AS DECIMAL(20,15))) AS DOUBLE) AS sv
-         |  FROM (SELECT cl, unnest(u) AS val,
-         |        generate_subscripts(u, 1) AS idx FROM a0)
-         |  GROUP BY cl, idx),
-         |craw AS (SELECT cl AS cid, list(sv ORDER BY idx) AS raw
-         |  FROM sums GROUP BY cl),
-         |c1 AS (SELECT cid,
-         |  [x / sqrt(list_dot_product(raw, raw)) for x in raw] AS cu
-         |  FROM craw)
-         |SELECT e.vec_id,
-         |  (SELECT s.cid FROM (SELECT c1.cid,
-         |      round(list_dot_product(e.u, c1.cu), 6) AS sc FROM c1) s
-         |   ORDER BY s.sc DESC, s.cid LIMIT 1) AS cluster,
-         |  (SELECT s.sc FROM (SELECT c1.cid,
-         |      round(list_dot_product(e.u, c1.cu), 6) AS sc FROM c1) s
-         |   ORDER BY s.sc DESC, s.cid LIMIT 1) AS score
-         |FROM e""".stripMargin,
+      s"""WITH $KmeansCte
+         |SELECT vec_id, cluster, score FROM a2""".stripMargin,
+    "emb_ivf_kmeans_topk" ->
+      s"""WITH $KmeansCte,
+         |q AS (SELECT vec_id AS q_id, cluster AS q_cluster, u AS q_u
+         |  FROM a2 WHERE vec_id < 5),
+         |sc AS (SELECT q.q_id, a.vec_id AS cand_id,
+         |    round(list_dot_product(a.u, q.q_u), 6) AS score
+         |  FROM a2 a JOIN q
+         |    ON a.cluster = q.q_cluster AND a.vec_id <> q.q_id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY q_id
+         |    ORDER BY score DESC, cand_id) AS rnk FROM sc)
+         |SELECT q_id, cand_id, score, rnk FROM r WHERE rnk <= 5"""
+        .stripMargin,
     "emb_quantize_int8" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
         |  FROM embeddings),

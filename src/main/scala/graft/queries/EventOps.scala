@@ -64,6 +64,47 @@ object EventOps {
           sum(col("value").cast(D182)).cast("double").as("session_value"))
     }),
 
+    // Ordered funnel: signup → first click AFTER signup → first purchase
+    // AFTER that click, counted per stage. The stage dependency is
+    // inherently sequential (t2 needs t1), so it costs one keyed
+    // aggregate per stage — three shuffles on user_id, each preceded by
+    // a pushed-down event_type scan filter.
+    "ev_funnel" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("user_id"),
+        col("event_type"), unix_micros(col("ts")).as("us"))
+      val t1 = ev.filter(col("event_type") === "signup")
+        .groupBy("user_id").agg(min("us").as("t1"))
+      val t2 = ev.filter(col("event_type") === "click")
+        .join(t1, Seq("user_id")).filter(col("us") > col("t1"))
+        .groupBy("user_id").agg(min("us").as("t2"))
+      val t3 = ev.filter(col("event_type") === "purchase")
+        .join(t2, Seq("user_id")).filter(col("us") > col("t2"))
+        .groupBy("user_id").agg(min("us").as("t3"))
+      t1.agg(count(lit(1)).as("n_signup"))
+        .crossJoin(t2.agg(count(lit(1)).as("n_click_after")))
+        .crossJoin(t3.agg(count(lit(1)).as("n_purchase_after")))
+    }),
+
+    // Day-7 cohort retention: cohort = first active UTC day per user;
+    // retained = any activity exactly 7 days later. Day arithmetic on
+    // epoch micros (exact for all representable days) — identical on
+    // both engines.
+    "ev_retention" -> ((s, d) => {
+      val d0 = Tables.events(s, d)
+        .select(col("user_id"),
+          floor(unix_micros(col("ts")) / lit(86400e6)).as("day"))
+        .distinct()
+      val cohort = d0.groupBy("user_id").agg(min("day").as("c_day"))
+      val ret = cohort.join(d0, Seq("user_id"))
+        .filter(col("day") === col("c_day") + 7)
+        .select("user_id", "c_day").distinct()
+      cohort.groupBy("c_day").agg(count(lit(1)).as("n_cohort"))
+        .join(ret.groupBy("c_day").agg(count(lit(1)).as("n_retained_d7")),
+          Seq("c_day"), "left")
+        .select(col("c_day"), col("n_cohort"),
+          coalesce(col("n_retained_d7"), lit(0L)).as("n_retained_d7"))
+    }),
+
     // Semi-structured extraction: schema'd from_json over the props
     // payload column, then a plain aggregate — JSON parse is per-row
     // (codegen'd Jackson path), so the operator shards like any
@@ -176,6 +217,35 @@ object EventOps {
         |  min(ts) AS session_start, max(ts) AS session_end,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
         |FROM sess GROUP BY user_id, session_idx""".stripMargin,
+    "ev_funnel" ->
+      """WITH t1 AS (SELECT user_id, min(epoch_us(ts)) AS t1 FROM events
+        |  WHERE event_type = 'signup' GROUP BY user_id),
+        |t2 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t2 FROM events e
+        |  JOIN t1 ON e.user_id = t1.user_id
+        |  WHERE e.event_type = 'click' AND epoch_us(e.ts) > t1.t1
+        |  GROUP BY e.user_id),
+        |t3 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t3 FROM events e
+        |  JOIN t2 ON e.user_id = t2.user_id
+        |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > t2.t2
+        |  GROUP BY e.user_id)
+        |SELECT (SELECT count(*) FROM t1) AS n_signup,
+        |  (SELECT count(*) FROM t2) AS n_click_after,
+        |  (SELECT count(*) FROM t3) AS n_purchase_after""".stripMargin,
+    "ev_retention" ->
+      """WITH d0 AS (SELECT DISTINCT user_id,
+        |  CAST(floor(epoch_us(ts) / 86400000000.0) AS BIGINT) AS day
+        |  FROM events),
+        |cohort AS (SELECT user_id, min(day) AS c_day FROM d0
+        |  GROUP BY user_id),
+        |ret AS (SELECT DISTINCT c.user_id, c.c_day
+        |  FROM cohort c JOIN d0 ON c.user_id = d0.user_id
+        |  WHERE d0.day = c.c_day + 7)
+        |SELECT c.c_day, count(*) AS n_cohort,
+        |  coalesce(r.n_retained_d7, CAST(0 AS BIGINT)) AS n_retained_d7
+        |FROM cohort c
+        |LEFT JOIN (SELECT c_day, count(*) AS n_retained_d7 FROM ret
+        |  GROUP BY c_day) r ON c.c_day = r.c_day
+        |GROUP BY c.c_day, r.n_retained_d7""".stripMargin,
     "ev_json_extract" ->
       """SELECT event_type, count(*) AS n,
         |  CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)

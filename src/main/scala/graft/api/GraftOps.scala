@@ -271,12 +271,13 @@ object GraftOps {
     * isolated nodes keep teleport-only mass). Same iterative discipline
     * as connectedComponents: edge table and per-round rank table are
     * localCheckpoint'ed, so the plan stays flat and the edge derivation
-    * runs once. Per-round contributions are summed through
-    * DECIMAL(28,18) — rank mass is ≤ 1 per node, so the sum is exact
-    * and partition-order independent, which keeps the output
-    * bit-identical across cluster layouts (the property the oracle
-    * compare needs). Ranks are the damping-0.85 standard:
-    * pr' = (1-d)/N + d·Σ pr/deg. */
+    * runs once. Per-round contributions are summed as 1e15-scaled longs
+    * (a contribution is ≤ 1, so it fits a double's exact-integer range
+    * and any realistic in-degree stays far below 2^63) — exact,
+    * order-independent, and on the primitive codegen aggregate path
+    * instead of boxed wide decimals. Output is bit-identical across
+    * cluster layouts (the property the oracle compare needs). Ranks are
+    * the damping-0.85 standard: pr' = (1-d)/N + d·Σ pr/deg. */
   def pageRank(nodes: DataFrame, idCol: String,
       edges: DataFrame, srcCol: String, dstCol: String,
       rounds: Int, damping: Double = 0.85): DataFrame = {
@@ -300,11 +301,10 @@ object GraftOps {
       val contrib = e
         .join(pr, col("__src") === col("__id"))
         .join(deg, Seq("__src"))
-        .select(col("__dst"), (col("rank") / col("__deg")).as("__c"))
+        .select(col("__dst"),
+          (col("rank") / col("__deg") * 1e15).cast("long").as("__c"))
         .groupBy("__dst")
-        .agg(sum(col("__c")
-          .cast(org.apache.spark.sql.types.DecimalType(28, 18)))
-          .cast("double").as("__in"))
+        .agg((sum(col("__c")).cast("double") / 1e15).as("__in"))
       pr = n.join(contrib, col("__id") === col("__dst"), "left")
         .crossJoin(broadcast(tot))
         .select(col("__id"),

@@ -420,9 +420,14 @@ object Relational {
     // round bit-exact across partition layouts. The oracle unrolls the
     // two rounds as CTEs with the identical arithmetic.
     "graph_pagerank" -> ((s, d) => {
+      // The distinct edge list is materialized ONCE here — it feeds
+      // both the node derivation (union of two selects) and pageRank's
+      // internal symmetrization; unmaterialized it would be recomputed
+      // three times from the lineitem scan.
       val edges = Tables.lineitem(s, d)
         .select(col("l_suppkey").cast("long").as("src"),
           (col("l_partkey") + 1000000L).as("dst")).distinct()
+        .localCheckpoint()
       val nodes = edges.select(col("src").as("node_id"))
         .union(edges.select(col("dst"))).distinct()
       graft.api.GraftOps.pageRank(nodes, "node_id",
@@ -908,8 +913,8 @@ object Relational {
         |t AS (SELECT CAST(count(*) AS DOUBLE) AS nn FROM n),
         |pr0 AS (SELECT id, CAST(1 AS DOUBLE) / t.nn AS rank FROM n, t),
         |c1 AS (SELECT e.t AS dst,
-        |  CAST(sum(CAST(pr.rank / deg.deg AS DECIMAL(28,18))) AS DOUBLE)
-        |    AS inn
+        |  CAST(sum(CAST(trunc(pr.rank / deg.deg * 1e15) AS BIGINT))
+        |    AS DOUBLE) / 1e15 AS inn
         |  FROM e JOIN pr0 pr ON e.s = pr.id JOIN deg ON deg.s = e.s
         |  GROUP BY e.t),
         |pr1 AS (SELECT n.id,
@@ -918,8 +923,8 @@ object Relational {
         |    AS rank
         |  FROM n LEFT JOIN c1 ON n.id = c1.dst, t),
         |c2 AS (SELECT e.t AS dst,
-        |  CAST(sum(CAST(pr.rank / deg.deg AS DECIMAL(28,18))) AS DOUBLE)
-        |    AS inn
+        |  CAST(sum(CAST(trunc(pr.rank / deg.deg * 1e15) AS BIGINT))
+        |    AS DOUBLE) / 1e15 AS inn
         |  FROM e JOIN pr1 pr ON e.s = pr.id JOIN deg ON deg.s = e.s
         |  GROUP BY e.t),
         |pr2 AS (SELECT n.id,

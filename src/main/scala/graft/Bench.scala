@@ -36,7 +36,16 @@ object Bench {
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
         }
-        name -> (System.nanoTime() - t0) / 1e9
+        val dt = (System.nanoTime() - t0) / 1e9
+        // Iterative queries localCheckpoint intermediates; their blocks
+        // are only reclaimed when the dead RDD is GC'd, so across 100+
+        // queries they silently eat the unified memory pool and make
+        // UNRELATED later queries spill. Drop them eagerly — by this
+        // point the query's DataFrames are dead, so nothing can still
+        // need the blocks.
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+        name -> dt
     }
     val total = results.map(_._2).sum
     // The driver extracts this line from a bounded tail window of the sbt

@@ -204,6 +204,47 @@ object TextOps {
     "dedup_simhash" -> ((s, d) =>
       graft.api.GraftOps.simhash(docsOf(s, d), "doc_id", "text")),
 
+    // SimHash near-dup candidates: 4×16-bit band bucketing (any equal
+    // band → candidate — a ≤6-bit-different pair must agree on ≥1 band
+    // by pigeonhole when differences spread, the standard simhash
+    // blocking), then exact Hamming distance via XOR + popcount on the
+    // four 16-bit chunks. The signature table is localCheckpoint'ed —
+    // it feeds the band explode AND both sides of the pair join, and
+    // exchange reuse does not cross broadcast joins.
+    "dedup_simhash_pairs" -> ((s, d) => {
+      val sh = graft.api.GraftOps.simhash(docsOf(s, d), "doc_id", "text")
+      val ck = sh.select(col("doc_id") +: (0 until 4).map(i =>
+          conv(substring(col("simhash"), i * 16 + 1, 16), 2, 10)
+            .cast("long").as(s"c$i")): _*)
+        .localCheckpoint()
+      val bands = ck.select(col("doc_id"),
+        explode(array((0 until 4).map(i =>
+          struct(lit(i).as("band_idx"), col(s"c$i").as("band_val"))): _*))
+          .as("b"))
+        .select(col("doc_id"), col("b.band_idx").as("band_idx"),
+          col("b.band_val").as("band_val"))
+      val buckets = bands.groupBy("band_idx", "band_val")
+        .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+        .filter(size(col("ids")) > 1)
+      val pairsCol = flatten(transform(col("ids"), (x, i) =>
+        transform(slice(col("ids"), i + 2, size(col("ids"))),
+          y => struct(x.as("left_id"), y.as("right_id")))))
+      val pairs = buckets.select(explode(pairsCol).as("p"))
+        .select(col("p.left_id").as("left_id"),
+          col("p.right_id").as("right_id"))
+        .distinct()
+      val ca = ck.select(col("doc_id").as("left_id") +:
+        (0 until 4).map(i => col(s"c$i").as(s"a$i")): _*)
+      val cb = ck.select(col("doc_id").as("right_id") +:
+        (0 until 4).map(i => col(s"c$i").as(s"b$i")): _*)
+      pairs.join(ca, Seq("left_id")).join(cb, Seq("right_id"))
+        .select(col("left_id"), col("right_id"),
+          (0 until 4).map(i =>
+            bit_count(col(s"a$i").bitwiseXOR(col(s"b$i"))))
+            .reduce(_ + _).cast("long").as("hamming"))
+        .filter(col("hamming") <= 6)
+    }),
+
     // Transitive near-dup clusters: LSH candidate pairs are edges, and
     // the canonical (minimum) doc id propagates through bounded-round
     // min-label CC — the step real dedup pipelines run after candidate
@@ -451,6 +492,28 @@ object TextOps {
     })
   )
 
+  /** Shared oracle CTE chain ending in `shfin` = (doc_id, simhash) —
+    * read by dedup_simhash and dedup_simhash_pairs. */
+  private val SimhashCte =
+    s"""$TokedCte,
+       |tok AS (SELECT doc_id, unnest(toks) AS tok FROM toked),
+       |h AS (SELECT doc_id, substr(md5(tok), 1, 16) AS hx FROM tok),
+       |bits AS (SELECT doc_id, b,
+       |  strpos('0123456789abcdef', substr(hx, (b // 4) + 1, 1)) - 1 AS v
+       |  FROM h CROSS JOIN (SELECT unnest(range(0, 64)) AS b)),
+       |bitv AS (SELECT doc_id, b,
+       |  CASE b % 4 WHEN 0 THEN (v // 8) % 2 WHEN 1 THEN (v // 4) % 2
+       |    WHEN 2 THEN (v // 2) % 2 ELSE v % 2 END AS bv FROM bits),
+       |agg AS (SELECT doc_id, b,
+       |  CASE WHEN sum(2 * bv - 1) >= 0 THEN '1' ELSE '0' END AS ob
+       |  FROM bitv GROUP BY doc_id, b),
+       |shh AS (SELECT doc_id, string_agg(ob, '' ORDER BY b) AS simhash
+       |  FROM agg GROUP BY doc_id),
+       |shfin AS (SELECT d.doc_id,
+       |  coalesce(shh.simhash, repeat('1', 64)) AS simhash
+       |  FROM documents d LEFT JOIN shh ON d.doc_id = shh.doc_id)"""
+      .stripMargin
+
   val oracle: Map[String, String] = Map(
     "txt_token_stats" ->
       s"""WITH $TokedCte
@@ -545,22 +608,28 @@ object TextOps {
          |    ELSE 0.0 END AS jaccard
          |FROM ds a JOIN ds b ON b.doc_id = a.doc_id + 1""".stripMargin,
     "dedup_simhash" ->
-      s"""WITH $TokedCte,
-         |tok AS (SELECT doc_id, unnest(toks) AS tok FROM toked),
-         |h AS (SELECT doc_id, substr(md5(tok), 1, 16) AS hx FROM tok),
-         |bits AS (SELECT doc_id, b,
-         |  strpos('0123456789abcdef', substr(hx, (b // 4) + 1, 1)) - 1 AS v
-         |  FROM h CROSS JOIN (SELECT unnest(range(0, 64)) AS b)),
-         |bitv AS (SELECT doc_id, b,
-         |  CASE b % 4 WHEN 0 THEN (v // 8) % 2 WHEN 1 THEN (v // 4) % 2
-         |    WHEN 2 THEN (v // 2) % 2 ELSE v % 2 END AS bv FROM bits),
-         |agg AS (SELECT doc_id, b,
-         |  CASE WHEN sum(2 * bv - 1) >= 0 THEN '1' ELSE '0' END AS ob
-         |  FROM bitv GROUP BY doc_id, b),
-         |shh AS (SELECT doc_id, string_agg(ob, '' ORDER BY b) AS simhash
-         |  FROM agg GROUP BY doc_id)
-         |SELECT d.doc_id, coalesce(shh.simhash, repeat('1', 64)) AS simhash
-         |FROM documents d LEFT JOIN shh ON d.doc_id = shh.doc_id""".stripMargin,
+      s"""WITH $SimhashCte
+         |SELECT doc_id, simhash FROM shfin""".stripMargin,
+    "dedup_simhash_pairs" ->
+      s"""WITH $SimhashCte,
+         |ch AS (SELECT doc_id,
+         |  [CAST(CAST(substr(simhash, i*16+1, 16) AS BIT) AS BIGINT)
+         |   for i in range(4)] AS cks FROM shfin),
+         |bands AS (SELECT doc_id, unnest(range(4)) AS band_idx,
+         |  unnest(cks) AS band_val FROM ch),
+         |pairs AS (SELECT DISTINCT a.doc_id AS left_id,
+         |    b.doc_id AS right_id
+         |  FROM bands a JOIN bands b ON a.band_idx = b.band_idx
+         |    AND a.band_val = b.band_val AND a.doc_id < b.doc_id),
+         |hm AS (SELECT p.left_id, p.right_id,
+         |  CAST(bit_count(xor(ca.cks[1], cb.cks[1]))
+         |    + bit_count(xor(ca.cks[2], cb.cks[2]))
+         |    + bit_count(xor(ca.cks[3], cb.cks[3]))
+         |    + bit_count(xor(ca.cks[4], cb.cks[4])) AS BIGINT) AS hamming
+         |  FROM pairs p JOIN ch ca ON p.left_id = ca.doc_id
+         |  JOIN ch cb ON p.right_id = cb.doc_id)
+         |SELECT left_id, right_id, hamming FROM hm
+         |WHERE hamming <= 6""".stripMargin,
     "pipeline_clean_corpus" ->
       s"""WITH $TokedCte,
          |f AS (SELECT t.doc_id, d.source, len(t.toks) AS n_tokens,

@@ -689,6 +689,24 @@ object Relational {
         round(cume_dist().over(w), 6).as("cume"))
     }),
 
+    // RANGE frame (value-based, peer-inclusive — different machinery
+    // from ROWS frames): trailing-30-day spend per customer keyed on
+    // epoch day, scaled-long sums for exactness. Peers on the same day
+    // all see the same window, so the result is order-independent.
+    "w7_range_frame" -> ((s, d) => {
+      // NTZ→TZ cast is the identity under the session's UTC timezone.
+      val day = floor(unix_micros(col("o_orderdate").cast("timestamp"))
+        / lit(86400e6)).cast("long")
+      val w = Window.partitionBy("o_custkey").orderBy("day")
+        .rangeBetween(-30, Window.currentRow)
+      Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"), day.as("day"),
+          (col("o_totalprice") * 100.0 + 0.5).cast("long").as("p100"))
+        .withColumn("trail30_total",
+          sum(col("p100")).over(w).cast("double") / 100.0)
+        .select("o_custkey", "o_orderkey", "day", "trail30_total")
+    }),
+
     "w2_lag_delta" -> ((s, d) => {
       val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
       Tables.events(s, d).select(
@@ -985,6 +1003,17 @@ object Relational {
         |FROM st CROSS JOIN pr
         |LEFT JOIN cnt ON cnt.o_orderstatus = st.o_orderstatus
         |  AND cnt.o_orderpriority = pr.priority""".stripMargin,
+    "w7_range_frame" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(floor(epoch_us(o_orderdate) / 86400000000.0) AS BIGINT)
+        |    AS day,
+        |  CAST(sum(CAST(trunc(o_totalprice * 100.0 + 0.5) AS BIGINT))
+        |    OVER (PARTITION BY o_custkey
+        |      ORDER BY CAST(floor(epoch_us(o_orderdate) / 86400000000.0)
+        |        AS BIGINT)
+        |      RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
+        |    AS DOUBLE) / 100.0 AS trail30_total
+        |FROM orders""".stripMargin,
     "w6_percent_rank" ->
       """SELECT c_mktsegment, c_custkey,
         |  round(percent_rank() OVER (PARTITION BY c_mktsegment

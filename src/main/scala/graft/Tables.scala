@@ -67,6 +67,29 @@ object Tables {
       .option("numPartitions", numPartitions)
       .jdbc(url, table, props)
 
+  /** CSV source with an EXPLICIT schema — never schema inference, which
+    * costs an extra full pass over the data and can silently mistype
+    * columns at scale. `mode=FAILFAST` surfaces malformed rows instead
+    * of nulling them (flip to PERMISSIVE + columnNameOfCorruptRecord
+    * for quarantine-style pipelines). */
+  def csvTable(s: SparkSession, path: String, ddl: String,
+      header: Boolean = true, delimiter: String = ","): DataFrame =
+    s.read
+      .schema(org.apache.spark.sql.types.StructType.fromDDL(ddl))
+      .option("header", header)
+      .option("delimiter", delimiter)
+      .option("mode", "FAILFAST")
+      .csv(path)
+
+  /** JSON-lines source with an explicit schema (same inference/FAILFAST
+    * reasoning as csvTable). One JSON object per line — the splittable
+    * layout; a single multi-line document would serialize the read. */
+  def jsonTable(s: SparkSession, path: String, ddl: String): DataFrame =
+    s.read
+      .schema(org.apache.spark.sql.types.StructType.fromDDL(ddl))
+      .option("mode", "FAILFAST")
+      .json(path)
+
   /** Session config every graft session needs (local test harness). */
   def sessionConfigs: Map[String, String] = Map(
     "spark.sql.legacy.parquet.nanosAsLong" -> "true",

@@ -90,6 +90,19 @@ object Tables {
       .option("mode", "FAILFAST")
       .json(path)
 
+  /** ORC source — columnar like parquet, same pushdown/pruning
+    * semantics through the same DataSource V2 scan machinery. */
+  def orcTable(s: SparkSession, path: String): DataFrame =
+    s.read.orc(path)
+
+  /** Parquet read across files with EVOLVED schemas (columns added over
+    * time): mergeSchema unions the footers so old files surface the new
+    * columns as null. Off by default because footer-merging at listing
+    * time costs a pass over every file's metadata — at 100 TB turn it
+    * on only for tables that actually evolved. */
+  def parquetMerged(s: SparkSession, path: String): DataFrame =
+    s.read.option("mergeSchema", "true").parquet(path)
+
   /** Session config every graft session needs (local test harness). */
   def sessionConfigs: Map[String, String] = Map(
     "spark.sql.legacy.parquet.nanosAsLong" -> "true",

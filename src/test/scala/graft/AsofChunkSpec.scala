@@ -66,6 +66,25 @@ class AsofChunkSpec extends SparkSpec {
     assert(out.forall(r => r._2 == r._3)) // declared == actual token count
   }
 
+  test("quantization reconstruction error respects the half-step bound") {
+    // Each dimension's error is at most 0.5/scale, so
+    // l2_err <= sqrt(dim) * 0.5/scale for any input vector.
+    val rnd = new scala.util.Random(3)
+    val vecs = (1L to 50L).map(i =>
+      i -> Array.fill(16)((rnd.nextDouble() * 2 - 1).toFloat))
+    val out = GraftOps.quantizeInt8(
+      vecs.toDF("vec_id", "embedding")
+        .select($"vec_id", transform($"embedding",
+          x => x.cast("double")).as("v")),
+      "vec_id", "v")
+      .select("vec_id", "scale", "l2_err")
+      .as[(Long, Double, Double)].collect()
+    out.foreach { case (id, scale, err) =>
+      assert(err <= math.sqrt(16) * 0.5 / scale + 1e-6,
+        s"vec $id: err $err vs bound ${math.sqrt(16) * 0.5 / scale}")
+    }
+  }
+
   test("int8 quantization codes are bounded and round half away from zero") {
     val df = Seq((1L, Array(1.0f, -1.0f, 0.5f, -0.5f, 0.0f)))
       .toDF("vec_id", "embedding")

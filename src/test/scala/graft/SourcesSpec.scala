@@ -34,6 +34,26 @@ class SourcesSpec extends SparkSpec {
       parquetDocs.except(back).count() == 0)
   }
 
+  test("orc round-trips the documents table") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-orc").toString
+    parquetDocs.write.mode("overwrite").orc(dir)
+    val back = Tables.orcTable(spark, dir)
+    assert(back.except(parquetDocs).count() == 0 &&
+      parquetDocs.except(back).count() == 0)
+  }
+
+  test("mergeSchema surfaces evolved columns, old files read as null") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ev").toString
+    Seq((1L, "a")).toDF("id", "v")
+      .write.parquet(s"$dir/batch=0")
+    Seq((2L, "b", 9L)).toDF("id", "v", "added")
+      .write.parquet(s"$dir/batch=1")
+    val merged = Tables.parquetMerged(spark, dir)
+      .select("id", "v", "added")
+      .as[(Long, String, Option[Long])].collect().sortBy(_._1)
+    assert(merged.toSeq == Seq((1L, "a", None), (2L, "b", Some(9L))))
+  }
+
   test("FAILFAST surfaces malformed csv rows instead of nulling them") {
     val dir = java.nio.file.Files.createTempDirectory("graft-bad").toString
     java.nio.file.Files.writeString(

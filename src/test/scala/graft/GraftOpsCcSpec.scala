@@ -35,6 +35,61 @@ class GraftOpsCcSpec extends SparkSpec {
     assert(out == run(4))
   }
 
+  test("connectedComponents equals a literal BFS min-label on a random " +
+    "graph") {
+    val rnd = new scala.util.Random(11)
+    val n = 60
+    val es = (0 until 80).map(_ =>
+      (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)).distinct
+      .filter(e => e._1 != e._2)
+    val rounds = 4
+    val got = GraftOps.connectedComponents(
+      (0L until n.toLong).toDF("id"), "id",
+      es.toDF("a", "b"), "a", "b", rounds)
+      .as[(Long, Long)].collect().toMap
+    // Reference: label = min id reachable within `rounds` hops.
+    val adj = (es ++ es.map(_.swap)).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val want = (0L until n.toLong).map { v =>
+      var frontier = Set(v); var seen = Set(v)
+      (1 to rounds).foreach { _ =>
+        frontier = frontier.flatMap(u => adj.getOrElse(u, Set.empty))
+        seen ++= frontier
+      }
+      v -> seen.min
+    }.toMap
+    assert(got == want)
+  }
+
+  test("pageRank equals a literal per-node iteration on a random graph") {
+    val rnd = new scala.util.Random(13)
+    val n = 40
+    val es = (0 until 70).map(_ =>
+      (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)).distinct
+      .filter(e => e._1 != e._2)
+    val got = GraftOps.pageRank((0L until n.toLong).toDF("id"), "id",
+      es.toDF("a", "b"), "a", "b", rounds = 3)
+      .as[(Long, Double)].collect().toMap
+    // Reference implementation mirroring the operator's arithmetic,
+    // including the 1e15 scaled-long contribution quantization.
+    val sym = (es ++ es.map(_.swap)).distinct
+    val adj = sym.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val deg = adj.view.mapValues(_.size).toMap
+    var pr = (0L until n.toLong).map(_ -> 1.0 / n).toMap
+    (1 to 3).foreach { _ =>
+      val in = scala.collection.mutable.Map[Long, Long]()
+        .withDefaultValue(0L)
+      sym.foreach { case (s, t) =>
+        in(t) += (pr(s) / deg(s) * 1e15).toLong
+      }
+      pr = pr.keys.map(v =>
+        v -> ((1.0 - 0.85) / n + 0.85 * (in(v).toDouble / 1e15))).toMap
+    }
+    got.foreach { case (v, r) =>
+      assert(math.abs(r - pr(v)) < 1e-9, s"node $v: $r vs ${pr(v)}")
+    }
+  }
+
   test("pageRank matches hand-computed path graph and conserves mass") {
     // Path 1-2-3: deg 1,2,1; pr0 = 1/3 each.
     // round 1: in(1)=in(3)=pr(2)/2=1/6, in(2)=pr(1)+pr(3)=2/3

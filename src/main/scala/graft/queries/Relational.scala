@@ -413,6 +413,22 @@ object Relational {
         count_distinct(col("o_custkey")).as("exact_nd"),
         approx_count_distinct(col("o_custkey"), 0.02).as("approx_nd"))),
 
+    // Salted skew join under the correctness gate: the salted plan MUST
+    // hash-match the plain-join oracle — proving the skew machinery is
+    // result-transparent. Left rows split across 8 deterministic salt
+    // buckets, right rows replicate to all 8; same join output,
+    // 8-way-parallel hot keys.
+    "scale_salted_join" -> ((s, d) => {
+      val l = Tables.lineitem(s, d).select(col("l_suppkey"),
+        (col("l_extendedprice") * 100.0 + 0.5).cast("long").as("p100"))
+      val su = Tables.supplier(s, d)
+        .select(col("s_suppkey").as("l_suppkey"), col("s_nationkey"))
+      graft.operators.ScaleOps.saltedJoin(l, su, "l_suppkey", 8)
+        .groupBy("s_nationkey")
+        .agg((sum(col("p100")).cast("double") / 100.0).as("revenue"),
+          count(lit(1)).as("n_items"))
+    }),
+
     // Bounded-round PageRank over the supplier↔part co-occurrence graph
     // (edges = distinct lineitem pairs, part ids offset by 1e6). Second
     // iterative graph operator after connectedComponents — same
@@ -921,6 +937,13 @@ object Relational {
         |    substr(c_name, 1, greatest(length(c_name) - 4, 0)),
         |    '[^0-9]', '', 'g')) AS n_redacted
         |FROM customer""".stripMargin,
+    "scale_salted_join" ->
+      """SELECT s.s_nationkey,
+        |  CAST(sum(CAST(trunc(l.l_extendedprice * 100.0 + 0.5) AS BIGINT))
+        |    AS DOUBLE) / 100.0 AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |GROUP BY s.s_nationkey""".stripMargin,
     "graph_pagerank" ->
       """WITH ed0 AS (SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS src,
         |  CAST(l_partkey + 1000000 AS BIGINT) AS dst FROM lineitem),

@@ -45,7 +45,7 @@ object Demo {
     println(s"[demo] multimodal: extracted features for ${feats.count()} " +
       s"payloads, schema=${feats.schema.map(_.name).mkString(",")}")
     val resized = multimodal.Multimodal.resizeStub(media, 4)
-    val shrunk = resized.agg(sum(col("byte_len"))).head.getLong(0)
+    val shrunk = resized.agg(sum(col("byte_len"))).head().getLong(0)
     println(s"[demo] multimodal: resize stub kept $shrunk bytes " +
       s"across ${resized.count()} payloads")
 
@@ -53,7 +53,8 @@ object Demo {
     val members = queries.Entities.queries("members_doc")(spark, sfDir)
     sinks.Sinks.writeJsonDocs(members, s"$outDir/members_json", "id")
     sinks.Sinks.writeDocCollection(members,
-      struct(members.columns.map(col): _*), s"$outDir/members_coll")
+      struct(members.columns.toIndexedSeq.map(col): _*),
+      s"$outDir/members_coll")
     val nJson = spark.read.json(s"$outDir/members_json").count()
     val coll  = spark.read.parquet(s"$outDir/members_coll")
     val nIds  = coll.select("_id").distinct().count()

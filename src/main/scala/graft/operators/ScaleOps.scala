@@ -27,7 +27,8 @@ object ScaleOps {
   def saltedJoin(left: DataFrame, right: DataFrame, key: String,
       saltFactor: Int): DataFrame = {
     val saltedLeft = left.withColumn("__salt",
-      pmod(hash(left.columns.map(col): _*), lit(saltFactor)))
+      pmod(hash(left.columns.toIndexedSeq.map(col): _*),
+        lit(saltFactor)))
     val salts = explode(sequence(lit(0), lit(saltFactor - 1)))
     val saltedRight = right.withColumn("__salt", salts)
     saltedLeft.join(saltedRight,

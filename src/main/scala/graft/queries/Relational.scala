@@ -24,7 +24,6 @@ import graft.functions.Scalars
   */
 object Relational {
   private val D182 = DecimalType(18, 2)
-  private val D184 = DecimalType(18, 4)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- S: scans / sources --------------------------------------------
@@ -41,7 +40,7 @@ object Relational {
       val c = Tables.customer(s, d)
       val n = Tables.nation(s, d).filter(col("n_regionkey") === 2)
       c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
-        .select(c.columns.map(c(_)): _*)
+        .select(c.columns.toIndexedSeq.map(c(_)): _*)
     }),
 
     // S3 join+sort scan (utils.py:42-47).

@@ -1,0 +1,57 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.api.GraftOps
+
+/** Physical-plan shape guards for the scale-critical operators: these
+  * assert the ABSENCE of the degenerate strategies (cartesian products,
+  * nested-loop joins, unexpected join nodes) that a refactor could
+  * silently reintroduce while every value-level test stays green. */
+class PlanShapeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def phys(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("asofJoin compiles to window-over-union: no join operator at all") {
+    val right = Seq((1L, ts("2024-01-01 10:00:00"), 7L))
+      .toDF("k", "ts", "payload")
+    val left = Seq((1L, ts("2024-01-01 11:00:00"), 1L))
+      .toDF("k", "ts", "event_id")
+    val p = phys(GraftOps.asofJoin(left, right, "k", "ts", Seq("payload")))
+    assert(p.contains("Window"), p)
+    assert(!p.contains("Join"), s"as-of must not plan a join:\n$p")
+  }
+
+  test("minhash candidate pairs plan has no cartesian and no self-join") {
+    val docs = Seq((1L, "a b c d"), (2L, "a b c d"), (3L, "x y z w"))
+      .toDF("doc_id", "text")
+    val p = phys(GraftOps.minhashCandidatePairs(docs, "doc_id", "text"))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("SortMergeJoin"), s"pairs must be bucket-local:\n$p")
+  }
+
+  test("interval join binning avoids nested-loop strategies") {
+    val q = SparkEntry.queries("j12_range_join")(
+      spark, "/root/testdata/sf0.001")
+    val p = phys(q)
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"inequality-only join would plan BNLJ:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("decontaminate broadcasts the benchmark side") {
+    val docs = Seq((1L, "a b c d e f g h i"), (20L, "a b c d e f g h i"))
+      .toDF("doc_id", "text")
+    val p = phys(GraftOps.decontaminate(
+      docs.filter($"doc_id" =!= 20L), docs.filter($"doc_id" === 20L),
+      "doc_id", "text", 8))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+}

@@ -407,10 +407,20 @@ object Relational {
     // oracle twin (sketch estimates are engine-specific; the driver
     // records a rows-only check); the ±2 % accuracy contract is pinned
     // by ApproxDistinctSpec instead.
-    "agg_approx_distinct" -> ((s, d) =>
-      Tables.orders(s, d).groupBy("o_orderpriority").agg(
-        count_distinct(col("o_custkey")).as("exact_nd"),
-        approx_count_distinct(col("o_custkey"), 0.02).as("approx_nd"))),
+    // Exact and sketch paths run as SEPARATE aggregates joined on the
+    // 5-row group key: mixing count_distinct with another aggregate
+    // forces an Expand that doubles every input row; split, the sketch
+    // side partial-aggregates to one HLL per partition per group and
+    // the exact side shuffles only distinct pairs.
+    "agg_approx_distinct" -> ((s, d) => {
+      val o = Tables.orders(s, d).select("o_orderpriority", "o_custkey")
+      val ex = o.groupBy("o_orderpriority")
+        .agg(count_distinct(col("o_custkey")).as("exact_nd"))
+      val ap = o.groupBy("o_orderpriority")
+        .agg(approx_count_distinct(col("o_custkey"), 0.02)
+          .as("approx_nd"))
+      ex.join(ap, Seq("o_orderpriority"))
+    }),
 
     // Salted skew join under the correctness gate: the salted plan MUST
     // hash-match the plain-join oracle — proving the skew machinery is

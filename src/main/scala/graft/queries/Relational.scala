@@ -546,6 +546,35 @@ object Relational {
           "priority", "n")
     }),
 
+    // SQL-text entry point: the same engine surface through spark.sql
+    // over registered views, with an IN-subquery and a correlated
+    // NOT EXISTS — Catalyst decorrelates both to semi/anti joins (no
+    // per-row subquery execution, unlike the reference's N+1 pattern).
+    "sql_interface" -> ((s, d) => {
+      Tables.customer(s, d).createOrReplaceTempView("v_customer")
+      Tables.orders(s, d).createOrReplaceTempView("v_orders")
+      Tables.nation(s, d).createOrReplaceTempView("v_nation")
+      s.sql("""
+        SELECT c.c_nationkey, count(*) AS n_waiting
+        FROM v_customer c
+        WHERE c.c_nationkey IN (
+            SELECT n_nationkey FROM v_nation WHERE n_regionkey < 3)
+          AND NOT EXISTS (
+            SELECT 1 FROM v_orders o
+            WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+        GROUP BY c.c_nationkey""")
+    }),
+
+    // Pagination: total order + OFFSET/LIMIT (Spark 3.4+ offset). At
+    // scale keyset pagination (WHERE key > last_seen) replaces OFFSET,
+    // which must still sort-skip the prefix — noted, but the operator
+    // exists for API parity.
+    "o3_limit_offset" -> ((s, d) =>
+      Tables.orders(s, d)
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .offset(10).limit(10)),
+
     // ---- O: sort / limit ------------------------------------------------
     // O1 ORDER BY id DESC (utils.py:45).
     "o1_sort_desc" -> ((s, d) =>
@@ -1053,6 +1082,19 @@ object Relational {
         |  round(cume_dist() OVER (PARTITION BY c_mktsegment
         |    ORDER BY c_acctbal, c_custkey), 6) AS cume
         |FROM customer""".stripMargin,
+    "sql_interface" ->
+      """SELECT c.c_nationkey, count(*) AS n_waiting
+        |FROM customer c
+        |WHERE c.c_nationkey IN (
+        |    SELECT n_nationkey FROM nation WHERE n_regionkey < 3)
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM orders o
+        |    WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+        |GROUP BY c.c_nationkey""".stripMargin,
+    "o3_limit_offset" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey
+        |LIMIT 10 OFFSET 10""".stripMargin,
     "o1_sort_desc" ->
       "SELECT n_nationkey, n_name FROM nation ORDER BY n_nationkey DESC",
     "o2_topk_limit" ->

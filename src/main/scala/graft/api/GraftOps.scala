@@ -169,6 +169,12 @@ object GraftOps {
     * per-key cross products. Payload columns are returned as
     * `asof_<name>` (null when no right row precedes the left row).
     *
+    * All payloads come from the ONE matched right row: they are carried
+    * through the window as a single struct, so a genuinely-NULL payload
+    * value on the matched row survives as NULL (matching the verbatim
+    * row semantics of a native ASOF JOIN) instead of being back-filled
+    * from an older row.
+    *
     * Precondition for determinism: (key, ts) unique within `right`
     * (pre-aggregate `right` if not — same rule DuckDB's ASOF JOIN needs
     * to pick a unique match). */
@@ -176,14 +182,23 @@ object GraftOps {
       tsCol: String, payloadCols: Seq[String]): DataFrame = {
     val leftOther = left.columns.toSeq
       .filterNot(c => c == keyCol || c == tsCol)
+    val reserved = Seq("__typ", "__asof_payload")
+    val collisions = (payloadCols ++ reserved).filter(leftOther.contains) ++
+      reserved.filter(right.columns.contains)
+    require(collisions.isEmpty,
+      s"asofJoin: column name collision(s) ${collisions.distinct.mkString(", ")} — " +
+        "payload columns must not also exist on the left, and neither side " +
+        "may use the reserved names __typ/__asof_payload")
+    // One struct per right row ⇒ last(ignoreNulls) skips only left rows
+    // (whose struct is NULL), never a matched row's NULL field.
     val r2 = right.select(
-      Seq(col(keyCol), col(tsCol), lit(0).as("__typ")) ++
-        payloadCols.map(col) ++
+      Seq(col(keyCol), col(tsCol), lit(0).as("__typ"),
+        struct(payloadCols.map(col): _*).as("__asof_payload")) ++
         leftOther.map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
+    val payloadType = r2.schema("__asof_payload").dataType
     val l2 = left.select(
-      Seq(col(keyCol), col(tsCol), lit(1).as("__typ")) ++
-        payloadCols.map(c =>
-          lit(null).cast(right.schema(c).dataType).as(c)) ++
+      Seq(col(keyCol), col(tsCol), lit(1).as("__typ"),
+        lit(null).cast(payloadType).as("__asof_payload")) ++
         leftOther.map(col): _*)
     // Right rows sort before left rows at equal ts (typ 0 < 1), so a
     // right row at exactly left.ts is visible to the left row.
@@ -191,11 +206,14 @@ object GraftOps {
       .rowsBetween(Window.unboundedPreceding, 0)
     r2.unionByName(l2)
       .select(
-        Seq(col(keyCol), col(tsCol)) ++ leftOther.map(col) ++
-          payloadCols.map(c =>
-            last(col(c), ignoreNulls = true).over(w).as(s"asof_$c")) :+
+        Seq(col(keyCol), col(tsCol)) ++ leftOther.map(col) :+
+          last(col("__asof_payload"), ignoreNulls = true).over(w)
+            .as("__asof_payload") :+
           col("__typ"): _*)
-      .filter(col("__typ") === 1).drop("__typ")
+      .filter(col("__typ") === 1)
+      .select(
+        Seq(col(keyCol), col(tsCol)) ++ leftOther.map(col) ++
+          payloadCols.map(c => col(s"__asof_payload.$c").as(s"asof_$c")): _*)
   }
 
   /** Contiguous fixed-size token chunking (context-window packing

@@ -49,17 +49,31 @@ object ScaleOps {
 
   /** Partitioned-by-column write: directory-level partition pruning for
     * the common time/tenant predicates (PartitionFilters in the scan).
-    * Repartitions by the same keys first so each Hive partition is
-    * written by the task(s) that own it — without this, every task
-    * writes a file into every partition directory (tasks × partitions
-    * small files, the classic layout failure at scale); with it, file
-    * count is one per owning task, bounded further by
-    * maxRecordsPerFile. */
-  def writePartitioned(df: DataFrame, path: String, partitionCols: String*)
-      : Unit =
-    df.repartition(partitionCols.map(col): _*)
+    * Repartitions by (keys, bounded salt) first so each Hive partition
+    * is written by at most `saltBuckets` tasks — without any
+    * repartition, every task writes a file into every partition
+    * directory (tasks × partitions small files, the classic layout
+    * failure at scale); repartitioning by the bare keys instead routes
+    * a hot partition value's entire data to ONE task (straggler/OOM at
+    * 100 TB — maxRecordsPerFile splits files, not work). The salt
+    * bounds both failure modes: ≤ saltBuckets files per partition dir
+    * (before maxRecordsPerFile splits) and hot values spread over
+    * saltBuckets tasks. saltBuckets=1 recovers the strict
+    * one-task-per-partition layout for known-uniform keys. */
+  def writePartitioned(df: DataFrame, path: String,
+      partitionCols: Seq[String], saltBuckets: Int = 8): Unit = {
+    require(saltBuckets >= 1, "saltBuckets must be >= 1")
+    // Deterministic salt (content hash, not monotonically_increasing_id):
+    // a nondeterministic shuffle key can drop/duplicate rows when a map
+    // task is retried after some reducers already fetched its output.
+    val salted = df.withColumn("__salt",
+      pmod(hash(df.columns.map(col): _*), lit(saltBuckets)))
+    salted
+      .repartition(partitionCols.map(col) :+ col("__salt"): _*)
+      .drop("__salt")
       .write.mode("overwrite")
       .option("maxRecordsPerFile", 1000000L)
       .partitionBy(partitionCols: _*)
       .parquet(path)
+  }
 }

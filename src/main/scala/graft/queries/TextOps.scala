@@ -205,10 +205,14 @@ object TextOps {
       graft.api.GraftOps.simhash(docsOf(s, d), "doc_id", "text")),
 
     // SimHash near-dup candidates: 4×16-bit band bucketing (any equal
-    // band → candidate — a ≤6-bit-different pair must agree on ≥1 band
-    // by pigeonhole when differences spread, the standard simhash
-    // blocking), then exact Hamming distance via XOR + popcount on the
-    // four 16-bit chunks. The signature table is localCheckpoint'ed —
+    // band → candidate). Pigeonhole guarantees a shared band only for
+    // pairs differing in ≤3 bits; pairs at Hamming 4..6 are best-effort
+    // recall (differences CAN spread 2+2+1+1 across all four bands and
+    // be missed — standard simhash blocking trades that tail for
+    // join-free bucketing; use 7 bands for full ≤6-bit recall). The
+    // oracle mirrors the same banding, so parity holds on the candidate
+    // set actually generated. Then exact Hamming distance via XOR +
+    // popcount on the four 16-bit chunks. The signature table is localCheckpoint'ed —
     // it feeds the band explode AND both sides of the pair join, and
     // exchange reuse does not cross broadcast joins.
     "dedup_simhash_pairs" -> ((s, d) => {

@@ -34,6 +34,34 @@ class AsofChunkSpec extends SparkSpec {
     assert(out(30L).isEmpty)        // key absent from right
   }
 
+  test("asofJoin: matched row's genuine NULL payload survives; all " +
+      "payloads come from the one matched row") {
+    // Key 1: the LATEST right row (11:00) has a null v and a distinct tag.
+    // A per-column last(ignoreNulls) would back-fill v=5 from 10:00 and
+    // mix tags across rows; the struct-carry must return (null, "b").
+    val right = Seq(
+      (1L, ts("2024-01-01 10:00:00"), Some(5L), "a"),
+      (1L, ts("2024-01-01 11:00:00"), None, "b"))
+      .toDF("user_id", "ts", "v", "tag")
+    val left = Seq((1L, ts("2024-01-01 12:00:00"), 10L))
+      .toDF("user_id", "ts", "event_id")
+    val out = GraftOps.asofJoin(left, right, "user_id", "ts", Seq("v", "tag"))
+      .select("asof_v", "asof_tag").as[(Option[Long], String)].collect()
+    assert(out.toSeq == Seq((None, "b")),
+      s"expected matched-row verbatim (null, b), got ${out.toSeq}")
+  }
+
+  test("asofJoin rejects payload/left column-name collisions clearly") {
+    val right = Seq((1L, ts("2024-01-01 10:00:00"), 5L))
+      .toDF("user_id", "ts", "event_id") // collides with left's event_id
+    val left = Seq((1L, ts("2024-01-01 12:00:00"), 10L))
+      .toDF("user_id", "ts", "event_id")
+    val e = intercept[IllegalArgumentException] {
+      GraftOps.asofJoin(left, right, "user_id", "ts", Seq("event_id"))
+    }
+    assert(e.getMessage.contains("event_id"))
+  }
+
   test("asofJoin does not leak matches across keys") {
     val right = Seq((1L, ts("2024-01-01 09:00:00"), 1L))
       .toDF("user_id", "ts", "click_id")

@@ -51,7 +51,7 @@ class ScaleOpsSpec extends SparkSpec {
     val dir = java.nio.file.Files.createTempDirectory("graft-part").toString
     val df = (1 to 300).map(i => (i, s"d${i % 3}", i * 1.0))
       .toDF("id", "day", "v")
-    ScaleOps.writePartitioned(df, dir, "day")
+    ScaleOps.writePartitioned(df, dir, Seq("day"), saltBuckets = 1)
     val read = spark.read.parquet(dir).filter(col("day") === "d1")
     // inputFiles reports the pre-pruning listing; the pruning evidence is
     // the PartitionFilters entry on the file scan node.
@@ -64,5 +64,27 @@ class ScaleOpsSpec extends SparkSpec {
     val files = new java.io.File(s"$dir/day=d1")
       .listFiles().count(_.getName.endsWith(".parquet"))
     assert(files == 1, s"expected 1 file in day=d1, got $files")
+  }
+
+  test("writePartitioned salt bounds files per dir AND spreads hot keys") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-salt").toString
+    // One hot partition value carrying ~all rows (the skew case the salt
+    // exists for) — default salt must spread it over >1 task/file while
+    // keeping the per-dir file count bounded by saltBuckets.
+    val df = (1 to 4000).map(i => (i, "hot", i * 1.0)).toDF("id", "day", "v")
+    // At test scale AQE coalesces the tiny salted shuffle partitions back
+    // into one (hiding the spread we're asserting); at real scale a hot
+    // partition's splits are far above the coalesce target.
+    val prev = spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      ScaleOps.writePartitioned(df, dir, Seq("day"), saltBuckets = 4)
+    } finally
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", prev)
+    val files = new java.io.File(s"$dir/day=hot")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    assert(files > 1 && files <= 4,
+      s"expected 2..4 files in hot dir (salt spread, bounded), got $files")
+    assert(spark.read.parquet(dir).count() == 4000)
   }
 }

@@ -239,6 +239,74 @@ object GraftOps {
         least(lit(chunkSize.toLong), col("__n") - col("chunk_id") * chunkSize)
           .cast("long").as("n_tokens"))
 
+  /** Block-level corpus deduplication (the CCNet/RefinedWeb paragraph-
+    * dedup shape, with fixed `blockTokens`-token blocks standing in for
+    * paragraphs): a block is kept iff it is the corpus-wide FIRST
+    * occurrence of its content (order: (id, block index)); every later
+    * repetition anywhere in the corpus is dropped. Returns one row per
+    * input doc: (id, n_blocks, n_kept, dedup_hash) where dedup_hash is
+    * the md5 of the doc's retained text (kept blocks re-joined in
+    * order) — docs reduced to nothing hash the empty string.
+    *
+    * Scale shape: occurrence ranking partitions by the block's content
+    * hash — exactly the distribution of a groupBy on a derived key, no
+    * global ordering, no driver state; reassembly is a per-doc groupBy.
+    * Block texts shuffle twice (once per grouping); at 100 TB swap the
+    * carried text for (hash, pointer) and re-join the winners. */
+  def dedupBlocks(docs: DataFrame, idCol: String, textCol: String,
+      blockTokens: Int): DataFrame = {
+    val wOcc = Window.partitionBy(md5(col("chunk_text")))
+      .orderBy(col(idCol), col("chunk_id"))
+    val agg = chunkTokens(docs, idCol, textCol, blockTokens)
+      .withColumn("occ", row_number().over(wOcc))
+      .groupBy(idCol).agg(
+        count(lit(1)).as("n_blocks"),
+        sum(when(col("occ") === 1, 1L).otherwise(0L)).as("n_kept"),
+        md5(array_join(
+          transform(
+            array_sort(collect_list(when(col("occ") === 1,
+              struct(col("chunk_id"), col("chunk_text"))))),
+            x => x.getField("chunk_text")), " ")).as("dedup_hash"))
+    docs.select(col(idCol)).join(agg, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_blocks"), lit(0L)).as("n_blocks"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("dedup_hash"), md5(lit(""))).as("dedup_hash"))
+  }
+
+  /** Sequence packing: assign fixed-size token chunks (chunkTokens
+    * output) to `binTokens`-token training bins by position in the
+    * deterministic (id, chunk_id) corpus order — the streaming-fill
+    * packing used to batch an LLM pretraining corpus into fixed context
+    * windows. Returns (id, chunk_id, n_tokens, bin_id). A chunk lands in
+    * the bin its FIRST token falls in, so a bin can run over by up to
+    * chunkSize−1 tokens (start-based streaming fill; the loader
+    * truncates or splits the straddler).
+    *
+    * The global running token count is computed WITHOUT a
+    * single-partition window: `idCol` (assumed non-negative numeric)
+    * ranges are monotone buckets, so a per-bucket window cumsum plus
+    * broadcast cumulative bucket offsets reconstructs the exact global
+    * prefix sum — same distributed-rank shape as the deterministic
+    * shuffle / ntile operators. */
+  def packChunks(docs: DataFrame, idCol: String, textCol: String,
+      chunkSize: Int, binTokens: Int, docsPerBucket: Int = 1024)
+      : DataFrame = {
+    val bkt = chunkTokens(docs, idCol, textCol, chunkSize)
+      .withColumn("bkt", floor(col(idCol) / docsPerBucket).cast("long"))
+    val wIn = Window.partitionBy("bkt").orderBy(col(idCol), col("chunk_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wCum = Window.orderBy("bkt")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = bkt.groupBy("bkt").agg(sum("n_tokens").as("tok"))
+      .select(col("bkt"), coalesce(sum("tok").over(wCum), lit(0L)).as("off"))
+    bkt.join(broadcast(offs), Seq("bkt"))
+      .withColumn("cum0",
+        col("off") + coalesce(sum(col("n_tokens")).over(wIn), lit(0L)))
+      .select(col(idCol), col("chunk_id"), col("n_tokens"),
+        expr(s"cum0 div $binTokens").as("bin_id"))
+  }
+
   /** Benchmark decontamination: ids of `docs` rows sharing at least one
     * word n-gram with `benchmark`, with the count of distinct shared
     * grams. The benchmark's gram set is broadcast — benchmarks are tiny,

@@ -169,6 +169,31 @@ object EventOps {
         .join(matched, Seq("event_id"), "left")
         .select(col("event_id"), col("user_id"),
           coalesce(col("n_clicks_1h"), lit(0L)).as("n_clicks_1h"))
+    }),
+
+    // Time-series gap fill (resample-to-daily): per-user daily event
+    // counts with the missing days in the user's [first, last] span
+    // materialized as zero rows — the densification every downstream
+    // rolling/seasonal model needs. sequence() + explode generates each
+    // user's grid WHERE THE USER'S ROWS ALREADY ARE (no global calendar
+    // join, no skew): grid size is bounded by the span, and the left
+    // join back to the daily aggregate is co-partitioned on user_id.
+    "ev_gap_fill" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("day"), col("value"))
+      val daily = ev.groupBy("user_id", "day").agg(
+        count(lit(1)).as("n_events"),
+        (sum((col("value") * 100.0 + 0.5).cast("long")).cast("double")
+          / 100.0).as("day_value"))
+      ev.groupBy("user_id")
+        .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+        .select(col("user_id"),
+          explode(sequence(col("d0"), col("d1"), expr("interval 1 day")))
+            .as("day"))
+        .join(daily, Seq("user_id", "day"), "left")
+        .select(col("user_id"), col("day"),
+          coalesce(col("n_events"), lit(0L)).as("n_events"),
+          coalesce(col("day_value"), lit(0.0)).as("day_value"))
     }))
 
   val oracle: Map[String, String] = Map(
@@ -266,5 +291,23 @@ object EventOps {
         |SELECT p.event_id, p.user_id, count(c.ts) AS n_clicks_1h
         |FROM p LEFT JOIN c ON p.user_id = c.user_id
         |  AND c.ts > p.ts - INTERVAL '1 hour' AND c.ts <= p.ts
-        |GROUP BY p.event_id, p.user_id""".stripMargin)
+        |GROUP BY p.event_id, p.user_id""".stripMargin,
+    "ev_gap_fill" ->
+      """WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day, value
+        |  FROM events),
+        |daily AS (SELECT user_id, day, count(*) AS n_events,
+        |  CAST(sum(CAST(trunc(value * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+        |    / 100.0 AS day_value
+        |  FROM ev GROUP BY user_id, day),
+        |spans AS (SELECT user_id, min(day) AS d0, max(day) AS d1
+        |  FROM ev GROUP BY user_id),
+        |grid AS (SELECT user_id,
+        |  CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE)
+        |    AS day FROM spans)
+        |SELECT g.user_id, g.day,
+        |  coalesce(daily.n_events, 0) AS n_events,
+        |  coalesce(daily.day_value, 0.0) AS day_value
+        |FROM grid g LEFT JOIN daily
+        |  ON g.user_id = daily.user_id AND g.day = daily.day"""
+        .stripMargin)
 }

@@ -654,6 +654,56 @@ object Relational {
           (sum((col("o_totalprice") * 100.0 + 0.5).cast("long"))
             .cast("double") / 100.0).as("sum_total"))),
 
+    // Arbitrary grouping sets (beyond rollup/cube's fixed lattices):
+    // (flag,status), (flag), () in one pass, disambiguated by the
+    // grouping_id bitmask — Spark's grouping_id() and DuckDB's
+    // GROUPING(a, b) produce the same bit order (1 bit = column
+    // aggregated away). SQL-expressed: the DataFrame API has no
+    // grouping-sets verb.
+    "agg_grouping_sets" -> ((s, d) => {
+      Tables.lineitem(s, d).createOrReplaceTempView("v_lineitem")
+      s.sql("""
+        SELECT l_returnflag, l_linestatus,
+          CAST(grouping_id(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+          count(*) AS n,
+          CAST(sum(CAST(l_quantity * 100.0 + 0.5 AS LONG)) AS DOUBLE)
+            / 100.0 AS sum_qty
+        FROM v_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+          (l_returnflag), ())""")
+    }),
+
+    // Deterministic Pearson correlation per group: built-in corr() sums
+    // doubles in partition order (not reproducible), so the five moments
+    // are accumulated EXACTLY — scaled-long / exact-decimal integer sums
+    // (order-independent) — and only the final closed form runs in
+    // floating point, written identically on both engines. The decimal
+    // widening matters at 100 TB: Σxy of 100-scaled cent values
+    // overflows a long at ~10^9 rows, so the products sum as
+    // DECIMAL(38,0) (Spark) / HUGEINT (DuckDB), both exact.
+    "agg_corr" -> ((s, d) => {
+      val qs = (col("l_quantity") * 100.0 + 0.5).cast("long")
+      val ps = (col("l_extendedprice") * 100.0 + 0.5).cast("long")
+      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+      Tables.lineitem(s, d)
+        .select(col("l_returnflag"), qs.as("x"), ps.as("y"))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x").cast(dec) * col("x")).as("sxx"),
+          sum(col("y").cast(dec) * col("y")).as("syy"),
+          sum(col("x").cast(dec) * col("y")).as("sxy"))
+        .select(col("l_returnflag"), col("n"),
+          round(
+            (col("n").cast("double") * col("sxy").cast("double")
+              - col("sx").cast("double") * col("sy").cast("double")) /
+            (sqrt(col("n").cast("double") * col("sxx").cast("double")
+              - col("sx").cast("double") * col("sx").cast("double")) *
+             sqrt(col("n").cast("double") * col("syy").cast("double")
+              - col("sy").cast("double") * col("sy").cast("double"))), 6)
+            .as("corr_qty_price"))
+    }),
+
     // Calendar dimension extraction + histogram — the date-function
     // surface (year/month/quarter/day-of-week) with the engines'
     // differing DOW conventions reconciled (Spark dayofweek is 1=Sunday;
@@ -1170,6 +1220,35 @@ object Relational {
         |    AS DOUBLE) / 100.0 AS sum_total
         |FROM orders
         |GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin,
+    "agg_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(trunc(l_quantity * 100.0 + 0.5) AS BIGINT))
+        |    AS DOUBLE) / 100.0 AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+        |  (l_returnflag), ())""".stripMargin,
+    "agg_corr" ->
+      """WITH t AS (SELECT l_returnflag,
+        |  CAST(trunc(l_quantity * 100.0 + 0.5) AS BIGINT) AS x,
+        |  CAST(trunc(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS y
+        |  FROM lineitem),
+        |a AS (SELECT l_returnflag, count(*) AS n,
+        |  CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |  sum(CAST(x AS HUGEINT) * x) AS sxx,
+        |  sum(CAST(y AS HUGEINT) * y) AS syy,
+        |  sum(CAST(x AS HUGEINT) * y) AS sxy
+        |  FROM t GROUP BY l_returnflag)
+        |SELECT l_returnflag, n,
+        |  round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+        |    (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+        |     sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+        |    AS corr_qty_price
+        |FROM a""".stripMargin,
     "agg_date_parts" ->
       """SELECT CAST(year(o_orderdate) AS BIGINT) AS y,
         |  CAST(quarter(o_orderdate) AS BIGINT) AS q,

@@ -493,6 +493,48 @@ object TextOps {
       keyed.join(broadcast(offs), Seq("bkt"))
         .select(col("doc_id"),
           (col("off") + row_number().over(wIn)).cast("long").as("pos"))
+    }),
+
+    // Block-level corpus dedup (CCNet/RefinedWeb paragraph dedup, with
+    // 16-token blocks standing in for paragraphs): keep only the
+    // corpus-wide first occurrence of each block, reassemble each doc
+    // from its surviving blocks. Occurrence ranking partitions by the
+    // block content hash — groupBy-shaped, no global order.
+    "dedup_lines" -> ((s, d) =>
+      graft.api.GraftOps.dedupBlocks(docsOf(s, d), "doc_id", "text", 16)),
+
+    // Sequence packing: 64-token chunks streamed in deterministic
+    // (doc_id, chunk_id) order into 512-token training bins via the
+    // distributed global prefix-sum (bucket cumsum + broadcast offsets —
+    // no single-partition sort). Per-bin occupancy is the payload a
+    // batching loader needs; fill ratio exposes the tail waste.
+    "pack_chunks" -> ((s, d) =>
+      graft.api.GraftOps.packChunks(docsOf(s, d), "doc_id", "text", 64, 512)
+        .groupBy("bin_id").agg(
+          count(lit(1)).as("n_chunks"),
+          sum("n_tokens").as("n_tokens"))
+        .withColumn("fill",
+          round(col("n_tokens").cast("double") / 512.0, 6))),
+
+    // Dedup retention policy: near-dup clusters (same bounded-round CC
+    // as dedup_cluster_cc) keep their BEST member — longest text, id as
+    // tiebreak — instead of the arbitrary min-id canonical. This is the
+    // policy composition an actual corpus clean uses: cluster, then
+    // argmax quality within cluster.
+    "cluster_keep_best" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = docsOf(s, d)
+      val pairs = graft.api.GraftOps.minhashCandidatePairs(
+        docs, "doc_id", "text")
+      val cc = graft.api.GraftOps.connectedComponents(
+        docs.select(col("doc_id")), "doc_id",
+        pairs, "left_id", "right_id", rounds = 2)
+      val w = Window.partitionBy("cluster_id")
+        .orderBy(col("n_chars").desc, col("doc_id"))
+      cc.join(docs.select("doc_id", "n_chars"), Seq("doc_id"))
+        .withColumn("rnk", row_number().over(w))
+        .select(col("doc_id"), col("cluster_id"), col("n_chars"),
+          (col("rnk") === 1).as("keep"))
     })
   )
 
@@ -516,6 +558,27 @@ object TextOps {
        |shfin AS (SELECT d.doc_id,
        |  coalesce(shh.simhash, repeat('1', 64)) AS simhash
        |  FROM documents d LEFT JOIN shh ON d.doc_id = shh.doc_id)"""
+      .stripMargin
+
+  /** Shared oracle CTE chain ending in `cm` = (src, cl): bounded (≤2-hop)
+    * min-reachability over the minhash band candidate graph — the oracle
+    * twin of GraftOps.connectedComponents(rounds = 2). The enclosing
+    * statement must say WITH RECURSIVE. */
+  private val CcCte =
+    s"""$SigCte,
+       |pr AS (SELECT DISTINCT a.doc_id AS left_id, b.doc_id AS right_id
+       |  FROM bands a JOIN bands b
+       |    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+       |    AND a.doc_id < b.doc_id),
+       |e AS (SELECT left_id AS a, right_id AS b FROM pr
+       |  UNION SELECT right_id, left_id FROM pr),
+       |reach AS (
+       |  SELECT a AS src, a AS dst, 0 AS dep
+       |    FROM (SELECT DISTINCT a FROM e)
+       |  UNION
+       |  SELECT r.src, e2.b AS dst, r.dep + 1
+       |    FROM reach r JOIN e e2 ON e2.a = r.dst WHERE r.dep < 2),
+       |cm AS (SELECT src, min(dst) AS cl FROM reach GROUP BY src)"""
       .stripMargin
 
   val oracle: Map[String, String] = Map(
@@ -667,23 +730,59 @@ object TextOps {
     // Bounded reachability (min id within ≤2 hops) — matches the Spark
     // side's 2-round label propagation by construction.
     "dedup_cluster_cc" ->
-      s"""WITH RECURSIVE $SigCte,
-         |pr AS (SELECT DISTINCT a.doc_id AS left_id, b.doc_id AS right_id
-         |  FROM bands a JOIN bands b
-         |    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
-         |    AND a.doc_id < b.doc_id),
-         |e AS (SELECT left_id AS a, right_id AS b FROM pr
-         |  UNION SELECT right_id, left_id FROM pr),
-         |reach AS (
-         |  SELECT a AS src, a AS dst, 0 AS dep
-         |    FROM (SELECT DISTINCT a FROM e)
-         |  UNION
-         |  SELECT r.src, e2.b AS dst, r.dep + 1
-         |    FROM reach r JOIN e e2 ON e2.a = r.dst WHERE r.dep < 2),
-         |cm AS (SELECT src, min(dst) AS cl FROM reach GROUP BY src)
+      s"""WITH RECURSIVE $CcCte
          |SELECT d.doc_id, coalesce(cm.cl, d.doc_id) AS cluster_id,
          |  coalesce(cm.cl, d.doc_id) = d.doc_id AS is_canonical
          |FROM documents d LEFT JOIN cm ON d.doc_id = cm.src""".stripMargin,
+    // Same cluster map, argmax-quality retention within each cluster.
+    "cluster_keep_best" ->
+      s"""WITH RECURSIVE $CcCte,
+         |base AS (SELECT d.doc_id, coalesce(cm.cl, d.doc_id) AS cluster_id,
+         |  d.n_chars FROM documents d LEFT JOIN cm ON d.doc_id = cm.src),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY cluster_id
+         |  ORDER BY n_chars DESC, doc_id) AS rnk FROM base)
+         |SELECT doc_id, cluster_id, n_chars, rnk = 1 AS keep FROM r"""
+        .stripMargin,
+    "dedup_lines" ->
+      s"""WITH $TokedCte,
+         |bl AS (SELECT doc_id,
+         |  [array_to_string(toks[(i-1)*16+1 : i*16], ' ')
+         |   for i in range(1, CAST((len(toks)-1)//16 AS BIGINT) + 2)]
+         |    AS blocks
+         |  FROM toked WHERE len(toks) > 0),
+         |ex AS (SELECT doc_id, generate_subscripts(blocks, 1) - 1
+         |    AS chunk_id, unnest(blocks) AS chunk_text FROM bl),
+         |occ AS (SELECT *, row_number() OVER (PARTITION BY md5(chunk_text)
+         |  ORDER BY doc_id, chunk_id) AS occ FROM ex),
+         |cnt AS (SELECT doc_id, count(*) AS n_blocks FROM ex
+         |  GROUP BY doc_id),
+         |kept AS (SELECT doc_id, count(*) AS n_kept,
+         |  md5(array_to_string(list(chunk_text ORDER BY chunk_id), ' '))
+         |    AS dedup_hash
+         |  FROM occ WHERE occ = 1 GROUP BY doc_id)
+         |SELECT d.doc_id, coalesce(c.n_blocks, 0) AS n_blocks,
+         |  coalesce(k.n_kept, 0) AS n_kept,
+         |  coalesce(k.dedup_hash, md5('')) AS dedup_hash
+         |FROM documents d
+         |LEFT JOIN cnt c ON d.doc_id = c.doc_id
+         |LEFT JOIN kept k ON d.doc_id = k.doc_id""".stripMargin,
+    "pack_chunks" ->
+      s"""WITH $TokedCte,
+         |bl AS (SELECT doc_id,
+         |  [least(64, len(toks) - (i-1)*64)
+         |   for i in range(1, CAST((len(toks)-1)//64 AS BIGINT) + 2)]
+         |    AS lens
+         |  FROM toked WHERE len(toks) > 0),
+         |ex AS (SELECT doc_id, generate_subscripts(lens, 1) - 1
+         |    AS chunk_id, unnest(lens) AS n_tokens FROM bl),
+         |c AS (SELECT *, coalesce(sum(n_tokens) OVER (
+         |    ORDER BY doc_id, chunk_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum0
+         |  FROM ex)
+         |SELECT CAST(cum0 // 512 AS BIGINT) AS bin_id, count(*) AS n_chunks,
+         |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+         |  round(CAST(sum(n_tokens) AS DOUBLE) / 512, 6) AS fill
+         |FROM c GROUP BY bin_id""".stripMargin,
     "txt_tfidf_topk" ->
       s"""WITH $TokedCte,
          |tok AS (SELECT doc_id, unnest(toks) AS term FROM toked),

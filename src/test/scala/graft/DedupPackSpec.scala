@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.api.GraftOps
+
+/** Edge-case fixtures for the corpus line-dedup and sequence-packing
+  * operators: first-occurrence-wins ordering, fully-deduplicated docs,
+  * token-less docs, bin occupancy bounds, and prefix-sum exactness of
+  * the distributed packing against a single-partition reference. */
+class DedupPackSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("dedupBlocks keeps only the corpus-wide first occurrence") {
+    // Blocks of 2 tokens. Doc 1 = [A B][C D]; doc 2 = [C D][E F]:
+    // doc 2's first block is a repeat of doc 1's second → dropped.
+    val docs = Seq((1L, "a b c d"), (2L, "c d e f")).toDF("doc_id", "text")
+    val out = GraftOps.dedupBlocks(docs, "doc_id", "text", 2)
+      .orderBy("doc_id")
+      .select("doc_id", "n_blocks", "n_kept").as[(Long, Long, Long)]
+      .collect().toSeq
+    assert(out == Seq((1L, 2L, 2L), (2L, 2L, 1L)))
+  }
+
+  test("dedupBlocks: fully-duplicated doc keeps nothing, hashes ''") {
+    val docs = Seq((1L, "a b"), (2L, "a b"), (3L, "")).toDF("doc_id", "text")
+    val out = GraftOps.dedupBlocks(docs, "doc_id", "text", 2)
+      .orderBy("doc_id")
+      .select("doc_id", "n_blocks", "n_kept", "dedup_hash")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    val emptyMd5 = "d41d8cd98f00b204e9800998ecf8427e" // md5("")
+    assert(out(0) == ((1L, 1L, 1L, out(0)._4)) && out(0)._4 != emptyMd5)
+    assert(out(1) == ((2L, 1L, 0L, emptyMd5))) // every block seen before
+    assert(out(2) == ((3L, 0L, 0L, emptyMd5))) // token-less doc survives
+  }
+
+  test("dedupBlocks reassembles surviving blocks in original order") {
+    // Doc 2 = [x y][a b][z w] where [a b] repeats doc 1: the hash must be
+    // md5("x y z w") — order preserved, dropped block removed.
+    val docs = Seq((1L, "a b"), (2L, "x y a b z w")).toDF("doc_id", "text")
+    val got = GraftOps.dedupBlocks(docs, "doc_id", "text", 2)
+      .filter($"doc_id" === 2L).select("dedup_hash").as[String].head()
+    val want = spark.sql("SELECT md5('x y z w')").as[String].head()
+    assert(got == want)
+  }
+
+  test("packChunks: exact global prefix-sum bins, bounded overflow") {
+    // 10 docs × 100 tokens → chunks of 64+36 per doc; bins of 128.
+    val docs = (0L until 10L)
+      .map(i => (i, (1 to 100).map(t => s"d${i}t$t").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = GraftOps.packChunks(docs, "doc_id", "text", 64, 128,
+        docsPerBucket = 3) // force multiple buckets
+      .orderBy("doc_id", "chunk_id")
+      .select("doc_id", "chunk_id", "n_tokens", "bin_id")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // Single-partition reference: running exclusive cumsum / 128.
+    var cum = 0L
+    val want = out.map { case (d, c, n, _) =>
+      val bin = cum / 128; cum += n; (d, c, n, bin)
+    }
+    assert(out == want, "distributed bin ids must equal the sequential fill")
+    // Start-based fill: a bin never exceeds capacity + (chunkSize - 1).
+    val occupancy = out.groupBy(_._4).view.mapValues(_.map(_._3).sum)
+    assert(occupancy.values.forall(o => o <= 128 + 63))
+    // No bin gaps: ids are contiguous from 0.
+    val ids = occupancy.keys.toSeq.sorted
+    assert(ids == (0L until ids.length.toLong))
+  }
+}

@@ -239,6 +239,60 @@ object GraftOps {
         least(lit(chunkSize.toLong), col("__n") - col("chunk_id") * chunkSize)
           .cast("long").as("n_tokens"))
 
+  /** Cross-document duplicated-substring detection — the declarative
+    * approximation of exact-substring dedup (the suffix-array method of
+    * Lee et al., "Deduplicating Training Data Makes Language Models
+    * Better"), at word-`n`-gram granularity: seed matches are shared
+    * n-grams, and maximal shared spans are recovered by grouping matches
+    * on the same (doc pair, position diagonal) into runs of consecutive
+    * positions — a run of k consecutive shared n-grams is a shared span
+    * of k+n−1 tokens. Returns (doc_a, doc_b, start_a, start_b,
+    * span_tokens) for every maximal cross-doc span of ≥ minRun seeds.
+    *
+    * Scale shape: grams occurring more than `maxOcc` times corpus-wide
+    * are dropped before pairing (boilerplate; unbounded fanout
+    * otherwise — the standard frequency cap), so pair generation is
+    * in-bucket combinations over ≤ maxOcc entries (collect_list per
+    * gram, no self-join), and run detection windows by
+    * (pair, diagonal). No global structure anywhere. */
+  def substringSpans(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 8, maxOcc: Int = 8, minRun: Int = 2): DataFrame = {
+    val wTok = Window.partitionBy(idCol).orderBy("pos")
+    val grams = docs
+      .select(col(idCol),
+        posexplode(split(trim(col(textCol)), "\\s+")).as(Seq("pos", "tok")))
+      .filter(col("tok") =!= "")
+      .withColumn("tpos", (row_number().over(wTok) - 1).cast("long"))
+      .withColumn("g", md5(
+        when(lead(col("tok"), n - 1).over(wTok).isNotNull,
+          concat_ws(" ",
+            col("tok") +: (1 until n).map(k =>
+              lead(col("tok"), k).over(wTok)): _*))))
+      .filter(col("g").isNotNull)
+      .select(col(idCol).as("id"), col("tpos").as("pos"), col("g"))
+    val buckets = grams.groupBy("g")
+      .agg(sort_array(collect_list(struct(col("id"), col("pos")))).as("occ"))
+      .filter(size(col("occ")).between(2, maxOcc))
+    val pairs = flatten(transform(col("occ"), (x, i) =>
+      transform(slice(col("occ"), i + 2, size(col("occ"))),
+        y => struct(x.getField("id").as("a"), x.getField("pos").as("pa"),
+          y.getField("id").as("b"), y.getField("pos").as("pb")))))
+    val wIsl = Window.partitionBy("a", "b", "diag").orderBy("pa")
+    buckets.select(explode(pairs).as("p"))
+      .select(col("p.a").as("a"), col("p.pa").as("pa"),
+        col("p.b").as("b"), col("p.pb").as("pb"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .withColumn("diag", col("pa") - col("pb"))
+      .withColumn("isl", col("pa") - row_number().over(wIsl))
+      .groupBy("a", "b", "diag", "isl")
+      .agg(min("pa").as("start_a"), min("pb").as("start_b"),
+        (count(lit(1)) + lit(n - 1)).cast("long").as("span_tokens"))
+      .filter(col("span_tokens") >= minRun + n - 1)
+      .select(col("a").as("doc_a"), col("b").as("doc_b"),
+        col("start_a"), col("start_b"), col("span_tokens"))
+  }
+
   /** Block-level corpus deduplication (the CCNet/RefinedWeb paragraph-
     * dedup shape, with fixed `blockTokens`-token blocks standing in for
     * paragraphs): a block is kept iff it is the corpus-wide FIRST

@@ -704,6 +704,45 @@ object Relational {
             .as("corr_qty_price"))
     }),
 
+    // Modal value per group (mode() with a deterministic tiebreak —
+    // count groupBy + per-key argmax window; the built-in mode()
+    // aggregate breaks frequency ties arbitrarily, so it can't be
+    // registered under a hash gate).
+    "agg_mode" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("n").desc, col("o_orderpriority"))
+      Tables.orders(s, d)
+        .groupBy("o_custkey", "o_orderpriority").agg(count(lit(1)).as("n"))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("o_custkey"), col("o_orderpriority").as("mode_priority"),
+          col("n").as("n_mode"))
+    }),
+
+    // One-pass data profiling (the ingest-side quality gate): per-column
+    // null count, exact distinct count, min/max over the numeric
+    // measures. Multiple exact COUNT(DISTINCT)s in one aggregate plan an
+    // Expand (×5 here) — the documented profiling cost; the 100 TB
+    // variant swaps in approx_count_distinct and loses the hash gate,
+    // not the shape. The per-column summaries pivot to rows driver-free
+    // via explode over a struct array.
+    "profile_table" -> ((s, d) => {
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val aggs = cols.flatMap(c => Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls"),
+        countDistinct(col(c)).as(s"${c}_nd"),
+        min(col(c)).as(s"${c}_min"), max(col(c)).as(s"${c}_max")))
+      Tables.lineitem(s, d)
+        .agg(count(lit(1)).as("n_rows"), aggs: _*)
+        .select(col("n_rows"), explode(array(cols.map(c => struct(
+          lit(c).as("col_name"), col(s"${c}_nulls").as("n_nulls"),
+          col(s"${c}_nd").as("n_distinct"),
+          col(s"${c}_min").as("min_v"), col(s"${c}_max").as("max_v"))): _*))
+          .as("p"))
+        .select(col("p.col_name").as("col_name"), col("n_rows"),
+          col("p.n_nulls").as("n_nulls"), col("p.n_distinct").as("n_distinct"),
+          col("p.min_v").as("min_v"), col("p.max_v").as("max_v"))
+    }),
+
     // Calendar dimension extraction + histogram — the date-function
     // surface (year/month/quarter/day-of-week) with the engines'
     // differing DOW conventions reconciled (Spark dayofweek is 1=Sunday;
@@ -1249,6 +1288,36 @@ object Relational {
         |      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
         |    AS corr_qty_price
         |FROM a""".stripMargin,
+    "agg_mode" ->
+      """WITH c AS (SELECT o_custkey, o_orderpriority, count(*) AS n
+        |  FROM orders GROUP BY o_custkey, o_orderpriority),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY o_custkey
+        |  ORDER BY n DESC, o_orderpriority) AS rn FROM c)
+        |SELECT o_custkey, o_orderpriority AS mode_priority, n AS n_mode
+        |FROM r WHERE rn = 1""".stripMargin,
+    "profile_table" ->
+      """SELECT 'l_quantity' AS col_name, count(*) AS n_rows,
+        |  CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_nulls,
+        |  count(DISTINCT l_quantity) AS n_distinct,
+        |  min(l_quantity) AS min_v, max(l_quantity) AS max_v FROM lineitem
+        |UNION ALL
+        |SELECT 'l_extendedprice', count(*),
+        |  CAST(sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT),
+        |  count(DISTINCT l_extendedprice),
+        |  min(l_extendedprice), max(l_extendedprice) FROM lineitem
+        |UNION ALL
+        |SELECT 'l_discount', count(*),
+        |  CAST(sum(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT),
+        |  count(DISTINCT l_discount),
+        |  min(l_discount), max(l_discount) FROM lineitem
+        |UNION ALL
+        |SELECT 'l_tax', count(*),
+        |  CAST(sum(CASE WHEN l_tax IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  count(DISTINCT l_tax),
+        |  min(l_tax), max(l_tax) FROM lineitem""".stripMargin,
     "agg_date_parts" ->
       """SELECT CAST(year(o_orderdate) AS BIGINT) AS y,
         |  CAST(quarter(o_orderdate) AS BIGINT) AS q,

@@ -165,7 +165,42 @@ object Similarity {
       graft.api.GraftOps.quantizeInt8(
         Tables.embeddings(s, d)
           .select(col("vec_id"), asDouble(col("embedding")).as("v")),
-        "vec_id", "v")))
+        "vec_id", "v")),
+
+    // Product quantization (the other ANN memory lever next to int8:
+    // 64 dims → 8 subspace codes, 8 bytes per vector at codebook size
+    // 256). Deterministic toy codebook — the first 4 vectors' subvectors
+    // per subspace (a real build k-means's each subspace; the assignment
+    // path below is the part that runs over the full corpus at scale).
+    // Each (vector, subspace) picks the L2-nearest centroid via the
+    // expanded ‖x−c‖² = x·x − 2x·c + c·c dots (broadcast codebook,
+    // per-key window argmin); the reconstruction error sums the chosen
+    // d² as exact scaled longs so partition order can't wiggle an ulp.
+    "emb_pq" -> ((s, d) => {
+      graft.expressions.VectorExpressions.register(s)
+      def dot(a: Column, b: Column) = call_function("graft_vec_dot", a, b)
+      val e = unitVecs(s, d).select("vec_id", "u")
+      def subSplit(src: DataFrame, idAs: String, vecAs: String) =
+        src.select(col("vec_id").as(idAs), posexplode(
+          transform(sequence(lit(0), lit(EmbDim / 8 - 1)),
+            j => slice(col("u"), j * 8 + 1, lit(8)))).as(Seq("sub", vecAs)))
+      val subs = subSplit(e, "vec_id", "x")
+      val cents = subSplit(e.filter(col("vec_id") < 4), "cid", "c")
+      val wBest = Window.partitionBy("vec_id", "sub")
+        .orderBy(col("d2"), col("cid"))
+      subs.join(broadcast(cents), "sub")
+        .select(col("vec_id"), col("sub"), col("cid"),
+          round(dot(col("x"), col("x")) - dot(col("x"), col("c")) * 2.0
+            + dot(col("c"), col("c")), 6).as("d2"))
+        .withColumn("rn", row_number().over(wBest)).filter(col("rn") === 1)
+        .groupBy("vec_id").agg(
+          array_join(transform(
+            array_sort(collect_list(struct(col("sub"), col("cid")))),
+            s0 => s0.getField("cid").cast("string")), ",").as("code"),
+          round(sqrt(
+            sum((col("d2") * 1000000.0 + 0.5).cast("long")).cast("double")
+              / 1000000.0), 6).as("err"))
+    }))
 
   /** embeddings.parquet vector dimensionality (fixed; asserted in
     * VectorFunctionsSpec against the data). */
@@ -333,5 +368,24 @@ object Similarity {
         |        THEN CAST(0.5 AS DOUBLE) ELSE CAST(-0.5 AS DOUBLE) END)
         |        AS BIGINT) / scale)
         |    for x in v])), 6) AS l2_err
-        |FROM m""".stripMargin)
+        |FROM m""".stripMargin,
+    "emb_pq" ->
+      s"""WITH $UnitCte,
+         |subs AS (SELECT vec_id, j AS sub, u[j*8+1 : j*8+8] AS x
+         |  FROM e, (SELECT unnest(range(0, 8)) AS j)),
+         |cents AS (SELECT vec_id AS cid, j AS sub, u[j*8+1 : j*8+8] AS c
+         |  FROM e, (SELECT unnest(range(0, 8)) AS j) WHERE vec_id < 4),
+         |sc AS (SELECT s.vec_id, s.sub, c.cid,
+         |  round(list_dot_product(s.x, s.x)
+         |    - list_dot_product(s.x, c.c) * 2
+         |    + list_dot_product(c.c, c.c), 6) AS d2
+         |  FROM subs s JOIN cents c ON s.sub = c.sub),
+         |best AS (SELECT *, row_number() OVER (PARTITION BY vec_id, sub
+         |  ORDER BY d2, cid) AS rn FROM sc)
+         |SELECT vec_id,
+         |  array_to_string(list(CAST(cid AS VARCHAR) ORDER BY sub), ',')
+         |    AS code,
+         |  round(sqrt(CAST(sum(CAST(trunc(d2 * 1000000 + 0.5) AS BIGINT))
+         |    AS DOUBLE) / 1000000), 6) AS err
+         |FROM best WHERE rn = 1 GROUP BY vec_id""".stripMargin)
 }

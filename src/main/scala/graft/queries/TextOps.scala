@@ -516,6 +516,40 @@ object TextOps {
         .withColumn("fill",
           round(col("n_tokens").cast("double") / 512.0, 6))),
 
+    // Closes the mixture-rebalancing loop: the per-language uniform
+    // weights samp_mixture_weights computes, APPLIED as deterministic
+    // per-row sampling rates. keep-probability p = min(1, weight) maps
+    // to a 4-hex-digit md5 cutoff ('g' > any hex digit handles p = 1);
+    // the per-language cutoffs broadcast and the corpus side is a pure
+    // filter — no shuffle, reproducible on any engine.
+    "samp_weighted" -> ((s, d) => {
+      val docs = docsOf(s, d)
+        .withColumn("lk", coalesce(col("lang"), lit("")))
+      val c = docs.groupBy("lk").agg(count(lit(1)).as("n_docs"))
+      val t = c.agg(sum("n_docs").cast("long").as("total"),
+        count(lit(1)).as("n_langs"))
+      val cut = c.crossJoin(broadcast(t))
+        .select(col("lk"),
+          (least(lit(1.0),
+            (col("total").cast("double") / col("n_langs")) / col("n_docs"))
+            * 65536.0).cast("long").as("cutoff"))
+        .select(col("lk"),
+          when(col("cutoff") >= 65536L, lit("g"))
+            .otherwise(format_string("%04x", col("cutoff"))).as("cut_hex"))
+      docs.join(broadcast(cut), Seq("lk"))
+        .filter(substring(md5(concat(col("lk"), lit(":"),
+          col("doc_id").cast("string"))), 1, 4) < col("cut_hex"))
+        .select("doc_id", "lang")
+    }),
+
+    // Duplicated-substring spans (the exact-substring dedup modality,
+    // approximated at 8-gram granularity): shared rare 8-grams seed
+    // matches; runs of consecutive seeds on the same (pair, diagonal)
+    // are maximal shared spans. Grams above the occurrence cap are
+    // dropped (boilerplate / fanout bound).
+    "dedup_substring_spans" -> ((s, d) =>
+      graft.api.GraftOps.substringSpans(docsOf(s, d), "doc_id", "text")),
+
     // Dedup retention policy: near-dup clusters (same bounded-round CC
     // as dedup_cluster_cc) keep their BEST member — longest text, id as
     // tiebreak — instead of the arbitrary min-id canonical. This is the
@@ -743,6 +777,42 @@ object TextOps {
          |  ORDER BY n_chars DESC, doc_id) AS rnk FROM base)
          |SELECT doc_id, cluster_id, n_chars, rnk = 1 AS keep FROM r"""
         .stripMargin,
+    "samp_weighted" ->
+      """WITH c AS (SELECT coalesce(lang, '') AS lk, count(*) AS n_docs
+        |  FROM documents GROUP BY coalesce(lang, '')),
+        |t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS total,
+        |  count(*) AS n_langs FROM c),
+        |cut AS (SELECT lk,
+        |  CAST(trunc(least(CAST(1 AS DOUBLE),
+        |    (CAST(total AS DOUBLE) / n_langs) / n_docs) * 65536) AS BIGINT)
+        |    AS cutoff FROM c, t),
+        |ch AS (SELECT lk, CASE WHEN cutoff >= 65536 THEN 'g'
+        |  ELSE printf('%04x', cutoff) END AS cut_hex FROM cut)
+        |SELECT d.doc_id, d.lang FROM documents d
+        |JOIN ch ON coalesce(d.lang, '') = ch.lk
+        |WHERE substr(md5(coalesce(d.lang, '') || ':'
+        |  || CAST(d.doc_id AS VARCHAR)), 1, 4) < ch.cut_hex""".stripMargin,
+    "dedup_substring_spans" ->
+      s"""WITH $TokedCte,
+         |gl AS (SELECT doc_id,
+         |  [md5(array_to_string(toks[i:i+7], ' '))
+         |   for i in range(1, len(toks) - 6)] AS gs
+         |  FROM toked WHERE len(toks) >= 8),
+         |gr AS (SELECT doc_id AS id, generate_subscripts(gs, 1) - 1 AS pos,
+         |  unnest(gs) AS g FROM gl),
+         |occ AS (SELECT g, count(*) AS cnt FROM gr GROUP BY g),
+         |rare AS (SELECT gr.* FROM gr JOIN occ ON gr.g = occ.g
+         |  WHERE occ.cnt BETWEEN 2 AND 8),
+         |pr AS (SELECT DISTINCT x.id AS a, x.pos AS pa,
+         |    y.id AS b, y.pos AS pb
+         |  FROM rare x JOIN rare y ON x.g = y.g WHERE x.id < y.id),
+         |isl AS (SELECT *, pa - pb AS diag,
+         |  pa - row_number() OVER (PARTITION BY a, b, pa - pb
+         |    ORDER BY pa) AS isl FROM pr)
+         |SELECT a AS doc_a, b AS doc_b, min(pa) AS start_a,
+         |  min(pb) AS start_b, CAST(count(*) + 7 AS BIGINT) AS span_tokens
+         |FROM isl GROUP BY a, b, diag, isl
+         |HAVING count(*) >= 2""".stripMargin,
     "dedup_lines" ->
       s"""WITH $TokedCte,
          |bl AS (SELECT doc_id,

@@ -43,6 +43,44 @@ class DedupPackSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("substringSpans recovers the maximal shared span, not the seeds") {
+    // Docs share tokens s1..s12 (12 tokens) at different offsets:
+    // 5 consecutive shared 8-grams → ONE span of 12 tokens, with the
+    // correct per-doc start positions.
+    val shared = (1 to 12).map("s" + _).mkString(" ")
+    val docs = Seq(
+      (1L, s"a1 a2 $shared z1 z2"), // shared starts at tpos 2
+      (2L, s"$shared q1 q2 q3"))    // shared starts at tpos 0
+      .toDF("doc_id", "text")
+    val out = GraftOps.substringSpans(docs, "doc_id", "text")
+      .select("doc_a", "doc_b", "start_a", "start_b", "span_tokens")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 2L, 2L, 0L, 12L)), s"got $out")
+  }
+
+  test("substringSpans splits non-adjacent matches into separate spans") {
+    // Two shared 9-token runs separated by unique middles → two spans
+    // of 9, not one of 18; and a single shared 8-gram (minRun=2 not
+    // met) yields nothing.
+    val r1 = (1 to 9).map("r" + _).mkString(" ")
+    val r2 = (1 to 9).map("w" + _).mkString(" ")
+    val docs = Seq(
+      (1L, s"$r1 m1 m2 $r2"),
+      (2L, s"$r1 k1 k2 k3 $r2"))
+      .toDF("doc_id", "text")
+    val out = GraftOps.substringSpans(docs, "doc_id", "text")
+      .orderBy("start_a")
+      .select("start_a", "start_b", "span_tokens")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(out == Seq((0L, 0L, 9L), (11L, 12L, 9L)), s"got $out")
+
+    val single = Seq((1L, "x1 x2 x3 x4 x5 x6 x7 x8 u1"),
+      (2L, "x1 x2 x3 x4 x5 x6 x7 x8 v1"))
+      .toDF("doc_id", "text")
+    // The shared run is 8 tokens = ONE 8-gram = run length 1 < minRun.
+    assert(GraftOps.substringSpans(single, "doc_id", "text").isEmpty)
+  }
+
   test("packChunks: exact global prefix-sum bins, bounded overflow") {
     // 10 docs × 100 tokens → chunks of 64+36 per doc; bins of 128.
     val docs = (0L until 10L)

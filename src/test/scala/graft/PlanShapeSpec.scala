@@ -45,6 +45,17 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("substringSpans: bucket-local pairs, no self-join, no cartesian") {
+    val docs = Seq((1L, (1 to 20).map("t" + _).mkString(" ")),
+      (2L, (5 to 24).map("t" + _).mkString(" ")))
+      .toDF("doc_id", "text")
+    val p = phys(GraftOps.substringSpans(docs, "doc_id", "text"))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("SortMergeJoin"),
+      s"pair generation must be in-bucket combinations, not a self-join:\n$p")
+  }
+
   test("decontaminate broadcasts the benchmark side") {
     val docs = Seq((1L, "a b c d e f g h i"), (20L, "a b c d e f g h i"))
       .toDF("doc_id", "text")

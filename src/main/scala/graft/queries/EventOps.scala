@@ -171,6 +171,47 @@ object EventOps {
           coalesce(col("n_clicks_1h"), lit(0L)).as("n_clicks_1h"))
     }),
 
+    // SCD2 interval build (type-2 slowly-changing dimension from a
+    // change stream): collapse each user's consecutive identical states
+    // (gaps-and-islands lag filter), then each surviving change opens an
+    // interval closed by the next change's timestamp — open-ended +
+    // is_current for the latest. One partitioned window per step, no
+    // state, the standard warehouse dimension-build.
+    "scd2_intervals" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      Tables.events(s, d)
+        .withColumn("prev", lag(col("event_type"), 1).over(w))
+        .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+        .withColumn("valid_to", lead(col("ts"), 1).over(w))
+        .select(col("user_id"), col("event_type").as("state"),
+          col("ts").as("valid_from"), col("valid_to"),
+          col("valid_to").isNull.as("is_current"))
+    }),
+
+    // Rolling z-score anomaly detection: each event scored against its
+    // user's trailing 20-event window. The window moments are EXACT
+    // (scaled-long sums over a bounded ROWS frame), and only the closed
+    // form runs in floating point, written identically on both engines —
+    // the same determinism recipe as agg_corr, applied per-frame.
+    "ev_rolling_zscore" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(-19, Window.currentRow)
+      Tables.events(s, d)
+        .withColumn("x", (col("value") * 100.0 + 0.5).cast("long"))
+        .withColumn("n", count(lit(1)).over(w))
+        .withColumn("sx", sum(col("x")).over(w))
+        .withColumn("sxx", sum(col("x") * col("x")).over(w))
+        .filter(col("n") >= 5 &&
+          col("n") * col("sxx") > col("sx") * col("sx"))
+        .select(col("event_id"), col("user_id"),
+          round((col("n").cast("double") * col("x").cast("double")
+              - col("sx").cast("double")) /
+            sqrt((col("n").cast("double") * col("sxx").cast("double")
+              - col("sx").cast("double") * col("sx").cast("double"))
+              * col("n").cast("double") / (col("n").cast("double") - 1.0)),
+            6).as("zscore"))
+    }),
+
     // Time-series gap fill (resample-to-daily): per-user daily event
     // counts with the missing days in the user's [first, last] span
     // materialized as zero rows — the densification every downstream
@@ -292,6 +333,34 @@ object EventOps {
         |FROM p LEFT JOIN c ON p.user_id = c.user_id
         |  AND c.ts > p.ts - INTERVAL '1 hour' AND c.ts <= p.ts
         |GROUP BY p.event_id, p.user_id""".stripMargin,
+    "scd2_intervals" ->
+      """WITH ch AS (SELECT user_id, event_type, ts, event_id FROM (
+        |  SELECT user_id, event_type, ts, event_id,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS prev
+        |  FROM events) WHERE prev IS NULL OR prev <> event_type)
+        |SELECT user_id, event_type AS state, ts AS valid_from,
+        |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |    AS valid_to,
+        |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |    IS NULL AS is_current
+        |FROM ch""".stripMargin,
+    "ev_rolling_zscore" ->
+      """WITH t AS (SELECT event_id, user_id,
+        |  CAST(trunc(value * 100 + 0.5) AS BIGINT) AS x, ts FROM events),
+        |m AS (SELECT event_id, user_id, x,
+        |  count(*) OVER w AS n, CAST(sum(x) OVER w AS BIGINT) AS sx,
+        |  CAST(sum(x * x) OVER w AS BIGINT) AS sxx
+        |  FROM t WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+        |SELECT event_id, user_id,
+        |  round((CAST(n AS DOUBLE) * CAST(x AS DOUBLE)
+        |      - CAST(sx AS DOUBLE)) /
+        |    sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |      * CAST(n AS DOUBLE) / (CAST(n AS DOUBLE) - 1.0)), 6)
+        |    AS zscore
+        |FROM m WHERE n >= 5 AND n * sxx > sx * sx""".stripMargin,
     "ev_gap_fill" ->
       """WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day, value
         |  FROM events),

@@ -167,6 +167,37 @@ object Similarity {
           .select(col("vec_id"), asDouble(col("embedding")).as("v")),
         "vec_id", "v")),
 
+    // kNN label prediction — similarity search APPLIED: each query
+    // vector takes the majority label of its 10 nearest neighbors
+    // (ties: more votes, then smaller label), scored against its true
+    // label. The search itself is the brute-force broadcast path
+    // (cosineTopK's shape); swap in the IVF probe for the 100 TB
+    // variant — the voting/eval layer is identical.
+    "emb_knn_label" -> ((s, d) => {
+      graft.expressions.VectorExpressions.register(s)
+      val e = unitVecs(s, d)
+      val q = e.filter(col("vec_id") < 50)
+        .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+          col("u").as("q_u"))
+      val wK = Window.partitionBy("q_id")
+        .orderBy(col("score").desc, col("cand_id"))
+      val wV = Window.partitionBy("q_id")
+        .orderBy(col("votes").desc, col("c_label"))
+      e.select(col("vec_id").as("cand_id"), col("label").as("c_label"),
+          col("u"))
+        .crossJoin(broadcast(q))
+        .filter(col("cand_id") =!= col("q_id"))
+        .select(col("q_id"), col("q_label"), col("cand_id"), col("c_label"),
+          round(call_function("graft_vec_dot", col("u"), col("q_u")), 6)
+            .as("score"))
+        .withColumn("rnk", row_number().over(wK)).filter(col("rnk") <= 10)
+        .groupBy("q_id", "q_label", "c_label")
+        .agg(count(lit(1)).as("votes"))
+        .withColumn("rn", row_number().over(wV)).filter(col("rn") === 1)
+        .select(col("q_id"), col("q_label"), col("c_label").as("pred_label"),
+          col("votes"), (col("c_label") === col("q_label")).as("correct"))
+    }),
+
     // Product quantization (the other ANN memory lever next to int8:
     // 64 dims → 8 subspace codes, 8 bytes per vector at codebook size
     // 256). Deterministic toy codebook — the first 4 vectors' subvectors
@@ -369,6 +400,23 @@ object Similarity {
         |        AS BIGINT) / scale)
         |    for x in v])), 6) AS l2_err
         |FROM m""".stripMargin,
+    "emb_knn_label" ->
+      s"""WITH $UnitCte,
+         |q AS (SELECT vec_id AS q_id, label AS q_label, u AS q_u
+         |  FROM e WHERE vec_id < 50),
+         |sc AS (SELECT q.q_id, q.q_label, e.vec_id AS cand_id,
+         |    e.label AS c_label,
+         |    round(list_dot_product(e.u, q.q_u), 6) AS score
+         |  FROM e, q WHERE e.vec_id <> q.q_id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY q_id
+         |  ORDER BY score DESC, cand_id) AS rnk FROM sc),
+         |v AS (SELECT q_id, q_label, c_label, count(*) AS votes
+         |  FROM r WHERE rnk <= 10 GROUP BY q_id, q_label, c_label),
+         |p AS (SELECT *, row_number() OVER (PARTITION BY q_id
+         |  ORDER BY votes DESC, c_label) AS rn FROM v)
+         |SELECT q_id, q_label, c_label AS pred_label, votes,
+         |  c_label = q_label AS correct
+         |FROM p WHERE rn = 1""".stripMargin,
     "emb_pq" ->
       s"""WITH $UnitCte,
          |subs AS (SELECT vec_id, j AS sub, u[j*8+1 : j*8+8] AS x

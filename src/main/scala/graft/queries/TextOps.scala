@@ -516,6 +516,30 @@ object TextOps {
         .withColumn("fill",
           round(col("n_tokens").cast("double") / 512.0, 6))),
 
+    // Unigram-LM negative log-likelihood per doc — the perplexity-proxy
+    // quality filter (CCNet ranks documents by LM perplexity; a unigram
+    // model is its declarative in-corpus stand-in). Token probabilities
+    // come from exact corpus counts; each token's −ln p rounds to 6
+    // places (the proven cross-engine log discipline from tfidf) and
+    // sums as exact scaled longs, so partial-aggregation order can't
+    // move the mean.
+    "txt_unigram_logprob" -> ((s, d) => {
+      val tok = docsOf(s, d)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      val cnt = tok.groupBy("term").agg(count(lit(1)).as("cnt"))
+      val tot = cnt.agg(sum("cnt").cast("long").as("total"))
+      tok.join(cnt, "term").crossJoin(broadcast(tot))
+        .withColumn("nll",
+          (round(-log(col("cnt").cast("double") /
+            col("total").cast("double")), 6) * 1000000.0 + 0.5)
+            .cast("long"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"), sum("nll").as("snll"))
+        .select(col("doc_id"), col("n_tokens"),
+          round(col("snll").cast("double") / 1000000.0 / col("n_tokens"),
+            6).as("mean_nll"))
+    }),
+
     // Closes the mixture-rebalancing loop: the per-language uniform
     // weights samp_mixture_weights computes, APPLIED as deterministic
     // per-row sampling rates. keep-probability p = min(1, weight) maps
@@ -777,6 +801,19 @@ object TextOps {
          |  ORDER BY n_chars DESC, doc_id) AS rnk FROM base)
          |SELECT doc_id, cluster_id, n_chars, rnk = 1 AS keep FROM r"""
         .stripMargin,
+    "txt_unigram_logprob" ->
+      s"""WITH $TokedCte,
+         |tok AS (SELECT doc_id, unnest(toks) AS term FROM toked),
+         |cnt AS (SELECT term, count(*) AS cnt FROM tok GROUP BY term),
+         |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM cnt),
+         |sc AS (SELECT doc_id,
+         |  CAST(trunc(round(-ln(CAST(cnt AS DOUBLE) / total), 6)
+         |    * 1000000 + 0.5) AS BIGINT) AS nll
+         |  FROM tok JOIN cnt USING (term) CROSS JOIN tot)
+         |SELECT doc_id, count(*) AS n_tokens,
+         |  round(CAST(sum(nll) AS DOUBLE) / 1000000 / count(*), 6)
+         |    AS mean_nll
+         |FROM sc GROUP BY doc_id""".stripMargin,
     "samp_weighted" ->
       """WITH c AS (SELECT coalesce(lang, '') AS lk, count(*) AS n_docs
         |  FROM documents GROUP BY coalesce(lang, '')),

@@ -345,8 +345,18 @@ object GraftOps {
     * shuffle / ntile operators. */
   def packChunks(docs: DataFrame, idCol: String, textCol: String,
       chunkSize: Int, binTokens: Int, docsPerBucket: Int = 1024)
-      : DataFrame = {
-    val bkt = chunkTokens(docs, idCol, textCol, chunkSize)
+      : DataFrame =
+    packTokenRows(chunkTokens(docs, idCol, textCol, chunkSize), idCol,
+      binTokens, docsPerBucket)
+
+  /** Packing core over an existing chunk table (idCol, chunk_id,
+    * n_tokens, …): assigns each row its training bin by exact global
+    * prefix sum of n_tokens in (idCol, chunk_id) order — distributed as
+    * monotone id-range buckets + per-bucket window cumsum + broadcast
+    * cumulative bucket offsets. */
+  def packTokenRows(chunks: DataFrame, idCol: String, binTokens: Int,
+      docsPerBucket: Int = 1024): DataFrame = {
+    val bkt = chunks
       .withColumn("bkt", floor(col(idCol) / docsPerBucket).cast("long"))
     val wIn = Window.partitionBy("bkt").orderBy(col(idCol), col("chunk_id"))
       .rowsBetween(Window.unboundedPreceding, -1)

@@ -516,6 +516,43 @@ object TextOps {
         .withColumn("fill",
           round(col("n_tokens").cast("double") / 512.0, 6))),
 
+    // THE end-to-end pretraining-data layout job, composed from the
+    // library's own stages: quality/language gate + exact dedup (the
+    // pipeline_clean_corpus gates) → 64-token chunking → corpus-wide
+    // chunk dedup (first occurrence wins) → pack survivors into
+    // 512-token training bins in deterministic corpus order. Output is
+    // the per-bin occupancy a batching loader consumes. Every stage is
+    // shuffle-bounded: gates are projections, dedup partitions by
+    // content hash, packing is the distributed prefix-sum.
+    "pipeline_pretrain_corpus" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = docsOf(s, d)
+      val toks = tokens(col("text"))
+      val nTok = size(toks).cast("long")
+      val stops = stopwordHits(toks, LangProfiles.flatMap(_._2)).cast("long")
+      val gated = docs.select(col("doc_id"), col("text"),
+          nTok.as("n_tokens"),
+          when(nTok > 0, stops.cast("double") / nTok).otherwise(0.0)
+            .as("stop_ratio"),
+          langId(toks).as("lang_guess"))
+        .filter(col("n_tokens") >= 20 && col("stop_ratio") >= 0.05 &&
+          col("lang_guess") =!= "und")
+      val keep = docs.groupBy(md5(col("text")).as("h"))
+        .agg(min(col("doc_id")).as("doc_id"))
+      val clean = gated.join(keep, Seq("doc_id"), "left_semi")
+        .select("doc_id", "text")
+      val wOcc = Window.partitionBy(md5(col("chunk_text")))
+        .orderBy(col("doc_id"), col("chunk_id"))
+      val uniq = graft.api.GraftOps.chunkTokens(clean, "doc_id", "text", 64)
+        .withColumn("occ", row_number().over(wOcc))
+        .filter(col("occ") === 1)
+        .select("doc_id", "chunk_id", "n_tokens")
+      graft.api.GraftOps.packTokenRows(uniq, "doc_id", 512)
+        .groupBy("bin_id").agg(
+          count(lit(1)).as("n_chunks"),
+          sum("n_tokens").as("n_tokens"))
+    }),
+
     // Unigram-LM negative log-likelihood per doc — the perplexity-proxy
     // quality filter (CCNet ranks documents by LM perplexity; a unigram
     // model is its declarative in-corpus stand-in). Token probabilities
@@ -617,6 +654,30 @@ object TextOps {
        |  coalesce(shh.simhash, repeat('1', 64)) AS simhash
        |  FROM documents d LEFT JOIN shh ON d.doc_id = shh.doc_id)"""
       .stripMargin
+
+  /** Shared oracle CTE chain ending in `scored` = (doc_id, source,
+    * n_tokens, stop_ratio, lang_guess) — the quality/language gate both
+    * pipeline queries filter on. Requires `toked` in scope. */
+  private val CleanGateCte =
+    """f AS (SELECT t.doc_id, d.source, len(t.toks) AS n_tokens,
+      |  CASE WHEN len(t.toks) > 0 THEN
+      |    CAST(len(list_filter(t.toks, x -> list_contains(
+      |      ['the','a','and','of','to','in','is',
+      |       'el','la','de','y','que','en','los',
+      |       'der','die','und','das','ist','von','ein'], x)))
+      |      AS DOUBLE) / len(t.toks) ELSE 0.0 END AS stop_ratio,
+      |  len(list_filter(t.toks, x -> list_contains(
+      |    ['the','a','and','of','to','in','is'], x))) AS s_en,
+      |  len(list_filter(t.toks, x -> list_contains(
+      |    ['el','la','de','y','que','en','los'], x))) AS s_es,
+      |  len(list_filter(t.toks, x -> list_contains(
+      |    ['der','die','und','das','ist','von','ein'], x))) AS s_de
+      |  FROM documents d JOIN toked t ON d.doc_id = t.doc_id),
+      |scored AS (SELECT doc_id, source, n_tokens, stop_ratio,
+      |  CASE WHEN greatest(s_en, s_es, s_de) = 0 THEN 'und'
+      |       WHEN s_en = greatest(s_en, s_es, s_de) THEN 'en'
+      |       WHEN s_es = greatest(s_en, s_es, s_de) THEN 'es'
+      |       ELSE 'de' END AS lang_guess FROM f)""".stripMargin
 
   /** Shared oracle CTE chain ending in `cm` = (src, cl): bounded (≤2-hop)
     * min-reachability over the minhash band candidate graph — the oracle
@@ -756,31 +817,41 @@ object TextOps {
          |SELECT left_id, right_id, hamming FROM hm
          |WHERE hamming <= 6""".stripMargin,
     "pipeline_clean_corpus" ->
-      s"""WITH $TokedCte,
-         |f AS (SELECT t.doc_id, d.source, len(t.toks) AS n_tokens,
-         |  CASE WHEN len(t.toks) > 0 THEN
-         |    CAST(len(list_filter(t.toks, x -> list_contains(
-         |      ['the','a','and','of','to','in','is',
-         |       'el','la','de','y','que','en','los',
-         |       'der','die','und','das','ist','von','ein'], x)))
-         |      AS DOUBLE) / len(t.toks) ELSE 0.0 END AS stop_ratio,
-         |  len(list_filter(t.toks, x -> list_contains(
-         |    ['the','a','and','of','to','in','is'], x))) AS s_en,
-         |  len(list_filter(t.toks, x -> list_contains(
-         |    ['el','la','de','y','que','en','los'], x))) AS s_es,
-         |  len(list_filter(t.toks, x -> list_contains(
-         |    ['der','die','und','das','ist','von','ein'], x))) AS s_de
-         |  FROM documents d JOIN toked t ON d.doc_id = t.doc_id),
-         |scored AS (SELECT doc_id, source, n_tokens, stop_ratio,
-         |  CASE WHEN greatest(s_en, s_es, s_de) = 0 THEN 'und'
-         |       WHEN s_en = greatest(s_en, s_es, s_de) THEN 'en'
-         |       WHEN s_es = greatest(s_en, s_es, s_de) THEN 'es'
-         |       ELSE 'de' END AS lang_guess FROM f)
+      s"""WITH $TokedCte, $CleanGateCte
          |SELECT doc_id, source, n_tokens, lang_guess FROM scored
          |WHERE n_tokens >= 20 AND stop_ratio >= 0.05
          |  AND lang_guess <> 'und'
          |  AND doc_id IN (SELECT min(doc_id) FROM documents
          |                 GROUP BY md5(text))""".stripMargin,
+    "pipeline_pretrain_corpus" ->
+      s"""WITH $TokedCte, $CleanGateCte,
+         |clean AS (SELECT doc_id FROM scored
+         |  WHERE n_tokens >= 20 AND stop_ratio >= 0.05
+         |    AND lang_guess <> 'und'
+         |    AND doc_id IN (SELECT min(doc_id) FROM documents
+         |                   GROUP BY md5(text))),
+         |ct AS (SELECT t.doc_id, t.toks FROM toked t
+         |  JOIN clean c ON t.doc_id = c.doc_id WHERE len(t.toks) > 0),
+         |bl AS (SELECT doc_id,
+         |  [array_to_string(toks[(i-1)*64+1 : i*64], ' ')
+         |   for i in range(1, CAST((len(toks)-1)//64 AS BIGINT) + 2)]
+         |    AS gs,
+         |  [least(64, len(toks) - (i-1)*64)
+         |   for i in range(1, CAST((len(toks)-1)//64 AS BIGINT) + 2)]
+         |    AS ls
+         |  FROM ct),
+         |ex AS (SELECT doc_id, generate_subscripts(gs, 1) - 1 AS chunk_id,
+         |  unnest(gs) AS chunk_text, unnest(ls) AS n_tokens FROM bl),
+         |occ AS (SELECT *, row_number() OVER (PARTITION BY md5(chunk_text)
+         |  ORDER BY doc_id, chunk_id) AS occ FROM ex),
+         |u AS (SELECT doc_id, chunk_id, n_tokens FROM occ WHERE occ = 1),
+         |c2 AS (SELECT *, coalesce(sum(n_tokens) OVER (
+         |    ORDER BY doc_id, chunk_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum0
+         |  FROM u)
+         |SELECT CAST(cum0 // 512 AS BIGINT) AS bin_id,
+         |  count(*) AS n_chunks, CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+         |FROM c2 GROUP BY bin_id""".stripMargin,
     "dedup_exact_keep" ->
       """SELECT doc_id, lang, source, n_chars FROM documents
         |WHERE doc_id IN (SELECT min(doc_id) FROM documents

@@ -81,6 +81,54 @@ class DedupPackSpec extends SparkSpec {
     assert(GraftOps.substringSpans(single, "doc_id", "text").isEmpty)
   }
 
+  test("substringSpans equals the brute-force span finder on random docs " +
+      "with planted duplicates") {
+    // Deterministic corpus: 8 docs of 40 random-ish tokens with a
+    // planted 15-token run copied into three docs at different offsets
+    // and a 10-token run into two docs.
+    val rnd = new scala.util.Random(42)
+    def freshTokens(m: Int, tag: String) =
+      (1 to m).map(_ => s"$tag${rnd.nextInt(100000)}")
+    val run1 = (1 to 15).map("p" + _)
+    val run2 = (1 to 10).map("q" + _)
+    val texts = (0 until 8).map { i =>
+      val base = freshTokens(40, s"u$i-").toVector
+      val withR1 = if (i % 3 == 0) base.patch(5 + i, run1, 15) else base
+      val withR2 = if (i % 4 == 1) withR1.patch(25, run2, 10) else withR1
+      (i.toLong, withR2.mkString(" "))
+    }
+    val docs = texts.toDF("doc_id", "text")
+    val n = 8
+    val got = GraftOps.substringSpans(docs, "doc_id", "text", n = n,
+        maxOcc = 64, minRun = 2)
+      .select("doc_a", "doc_b", "start_a", "start_b", "span_tokens")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    // Brute force: for each doc pair and diagonal, extend runs of
+    // positions whose n-grams match; report runs of >= 2 seeds.
+    val toks = texts.map { case (id, t) => id -> t.split("\\s+").toVector }
+    val grams = toks.map { case (id, ts) =>
+      id -> ts.sliding(n).map(_.mkString(" ")).toVector
+    }.toMap
+    val want = (for {
+      (a, ga) <- grams.toSeq; (b, gb) <- grams.toSeq if a < b
+      matches = for {
+        (g1, pa) <- ga.zipWithIndex; (g2, pb) <- gb.zipWithIndex
+        if g1 == g2
+      } yield (pa.toLong, pb.toLong)
+      ((_, isl), group) <- matches
+        .groupBy { case (pa, pb) => (pa - pb, pa - matches
+          .filter { case (x, y) => x - y == pa - pb }
+          .sortBy(_._1).indexOf((pa, pb)) - 1) }
+        .toSeq
+      if group.size >= 2
+    } yield (a, b, group.map(_._1).min, group.map(_._2).min,
+      group.size.toLong + n - 1)).toSet
+    assert(got == want, s"got ${got.size} spans, want ${want.size}:\n" +
+      s"missing=${want -- got}\nextra=${got -- want}")
+    // Sanity: the planted runs were actually found.
+    assert(got.exists(_._5 >= 15), "planted 15-token run not recovered")
+  }
+
   test("packChunks: exact global prefix-sum bins, bounded overflow") {
     // 10 docs × 100 tokens → chunks of 64+36 per doc; bins of 128.
     val docs = (0L until 10L)

@@ -611,6 +611,54 @@ object TextOps {
     "dedup_substring_spans" -> ((s, d) =>
       graft.api.GraftOps.substringSpans(docsOf(s, d), "doc_id", "text")),
 
+    // LSH quality evaluation — for every minhash candidate pair, the
+    // EXACT 3-gram Jaccard and how many of the 4 bands agreed: the
+    // measurement that tunes the band/row trade-off (band-agreement
+    // histogram vs true similarity) instead of guessing it. Pair list
+    // is the bucket-local candidate set; exact Jaccard joins shingle
+    // rows only for those pairs.
+    "dedup_minhash_eval" -> ((s, d) => {
+      val docs = docsOf(s, d)
+      val pairs = graft.api.GraftOps.minhashCandidatePairs(
+        docs, "doc_id", "text").localCheckpoint()
+      val bands = graft.api.GraftOps.minhashBands(docs, "doc_id", "text")
+      val agree = pairs
+        .join(bands.select(col("doc_id").as("left_id"), col("band_idx"),
+          col("band_hash").as("bh_l")), Seq("left_id"))
+        .join(bands.select(col("doc_id").as("right_id"), col("band_idx"),
+          col("band_hash").as("bh_r")), Seq("right_id", "band_idx"))
+        .groupBy("left_id", "right_id")
+        .agg(sum(when(col("bh_l") === col("bh_r"), 1L).otherwise(0L))
+          .as("n_bands_agree"))
+      val sh = docs
+        .select(col("doc_id"),
+          explode(shingles(tokens(col("text")), 3)).as("sgl"))
+        .distinct()
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+      val inter = pairs
+        .join(sh.select(col("doc_id").as("left_id"), col("sgl")),
+          Seq("left_id"))
+        .join(sh.select(col("doc_id").as("right_id"), col("sgl")),
+          Seq("right_id", "sgl"))
+        .groupBy("left_id", "right_id").agg(count(lit(1)).as("inter"))
+      pairs
+        .join(agree, Seq("left_id", "right_id"))
+        .join(sizes.select(col("doc_id").as("left_id"),
+          col("sz").as("sz_l")), Seq("left_id"), "left")
+        .join(sizes.select(col("doc_id").as("right_id"),
+          col("sz").as("sz_r")), Seq("right_id"), "left")
+        .join(inter, Seq("left_id", "right_id"), "left")
+        .withColumn("un", coalesce(col("sz_l"), lit(0L))
+          + coalesce(col("sz_r"), lit(0L)) - coalesce(col("inter"), lit(0L)))
+        .select(col("left_id"), col("right_id"), col("n_bands_agree"),
+          // Two empty shingle sets are identical: Jaccard 1 by
+          // convention (default-signature pairs land here).
+          when(col("un") > 0,
+            round(coalesce(col("inter"), lit(0L)).cast("double")
+              / col("un").cast("double"), 6))
+            .otherwise(1.0).as("jacc"))
+    }),
+
     // Dedup retention policy: near-dup clusters (same bounded-round CC
     // as dedup_cluster_cc) keep their BEST member — longest text, id as
     // tiebreak — instead of the arbitrary min-id canonical. This is the
@@ -900,6 +948,38 @@ object TextOps {
         |JOIN ch ON coalesce(d.lang, '') = ch.lk
         |WHERE substr(md5(coalesce(d.lang, '') || ':'
         |  || CAST(d.doc_id AS VARCHAR)), 1, 4) < ch.cut_hex""".stripMargin,
+    "dedup_minhash_eval" ->
+      s"""WITH $SigCte,
+         |pr AS (SELECT DISTINCT a.doc_id AS left_id, b.doc_id AS right_id
+         |  FROM bands a JOIN bands b
+         |    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+         |    AND a.doc_id < b.doc_id),
+         |ag AS (SELECT p.left_id, p.right_id,
+         |  CAST(sum(CASE WHEN x.band_hash = y.band_hash THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_bands_agree
+         |  FROM pr p JOIN bands x ON x.doc_id = p.left_id
+         |    JOIN bands y ON y.doc_id = p.right_id
+         |      AND y.band_idx = x.band_idx
+         |  GROUP BY p.left_id, p.right_id),
+         |shr AS (SELECT DISTINCT doc_id, unnest(shingles) AS sgl FROM sh),
+         |szs AS (SELECT doc_id, count(*) AS sz FROM shr GROUP BY doc_id),
+         |itr AS (SELECT p.left_id, p.right_id, count(*) AS inter
+         |  FROM pr p JOIN shr a ON a.doc_id = p.left_id
+         |    JOIN shr b ON b.doc_id = p.right_id AND b.sgl = a.sgl
+         |  GROUP BY p.left_id, p.right_id)
+         |SELECT p.left_id, p.right_id, ag.n_bands_agree,
+         |  CASE WHEN coalesce(l.sz, 0) + coalesce(r.sz, 0)
+         |      - coalesce(itr.inter, 0) > 0
+         |    THEN round(CAST(coalesce(itr.inter, 0) AS DOUBLE)
+         |      / (coalesce(l.sz, 0) + coalesce(r.sz, 0)
+         |         - coalesce(itr.inter, 0)), 6)
+         |    ELSE CAST(1.0 AS DOUBLE) END AS jacc
+         |FROM pr p
+         |JOIN ag ON ag.left_id = p.left_id AND ag.right_id = p.right_id
+         |LEFT JOIN szs l ON l.doc_id = p.left_id
+         |LEFT JOIN szs r ON r.doc_id = p.right_id
+         |LEFT JOIN itr ON itr.left_id = p.left_id
+         |  AND itr.right_id = p.right_id""".stripMargin,
     "dedup_substring_spans" ->
       s"""WITH $TokedCte,
          |gl AS (SELECT doc_id,

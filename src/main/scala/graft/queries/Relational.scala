@@ -743,6 +743,42 @@ object Relational {
           col("p.min_v").as("min_v"), col("p.max_v").as("max_v"))
     }),
 
+    // Skewness and excess kurtosis per group from EXACT power sums
+    // (x..x⁴ accumulated as DECIMAL(38,0)/HUGEINT — order-independent),
+    // with the closed form built ONLY from IEEE correctly-rounded ops
+    // (+,−,×,÷,sqrt — pow() deliberately avoided: libm pow is not
+    // correctly rounded and may differ across engines in the last ulp;
+    // m2^1.5 is spelled sqrt(m2)·m2). Identical expression trees on
+    // both engines ⇒ bit-identical doubles before the final round.
+    "agg_skew_kurt" -> ((s, d) => {
+      val x = (col("l_quantity") * 100.0 + 0.5).cast("long")
+      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+      val nD = col("n").cast("double")
+      Tables.lineitem(s, d)
+        .select(col("l_returnflag"), x.as("x"))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(col("x")).as("s1"),
+          sum(col("x").cast(dec) * col("x")).as("s2"),
+          sum(col("x").cast(dec) * col("x") * col("x")).as("s3"),
+          sum(col("x").cast(dec) * col("x") * col("x") * col("x")).as("s4"))
+        .withColumn("mu", col("s1").cast("double") / nD)
+        .withColumn("a2", col("s2").cast("double") / nD)
+        .withColumn("a3", col("s3").cast("double") / nD)
+        .withColumn("a4", col("s4").cast("double") / nD)
+        .withColumn("m2", col("a2") - col("mu") * col("mu"))
+        .withColumn("m3", col("a3") - lit(3.0) * col("mu") * col("a2")
+          + lit(2.0) * col("mu") * col("mu") * col("mu"))
+        .withColumn("m4", col("a4") - lit(4.0) * col("mu") * col("a3")
+          + lit(6.0) * col("mu") * col("mu") * col("a2")
+          - lit(3.0) * col("mu") * col("mu") * col("mu") * col("mu"))
+        .filter(col("m2") > 0.0)
+        .select(col("l_returnflag"), col("n"),
+          round(col("m3") / (sqrt(col("m2")) * col("m2")), 6).as("skewness"),
+          round(col("m4") / (col("m2") * col("m2")) - 3.0, 6)
+            .as("excess_kurtosis"))
+    }),
+
     // Calendar dimension extraction + histogram — the date-function
     // surface (year/month/quarter/day-of-week) with the engines'
     // differing DOW conventions reconciled (Spark dayofweek is 1=Sunday;
@@ -1318,6 +1354,30 @@ object Relational {
         |  CAST(sum(CASE WHEN l_tax IS NULL THEN 1 ELSE 0 END) AS BIGINT),
         |  count(DISTINCT l_tax),
         |  min(l_tax), max(l_tax) FROM lineitem""".stripMargin,
+    "agg_skew_kurt" ->
+      """WITH t AS (SELECT l_returnflag,
+        |  CAST(trunc(l_quantity * 100.0 + 0.5) AS BIGINT) AS x
+        |  FROM lineitem),
+        |a AS (SELECT l_returnflag, count(*) AS n,
+        |  CAST(sum(x) AS HUGEINT) AS s1,
+        |  sum(CAST(x AS HUGEINT) * x) AS s2,
+        |  sum(CAST(x AS HUGEINT) * x * x) AS s3,
+        |  sum(CAST(x AS HUGEINT) * x * x * x) AS s4
+        |  FROM t GROUP BY l_returnflag),
+        |m AS (SELECT l_returnflag, n,
+        |  CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
+        |  CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS a2,
+        |  CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE) AS a3,
+        |  CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE) AS a4 FROM a),
+        |c AS (SELECT l_returnflag, n,
+        |  a2 - mu * mu AS m2,
+        |  a3 - 3.0 * mu * a2 + 2.0 * mu * mu * mu AS m3,
+        |  a4 - 4.0 * mu * a3 + 6.0 * mu * mu * a2
+        |    - 3.0 * mu * mu * mu * mu AS m4 FROM m)
+        |SELECT l_returnflag, n,
+        |  round(m3 / (sqrt(m2) * m2), 6) AS skewness,
+        |  round(m4 / (m2 * m2) - 3.0, 6) AS excess_kurtosis
+        |FROM c WHERE m2 > 0.0""".stripMargin,
     "agg_date_parts" ->
       """SELECT CAST(year(o_orderdate) AS BIGINT) AS y,
         |  CAST(quarter(o_orderdate) AS BIGINT) AS q,

@@ -553,6 +553,37 @@ object TextOps {
           sum("n_tokens").as("n_tokens"))
     }),
 
+    // Pipeline observability: the one-row stage-count report every
+    // corpus-processing run logs — total docs, exact-dedup survivors,
+    // quality-gate passes, both-gates survivors, then chunk-level
+    // totals and unique chunks. Each count is a tiny scalar aggregate;
+    // they cross-join into one row (all single-row broadcasts).
+    "pipeline_dedup_report" -> ((s, d) => {
+      val docs = docsOf(s, d)
+      val toks = tokens(col("text"))
+      val nTok = size(toks).cast("long")
+      val stops = stopwordHits(toks, LangProfiles.flatMap(_._2)).cast("long")
+      val gated = docs.select(col("doc_id"), col("text"),
+          nTok.as("n_tokens"),
+          when(nTok > 0, stops.cast("double") / nTok).otherwise(0.0)
+            .as("stop_ratio"),
+          langId(toks).as("lang_guess"))
+        .filter(col("n_tokens") >= 20 && col("stop_ratio") >= 0.05 &&
+          col("lang_guess") =!= "und")
+      val keep = docs.groupBy(md5(col("text")).as("h"))
+        .agg(min(col("doc_id")).as("doc_id"))
+      val clean = gated.join(keep, Seq("doc_id"), "left_semi")
+      val chunks = graft.api.GraftOps.chunkTokens(
+        clean.select("doc_id", "text"), "doc_id", "text", 64)
+      docs.agg(count(lit(1)).as("n_docs"))
+        .crossJoin(keep.agg(count(lit(1)).as("n_exact_unique")))
+        .crossJoin(gated.agg(count(lit(1)).as("n_quality_pass")))
+        .crossJoin(clean.agg(count(lit(1)).as("n_clean")))
+        .crossJoin(chunks.agg(count(lit(1)).as("n_chunks")))
+        .crossJoin(chunks.agg(
+          countDistinct(md5(col("chunk_text"))).as("n_unique_chunks")))
+    }),
+
     // Unigram-LM negative log-likelihood per doc — the perplexity-proxy
     // quality filter (CCNet ranks documents by LM perplexity; a unigram
     // model is its declarative in-corpus stand-in). Token probabilities
@@ -871,6 +902,30 @@ object TextOps {
          |  AND lang_guess <> 'und'
          |  AND doc_id IN (SELECT min(doc_id) FROM documents
          |                 GROUP BY md5(text))""".stripMargin,
+    "pipeline_dedup_report" ->
+      s"""WITH $TokedCte, $CleanGateCte,
+         |keep AS (SELECT min(doc_id) AS doc_id FROM documents
+         |  GROUP BY md5(text)),
+         |gated AS (SELECT doc_id FROM scored
+         |  WHERE n_tokens >= 20 AND stop_ratio >= 0.05
+         |    AND lang_guess <> 'und'),
+         |clean AS (SELECT g.doc_id FROM gated g
+         |  JOIN keep k ON g.doc_id = k.doc_id),
+         |ct AS (SELECT t.doc_id, t.toks FROM toked t
+         |  JOIN clean c ON t.doc_id = c.doc_id WHERE len(t.toks) > 0),
+         |bl AS (SELECT doc_id,
+         |  [array_to_string(toks[(i-1)*64+1 : i*64], ' ')
+         |   for i in range(1, CAST((len(toks)-1)//64 AS BIGINT) + 2)]
+         |    AS gs
+         |  FROM ct),
+         |ex AS (SELECT doc_id, unnest(gs) AS chunk_text FROM bl)
+         |SELECT (SELECT count(*) FROM documents) AS n_docs,
+         |  (SELECT count(*) FROM keep) AS n_exact_unique,
+         |  (SELECT count(*) FROM gated) AS n_quality_pass,
+         |  (SELECT count(*) FROM clean) AS n_clean,
+         |  (SELECT count(*) FROM ex) AS n_chunks,
+         |  (SELECT count(DISTINCT md5(chunk_text)) FROM ex)
+         |    AS n_unique_chunks""".stripMargin,
     "pipeline_pretrain_corpus" ->
       s"""WITH $TokedCte, $CleanGateCte,
          |clean AS (SELECT doc_id FROM scored

@@ -357,6 +357,38 @@ object Relational {
           col("promo_revenue"), col("total_revenue"))
     }),
 
+    // TPC-H Q6 shape: the pure pushdown-filter revenue aggregate (the
+    // query whose ENTIRE cost is the scan — filters must reach the
+    // parquet reader; PlanAudit shows PushedFilters for all three).
+    "q6_forecast_revenue" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= "1996-01-01" &&
+          col("l_shipdate") < "1997-01-01" &&
+          col("l_discount") >= 0.03 && col("l_discount") <= 0.07 &&
+          col("l_quantity") < 24)
+        .agg((sum((col("l_extendedprice") * col("l_discount") * 10000.0
+          + 0.5).cast("long")).cast("double") / 10000.0).as("revenue"))),
+
+    // TPC-H Q18 shape: large-order customers — HAVING over a grouped
+    // fact feeds a semi-join filter on the fact itself, then joins the
+    // dims. The big-quantity order list is tiny after HAVING, so it
+    // broadcasts; the fact shuffles once.
+    "q18_large_orders" -> ((s, d) => {
+      val l = Tables.lineitem(s, d)
+      val big = l.groupBy("l_orderkey")
+        .agg((sum((col("l_quantity") * 100.0 + 0.5).cast("long"))
+          .cast("double") / 100.0).as("sum_qty"))
+        .filter(col("sum_qty") > 300.0)
+      val o = Tables.orders(s, d)
+      val c = Tables.customer(s, d)
+      o.join(broadcast(big), o("o_orderkey") === big("l_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          col("o_orderdate"), col("o_totalprice"), col("sum_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100)
+    }),
+
     // Standard stats surface (min/max exact on raw doubles, avg via the
     // decimal trick).
     "agg_stats" -> ((s, d) =>
@@ -1354,6 +1386,27 @@ object Relational {
         |  CAST(sum(CASE WHEN l_tax IS NULL THEN 1 ELSE 0 END) AS BIGINT),
         |  count(DISTINCT l_tax),
         |  min(l_tax), max(l_tax) FROM lineitem""".stripMargin,
+    "q6_forecast_revenue" ->
+      """SELECT CAST(sum(CAST(trunc(l_extendedprice * l_discount * 10000.0
+        |    + 0.5) AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount >= 0.03 AND l_discount <= 0.07
+        |  AND l_quantity < 24""".stripMargin,
+    "q18_large_orders" ->
+      """WITH big AS (SELECT l_orderkey,
+        |  CAST(sum(CAST(trunc(l_quantity * 100.0 + 0.5) AS BIGINT))
+        |    AS DOUBLE) / 100.0 AS sum_qty
+        |  FROM lineitem GROUP BY l_orderkey
+        |  HAVING CAST(sum(CAST(trunc(l_quantity * 100.0 + 0.5) AS BIGINT))
+        |    AS DOUBLE) / 100.0 > 300.0)
+        |SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+        |  o.o_totalprice, big.sum_qty
+        |FROM orders o
+        |JOIN big ON o.o_orderkey = big.l_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |ORDER BY o.o_totalprice DESC, o.o_orderkey LIMIT 100""".stripMargin,
     "agg_skew_kurt" ->
       """WITH t AS (SELECT l_returnflag,
         |  CAST(trunc(l_quantity * 100.0 + 0.5) AS BIGINT) AS x

@@ -61,8 +61,16 @@ object GraftOps {
     * bucket membership, emit sorted combinations) — Σ|bucket|² cost, no
     * self-join, no all-pairs. */
   def minhashCandidatePairs(docs: DataFrame, idCol: String, textCol: String)
+      : DataFrame =
+    candidatePairsFromBands(minhashBands(docs, idCol, textCol), idCol)
+
+  /** Candidate pairs from a precomputed band table (doc, band_idx,
+    * band_hash) — lets callers that also need the bands themselves
+    * (e.g. band-agreement scoring) compute the minhash pipeline ONCE
+    * and reuse it, instead of rebuilding it inside the pair step. */
+  def candidatePairsFromBands(bands: DataFrame, idCol: String)
       : DataFrame = {
-    val buckets = minhashBands(docs, idCol, textCol)
+    val buckets = bands
       .groupBy("band_idx", "band_hash")
       .agg(sort_array(collect_list(col(idCol))).as("ids"))
       .filter(size(col("ids")) > 1)

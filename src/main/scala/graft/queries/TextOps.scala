@@ -650,9 +650,13 @@ object TextOps {
     // rows only for those pairs.
     "dedup_minhash_eval" -> ((s, d) => {
       val docs = docsOf(s, d)
-      val pairs = graft.api.GraftOps.minhashCandidatePairs(
-        docs, "doc_id", "text").localCheckpoint()
+      // ONE minhash computation: the checkpointed band table feeds both
+      // the candidate-pair generation and the band-agreement join
+      // (exchange reuse would not cover the three consumers).
       val bands = graft.api.GraftOps.minhashBands(docs, "doc_id", "text")
+        .localCheckpoint()
+      val pairs = graft.api.GraftOps
+        .candidatePairsFromBands(bands, "doc_id").localCheckpoint()
       val agree = pairs
         .join(bands.select(col("doc_id").as("left_id"), col("band_idx"),
           col("band_hash").as("bh_l")), Seq("left_id"))
@@ -661,7 +665,13 @@ object TextOps {
         .groupBy("left_id", "right_id")
         .agg(sum(when(col("bh_l") === col("bh_r"), 1L).otherwise(0L))
           .as("n_bands_agree"))
-      val sh = docs
+      // Shingle only the docs that appear in some candidate pair (a
+      // left-semi prune): exact Jaccard is pair-scoped, so the corpus
+      // never re-tokenizes — at 100 TB the candidate set is the tiny
+      // side by construction.
+      val pairIds = pairs.select(col("left_id").as("doc_id"))
+        .union(pairs.select(col("right_id").as("doc_id"))).distinct()
+      val sh = docs.join(broadcast(pairIds), Seq("doc_id"), "left_semi")
         .select(col("doc_id"),
           explode(shingles(tokens(col("text")), 3)).as("sgl"))
         .distinct()

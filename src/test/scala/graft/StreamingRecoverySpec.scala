@@ -1,0 +1,63 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.EventStream
+
+/** Checkpoint-recovery semantics: a streaming aggregation stopped
+  * mid-stream and RESTARTED from its checkpoint must (a) resume from
+  * committed state rather than reprocessing from scratch, and (b) end
+  * with exactly the batch answer — the exactly-once contract an
+  * operational pipeline relies on across deploys/crashes. */
+class StreamingRecoverySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(min: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 00:$min%02d:00")
+
+  test("tumbling aggregation restarted from checkpoint equals batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-ckpt").toString
+    val out = java.nio.file.Files
+      .createTempDirectory("graft-stream-out").toString
+    val batch1 = Seq((ts(1), "a", 1.0), (ts(4), "a", 2.0))
+    val batch2 = Seq((ts(11), "b", 4.0), (ts(25), "a", 8.0),
+      (ts(51), "a", 16.0)) // 00:51 advances the watermark past 00:30
+
+    val stream = MemoryStream[(Timestamp, String, Double)]
+    def start() = EventStream
+      .tumblingStream(stream.toDF().toDF("ts", "event_type", "value"),
+        "10 minutes", "5 minutes")
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+
+    // Phase 1: ingest, commit, stop — simulating a deploy/crash.
+    stream.addData(batch1)
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+
+    // Phase 2: restart from the SAME checkpoint, ingest the rest. The
+    // watermark at 00:51 finalizes every earlier 10-minute window, so
+    // append mode emits them all.
+    stream.addData(batch2)
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+
+    val streamed = spark.read.parquet(out)
+      .select("window_start", "event_type", "n", "total")
+      .as[(Timestamp, String, Long, Double)].collect().toSet
+    val expected = EventStream
+      .tumblingAgg((batch1 ++ batch2).toDF("ts", "event_type", "value"),
+        "10 minutes")
+      .filter(col("window_start") < ts(50)) // 00:51's window not final
+      .as[(Timestamp, String, Long, Double)].collect().toSet
+    assert(streamed == expected,
+      s"restart must resume exactly-once:\n got  $streamed\n want $expected")
+    assert(expected == Set(
+      (ts(0), "a", 2L, 3.0), (ts(10), "b", 1L, 4.0),
+      (ts(20), "a", 1L, 8.0)))
+  }
+}

@@ -192,11 +192,15 @@ object GraftOps {
       .filterNot(c => c == keyCol || c == tsCol)
     val reserved = Seq("__typ", "__asof_payload")
     val collisions = (payloadCols ++ reserved).filter(leftOther.contains) ++
-      reserved.filter(right.columns.contains)
+      reserved.filter(right.columns.contains) ++
+      // Output aliases collide too (e.g. a previous asofJoin's asof_x
+      // fed back in as the left side).
+      payloadCols.map("asof_" + _).filter(leftOther.contains)
     require(collisions.isEmpty,
       s"asofJoin: column name collision(s) ${collisions.distinct.mkString(", ")} — " +
-        "payload columns must not also exist on the left, and neither side " +
-        "may use the reserved names __typ/__asof_payload")
+        "payload columns and their asof_ output aliases must not also " +
+        "exist on the left, and neither side may use the reserved names " +
+        "__typ/__asof_payload")
     // One struct per right row ⇒ last(ignoreNulls) skips only left rows
     // (whose struct is NULL), never a matched row's NULL field.
     val r2 = right.select(
@@ -286,11 +290,13 @@ object GraftOps {
         y => struct(x.getField("id").as("a"), x.getField("pos").as("pa"),
           y.getField("id").as("b"), y.getField("pos").as("pb")))))
     val wIsl = Window.partitionBy("a", "b", "diag").orderBy("pa")
+    // No distinct(): a (doc, pos) carries exactly ONE gram, so each
+    // (a, pa, b, pb) match is generated from a single bucket — a dedup
+    // here would be a pure extra shuffle over the largest intermediate.
     buckets.select(explode(pairs).as("p"))
       .select(col("p.a").as("a"), col("p.pa").as("pa"),
         col("p.b").as("b"), col("p.pb").as("pb"))
       .filter(col("a") =!= col("b"))
-      .distinct()
       .withColumn("diag", col("pa") - col("pb"))
       .withColumn("isl", col("pa") - row_number().over(wIsl))
       .groupBy("a", "b", "diag", "isl")

@@ -63,6 +63,9 @@ object ScaleOps {
   def writePartitioned(df: DataFrame, path: String,
       partitionCols: Seq[String], saltBuckets: Int = 8): Unit = {
     require(saltBuckets >= 1, "saltBuckets must be >= 1")
+    require(!df.columns.contains("__salt"),
+      "writePartitioned: input already has a __salt column (reserved); " +
+        "rename or drop it before writing")
     // Deterministic salt (content hash, not monotonically_increasing_id):
     // a nondeterministic shuffle key can drop/duplicate rows when a map
     // task is retried after some reducers already fetched its output.

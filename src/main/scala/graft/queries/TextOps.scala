@@ -39,6 +39,26 @@ object TextOps {
   private def docsOf(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
 
+  /** Shared Scala twin of the oracle's CleanGateCte: (gated, keep) —
+    * quality/language-gated docs (with text) and the exact-dedup keep
+    * set. clean = gated left-semi keep. One definition, three pipeline
+    * consumers (clean_corpus, pretrain_corpus, dedup_report). */
+  private def cleanGate(docs: DataFrame): (DataFrame, DataFrame) = {
+    val toks = tokens(col("text"))
+    val nTok = size(toks).cast("long")
+    val stops = stopwordHits(toks, LangProfiles.flatMap(_._2)).cast("long")
+    val gated = docs.select(col("doc_id"), col("text"), col("source"),
+        nTok.as("n_tokens"),
+        when(nTok > 0, stops.cast("double") / nTok).otherwise(0.0)
+          .as("stop_ratio"),
+        langId(toks).as("lang_guess"))
+      .filter(col("n_tokens") >= 20 && col("stop_ratio") >= 0.05 &&
+        col("lang_guess") =!= "und")
+    val keep = docs.groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("doc_id"))
+    (gated, keep)
+  }
+
   private def bandTable(s: SparkSession, d: String): DataFrame =
     graft.api.GraftOps.minhashBands(docsOf(s, d), "doc_id", "text")
 
@@ -384,19 +404,7 @@ object TextOps {
     // shape of an LLM training-data prep job. One scan, one projection,
     // one semi-join against the dedup keep-set.
     "pipeline_clean_corpus" -> ((s, d) => {
-      val docs  = Tables.documents(s, d)
-      val toks  = tokens(col("text"))
-      val nTok  = size(toks).cast("long")
-      val stops = stopwordHits(toks, LangProfiles.flatMap(_._2)).cast("long")
-      val scored = docs.select(col("doc_id"), col("source"),
-        nTok.as("n_tokens"),
-        when(nTok > 0, stops.cast("double") / nTok).otherwise(0.0)
-          .as("stop_ratio"),
-        langId(toks).as("lang_guess"))
-      val gated = scored.filter(col("n_tokens") >= 20 &&
-        col("stop_ratio") >= 0.05 && col("lang_guess") =!= "und")
-      val keep = docs.groupBy(md5(col("text")).as("h"))
-        .agg(min(col("doc_id")).as("doc_id"))
+      val (gated, keep) = cleanGate(Tables.documents(s, d))
       gated.join(keep, Seq("doc_id"), "left_semi")
         .select("doc_id", "source", "n_tokens", "lang_guess")
     }),
@@ -526,19 +534,7 @@ object TextOps {
     // content hash, packing is the distributed prefix-sum.
     "pipeline_pretrain_corpus" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
-      val docs = docsOf(s, d)
-      val toks = tokens(col("text"))
-      val nTok = size(toks).cast("long")
-      val stops = stopwordHits(toks, LangProfiles.flatMap(_._2)).cast("long")
-      val gated = docs.select(col("doc_id"), col("text"),
-          nTok.as("n_tokens"),
-          when(nTok > 0, stops.cast("double") / nTok).otherwise(0.0)
-            .as("stop_ratio"),
-          langId(toks).as("lang_guess"))
-        .filter(col("n_tokens") >= 20 && col("stop_ratio") >= 0.05 &&
-          col("lang_guess") =!= "und")
-      val keep = docs.groupBy(md5(col("text")).as("h"))
-        .agg(min(col("doc_id")).as("doc_id"))
+      val (gated, keep) = cleanGate(docsOf(s, d))
       val clean = gated.join(keep, Seq("doc_id"), "left_semi")
         .select("doc_id", "text")
       val wOcc = Window.partitionBy(md5(col("chunk_text")))
@@ -560,18 +556,7 @@ object TextOps {
     // they cross-join into one row (all single-row broadcasts).
     "pipeline_dedup_report" -> ((s, d) => {
       val docs = docsOf(s, d)
-      val toks = tokens(col("text"))
-      val nTok = size(toks).cast("long")
-      val stops = stopwordHits(toks, LangProfiles.flatMap(_._2)).cast("long")
-      val gated = docs.select(col("doc_id"), col("text"),
-          nTok.as("n_tokens"),
-          when(nTok > 0, stops.cast("double") / nTok).otherwise(0.0)
-            .as("stop_ratio"),
-          langId(toks).as("lang_guess"))
-        .filter(col("n_tokens") >= 20 && col("stop_ratio") >= 0.05 &&
-          col("lang_guess") =!= "und")
-      val keep = docs.groupBy(md5(col("text")).as("h"))
-        .agg(min(col("doc_id")).as("doc_id"))
+      val (gated, keep) = cleanGate(docs)
       val clean = gated.join(keep, Seq("doc_id"), "left_semi")
       val chunks = graft.api.GraftOps.chunkTokens(
         clean.select("doc_id", "text"), "doc_id", "text", 64)
@@ -579,8 +564,8 @@ object TextOps {
         .crossJoin(keep.agg(count(lit(1)).as("n_exact_unique")))
         .crossJoin(gated.agg(count(lit(1)).as("n_quality_pass")))
         .crossJoin(clean.agg(count(lit(1)).as("n_clean")))
-        .crossJoin(chunks.agg(count(lit(1)).as("n_chunks")))
-        .crossJoin(chunks.agg(
+        // One pass over the chunk pipeline for both chunk counters.
+        .crossJoin(chunks.agg(count(lit(1)).as("n_chunks"),
           countDistinct(md5(col("chunk_text"))).as("n_unique_chunks")))
     }),
 
@@ -1056,8 +1041,7 @@ object TextOps {
          |occ AS (SELECT g, count(*) AS cnt FROM gr GROUP BY g),
          |rare AS (SELECT gr.* FROM gr JOIN occ ON gr.g = occ.g
          |  WHERE occ.cnt BETWEEN 2 AND 8),
-         |pr AS (SELECT DISTINCT x.id AS a, x.pos AS pa,
-         |    y.id AS b, y.pos AS pb
+         |pr AS (SELECT x.id AS a, x.pos AS pa, y.id AS b, y.pos AS pb
          |  FROM rare x JOIN rare y ON x.g = y.g WHERE x.id < y.id),
          |isl AS (SELECT *, pa - pb AS diag,
          |  pa - row_number() OVER (PARTITION BY a, b, pa - pb

@@ -60,6 +60,17 @@ class AsofChunkSpec extends SparkSpec {
       GraftOps.asofJoin(left, right, "user_id", "ts", Seq("event_id"))
     }
     assert(e.getMessage.contains("event_id"))
+
+    // A chained as-of: the left already carries asof_v from a previous
+    // join — the output alias collides and must fail fast too.
+    val left2 = Seq((1L, ts("2024-01-01 12:00:00"), 9L))
+      .toDF("user_id", "ts", "asof_v")
+    val right2 = Seq((1L, ts("2024-01-01 10:00:00"), 5L))
+      .toDF("user_id", "ts", "v")
+    val e2 = intercept[IllegalArgumentException] {
+      GraftOps.asofJoin(left2, right2, "user_id", "ts", Seq("v"))
+    }
+    assert(e2.getMessage.contains("asof_v"))
   }
 
   test("asofJoin does not leak matches across keys") {

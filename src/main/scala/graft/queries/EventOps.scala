@@ -171,6 +171,26 @@ object EventOps {
           coalesce(col("n_clicks_1h"), lit(0L)).as("n_clicks_1h"))
     }),
 
+    // First-order Markov transition matrix over event types: per-user
+    // lag pairs → global transition counts → row-normalized
+    // probabilities (exact integer counts; one double division, same
+    // spelling both engines). The product-analytics "what happens next"
+    // surface.
+    "ev_transition_matrix" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val pairs = Tables.events(s, d)
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .filter(col("next_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"), col("next_type"))
+        .agg(count(lit(1)).as("n"))
+      val wRow = Window.partitionBy("from_type")
+      pairs
+        .withColumn("row_total", sum(col("n")).over(wRow))
+        .select(col("from_type"), col("next_type"), col("n"),
+          round(col("n").cast("double") / col("row_total").cast("double"),
+            6).as("p"))
+    }),
+
     // SCD2 interval build (type-2 slowly-changing dimension from a
     // change stream): collapse each user's consecutive identical states
     // (gaps-and-islands lag filter), then each surviving change opens an
@@ -333,6 +353,17 @@ object EventOps {
         |FROM p LEFT JOIN c ON p.user_id = c.user_id
         |  AND c.ts > p.ts - INTERVAL '1 hour' AND c.ts <= p.ts
         |GROUP BY p.event_id, p.user_id""".stripMargin,
+    "ev_transition_matrix" ->
+      """WITH p AS (SELECT event_type AS from_type,
+        |  lead(event_type) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id) AS next_type
+        |  FROM events),
+        |c AS (SELECT from_type, next_type, count(*) AS n FROM p
+        |  WHERE next_type IS NOT NULL GROUP BY from_type, next_type)
+        |SELECT from_type, next_type, n,
+        |  round(CAST(n AS DOUBLE) / CAST(sum(n) OVER (
+        |    PARTITION BY from_type) AS DOUBLE), 6) AS p
+        |FROM c""".stripMargin,
     "scd2_intervals" ->
       """WITH ch AS (SELECT user_id, event_type, ts, event_id FROM (
         |  SELECT user_id, event_type, ts, event_id,

@@ -198,6 +198,26 @@ object Similarity {
           col("votes"), (col("c_label") === col("q_label")).as("correct"))
     }),
 
+    // Clustering evaluation: label purity per k-means cell — majority
+    // true label, its share of the cell, and cell size. The eval loop
+    // that tells you whether the IVF cells are semantically coherent
+    // (exact counts; one double division).
+    "emb_cluster_purity" -> ((s, d) => {
+      val a = kmeansAssign(s, d).select("vec_id", "cluster")
+        .join(unitVecs(s, d).select("vec_id", "label"), "vec_id")
+      val counts = a.groupBy("cluster", "label")
+        .agg(count(lit(1)).as("n"))
+      val wTop = Window.partitionBy("cluster")
+        .orderBy(col("n").desc, col("label"))
+      counts
+        .withColumn("cell_n", sum(col("n")).over(Window.partitionBy("cluster")))
+        .withColumn("rn", row_number().over(wTop)).filter(col("rn") === 1)
+        .select(col("cluster"), col("label").as("majority_label"),
+          col("cell_n"),
+          round(col("n").cast("double") / col("cell_n").cast("double"), 6)
+            .as("purity"))
+    }),
+
     // Product quantization (the other ANN memory lever next to int8:
     // 64 dims → 8 subspace codes, 8 bytes per vector at codebook size
     // 256). Deterministic toy codebook — the first 4 vectors' subvectors
@@ -400,6 +420,18 @@ object Similarity {
         |        AS BIGINT) / scale)
         |    for x in v])), 6) AS l2_err
         |FROM m""".stripMargin,
+    "emb_cluster_purity" ->
+      s"""WITH $KmeansCte,
+         |c AS (SELECT a2.cluster, e.label, count(*) AS n
+         |  FROM a2 JOIN e ON a2.vec_id = e.vec_id
+         |  GROUP BY a2.cluster, e.label),
+         |t AS (SELECT *, CAST(sum(n) OVER (PARTITION BY cluster)
+         |    AS BIGINT) AS cell_n,
+         |  row_number() OVER (PARTITION BY cluster
+         |    ORDER BY n DESC, label) AS rn FROM c)
+         |SELECT cluster, label AS majority_label, cell_n,
+         |  round(CAST(n AS DOUBLE) / CAST(cell_n AS DOUBLE), 6) AS purity
+         |FROM t WHERE rn = 1""".stripMargin,
     "emb_knn_label" ->
       s"""WITH $UnitCte,
          |q AS (SELECT vec_id AS q_id, label AS q_label, u AS q_u

@@ -39,4 +39,20 @@ object Sinks {
   def writeDocCollection(df: DataFrame, payload: Column, path: String): Unit =
     df.select(docId(payload).as("_id"), to_json(payload).as("doc"))
       .write.mode("overwrite").parquet(path)
+
+  /** Idempotent microbatch writer for non-transactional sinks: each
+    * batch lands in its own `batch_id=` partition via DYNAMIC partition
+    * overwrite, so a replayed batch (restart between sink write and
+    * checkpoint commit — the failure window foreachBatch exposes)
+    * overwrites its own partition instead of appending duplicates.
+    * This is the standard exactly-once recipe when the sink itself has
+    * no transactions. Use with
+    * `stream.writeStream.foreachBatch(writeBatchIdempotent(path) _)`. */
+  def writeBatchIdempotent(path: String)(df: DataFrame, batchId: Long)
+      : Unit =
+    df.withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
+      .parquet(path)
 }

@@ -60,4 +60,37 @@ class StreamingRecoverySpec extends SparkSpec {
       (ts(0), "a", 2L, 3.0), (ts(10), "b", 1L, 4.0),
       (ts(20), "a", 1L, 8.0)))
   }
+
+  test("foreachBatch idempotent sink: a replayed batch does not duplicate") {
+    implicit val sqlCtx = spark.sqlContext
+    val out = java.nio.file.Files
+      .createTempDirectory("graft-fb-out").toString
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-fb-ckpt").toString
+
+    val stream = MemoryStream[(Long, Double)]
+    stream.addData(Seq((1L, 1.0), (2L, 2.0)))
+    val q = stream.toDF().toDF("id", "v")
+      .writeStream
+      .foreachBatch(graft.sinks.Sinks.writeBatchIdempotent(out) _)
+      .option("checkpointLocation", ckpt)
+      .start()
+    try {
+      q.processAllAvailable()
+      stream.addData(Seq((3L, 3.0)))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(spark.read.parquet(out).count() == 3)
+
+    // Simulate the replay failure window: the SAME batchId is written
+    // again (restart between sink write and offset commit). Dynamic
+    // partition overwrite must leave the total unchanged — no
+    // duplicates, exactly-once at the sink.
+    val replay = Seq((3L, 3.0)).toDF("id", "v")
+    graft.sinks.Sinks.writeBatchIdempotent(out)(replay, 1L)
+    assert(spark.read.parquet(out).count() == 3,
+      "replaying batch 1 must overwrite its own partition, not append")
+    // An APPEND-mode writer would have produced 4 rows here — the
+    // failure this sink exists to prevent.
+  }
 }

@@ -607,6 +607,31 @@ object Relational {
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
         .offset(10).limit(10)),
 
+    // Keyset pagination — the scale-correct successor to OFFSET noted
+    // in o3: resume strictly after the last-seen (price, key) cursor
+    // via a row-value comparison, so the scan skips by predicate
+    // (pushdown-able) instead of sort-skipping a prefix. Cursor here is
+    // o3's page-1 tail; this page must therefore equal o3's page 2.
+    "o4_keyset_page" -> ((s, d) => {
+      val o = Tables.orders(s, d).select("o_orderkey", "o_totalprice")
+      // Page-1 LAST row as the cursor: re-sort the 10-row page with the
+      // inverted order (asc price, desc key) and take the head — a
+      // min(struct) would pick the wrong row when the boundary price
+      // ties (smallest key of the tie group instead of largest).
+      val cursor = o
+        .orderBy(col("o_totalprice").desc, col("o_orderkey")).limit(10)
+        .orderBy(col("o_totalprice").asc, col("o_orderkey").desc).limit(1)
+        .select(col("o_totalprice").as("c_price"),
+          col("o_orderkey").as("c_key"))
+      o.crossJoin(broadcast(cursor))
+        .filter(col("o_totalprice") < col("c_price") ||
+          (col("o_totalprice") === col("c_price") &&
+            col("o_orderkey") > col("c_key")))
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(10)
+    }),
+
     // ---- O: sort / limit ------------------------------------------------
     // O1 ORDER BY id DESC (utils.py:45).
     "o1_sort_desc" -> ((s, d) =>
@@ -1252,6 +1277,15 @@ object Relational {
       """SELECT o_orderkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey
         |LIMIT 10 OFFSET 10""".stripMargin,
+    "o4_keyset_page" ->
+      """WITH p1 AS (SELECT o_orderkey, o_totalprice FROM orders
+        |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 10),
+        |c AS (SELECT o_totalprice AS c_price, o_orderkey AS c_key
+        |  FROM p1 ORDER BY o_totalprice ASC, o_orderkey DESC LIMIT 1)
+        |SELECT o.o_orderkey, o.o_totalprice FROM orders o, c
+        |WHERE o.o_totalprice < c.c_price
+        |   OR (o.o_totalprice = c.c_price AND o.o_orderkey > c.c_key)
+        |ORDER BY o.o_totalprice DESC, o.o_orderkey LIMIT 10""".stripMargin,
     "o1_sort_desc" ->
       "SELECT n_nationkey, n_name FROM nation ORDER BY n_nationkey DESC",
     "o2_topk_limit" ->

@@ -13,12 +13,12 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries ++ TextOps.queries ++ Similarity.queries ++
-      EventOps.queries ++ Entities.queries
+    Relational.queries ++ Decorrelated.queries ++ TextOps.queries ++
+      Similarity.queries ++ EventOps.queries ++ Entities.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    Relational.oracle ++ TextOps.oracle ++ Similarity.oracle ++
-      EventOps.oracle ++ Entities.oracle
+    Relational.oracle ++ Decorrelated.oracle ++ TextOps.oracle ++
+      Similarity.oracle ++ EventOps.oracle ++ Entities.oracle
 }

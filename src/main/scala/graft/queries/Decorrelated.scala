@@ -200,6 +200,23 @@ object Decorrelated {
         .orderBy("ship_bucket")
     }),
 
+    // Q13 shape: customer order-count distribution — LEFT OUTER join with
+    // the filter folded into the join side (never after the outer join,
+    // which would drop the zero-order customers), then a two-level
+    // count-of-counts aggregate. Both groupBys shuffle on small keys.
+    "q13_customer_distribution" -> ((s, d) => {
+      val c = Tables.customer(s, d).select(col("c_custkey"))
+      val o = Tables.orders(s, d)
+        .filter(!col("o_orderpriority").startsWith("4"))
+        .select(col("o_custkey"))
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
+        .groupBy(c("c_custkey"))
+        .agg(count(col("o_custkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    }),
+
     // Q15 shape: the "view + max over the view" pattern — revenue per
     // supplier, then keep the max-revenue row(s) via a broadcast one-row
     // max (exact scaled-long revenue makes the equality safe).
@@ -271,6 +288,40 @@ object Decorrelated {
         .agg((sum(disc10k).cast("double") / 10000.0).as("revenue"))
     }),
 
+    // Q20 shape: nested IN subqueries with a correlated aggregate
+    // threshold, fully decorrelated. (The testdata has no partsupp, so
+    // "availability" is recast as shipped-quantity share: a supplier is
+    // flagged when it shipped >50% of a filtered part's 1996 volume.)
+    // part-filter → left-semi prune BEFORE the per-(part,supp) aggregate;
+    // the per-part total reuses that aggregate (shuffle-once, then a
+    // narrow re-agg); supplier membership → distinct + broadcast semi.
+    "q20_potential_promotion" -> ((s, d) => {
+      val p = Tables.part(s, d).filter(col("p_name").like("s%"))
+        .select(col("p_partkey"))
+      val perPS = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= "1996-01-01" &&
+          col("l_shipdate") < "1997-01-01")
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"),
+          "left_semi")
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(sum((col("l_quantity") * 100.0 + 0.5).cast("long")).as("qty_c"))
+      val perP = perPS.groupBy(col("l_partkey").as("pp_key"))
+        .agg(sum(col("qty_c")).as("tot_c"))
+      val big = perPS.join(perP, col("l_partkey") === col("pp_key"))
+        .filter(col("qty_c").cast("double") > col("tot_c").cast("double") * 0.5)
+        .select(col("l_suppkey")).distinct()
+      val n = Tables.nation(s, d)
+        .filter(col("n_name").isin("NATION_1", "NATION_2", "NATION_3",
+          "NATION_4", "NATION_5"))
+      Tables.supplier(s, d)
+        .join(broadcast(big), col("s_suppkey") === col("l_suppkey"),
+          "left_semi")
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"),
+          "left_semi")
+        .select(col("s_suppkey"), col("s_name"))
+        .orderBy("s_name")
+    }),
+
     // Q21 shape: EXISTS + NOT EXISTS on self-joined facts — the late
     // supplier who was the ONLY late supplier on a multi-supplier order.
     // EXISTS → left-semi, NOT EXISTS → left-anti, both with the
@@ -310,8 +361,11 @@ object Decorrelated {
       val avgBal = c.filter(col("c_acctbal") > 0.0)
         .agg((sum((col("c_acctbal") * 100.0 + 0.5).cast("long"))
           .cast("double") / 100.0 / count(lit(1))).as("avg_bal"))
+      // Threshold at half the average balance so the anti-join branch is
+      // non-vacuous at sf0.01 (full avg leaves zero survivors there,
+      // which verified nothing).
       c.crossJoin(broadcast(avgBal))
-        .filter(col("c_acctbal") > col("avg_bal"))
+        .filter(col("c_acctbal") > col("avg_bal") * 0.5)
         .join(o, c("c_custkey") === o("o_custkey"), "left_anti")
         .groupBy(col("c_mktsegment"))
         .agg(count(lit(1)).as("numcust"),
@@ -420,14 +474,46 @@ object Decorrelated {
     "q12_late_shipments" ->
       """SELECT CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
         |    THEN 'LATE' ELSE 'ONTIME' END AS ship_bucket,
-        |  sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
-        |    THEN 1 ELSE 0 END) AS high_line_count,
-        |  sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
-        |    THEN 0 ELSE 1 END) AS low_line_count
+        |  CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
         |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
         |WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
         |  AND l.l_shipdate < TIMESTAMP '1997-01-01'
         |GROUP BY ship_bucket ORDER BY ship_bucket""".stripMargin,
+    "q13_customer_distribution" ->
+      """WITH c_orders AS (
+        |  SELECT c.c_custkey, count(o.o_custkey) AS c_count
+        |  FROM customer c LEFT OUTER JOIN orders o
+        |    ON c.c_custkey = o.o_custkey
+        |    AND o.o_orderpriority NOT LIKE '4%'
+        |  GROUP BY c.c_custkey)
+        |SELECT c_count, count(*) AS custdist
+        |FROM c_orders GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "q20_potential_promotion" ->
+      """WITH p AS (SELECT p_partkey FROM part WHERE p_name LIKE 's%'),
+        |l96 AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    sum(CAST(trunc(l_quantity * 100.0 + 0.5) AS BIGINT)) AS qty_c
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1997-01-01'
+        |    AND l_partkey IN (SELECT p_partkey FROM p)
+        |  GROUP BY l_partkey, l_suppkey),
+        |tot AS (SELECT l_partkey AS pp_key, sum(qty_c) AS tot_c
+        |  FROM l96 GROUP BY l_partkey),
+        |big AS (SELECT DISTINCT l_suppkey
+        |  FROM l96 JOIN tot ON l96.l_partkey = tot.pp_key
+        |  WHERE CAST(qty_c AS DOUBLE) > CAST(tot_c AS DOUBLE) * 0.5)
+        |SELECT s.s_suppkey, s.s_name
+        |FROM supplier s
+        |WHERE s.s_suppkey IN (SELECT l_suppkey FROM big)
+        |  AND s.s_nationkey IN (SELECT n_nationkey FROM nation
+        |    WHERE n_name IN ('NATION_1', 'NATION_2', 'NATION_3',
+        |      'NATION_4', 'NATION_5'))
+        |ORDER BY s_name""".stripMargin,
     "q15_top_supplier" ->
       """WITH rev AS (
         |  SELECT l_suppkey,
@@ -502,7 +588,7 @@ object Decorrelated {
         |  CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
         |    AS totacctbal
         |FROM customer c, avg_bal
-        |WHERE c.c_acctbal > avg_bal.avg_bal
+        |WHERE c.c_acctbal > avg_bal.avg_bal * 0.5
         |  AND NOT EXISTS (SELECT 1 FROM orders o
         |    WHERE o.o_custkey = c.c_custkey)
         |GROUP BY c.c_mktsegment ORDER BY c_mktsegment""".stripMargin

@@ -704,8 +704,92 @@ object TextOps {
         .withColumn("rnk", row_number().over(w))
         .select(col("doc_id"), col("cluster_id"), col("n_chars"),
           (col("rnk") === 1).as("keep"))
+    }),
+
+    // BPE merge learning — the classic byte-pair-encoding training loop
+    // (Sennrich et al. 2016), run over the DISTINCT-WORD frequency table,
+    // never the corpus: at 100 TB the corpus is petabytes but the
+    // vocabulary obeys Heaps' law (~millions of rows), so after one
+    // corpus-wide word count every iteration aggregates a
+    // vocabulary-sized table and ships exactly ONE row (the argmax pair)
+    // to the driver. Merge application is a boundary-guarded literal
+    // replace (' a b ' → ' ab ') iterated to fixpoint (3× covers the
+    // longest overlap chain at word length ≤ ~16) — identical
+    // left-to-right replace-all semantics on both engines, so the learned
+    // merge sequence is bit-deterministic. Ties break (count DESC, pair
+    // ASC). localCheckpoint truncates the growing replace lineage
+    // (spark-perf finding: iterative loops re-derive the full chain
+    // otherwise).
+    "tok_bpe_learn" -> ((s, d) => {
+      import s.implicits._
+      val chars = filter(split(col("word"), ""), c => c =!= "")
+      var cur = docsOf(s, d)
+        .select(explode(tokens(col("text"))).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("cnt"))
+        .select(col("word"), col("cnt"),
+          concat(lit(" "), array_join(chars, " "), lit(" </w> ")).as("sp"))
+        .localCheckpoint(true)
+      val merges = Seq.newBuilder[(Long, String, Long)]
+      for (step <- 1 to BpeSteps) {
+        val syms = split(trim(col("sp")), " ")
+        val prs = zip_with(
+          slice(syms, lit(1), size(syms) - 1),
+          slice(syms, lit(2), size(syms) - 1),
+          (a, b) => concat(a, lit(" "), b))
+        val top = cur.select(explode(prs).as("pr"), col("cnt"))
+          .groupBy("pr").agg(sum("cnt").as("c"))
+          .orderBy(col("c").desc, col("pr").asc)
+          .head()
+        val pr = top.getString(0)
+        merges += ((step.toLong, pr, top.getLong(1)))
+        val find = lit(" " + pr + " ")
+        val repl = lit(" " + pr.replace(" ", "") + " ")
+        def rep(c0: Column): Column = replace(c0, find, repl)
+        cur = cur.withColumn("sp", rep(rep(rep(col("sp")))))
+          .localCheckpoint(true)
+      }
+      merges.result().toDF("step", "merge", "pair_count").orderBy("step")
     })
   )
+
+  /** Merge steps for tok_bpe_learn — shared by the query and its
+    * generated oracle so the two never drift. */
+  private val BpeSteps = 6
+
+  /** DuckDB twin of tok_bpe_learn: the same loop unrolled as a CTE chain
+    * (p_i = argmax pair over w_{i-1}; w_i = fixpoint replace), generated
+    * from BpeSteps so query and oracle share one source of truth. */
+  private def bpeOracle: String = {
+    val stages = (1 to BpeSteps).map { i =>
+      val prev = s"w${i - 1}"
+      s"""p$i AS (
+         |  SELECT pr, sum(cnt) AS c FROM (
+         |    SELECT cnt, unnest([syms[j] || ' ' || syms[j+1]
+         |      for j in range(1, len(syms))]) AS pr
+         |    FROM (SELECT cnt, string_split(trim(sp), ' ') AS syms
+         |          FROM $prev))
+         |  GROUP BY pr ORDER BY c DESC, pr ASC LIMIT 1),
+         |w$i AS (
+         |  SELECT word, cnt,
+         |    replace(replace(replace(sp,
+         |      ' '||pr||' ', ' '||replace(pr,' ','')||' '),
+         |      ' '||pr||' ', ' '||replace(pr,' ','')||' '),
+         |      ' '||pr||' ', ' '||replace(pr,' ','')||' ') AS sp
+         |  FROM $prev CROSS JOIN p$i)""".stripMargin
+    }.mkString(",\n")
+    val union = (1 to BpeSteps).map(i =>
+      s"SELECT CAST($i AS BIGINT) AS step, pr AS merge, " +
+        s"CAST(c AS BIGINT) AS pair_count FROM p$i").mkString(" UNION ALL ")
+    s"""WITH $TokedCte,
+       |wf AS (SELECT t AS word, count(*) AS cnt
+       |  FROM (SELECT unnest(toks) AS t FROM toked) GROUP BY t),
+       |w0 AS (SELECT word, cnt,
+       |  ' ' || array_to_string(string_split(word, ''), ' ') || ' </w> '
+       |    AS sp
+       |  FROM wf),
+       |$stages
+       |$union ORDER BY step""".stripMargin
+  }
 
   /** Shared oracle CTE chain ending in `shfin` = (doc_id, simhash) —
     * read by dedup_simhash and dedup_simhash_pairs. */
@@ -775,6 +859,7 @@ object TextOps {
       .stripMargin
 
   val oracle: Map[String, String] = Map(
+    "tok_bpe_learn" -> bpeOracle,
     "txt_token_stats" ->
       s"""WITH $TokedCte
          |SELECT d.doc_id, len(t.toks) AS n_tokens,

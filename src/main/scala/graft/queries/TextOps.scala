@@ -722,35 +722,80 @@ object TextOps {
     // otherwise).
     "tok_bpe_learn" -> ((s, d) => {
       import s.implicits._
-      val chars = filter(split(col("word"), ""), c => c =!= "")
-      var cur = docsOf(s, d)
-        .select(explode(tokens(col("text"))).as("word"))
-        .groupBy("word").agg(count(lit(1)).as("cnt"))
-        .select(col("word"), col("cnt"),
-          concat(lit(" "), array_join(chars, " "), lit(" </w> ")).as("sp"))
-        .localCheckpoint(true)
-      val merges = Seq.newBuilder[(Long, String, Long)]
-      for (step <- 1 to BpeSteps) {
-        val syms = split(trim(col("sp")), " ")
-        val prs = zip_with(
-          slice(syms, lit(1), size(syms) - 1),
-          slice(syms, lit(2), size(syms) - 1),
-          (a, b) => concat(a, lit(" "), b))
-        val top = cur.select(explode(prs).as("pr"), col("cnt"))
-          .groupBy("pr").agg(sum("cnt").as("c"))
-          .orderBy(col("c").desc, col("pr").asc)
-          .head()
-        val pr = top.getString(0)
-        merges += ((step.toLong, pr, top.getLong(1)))
-        val find = lit(" " + pr + " ")
-        val repl = lit(" " + pr.replace(" ", "") + " ")
-        def rep(c0: Column): Column = replace(c0, find, repl)
-        cur = cur.withColumn("sp", rep(rep(rep(col("sp")))))
-          .localCheckpoint(true)
-      }
-      merges.result().toDF("step", "merge", "pair_count").orderBy("step")
+      bpeLearn(s, d)._2.toDF("step", "merge", "pair_count").orderBy("step")
+    }),
+
+    // BPE tokenization APPLIED corpus-wide: each document's token count
+    // under the learned merge table. The per-word symbol count is
+    // computed ONCE on the vocabulary table and broadcast-joined back to
+    // the exploded corpus — at 100 TB the expensive merge application
+    // never touches a corpus row, only the Heaps'-law vocabulary.
+    "tok_bpe_apply" -> ((s, d) => {
+      val wc = bpeLearn(s, d)._1
+        .select(col("word"),
+          size(split(trim(col("sp")), " ")).cast("long").as("n_sym"))
+      docsOf(s, d)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("word"))
+        .join(broadcast(wc), Seq("word"))
+        .groupBy("doc_id").agg(sum("n_sym").as("n_bpe_tokens"))
+    }),
+
+    // Triangle counting over the minhash candidate-pair graph — the
+    // standard "how clustered are my near-duplicates" graph statistic.
+    // Edges are already oriented (doc_id ascending), so each triangle is
+    // enumerated exactly once by the two-hop join; at 100 TB swap the
+    // id-orientation for degree-orientation (low-degree → high-degree),
+    // which bounds the e1⋈e2 wedge fan-out by sqrt-degree — the output
+    // rows are identical, only the join skew changes.
+    "graph_triangles" -> ((s, d) => {
+      val pr = graft.api.GraftOps.minhashCandidatePairs(
+        docsOf(s, d), "doc_id", "text")
+      val e1 = pr.select(col("left_id").as("a"), col("right_id").as("b"))
+      val e2 = pr.select(col("left_id").as("b2"), col("right_id").as("c"))
+      val e3 = pr.select(col("left_id").as("a3"), col("right_id").as("c3"))
+      e1.join(e2, col("b") === col("b2"))
+        .join(e3, col("a") === col("a3") && col("c") === col("c3"),
+          "left_semi")
+        .select(col("a"), col("b"), col("c"))
+        .orderBy("a", "b", "c")
     })
   )
+
+  /** The BPE training loop shared by tok_bpe_learn / tok_bpe_apply:
+    * returns (final word→spelling table, learned merges). One corpus
+    * scan builds the word-frequency table; every iteration aggregates
+    * only that vocabulary-sized table and ships ONE argmax row to the
+    * driver. See tok_bpe_learn's Scaladoc for the determinism argument. */
+  private def bpeLearn(s: SparkSession, d: String)
+      : (DataFrame, Seq[(Long, String, Long)]) = {
+    val chars = filter(split(col("word"), ""), c => c =!= "")
+    var cur = docsOf(s, d)
+      .select(explode(tokens(col("text"))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .select(col("word"), col("cnt"),
+        concat(lit(" "), array_join(chars, " "), lit(" </w> ")).as("sp"))
+      .localCheckpoint(true)
+    val merges = Seq.newBuilder[(Long, String, Long)]
+    for (step <- 1 to BpeSteps) {
+      val syms = split(trim(col("sp")), " ")
+      val prs = zip_with(
+        slice(syms, lit(1), size(syms) - 1),
+        slice(syms, lit(2), size(syms) - 1),
+        (a, b) => concat(a, lit(" "), b))
+      val top = cur.select(explode(prs).as("pr"), col("cnt"))
+        .groupBy("pr").agg(sum("cnt").as("c"))
+        .orderBy(col("c").desc, col("pr").asc)
+        .head()
+      val pr = top.getString(0)
+      merges += ((step.toLong, pr, top.getLong(1)))
+      val find = lit(" " + pr + " ")
+      val repl = lit(" " + pr.replace(" ", "") + " ")
+      def rep(c0: Column): Column = replace(c0, find, repl)
+      cur = cur.withColumn("sp", rep(rep(rep(col("sp")))))
+        .localCheckpoint(true)
+    }
+    (cur, merges.result())
+  }
 
   /** Merge steps for tok_bpe_learn — shared by the query and its
     * generated oracle so the two never drift. */

@@ -801,10 +801,11 @@ object TextOps {
     * generated oracle so the two never drift. */
   private val BpeSteps = 6
 
-  /** DuckDB twin of tok_bpe_learn: the same loop unrolled as a CTE chain
-    * (p_i = argmax pair over w_{i-1}; w_i = fixpoint replace), generated
-    * from BpeSteps so query and oracle share one source of truth. */
-  private def bpeOracle: String = {
+  /** CTE chain replaying the BPE training loop (p_i = argmax pair over
+    * w_{i-1}; w_i = fixpoint replace) up to w{BpeSteps}, generated from
+    * BpeSteps so query and oracles share one source of truth. Shared by
+    * the tok_bpe_learn and tok_bpe_apply oracles. */
+  private def bpeChainCte: String = {
     val stages = (1 to BpeSteps).map { i =>
       val prev = s"w${i - 1}"
       s"""p$i AS (
@@ -822,19 +823,38 @@ object TextOps {
          |      ' '||pr||' ', ' '||replace(pr,' ','')||' ') AS sp
          |  FROM $prev CROSS JOIN p$i)""".stripMargin
     }.mkString(",\n")
-    val union = (1 to BpeSteps).map(i =>
-      s"SELECT CAST($i AS BIGINT) AS step, pr AS merge, " +
-        s"CAST(c AS BIGINT) AS pair_count FROM p$i").mkString(" UNION ALL ")
-    s"""WITH $TokedCte,
+    s"""$TokedCte,
        |wf AS (SELECT t AS word, count(*) AS cnt
        |  FROM (SELECT unnest(toks) AS t FROM toked) GROUP BY t),
        |w0 AS (SELECT word, cnt,
        |  ' ' || array_to_string(string_split(word, ''), ' ') || ' </w> '
        |    AS sp
        |  FROM wf),
-       |$stages
+       |$stages""".stripMargin
+  }
+
+  /** DuckDB twin of tok_bpe_learn: the unrolled chain's per-step argmax
+    * rows. */
+  private def bpeOracle: String = {
+    val union = (1 to BpeSteps).map(i =>
+      s"SELECT CAST($i AS BIGINT) AS step, pr AS merge, " +
+        s"CAST(c AS BIGINT) AS pair_count FROM p$i").mkString(" UNION ALL ")
+    s"""WITH $bpeChainCte
        |$union ORDER BY step""".stripMargin
   }
+
+  /** DuckDB twin of tok_bpe_apply: per-word symbol counts from the final
+    * merged spelling table w{BpeSteps}, joined back to the exploded
+    * corpus — the same vocabulary-then-corpus shape as the Spark side. */
+  private def bpeApplyOracle: String =
+    s"""WITH $bpeChainCte,
+       |wc AS (SELECT word,
+       |  CAST(len(string_split(trim(sp), ' ')) AS BIGINT) AS n_sym
+       |  FROM w$BpeSteps)
+       |SELECT t.doc_id, CAST(sum(wc.n_sym) AS BIGINT) AS n_bpe_tokens
+       |FROM (SELECT doc_id, unnest(toks) AS word FROM toked) t
+       |JOIN wc ON t.word = wc.word
+       |GROUP BY t.doc_id""".stripMargin
 
   /** Shared oracle CTE chain ending in `shfin` = (doc_id, simhash) —
     * read by dedup_simhash and dedup_simhash_pairs. */
@@ -905,6 +925,18 @@ object TextOps {
 
   val oracle: Map[String, String] = Map(
     "tok_bpe_learn" -> bpeOracle,
+    "tok_bpe_apply" -> bpeApplyOracle,
+    "graph_triangles" ->
+      s"""WITH $SigCte,
+         |pr AS (SELECT DISTINCT a.doc_id AS left_id, b.doc_id AS right_id
+         |  FROM bands a JOIN bands b
+         |    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+         |    AND a.doc_id < b.doc_id)
+         |SELECT e1.left_id AS a, e1.right_id AS b, e2.right_id AS c
+         |FROM pr e1 JOIN pr e2 ON e2.left_id = e1.right_id
+         |JOIN pr e3 ON e3.left_id = e1.left_id
+         |  AND e3.right_id = e2.right_id
+         |ORDER BY a, b, c""".stripMargin,
     "txt_token_stats" ->
       s"""WITH $TokedCte
          |SELECT d.doc_id, len(t.toks) AS n_tokens,

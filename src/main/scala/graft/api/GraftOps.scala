@@ -363,6 +363,26 @@ object GraftOps {
     packTokenRows(chunkTokens(docs, idCol, textCol, chunkSize), idCol,
       binTokens, docsPerBucket)
 
+  /** Exclusive running offsets over an already-aggregated per-bucket
+    * table: each bucket's `off` = sum of `valCol` over buckets strictly
+    * earlier in `ascending` bucket order. Computed as a broadcast
+    * self-join on the strict inequality — the table is bounded by the
+    * bucket count (hundreds of rows), so the O(B²) pair fan-out is
+    * trivial, and unlike a global `Window.orderBy` cumsum it never
+    * routes data through a single-partition WindowExec. This is the
+    * shared spine of every "distributed prefix sum" query (global
+    * ntile, deterministic shuffle rank, sequence packing). */
+  def cumulativeOffsets(counts: DataFrame, bktCol: String, valCol: String,
+      ascending: Boolean = true): DataFrame = {
+    val a = counts.as("a"); val b = counts.as("b")
+    val before =
+      if (ascending) col(s"b.$bktCol") < col(s"a.$bktCol")
+      else col(s"b.$bktCol") > col(s"a.$bktCol")
+    a.join(broadcast(b), before, "left")
+      .groupBy(col(s"a.$bktCol").as(bktCol))
+      .agg(coalesce(sum(col(s"b.$valCol")), lit(0L)).as("off"))
+  }
+
   /** Packing core over an existing chunk table (idCol, chunk_id,
     * n_tokens, …): assigns each row its training bin by exact global
     * prefix sum of n_tokens in (idCol, chunk_id) order — distributed as
@@ -374,10 +394,8 @@ object GraftOps {
       .withColumn("bkt", floor(col(idCol) / docsPerBucket).cast("long"))
     val wIn = Window.partitionBy("bkt").orderBy(col(idCol), col("chunk_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val wCum = Window.orderBy("bkt")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offs = bkt.groupBy("bkt").agg(sum("n_tokens").as("tok"))
-      .select(col("bkt"), coalesce(sum("tok").over(wCum), lit(0L)).as("off"))
+    val offs = cumulativeOffsets(
+      bkt.groupBy("bkt").agg(sum("n_tokens").as("tok")), "bkt", "tok")
     bkt.join(broadcast(offs), Seq("bkt"))
       .withColumn("cum0",
         col("off") + coalesce(sum(col("n_tokens")).over(wIn), lit(0L)))

@@ -881,10 +881,8 @@ object Relational {
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
       val counts = o.groupBy("bkt").agg(count(lit(1)).as("cnt"))
       // Global order is price DESC → higher buckets come first.
-      val wCum = Window.orderBy(col("bkt").desc)
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val offs = counts
-        .select(col("bkt"), coalesce(sum("cnt").over(wCum), lit(0L)).as("off"))
+      val offs = graft.api.GraftOps.cumulativeOffsets(
+        counts, "bkt", "cnt", ascending = false)
       val tot = counts.agg(sum("cnt").as("n"))
       // ntile(4) closed form: first (n mod 4) tiles hold ceil(n/4) rows.
       val base = floor(col("n") / 4).cast("long")

@@ -494,10 +494,7 @@ object TextOps {
           .cast("int"))
       val wIn = Window.partitionBy("bkt").orderBy("k", "doc_id")
       val counts = keyed.groupBy("bkt").agg(count(lit(1)).as("cnt"))
-      val wCum = Window.orderBy(col("bkt"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val offs = counts.select(col("bkt"),
-        coalesce(sum("cnt").over(wCum), lit(0L)).as("off"))
+      val offs = graft.api.GraftOps.cumulativeOffsets(counts, "bkt", "cnt")
       keyed.join(broadcast(offs), Seq("bkt"))
         .select(col("doc_id"),
           (col("off") + row_number().over(wIn)).cast("long").as("pos"))

@@ -755,8 +755,115 @@ object TextOps {
           "left_semi")
         .select(col("a"), col("b"), col("c"))
         .orderBy("a", "b", "c")
+    }),
+
+    // Bounded-hop BFS from a seed set over the near-dup candidate graph
+    // — "everything within k merge steps of these documents", the reach
+    // query behind contamination spread and takedown-propagation audits.
+    // Same iterative discipline as connectedComponents/pageRank: each
+    // round is one equi-join frontier expansion + a min-dist groupBy,
+    // localCheckpoint truncating the growing lineage. k=3 rounds; at
+    // 100 TB the frontier join shuffles on node id and the edge table is
+    // bucketable by `a`, so every round is a single co-located shuffle.
+    "graph_bfs" -> ((s, d) => {
+      val docs = docsOf(s, d)
+      val pr = graft.api.GraftOps.minhashCandidatePairs(
+        docs, "doc_id", "text")
+      val e = pr.select(col("left_id").as("a"), col("right_id").as("b"))
+        .union(pr.select(col("right_id"), col("left_id")))
+        .localCheckpoint(true)
+      var dist = docs.filter(col("doc_id") < 10)
+        .select(col("doc_id").as("node"), lit(0L).as("dist"))
+      for (i <- 1 to BfsRounds) {
+        val next = dist.filter(col("dist") === (i - 1).toLong)
+          .join(e, col("node") === col("a"))
+          .select(col("b").as("node"), lit(i.toLong).as("dist"))
+        dist = dist.union(next)
+          .groupBy("node").agg(min("dist").as("dist"))
+          .localCheckpoint(true)
+      }
+      dist
+    }),
+
+    // BM25 ranked retrieval (Robertson k1=1.2, b=0.75, Lucene's +1 idf
+    // so every contribution stays positive) for a fixed query-term set —
+    // the retrieval scorer an inverted index (idx_inverted) exists to
+    // serve. The corpus side is one scan: term filter (a 5-element
+    // isin, pushable), per-(doc,term) tf and per-doc length aggregates;
+    // df/idf/avgdl live in vocabulary-sized broadcasts. Determinism:
+    // idf and each per-term contribution round to 6 places (ln is the
+    // proven cross-engine discipline from txt_unigram_logprob) and sum
+    // as exact scaled longs; top-20 ranks by the exact long score with
+    // doc_id tiebreak, so the selected set is engine-independent.
+    "txt_bm25_topk" -> ((s, d) => {
+      val tok = docsOf(s, d)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("len"))
+      val stats = dl.agg(count(lit(1)).cast("long").as("n_docs"),
+        sum("len").cast("long").as("tot_len"))
+      val tf = tok.filter(col("term").isin(Bm25Terms: _*))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val idf = tf.groupBy("term").agg(count(lit(1)).as("df"))
+        .crossJoin(broadcast(stats))
+        .select(col("term"),
+          round(log((col("n_docs").cast("double")
+            - col("df").cast("double") + 0.5)
+            / (col("df").cast("double") + 0.5) + 1.0), 6).as("idf"),
+          (col("tot_len").cast("double") / col("n_docs").cast("double"))
+            .as("avgdl"))
+      val scored = tf.join(broadcast(idf), "term").join(dl, "doc_id")
+        .withColumn("contrib",
+          (round(col("idf") * (col("tf").cast("double") * 2.2
+            / (col("tf").cast("double") + lit(1.2)
+              * (lit(0.25) + lit(0.75)
+                * (col("len").cast("double") / col("avgdl"))))),
+            6) * 1000000.0 + 0.5).cast("long"))
+        .groupBy("doc_id")
+        .agg(sum("contrib").as("s"),
+          count(lit(1)).cast("long").as("n_terms"))
+      scored.orderBy(col("s").desc, col("doc_id")).limit(20)
+        .select(col("doc_id"),
+          round(col("s").cast("double") / 1000000.0, 6).as("score"),
+          col("n_terms"))
+    }),
+
+    // Count-min sketch heavy hitters: the sublinear frequency sketch
+    // next to the exact count (the same exact-vs-sketch pairing as
+    // agg_approx_distinct, but deterministic — md5-derived row hashes,
+    // so both engines build the identical 4×256 table). The sketch is
+    // built from the term-count table, not the token stream: summing
+    // counts into cells is occurrence-equivalent, and at 100 TB the
+    // expensive pass is the one corpus word count (Heaps'-law vocab
+    // after it); cells partial-aggregate map-side to ≤1024 rows, the
+    // candidate probe is a broadcast join. Estimate = min over the 4
+    // rows — always ≥ exact, equal here unless 256 buckets collide.
+    "sketch_cms_heavy" -> ((s, d) => {
+      def bkt(r: Column, t: Column): Column =
+        conv(substring(md5(concat(r.cast("string"), lit(":"), t)), 1, 2),
+          16, 10).cast("long")
+      val tc = docsOf(s, d)
+        .select(explode(tokens(col("text"))).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("exact_cnt"))
+      val cells = tc
+        .select(col("exact_cnt"), col("term"),
+          explode(sequence(lit(0), lit(3))).as("r"))
+        .select(col("exact_cnt"), col("r"), bkt(col("r"), col("term")).as("bkt"))
+        .groupBy("r", "bkt").agg(sum("exact_cnt").as("cell_cnt"))
+      tc.orderBy(col("exact_cnt").desc, col("term")).limit(30)
+        .select(col("term"), col("exact_cnt"),
+          explode(sequence(lit(0), lit(3))).as("r"))
+        .withColumn("bkt", bkt(col("r"), col("term")))
+        .join(broadcast(cells), Seq("r", "bkt"))
+        .groupBy("term", "exact_cnt")
+        .agg(min("cell_cnt").as("cms_est"))
     })
   )
+
+  /** BFS rounds for graph_bfs — shared with its generated oracle. */
+  private val BfsRounds = 3
+
+  /** Fixed query-term set for txt_bm25_topk — shared with its oracle. */
+  private val Bm25Terms = Seq("spark", "window", "hash", "vector", "stream")
 
   /** The BPE training loop shared by tok_bpe_learn / tok_bpe_apply:
     * returns (final word→spelling table, learned merges). One corpus
@@ -923,6 +1030,70 @@ object TextOps {
   val oracle: Map[String, String] = Map(
     "tok_bpe_learn" -> bpeOracle,
     "tok_bpe_apply" -> bpeApplyOracle,
+    "graph_bfs" ->
+      s"""WITH RECURSIVE $SigCte,
+         |pr AS (SELECT DISTINCT a.doc_id AS left_id, b.doc_id AS right_id
+         |  FROM bands a JOIN bands b
+         |    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+         |    AND a.doc_id < b.doc_id),
+         |eg AS (SELECT left_id AS a, right_id AS b FROM pr
+         |  UNION SELECT right_id, left_id FROM pr),
+         |reach AS (
+         |  SELECT doc_id AS node, 0 AS dep FROM documents WHERE doc_id < 10
+         |  UNION
+         |  SELECT eg.b, r.dep + 1 FROM reach r JOIN eg ON eg.a = r.node
+         |  WHERE r.dep < $BfsRounds)
+         |SELECT node, CAST(min(dep) AS BIGINT) AS dist
+         |FROM reach GROUP BY node""".stripMargin,
+    "txt_bm25_topk" ->
+      s"""WITH $TokedCte,
+         |tok AS (SELECT doc_id, unnest(toks) AS term FROM toked),
+         |dl AS (SELECT doc_id, count(*) AS len FROM tok GROUP BY doc_id),
+         |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(len) AS BIGINT) AS tot_len FROM dl),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+         |  WHERE term IN (${Bm25Terms.map("'" + _ + "'").mkString(", ")})
+         |  GROUP BY doc_id, term),
+         |idf AS (SELECT term,
+         |  round(ln((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE)
+         |      + CAST(0.5 AS DOUBLE))
+         |    / (CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE))
+         |    + CAST(1.0 AS DOUBLE)), 6) AS idf,
+         |  CAST(tot_len AS DOUBLE) / CAST(n_docs AS DOUBLE) AS avgdl
+         |  FROM (SELECT term, count(*) AS df FROM tf GROUP BY term), stats),
+         |sc AS (SELECT tf.doc_id, CAST(trunc(round(idf.idf
+         |    * (CAST(tf.tf AS DOUBLE) * CAST(2.2 AS DOUBLE)
+         |      / (CAST(tf.tf AS DOUBLE) + CAST(1.2 AS DOUBLE)
+         |        * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE)
+         |          * (CAST(dl.len AS DOUBLE) / idf.avgdl)))), 6)
+         |    * 1000000 + CAST(0.5 AS DOUBLE)) AS BIGINT) AS contrib
+         |  FROM tf JOIN idf USING (term) JOIN dl ON tf.doc_id = dl.doc_id),
+         |g AS (SELECT doc_id, CAST(sum(contrib) AS BIGINT) AS s,
+         |  CAST(count(*) AS BIGINT) AS n_terms FROM sc GROUP BY doc_id)
+         |SELECT doc_id, round(CAST(s AS DOUBLE) / 1000000, 6) AS score,
+         |  n_terms
+         |FROM g ORDER BY s DESC, doc_id LIMIT 20""".stripMargin,
+    "sketch_cms_heavy" ->
+      s"""WITH $TokedCte,
+         |tc AS (SELECT t AS term, count(*) AS exact_cnt
+         |  FROM (SELECT unnest(toks) AS t FROM toked) GROUP BY t),
+         |rx AS (SELECT unnest(range(0, 4)) AS r),
+         |hb AS (SELECT term, exact_cnt, r,
+         |  substr(md5(CAST(r AS VARCHAR) || ':' || term), 1, 2) AS h
+         |  FROM tc CROSS JOIN rx),
+         |hv AS (SELECT term, exact_cnt, r,
+         |  CAST(16 * (strpos('0123456789abcdef', substr(h, 1, 1)) - 1)
+         |    + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1)
+         |    AS BIGINT) AS bkt FROM hb),
+         |cells AS (SELECT r, bkt, CAST(sum(exact_cnt) AS BIGINT)
+         |  AS cell_cnt FROM hv GROUP BY r, bkt),
+         |top AS (SELECT term, CAST(exact_cnt AS BIGINT) AS exact_cnt
+         |  FROM tc ORDER BY exact_cnt DESC, term LIMIT 30)
+         |SELECT t.term, t.exact_cnt, CAST(min(c.cell_cnt) AS BIGINT)
+         |  AS cms_est
+         |FROM top t JOIN hv ON hv.term = t.term
+         |JOIN cells c ON c.r = hv.r AND c.bkt = hv.bkt
+         |GROUP BY t.term, t.exact_cnt""".stripMargin,
     "graph_triangles" ->
       s"""WITH $SigCte,
          |pr AS (SELECT DISTINCT a.doc_id AS left_id, b.doc_id AS right_id

@@ -459,10 +459,21 @@ object GraftOps {
     * order-independent, and on the primitive codegen aggregate path
     * instead of boxed wide decimals. Output is bit-identical across
     * cluster layouts (the property the oracle compare needs). Ranks are
-    * the damping-0.85 standard: pr' = (1-d)/N + d·Σ pr/deg. */
+    * the damping-0.85 standard: pr' = (1-d)/N + d·Σ pr/deg.
+    * Precondition: every edge endpoint is present in `nodes` (all
+    * callers derive `nodes` from the edge table) — endpoints outside
+    * `nodes` would surface in the output rather than being dropped. */
   def pageRank(nodes: DataFrame, idCol: String,
       edges: DataFrame, srcCol: String, dstCol: String,
       rounds: Int, damping: Double = 0.85): DataFrame = {
+    // Degree rides ON the edge row (one partitioned window over the
+    // checkpointed edge table) instead of re-joining a degree table
+    // every round — the round loop is then exactly two shuffles: the
+    // rank join and the contribution sum. Isolated nodes never appear
+    // in the symmetrized edge table, so their rank is the closed-form
+    // teleport share from round 1 on; they're split off ONCE and
+    // union'ed back (no shuffle) instead of a per-round left join
+    // against the full node set.
     val e = edges.select(explode(array(
         struct(col(srcCol).cast("long").as("s"),
           col(dstCol).cast("long").as("t")),
@@ -470,8 +481,9 @@ object GraftOps {
           col(srcCol).cast("long").as("t")))).as("p"))
       .select(col("p.s").as("__src"), col("p.t").as("__dst"))
       .distinct()
+      .withColumn("__deg",
+        count(lit(1)).over(Window.partitionBy("__src")))
       .localCheckpoint()
-    val deg = e.groupBy("__src").agg(count(lit(1)).as("__deg"))
     val n = nodes.select(col(idCol).cast("long").as("__id")).distinct()
       .localCheckpoint()
     // N enters the plan as a broadcast 1-row aggregate — no driver-side
@@ -479,20 +491,28 @@ object GraftOps {
     val tot = n.agg(count(lit(1)).cast("double").as("__n"))
     var pr = n.crossJoin(broadcast(tot))
       .select(col("__id"), (lit(1.0) / col("__n")).as("rank"))
-    (1 to rounds).foreach { _ =>
-      val contrib = e
-        .join(pr, col("__src") === col("__id"))
-        .join(deg, Seq("__src"))
-        .select(col("__dst"),
-          (col("rank") / col("__deg") * 1e15).cast("long").as("__c"))
-        .groupBy("__dst")
-        .agg((sum(col("__c")).cast("double") / 1e15).as("__in"))
-      pr = n.join(contrib, col("__id") === col("__dst"), "left")
+    if (rounds > 0) {
+      val iso = n.join(e.select(col("__src").as("__id")),
+          Seq("__id"), "left_anti")
         .crossJoin(broadcast(tot))
         .select(col("__id"),
-          (lit(1.0 - damping) / col("__n") +
-            lit(damping) * coalesce(col("__in"), lit(0.0))).as("rank"))
+          (lit(1.0 - damping) / col("__n")).as("rank"))
         .localCheckpoint()
+      (1 to rounds).foreach { _ =>
+        val contrib = e
+          .join(pr, col("__src") === col("__id"))
+          .select(col("__dst"),
+            (col("rank") / col("__deg") * 1e15).cast("long").as("__c"))
+          .groupBy("__dst")
+          .agg((sum(col("__c")).cast("double") / 1e15).as("__in"))
+        pr = contrib
+          .crossJoin(broadcast(tot))
+          .select(col("__dst").as("__id"),
+            (lit(1.0 - damping) / col("__n") +
+              lit(damping) * col("__in")).as("rank"))
+          .union(iso)
+          .localCheckpoint()
+      }
     }
     pr.select(col("__id").as(idCol), round(col("rank"), 10).as("rank"))
   }
@@ -519,26 +539,29 @@ object GraftOps {
     // pipeline ONCE — each of the `rounds` iterations rescans the stored
     // blocks instead of recomputing the edge derivation (for LSH pairs
     // that derivation is the whole minhash pipeline). Iterative graph
-    // algorithms must also cut their OWN lineage: lbl references itself
-    // twice per round, so the uncheckpointed plan doubles every
-    // iteration — checkpointing lbl per round keeps the plan flat and
-    // bounds optimizer time at any `rounds`.
+    // algorithms must also cut their OWN lineage: checkpointing lbl per
+    // round keeps the plan flat and bounds optimizer time at any
+    // `rounds`.
+    // Self-loops fold the "keep my own label" term INTO the min
+    // aggregation: lbl' = min over {self ∪ neighbors} of lbl. The round
+    // loop is then two shuffles (label join + min groupBy) instead of
+    // three — the old shape needed a third per-round left join against
+    // the full node set just to re-attach unimproved labels.
     val e = edges.select(explode(array(
         struct(col(srcCol).cast("long").as("s"),
           col(dstCol).cast("long").as("t")),
         struct(col(dstCol).cast("long").as("s"),
           col(srcCol).cast("long").as("t")))).as("p"))
       .select(col("p.s").as("__src"), col("p.t").as("__dst"))
+      .union(nodes.select(col(idCol).cast("long").as("__src"),
+        col(idCol).cast("long").as("__dst")))
       .localCheckpoint()
     var lbl = nodes.select(col(idCol).cast("long").as("__id"),
       col(idCol).cast("long").as("cluster_id"))
     (1 to rounds).foreach { _ =>
-      val nbr = e.join(lbl, col("__dst") === col("__id"))
-        .groupBy("__src").agg(min("cluster_id").as("__nmin"))
-      lbl = lbl.join(nbr, col("__id") === col("__src"), "left")
-        .select(col("__id"),
-          least(col("cluster_id"),
-            coalesce(col("__nmin"), col("cluster_id"))).as("cluster_id"))
+      lbl = e.join(lbl, col("__dst") === col("__id"))
+        .groupBy("__src").agg(min("cluster_id").as("cluster_id"))
+        .withColumnRenamed("__src", "__id")
         .localCheckpoint()
     }
     lbl.select(col("__id").as(idCol), col("cluster_id"))

@@ -856,8 +856,98 @@ object TextOps {
         .join(broadcast(cells), Seq("r", "bkt"))
         .groupBy("term", "exact_cnt")
         .agg(min("cell_cnt").as("cms_est"))
+    }),
+
+    // Per-domain document cap (RefinedWeb/C4-style source balancing):
+    // keep at most 10 docs per source, preferring longer documents with
+    // a doc_id tiebreak. One PARTITIONED window — parallelism scales
+    // with the domain count; a mega-domain streams its partition once.
+    // At 100 TB, pre-shrink skewed domains with an approximate per-
+    // domain length threshold before the exact window.
+    "samp_domain_cap" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("source")
+        .orderBy(col("n_chars").desc, col("doc_id"))
+      docsOf(s, d)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 10)
+    }),
+
+    // Exact phrase query from positional postings — the retrieval shape
+    // an inverted index with positions (idx_inverted's natural
+    // extension) serves: fetch the two terms' posting lists, equi-join
+    // on (doc, adjacent position). Against a STORED index at 100 TB the
+    // corpus scan disappears entirely — only the two posting lists are
+    // read; the join key (doc_id, pos) co-partitions both sides.
+    "idx_phrase" -> ((s, d) => {
+      val tok = docsOf(s, d)
+        .select(col("doc_id"),
+          posexplode(tokens(col("text"))).as(Seq("pos", "term")))
+        .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
+          col("term"))
+      val t1 = tok.filter(col("term") === PhraseW1)
+        .select(col("doc_id"), col("pos"))
+      val t2 = tok.filter(col("term") === PhraseW2)
+        .select(col("doc_id"), (col("pos") - 1L).as("pos"))
+      t1.join(t2, Seq("doc_id", "pos"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_hits"), min("pos").as("first_pos"))
+    }),
+
+    // Interpolated bigram language model, mean NLL per document — the
+    // next step up from txt_unigram_logprob's perplexity filter:
+    // p(w2|w1) = 0.75·c12/c1 + 0.25·c2/T, all counts exact corpus
+    // counts. The bigram stream is one scan + one partitioned window;
+    // count tables join back on their own keys (vocabulary-sized,
+    // Heaps' law — broadcastable at any corpus scale). Per-position
+    // -ln rounds to 6 places and sums as scaled longs (the proven
+    // cross-engine ln discipline). The interpolation is evaluated as
+    // ONE exact integer ratio (3·c12·T + c2·c1)/(4·c1·T) — float
+    // sum-of-products ordering differs across engines and flipped a
+    // 6-decimal rounding boundary; the integer form feeds ln
+    // bit-identical arguments. (Products stay < 2^53 at test scale; a
+    // 100 TB corpus would compute the ratio in DECIMAL first.)
+    "txt_bigram_logprob" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("doc_id").orderBy("pos")
+      val bg = docsOf(s, d)
+        .select(col("doc_id"),
+          posexplode(tokens(col("text"))).as(Seq("pos", "w1")))
+        .withColumn("w2", lead(col("w1"), 1).over(w))
+        .filter(col("w2").isNotNull)
+        .select("doc_id", "w1", "w2")
+      val uni = docsOf(s, d)
+        .select(explode(tokens(col("text"))).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("c"))
+      val tot = uni.agg(sum("c").cast("long").as("t"))
+      val bc = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      bg.join(bc, Seq("w1", "w2"))
+        .join(uni.select(col("w").as("w1"), col("c").as("c1")), Seq("w1"))
+        .join(uni.select(col("w").as("w2"), col("c").as("c2")), Seq("w2"))
+        .crossJoin(broadcast(tot))
+        .withColumn("nll", (round(-log(
+            (lit(3L) * col("c12") * col("t") + col("c2") * col("c1"))
+              .cast("double")
+              / (lit(4L) * col("c1") * col("t")).cast("double")),
+          6) * 1000000.0 + 0.5).cast("long"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"), sum("nll").as("snll"))
+        // snll/n can land EXACTLY on a half at the 6th decimal (it did:
+        // 46861227/14), where Spark's decimal round and DuckDB's
+        // scale-then-round disagree. So no engine round here: half-up
+        // the 1e6-scaled mean in exact integer form, floor((2s+n)/2n),
+        // then one exact division — bit-identical on any engine.
+        .select(col("doc_id"), col("n_bigrams"),
+          (floor((lit(2L) * col("snll") + col("n_bigrams")).cast("double")
+              / (lit(2L) * col("n_bigrams")).cast("double"))
+            / 1000000.0).as("mean_nll"))
     })
   )
+
+  /** Fixed phrase for idx_phrase — shared with its oracle. */
+  private val PhraseW1 = "order"
+  private val PhraseW2 = "fast"
 
   /** BFS rounds for graph_bfs — shared with its generated oracle. */
   private val BfsRounds = 3
@@ -1094,6 +1184,48 @@ object TextOps {
          |FROM top t JOIN hv ON hv.term = t.term
          |JOIN cells c ON c.r = hv.r AND c.bkt = hv.bkt
          |GROUP BY t.term, t.exact_cnt""".stripMargin,
+    "samp_domain_cap" ->
+      """SELECT doc_id, source, n_chars, rnk FROM (
+        |  SELECT doc_id, source, n_chars,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rnk
+        |  FROM documents)
+        |WHERE rnk <= 10""".stripMargin,
+    "idx_phrase" ->
+      s"""WITH $TokedCte,
+         |tok AS (SELECT doc_id, unnest(toks) AS term,
+         |  generate_subscripts(toks, 1) AS pos FROM toked),
+         |t1 AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos FROM tok
+         |  WHERE term = '$PhraseW1'),
+         |t2 AS (SELECT doc_id, CAST(pos - 1 AS BIGINT) AS pos FROM tok
+         |  WHERE term = '$PhraseW2')
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits,
+         |  CAST(min(pos) AS BIGINT) AS first_pos
+         |FROM t1 JOIN t2 USING (doc_id, pos)
+         |GROUP BY doc_id""".stripMargin,
+    "txt_bigram_logprob" ->
+      s"""WITH $TokedCte,
+         |tok AS (SELECT doc_id, unnest(toks) AS w,
+         |  generate_subscripts(toks, 1) AS pos FROM toked),
+         |bgf AS (SELECT doc_id, w1, w2 FROM (
+         |  SELECT doc_id, w AS w1,
+         |    lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+         |  FROM tok) WHERE w2 IS NOT NULL),
+         |uni AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
+         |tot AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM uni),
+         |bc AS (SELECT w1, w2, count(*) AS c12 FROM bgf GROUP BY w1, w2),
+         |sc AS (SELECT bgf.doc_id,
+         |  CAST(trunc(round(-ln(
+         |    CAST(3 * bc.c12 * tot.t + u2.c * u1.c AS DOUBLE)
+         |    / CAST(4 * u1.c * tot.t AS DOUBLE)), 6)
+         |    * 1000000 + 0.5) AS BIGINT) AS nll
+         |  FROM bgf JOIN bc USING (w1, w2)
+         |  JOIN uni u1 ON bgf.w1 = u1.w
+         |  JOIN uni u2 ON bgf.w2 = u2.w CROSS JOIN tot)
+         |SELECT doc_id, count(*) AS n_bigrams,
+         |  floor(CAST(2 * sum(nll) + count(*) AS DOUBLE)
+         |    / CAST(2 * count(*) AS DOUBLE)) / 1000000 AS mean_nll
+         |FROM sc GROUP BY doc_id""".stripMargin,
     "graph_triangles" ->
       s"""WITH $SigCte,
          |pr AS (SELECT DISTINCT a.doc_id AS left_id, b.doc_id AS right_id

@@ -79,4 +79,39 @@ object ScaleOps {
       .partitionBy(partitionCols: _*)
       .parquet(path)
   }
+
+  /** Morton (Z-order) code: interleave the low `bits` bits of two
+    * non-negative integer columns. Pure shift/and/or — whole-stage
+    * codegen, engine-neutral integer arithmetic (the layout key must
+    * hash identically wherever it is computed). */
+  def mortonCode(x: Column, y: Column, bits: Int = 16): Column = {
+    val xs = x.cast("long")
+    val ys = y.cast("long")
+    (0 until bits).map { i =>
+      shiftleft(shiftright(xs, i).bitwiseAND(lit(1L)), 2 * i)
+        .bitwiseOR(
+          shiftleft(shiftright(ys, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }.reduce(_ bitwiseOR _)
+  }
+
+  /** Z-ordered parquet layout (Delta OPTIMIZE ZORDER's mechanism,
+    * expressed with stock Spark): range-partition + sort by the Morton
+    * code of two filter columns, so each output file covers a small
+    * bounding box in BOTH dimensions and parquet min/max stats prune
+    * file reads for predicates on EITHER column. A single-column sort
+    * gives perfect pruning on that column and none on the other; the
+    * Z-curve splits the benefit. File contents depend on
+    * repartitionByRange's boundary sampling — a layout property, not a
+    * result property (the row set is unchanged; asserted in
+    * ScaleOpsSpec together with the two-sided pruning). */
+  def writeZOrdered(df: DataFrame, path: String, c1: String, c2: String,
+      numFiles: Int = 32, bits: Int = 16): Unit = {
+    require(!df.columns.contains("__z"),
+      "writeZOrdered: input already has a __z column (reserved)")
+    df.withColumn("__z", mortonCode(col(c1), col(c2), bits))
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+  }
 }

@@ -470,6 +470,20 @@ object Relational {
           count(lit(1)).as("n_items"))
     }),
 
+    // Z-order layout key (ScaleOps.mortonCode / writeZOrdered): the
+    // Morton code must be identical on every engine that computes or
+    // reads the layout — this pins the bit-interleave arithmetic against
+    // the oracle. Top-k by code with a full tiebreak; pure projection +
+    // TakeOrdered, no shuffle beyond the k-row merge.
+    "scale_zorder_code" -> ((s, d) =>
+      Tables.orders(s, d)
+        .select(col("o_orderkey"),
+          pmod(col("o_custkey"), lit(65536L)).as("zx"),
+          pmod(col("o_orderkey"), lit(65536L)).as("zy"))
+        .withColumn("z", graft.operators.ScaleOps.mortonCode(
+          col("zx"), col("zy"), 16))
+        .orderBy(col("z"), col("o_orderkey")).limit(100)),
+
     // Bounded-round PageRank over the supplier↔part co-occurrence graph
     // (edges = distinct lineitem pairs, part ids offset by 1e6). Second
     // iterative graph operator after connectedComponents — same
@@ -956,6 +970,12 @@ object Relational {
         sum(col("value").cast(D182)).over(w).cast("double").as("running"))
     }))
 
+  /** DuckDB spelling of ScaleOps.mortonCode(zx, zy, 16) — 16 interleave
+    * terms OR'ed together (same shift/and/or arithmetic). */
+  private val ZOrderTerms = (0 until 16).map(i =>
+    s"(((zx >> $i) & 1) << ${2 * i}) | (((zy >> $i) & 1) << ${2 * i + 1})")
+    .mkString(" | ")
+
   val oracle: Map[String, String] = Map(
     "s1_filtered_scan" -> "SELECT * FROM orders WHERE o_custkey = 7",
     "s2_join_scan" ->
@@ -1162,6 +1182,11 @@ object Relational {
         |  count(*) AS n_items
         |FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
         |GROUP BY s.s_nationkey""".stripMargin,
+    "scale_zorder_code" ->
+      s"""WITH b AS (SELECT o_orderkey, o_custkey % 65536 AS zx,
+         |  o_orderkey % 65536 AS zy FROM orders)
+         |SELECT o_orderkey, zx, zy, CAST($ZOrderTerms AS BIGINT) AS z
+         |FROM b ORDER BY z, o_orderkey LIMIT 100""".stripMargin,
     "graph_pagerank" ->
       """WITH ed0 AS (SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS src,
         |  CAST(l_partkey + 1000000 AS BIGINT) AS dst FROM lineitem),

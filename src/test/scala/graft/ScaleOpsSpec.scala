@@ -87,4 +87,46 @@ class ScaleOpsSpec extends SparkSpec {
       s"expected 2..4 files in hot dir (salt spread, bounded), got $files")
     assert(spark.read.parquet(dir).count() == 4000)
   }
+
+  test("mortonCode interleaves bits (hand-computed values)") {
+    // x=3 (011), y=5 (101): bit i of x lands at 2i, of y at 2i+1 →
+    // 1<<0 | 1<<1 | 1<<2 | 1<<5 = 39. Plus identities and the diagonal.
+    val df = Seq((3L, 5L), (0L, 0L), (1L, 0L), (0L, 1L), (255L, 255L))
+      .toDF("x", "y")
+      .select(ScaleOps.mortonCode(col("x"), col("y"), 8).as("z"))
+    assert(df.as[Long].collect().toSeq ==
+      Seq(39L, 0L, 1L, 2L, 65535L))
+  }
+
+  test("writeZOrdered prunes file reads on BOTH dimensions") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-z").toString
+    // 256×256 grid. A y-only predicate against an x-sorted layout must
+    // touch every file; against the Z-order layout each file's bounding
+    // box covers a fraction of y too, so most files' stats exclude it.
+    val grid = spark.range(256L * 256L)
+      .select((col("id") / 256L).cast("long").as("x"),
+        pmod(col("id"), lit(256L)).as("y"))
+    ScaleOps.writeZOrdered(grid, dir, "x", "y", numFiles = 16, bits = 8)
+    val boxes = spark.read.parquet(dir)
+      .groupBy(input_file_name().as("f"))
+      .agg(min("x").as("x0"), max("x").as("x1"),
+        min("y").as("y0"), max("y").as("y1"))
+      .collect()
+    assert(boxes.length >= 8, s"expected ~16 files, got ${boxes.length}")
+    // Row set unchanged by the re-layout.
+    assert(spark.read.parquet(dir).count() == 256L * 256L)
+    def touched(lo: Long, hi: Long, isY: Boolean): Int =
+      boxes.count { r =>
+        val (a, b) = if (isY) (r.getLong(3), r.getLong(4))
+          else (r.getLong(1), r.getLong(2))
+        b >= lo && a <= hi
+      }
+    // 16-wide probes on each dimension: an x-sorted layout would touch
+    // ALL files for the y probe; Z-order must keep both probes under
+    // half the files (quadrant-aligned it's ~1/4, slack for sampling).
+    assert(touched(96, 111, isY = false) <= boxes.length / 2,
+      "x-probe touched too many files")
+    assert(touched(96, 111, isY = true) <= boxes.length / 2,
+      "y-probe touched too many files")
+  }
 }

@@ -745,8 +745,11 @@ object TextOps {
     // which bounds the e1⋈e2 wedge fan-out by sqrt-degree — the output
     // rows are identical, only the join skew changes.
     "graph_triangles" -> ((s, d) => {
+      // Materialize the candidate-pair edge list ONCE — it feeds all
+      // three legs of the triangle join; unmaterialized, each leg
+      // re-runs the whole minhash pipeline.
       val pr = graft.api.GraftOps.minhashCandidatePairs(
-        docsOf(s, d), "doc_id", "text")
+        docsOf(s, d), "doc_id", "text").localCheckpoint()
       val e1 = pr.select(col("left_id").as("a"), col("right_id").as("b"))
       val e2 = pr.select(col("left_id").as("b2"), col("right_id").as("c"))
       val e3 = pr.select(col("left_id").as("a3"), col("right_id").as("c3"))

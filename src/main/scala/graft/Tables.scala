@@ -18,8 +18,18 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  // Analyzed-relation cache: `spark.read.parquet` re-lists the path and
+  // re-reads footers for schema on EVERY call, and the harness resolves
+  // each table hundreds of times across the registered queries. DataFrames
+  // are immutable, so handing back the same analyzed relation is safe and
+  // skips that per-query listing/schema cost. Keyed by session so a
+  // restarted session (tests) never sees a relation bound to a dead one.
+  private val relCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
+
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    relCache.computeIfAbsent((spark, s"$sfDir/$name.parquet"),
+      key => key._1.read.parquet(key._2))
 
   def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")

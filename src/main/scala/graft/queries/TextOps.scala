@@ -791,21 +791,36 @@ object TextOps {
     // BM25 ranked retrieval (Robertson k1=1.2, b=0.75, Lucene's +1 idf
     // so every contribution stays positive) for a fixed query-term set —
     // the retrieval scorer an inverted index (idx_inverted) exists to
-    // serve. The corpus side is one scan: term filter (a 5-element
-    // isin, pushable), per-(doc,term) tf and per-doc length aggregates;
-    // df/idf/avgdl live in vocabulary-sized broadcasts. Determinism:
-    // idf and each per-term contribution round to 6 places (ln is the
-    // proven cross-engine discipline from txt_unigram_logprob) and sum
-    // as exact scaled longs; top-20 ranks by the exact long score with
-    // doc_id tiebreak, so the selected set is engine-independent.
+    // serve. ONE corpus scan total: the per-doc aggregate computes doc
+    // length AND the five query-term tfs as conditional sums in the same
+    // partial-aggregation pass (the earlier dl/tf two-branch form
+    // tokenized the corpus twice — measured 2× this one). The per-doc
+    // row then unpivots its tf columns to (doc, term, tf) rows, so
+    // df/idf/avgdl are tiny aggregates over doc-count-sized tables and
+    // no join against a separate length table is needed — len rides on
+    // the row. Determinism: idf and each per-term contribution round to
+    // 6 places (the proven cross-engine ln discipline) and sum as exact
+    // scaled longs; top-20 ranks by the exact long score with doc_id
+    // tiebreak, so the selected set is engine-independent.
     "txt_bm25_topk" -> ((s, d) => {
-      val tok = docsOf(s, d)
+      val perDoc = docsOf(s, d)
         .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
-      val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("len"))
-      val stats = dl.agg(count(lit(1)).cast("long").as("n_docs"),
+        .groupBy("doc_id").agg(
+          count(lit(1)).as("len"),
+          Bm25Terms.zipWithIndex.map { case (t, i) =>
+            sum(when(col("term") === t, 1L).otherwise(0L)).as(s"tf_$i")
+          }: _*)
+        .localCheckpoint()
+      val stats = perDoc.agg(count(lit(1)).cast("long").as("n_docs"),
         sum("len").cast("long").as("tot_len"))
-      val tf = tok.filter(col("term").isin(Bm25Terms: _*))
-        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val tf = perDoc
+        .select(col("doc_id"), col("len"),
+          explode(array(Bm25Terms.zipWithIndex.map { case (t, i) =>
+            struct(lit(t).as("term"), col(s"tf_$i").as("tf"))
+          }: _*)).as("p"))
+        .select(col("doc_id"), col("len"),
+          col("p.term").as("term"), col("p.tf").as("tf"))
+        .filter(col("tf") > 0)
       val idf = tf.groupBy("term").agg(count(lit(1)).as("df"))
         .crossJoin(broadcast(stats))
         .select(col("term"),
@@ -814,7 +829,7 @@ object TextOps {
             / (col("df").cast("double") + 0.5) + 1.0), 6).as("idf"),
           (col("tot_len").cast("double") / col("n_docs").cast("double"))
             .as("avgdl"))
-      val scored = tf.join(broadcast(idf), "term").join(dl, "doc_id")
+      val scored = tf.join(broadcast(idf), "term")
         .withColumn("contrib",
           (round(col("idf") * (col("tf").cast("double") * 2.2
             / (col("tf").cast("double") + lit(1.2)
@@ -844,9 +859,13 @@ object TextOps {
       def bkt(r: Column, t: Column): Column =
         conv(substring(md5(concat(r.cast("string"), lit(":"), t)), 1, 2),
           16, 10).cast("long")
+      // The vocab-sized count table feeds BOTH the sketch cells and the
+      // candidate probe — checkpoint it so the corpus word count runs
+      // once, not once per branch.
       val tc = docsOf(s, d)
         .select(explode(tokens(col("text"))).as("term"))
         .groupBy("term").agg(count(lit(1)).as("exact_cnt"))
+        .localCheckpoint()
       val cells = tc
         .select(col("exact_cnt"), col("term"),
           explode(sequence(lit(0), lit(3))).as("r"))

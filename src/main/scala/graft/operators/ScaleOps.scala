@@ -37,6 +37,48 @@ object ScaleOps {
       .drop("__salt")
   }
 
+  /** Inner equi-join with a Bloom-filter PREFILTER on the probe side —
+    * the declarative form of the runtime filter Spark's optimizer
+    * injects under `spark.sql.optimizer.runtime.bloomFilter.enabled`
+    * (here it's explicit, engine-independent, and oracle-checkable).
+    * The build side's distinct keys set k=2 md5-derived bit positions
+    * in an m-bit filter stored as m/64 longs (bit_or aggregate —
+    * partial-aggregates map-side to ≤ m/64 rows); the probe side
+    * broadcast-joins that tiny word table twice and keeps only rows
+    * whose both bits are set, THEN runs the exact join. No false
+    * negatives by construction, so the result equals the plain inner
+    * join — the filter only cuts the probe rows that reach the join
+    * shuffle (at 100 TB: the difference between shuffling the full
+    * fact table and shuffling the ~selectivity fraction of it).
+    * Deterministic: md5 bit positions, no session randomness. */
+  def bloomPrefilterJoin(probe: DataFrame, probeKey: String,
+      build: DataFrame, buildKey: String, mBits: Int = 8192): DataFrame = {
+    def pos(k: Column, seed: Int): Column =
+      pmod(conv(substring(md5(concat(lit(s"bf$seed:"), k.cast("string"))),
+        1, 8), 16, 10).cast("long"), lit(mBits.toLong))
+    def word(p: Column): Column = (p / 64L).cast("long")
+    def bit(p: Column): Column =
+      call_function("shiftleft", lit(1L), pmod(p, lit(64L)).cast("int"))
+    val words = build
+      .select(explode(array(pos(col(buildKey), 0), pos(col(buildKey), 1)))
+        .as("__p"))
+      .select(word(col("__p")).as("__w"), bit(col("__p")).as("__b"))
+      .groupBy("__w").agg(expr("bit_or(__b)").as("__bits"))
+    val w0 = broadcast(words.select(col("__w").as("__w0"),
+      col("__bits").as("__bits0")))
+    val w1 = broadcast(words.select(col("__w").as("__w1"),
+      col("__bits").as("__bits1")))
+    val p0 = pos(probe(probeKey), 0)
+    val p1 = pos(probe(probeKey), 1)
+    val filtered = probe
+      .join(w0, word(p0) === col("__w0"))
+      .join(w1, word(p1) === col("__w1"))
+      .filter((col("__bits0").bitwiseAND(bit(p0)) =!= 0L) &&
+        (col("__bits1").bitwiseAND(bit(p1)) =!= 0L))
+      .drop("__w0", "__bits0", "__w1", "__bits1")
+    filtered.join(build, filtered(probeKey) === build(buildKey))
+  }
+
   /** Write `df` bucketed by `key` into the session catalog as `table`.
     * Both sides of a repeated join written this way join without any
     * Exchange (bucket layout replaces the shuffle). */

@@ -470,6 +470,42 @@ object Relational {
           count(lit(1)).as("n_items"))
     }),
 
+    // Bloom-prefilter join under the correctness gate: probe (lineitem)
+    // rows pass a 8192-bit / 2-hash Bloom filter built from the
+    // (selective: p_size=1) build side BEFORE the exact join, and the
+    // result must hash-match the plain-join oracle — proving the runtime
+    // filter is result-transparent, exactly like scale_salted_join does
+    // for salting. At 100 TB this is the shuffle-volume lever: only the
+    // ~2% of probe rows that can match ever reach the join exchange.
+    "j16_bloom_join" -> ((s, d) => {
+      val probe = Tables.lineitem(s, d).select(col("l_partkey"),
+        (col("l_extendedprice") * 100.0 + 0.5).cast("long").as("p100"))
+      val build = Tables.part(s, d).filter(col("p_size") === 1)
+        .select(col("p_partkey"), col("p_brand"))
+      graft.operators.ScaleOps
+        .bloomPrefilterJoin(probe, "l_partkey", build, "p_partkey")
+        .groupBy("p_brand")
+        .agg((sum(col("p100")).cast("double") / 100.0).as("revenue"),
+          count(lit(1)).as("n_items"))
+    }),
+
+    // COUNT(DISTINCT) over a window — Spark rejects DISTINCT aggregates
+    // in window frames, so the engine provides the standard rewrite:
+    // dense_rank over (key, value) peaks at the distinct count, and a
+    // max-over-partition broadcasts it to every row. Two window passes
+    // over the SAME partitioning (one Exchange, one sort); the oracle
+    // runs DuckDB's native COUNT(DISTINCT ...) OVER.
+    "w8_distinct_window" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val wRank = Window.partitionBy("o_custkey").orderBy("o_orderpriority")
+      val wAll  = Window.partitionBy("o_custkey")
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"))
+        .withColumn("dr", dense_rank().over(wRank))
+        .withColumn("n_distinct_prio", max("dr").over(wAll).cast("long"))
+        .drop("dr")
+    }),
+
     // Z-order layout key (ScaleOps.mortonCode / writeZOrdered): the
     // Morton code must be identical on every engine that computes or
     // reads the layout — this pins the bit-interleave arithmetic against
@@ -1182,6 +1218,19 @@ object Relational {
         |  count(*) AS n_items
         |FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
         |GROUP BY s.s_nationkey""".stripMargin,
+    "j16_bloom_join" ->
+      """SELECT p.p_brand,
+        |  CAST(sum(CAST(trunc(l.l_extendedprice * 100.0 + 0.5) AS BIGINT))
+        |    AS DOUBLE) / 100.0 AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |WHERE p.p_size = 1
+        |GROUP BY p.p_brand""".stripMargin,
+    "w8_distinct_window" ->
+      """SELECT o_orderkey, o_custkey, o_orderpriority,
+        |  count(DISTINCT o_orderpriority)
+        |    OVER (PARTITION BY o_custkey) AS n_distinct_prio
+        |FROM orders""".stripMargin,
     "scale_zorder_code" ->
       s"""WITH b AS (SELECT o_orderkey, o_custkey % 65536 AS zx,
          |  o_orderkey % 65536 AS zy FROM orders)

@@ -218,6 +218,69 @@ object Similarity {
             .as("purity"))
     }),
 
+    // SemDeDup (Abbas et al. 2023): semantic dedup = k-means cells →
+    // within-cell pairwise cosine ≥ τ → drop every member that has a
+    // LOWER-id neighbor above τ = 0.3 (tuned to this synthetic data like
+    // dedup_embedding; production uses ~0.95). Greedy min-id canonical —
+    // the same keep-rule as dedup_exact. The cell restriction is what scales:
+    // candidate pairs are O(Σ|cell|²) like the MinHash bands / IVF
+    // probes, never corpus². Reuses the learned k-means cells (shared
+    // kmeansAssign), so the whole chain cluster → pair → drop is the
+    // production semantic-dedup path in one declarative plan.
+    "dedup_semantic" -> ((s, d) => {
+      val cells = kmeansAssign(s, d).select("vec_id", "u", "cluster")
+      val a = cells.select(col("vec_id").as("left_id"),
+        col("cluster"), col("u").as("ua"))
+      val b = cells.select(col("vec_id").as("right_id"),
+        col("cluster").as("cl_b"), col("u").as("ub"))
+      val dropped = a.join(b, col("cluster") === col("cl_b") &&
+          col("left_id") < col("right_id"))
+        .filter(round(expr("graft_vec_dot(ua, ub)"), 6) >= 0.3)
+        .select(col("right_id").as("vec_id")).distinct()
+        .withColumn("dup", lit(true))
+      cells.select("vec_id", "cluster")
+        .join(dropped, Seq("vec_id"), "left")
+        .select(col("vec_id"), col("cluster"),
+          (!coalesce(col("dup"), lit(false))).as("keep"))
+    }),
+
+    // Matryoshka truncation eval (Kusupati et al. 2022): how much
+    // recall@10 survives when vectors are cut to their first 16 dims
+    // (renormalized)? The memory/latency lever MRL embeddings promise —
+    // this measures it per query against the full-dim ranking. Both
+    // rankings are the brute-force broadcast path; at 100 TB the
+    // truncated pass is the cheap first stage of a two-stage
+    // retrieve-then-rerank cascade.
+    "emb_mrl_recall" -> ((s, d) => {
+      val e = unitVecs(s, d).select("vec_id", "u")
+      val t = e.select(col("vec_id"), slice(col("u"), 1, 16).as("t16"))
+        .withColumn("tn",
+          sqrt(call_function("graft_vec_dot", col("t16"), col("t16"))))
+        .filter(col("tn") > 0)
+        .select(col("vec_id"),
+          transform(col("t16"), x => x / col("tn")).as("ut"))
+      def topk(corpus: DataFrame, vc: String): DataFrame = {
+        val q = corpus.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("q_id"), col(vc).as("q_v"))
+        val w = Window.partitionBy("q_id")
+          .orderBy(col("score").desc, col("cand_id"))
+        corpus.select(col("vec_id").as("cand_id"), col(vc))
+          .crossJoin(broadcast(q))
+          .filter(col("cand_id") =!= col("q_id"))
+          .select(col("q_id"), col("cand_id"),
+            round(call_function("graft_vec_dot", col(vc), col("q_v")), 6)
+              .as("score"))
+          .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 10)
+          .select("q_id", "cand_id")
+      }
+      val full  = topk(e, "u")
+      val trunc = topk(t, "ut")
+      full.join(trunc, Seq("q_id", "cand_id"), "left_semi")
+        .groupBy("q_id").agg(count(lit(1)).as("n_overlap"))
+        .select(col("q_id"), col("n_overlap"),
+          round(col("n_overlap").cast("double") / 10.0, 6).as("recall_at_10"))
+    }),
+
     // Product quantization (the other ANN memory lever next to int8:
     // 64 dims → 8 subspace codes, 8 bytes per vector at codebook size
     // 256). Deterministic toy codebook — the first 4 vectors' subvectors
@@ -449,6 +512,39 @@ object Similarity {
          |SELECT q_id, q_label, c_label AS pred_label, votes,
          |  c_label = q_label AS correct
          |FROM p WHERE rn = 1""".stripMargin,
+    "dedup_semantic" ->
+      s"""WITH $KmeansCte,
+         |dropped AS (SELECT DISTINCT b.vec_id
+         |  FROM a2 a JOIN a2 b ON a.cluster = b.cluster
+         |    AND a.vec_id < b.vec_id
+         |  WHERE round(list_dot_product(a.u, b.u), 6) >= 0.3)
+         |SELECT a2.vec_id, a2.cluster,
+         |  a2.vec_id NOT IN (SELECT vec_id FROM dropped) AS keep
+         |FROM a2""".stripMargin,
+    "emb_mrl_recall" ->
+      s"""WITH $UnitCte,
+         |t AS (SELECT vec_id,
+         |    [x / sqrt(list_dot_product(t16, t16)) for x in t16] AS ut
+         |  FROM (SELECT vec_id, u[1:16] AS t16 FROM e)
+         |  WHERE sqrt(list_dot_product(t16, t16)) > 0),
+         |qf AS (SELECT vec_id AS q_id, u AS q_v FROM e WHERE vec_id < 5),
+         |ff AS (SELECT *, row_number() OVER (PARTITION BY q_id
+         |    ORDER BY score DESC, cand_id) AS rnk
+         |  FROM (SELECT q.q_id, e.vec_id AS cand_id,
+         |      round(list_dot_product(e.u, q.q_v), 6) AS score
+         |    FROM e CROSS JOIN qf q WHERE e.vec_id <> q.q_id)),
+         |qt AS (SELECT vec_id AS q_id, ut AS q_v FROM t WHERE vec_id < 5),
+         |tt AS (SELECT *, row_number() OVER (PARTITION BY q_id
+         |    ORDER BY score DESC, cand_id) AS rnk
+         |  FROM (SELECT q.q_id, t.vec_id AS cand_id,
+         |      round(list_dot_product(t.ut, q.q_v), 6) AS score
+         |    FROM t CROSS JOIN qt q WHERE t.vec_id <> q.q_id))
+         |SELECT f.q_id, count(*) AS n_overlap,
+         |  round(CAST(count(*) AS DOUBLE) / 10, 6) AS recall_at_10
+         |FROM (SELECT q_id, cand_id FROM ff WHERE rnk <= 10) f
+         |JOIN (SELECT q_id, cand_id FROM tt WHERE rnk <= 10) x
+         |  ON f.q_id = x.q_id AND f.cand_id = x.cand_id
+         |GROUP BY f.q_id""".stripMargin,
     "emb_pq" ->
       s"""WITH $UnitCte,
          |subs AS (SELECT vec_id, j AS sub, u[j*8+1 : j*8+8] AS x

@@ -616,6 +616,42 @@ object TextOps {
         .select("doc_id", "lang")
     }),
 
+    // DSIR-style importance weights (Xie et al. 2023): per-document mean
+    // log-ratio between a TARGET unigram LM (here: the English slice)
+    // and the overall corpus LM, add-one smoothed over the corpus vocab.
+    // exp(weight) is the importance-resampling rate that reshapes a raw
+    // corpus toward the target distribution. Both LMs come from exact
+    // counts in ONE corpus scan (the target count is a conditional sum in
+    // the same aggregate); per-token log-ratios round to 6 places and sum
+    // as scaled longs with half-away-from-zero encoding (ratios go
+    // negative, so the +0.5 trick gains a sign guard — same discipline
+    // as emb_quantize_int8's rounding).
+    "samp_importance" -> ((s, d) => {
+      val docs = docsOf(s, d)
+      val tok = docs
+        .select(col("doc_id"), col("lang"),
+          explode(tokens(col("text"))).as("term"))
+      val vocab = tok.groupBy("term").agg(
+        count(lit(1)).as("c_all"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("c_tgt"))
+      val tot = vocab.agg(sum("c_all").cast("long").as("t_all"),
+        sum("c_tgt").cast("long").as("t_tgt"),
+        count(lit(1)).cast("long").as("v"))
+      val llr =
+        round(log((col("c_tgt") + 1L).cast("double")
+            / (col("t_tgt") + col("v")).cast("double"))
+          - log((col("c_all") + 1L).cast("double")
+            / (col("t_all") + col("v")).cast("double")), 6)
+      tok.join(vocab, "term").crossJoin(broadcast(tot))
+        .withColumn("sllr", (llr * 1000000.0
+          + when(llr >= 0, 0.5).otherwise(-0.5)).cast("long"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"), sum("sllr").as("ssum"))
+        .select(col("doc_id"), col("n_tokens"),
+          round(col("ssum").cast("double") / 1000000.0 / col("n_tokens"),
+            6).as("mean_llr"))
+    }),
+
     // Duplicated-substring spans (the exact-substring dedup modality,
     // approximated at 8-gram granularity): shared rare 8-grams seed
     // matches; runs of consecutive seeds on the same (pair, diagonal)
@@ -1482,6 +1518,28 @@ object TextOps {
         |JOIN ch ON coalesce(d.lang, '') = ch.lk
         |WHERE substr(md5(coalesce(d.lang, '') || ':'
         |  || CAST(d.doc_id AS VARCHAR)), 1, 4) < ch.cut_hex""".stripMargin,
+    "samp_importance" ->
+      s"""WITH $TokedCte,
+         |tok AS (SELECT t.doc_id, d.lang, unnest(t.toks) AS term
+         |  FROM toked t JOIN documents d ON t.doc_id = d.doc_id),
+         |vocab AS (SELECT term, count(*) AS c_all,
+         |    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS c_tgt
+         |  FROM tok GROUP BY term),
+         |tot AS (SELECT CAST(sum(c_all) AS BIGINT) AS t_all,
+         |  CAST(sum(c_tgt) AS BIGINT) AS t_tgt,
+         |  count(*) AS v FROM vocab),
+         |sc AS (SELECT doc_id,
+         |  CAST(trunc(llr * 1000000
+         |    + CASE WHEN llr >= 0 THEN 0.5 ELSE -0.5 END) AS BIGINT) AS sllr
+         |  FROM (SELECT tok.doc_id,
+         |      round(ln(CAST(c_tgt + 1 AS DOUBLE) / (t_tgt + v))
+         |        - ln(CAST(c_all + 1 AS DOUBLE) / (t_all + v)), 6) AS llr
+         |    FROM tok JOIN vocab USING (term) CROSS JOIN tot))
+         |SELECT doc_id, count(*) AS n_tokens,
+         |  round(CAST(sum(sllr) AS DOUBLE) / 1000000 / count(*), 6)
+         |    AS mean_llr
+         |FROM sc GROUP BY doc_id""".stripMargin,
     "dedup_minhash_eval" ->
       s"""WITH $SigCte,
          |pr AS (SELECT DISTINCT a.doc_id AS left_id, b.doc_id AS right_id

@@ -500,6 +500,63 @@ object TextOps {
           (col("off") + row_number().over(wIn)).cast("long").as("pos"))
     }),
 
+    // Curriculum ordering: docs bucketed into 4 difficulty phases (by
+    // length — swap in any quality score) with a DETERMINISTIC shuffle
+    // inside each phase, giving the (phase, pos) training order a
+    // curriculum loader consumes. Same scale machinery as
+    // shuf_deterministic — md5-prefix buckets + per-(phase,bucket)
+    // window + broadcast per-phase cumulative offsets — so no phase ever
+    // sorts on a single reducer: a phase holds ~corpus/4 rows, which at
+    // 100 TB must spread across its 256 hash buckets.
+    "curriculum_order" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val phased = docsOf(s, d)
+        .select(col("doc_id"),
+          when(col("n_chars") < 150, 1L).when(col("n_chars") < 300, 2L)
+            .when(col("n_chars") < 450, 3L).otherwise(4L).as("phase"),
+          md5(col("doc_id").cast("string")).as("k"))
+        .withColumn("bkt", conv(substring(col("k"), 1, 2), 16, 10)
+          .cast("int"))
+      val counts = phased.groupBy("phase", "bkt").agg(count(lit(1)).as("cnt"))
+      // Per-phase cumulative bucket offsets (the bucket prefix of k makes
+      // bucket-ascending + k-ascending == plain k-ascending per phase).
+      val a = counts.as("a"); val b = counts.as("b")
+      val offs = a.join(broadcast(b),
+          col("b.phase") === col("a.phase") && col("b.bkt") < col("a.bkt"),
+          "left")
+        .groupBy(col("a.phase").as("phase"), col("a.bkt").as("bkt"))
+        .agg(coalesce(sum(col("b.cnt")), lit(0L)).as("off"))
+      val wIn = Window.partitionBy("phase", "bkt").orderBy("k", "doc_id")
+      phased.join(broadcast(offs), Seq("phase", "bkt"))
+        .select(col("doc_id"), col("phase"),
+          (col("off") + row_number().over(wIn)).cast("long").as("pos"))
+    }),
+
+    // Incremental ingest near-dedup: the new batch (doc_id % 5 == 0 —
+    // the arriving snapshot) probes the EXISTING corpus's LSH band index
+    // and is flagged when any band bucket collides. This is how dedup
+    // actually runs in production: the corpus bands are a stored index
+    // that each new batch semi-joins — one shuffle on (band_idx,
+    // band_hash), never a corpus rescan. Batch-internal dups are the
+    // already-covered dedup_minhash_* path; this query isolates the
+    // cross-ingest modality.
+    "dedup_incremental" -> ((s, d) => {
+      val docs = docsOf(s, d)
+      val bands = graft.api.GraftOps
+        .minhashBands(docs, "doc_id", "text").localCheckpoint()
+      val ex = bands.filter(col("doc_id") % 5 =!= 0)
+        .select("band_idx", "band_hash").distinct()
+      val hits = bands.filter(col("doc_id") % 5 === 0)
+        .join(ex, Seq("band_idx", "band_hash"), "left_semi")
+        .select("doc_id").distinct()
+        .withColumn("hit", lit(true))
+      docs.filter(col("doc_id") % 5 === 0)
+        .select("doc_id", "lang", "source")
+        .join(hits, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("lang"), col("source"),
+          coalesce(col("hit"), lit(false)).as("near_dup_of_corpus"))
+    }),
+
     // Block-level corpus dedup (CCNet/RefinedWeb paragraph dedup, with
     // 16-token blocks standing in for paragraphs): keep only the
     // corpus-wide first occurrence of each block, reassemble each doc
@@ -1518,6 +1575,25 @@ object TextOps {
         |JOIN ch ON coalesce(d.lang, '') = ch.lk
         |WHERE substr(md5(coalesce(d.lang, '') || ':'
         |  || CAST(d.doc_id AS VARCHAR)), 1, 4) < ch.cut_hex""".stripMargin,
+    "curriculum_order" ->
+      """WITH p AS (SELECT doc_id,
+        |  CASE WHEN n_chars < 150 THEN 1 WHEN n_chars < 300 THEN 2
+        |       WHEN n_chars < 450 THEN 3 ELSE 4 END AS phase,
+        |  md5(CAST(doc_id AS VARCHAR)) AS k FROM documents)
+        |SELECT doc_id, CAST(phase AS BIGINT) AS phase,
+        |  row_number() OVER (PARTITION BY phase ORDER BY k, doc_id) AS pos
+        |FROM p""".stripMargin,
+    "dedup_incremental" ->
+      s"""WITH $SigCte,
+         |exb AS (SELECT DISTINCT band_idx, band_hash FROM bands
+         |  WHERE doc_id % 5 <> 0),
+         |hits AS (SELECT DISTINCT b.doc_id FROM bands b
+         |  JOIN exb ON b.band_idx = exb.band_idx
+         |    AND b.band_hash = exb.band_hash
+         |  WHERE b.doc_id % 5 = 0)
+         |SELECT d.doc_id, d.lang, d.source,
+         |  d.doc_id IN (SELECT doc_id FROM hits) AS near_dup_of_corpus
+         |FROM documents d WHERE d.doc_id % 5 = 0""".stripMargin,
     "samp_importance" ->
       s"""WITH $TokedCte,
          |tok AS (SELECT t.doc_id, d.lang, unnest(t.toks) AS term

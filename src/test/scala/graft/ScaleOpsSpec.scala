@@ -21,6 +21,19 @@ class ScaleOpsSpec extends SparkSpec {
     assert(salted.toSeq == plain.toSeq)
   }
 
+  test("bloomPrefilterJoin equals the plain join and actually prefilters") {
+    val probe = (1 to 2000).map(i => (i.toLong % 100, s"p$i")).toDF("k", "pv")
+    val build = Seq((3L, "b3"), (7L, "b7"), (42L, "b42")).toDF("bk", "bv")
+    val plain = probe.join(build, col("k") === col("bk"))
+      .select("k", "pv", "bv").collect().map(_.toString).sorted
+    val bloomed = ScaleOps.bloomPrefilterJoin(probe, "k", build, "bk")
+      .select("k", "pv", "bv").collect().map(_.toString).sorted
+    assert(bloomed.toSeq == plain.toSeq)
+    // No false negatives: every matching key's full multiplicity is
+    // present (3 build keys × 20 probe rows each).
+    assert(bloomed.length == 3 * 20)
+  }
+
   test("bucketed tables join without a shuffle (no Exchange in plan)") {
     Seq("bkt_a", "bkt_b").foreach { t =>
       spark.sql(s"DROP TABLE IF EXISTS $t")

@@ -505,7 +505,7 @@ object GraftOps {
         .select(col("__id"),
           (lit(1.0 - damping) / col("__n")).as("rank"))
         .localCheckpoint()
-      (1 to rounds).foreach { _ =>
+      (1 to rounds).foreach { i =>
         val contrib = e
           .join(pr, col("__src") === col("__id"))
           .select(col("__dst"),
@@ -518,7 +518,9 @@ object GraftOps {
             (lit(1.0 - damping) / col("__n") +
               lit(damping) * col("__in")).as("rank"))
           .union(iso)
-          .localCheckpoint()
+        // Last round: no checkpoint — the ranks are consumed once by the
+        // caller, so eager materialization would only add a job.
+        if (i < rounds) pr = pr.localCheckpoint()
       }
     }
     pr.select(col("__id").as(idCol), round(col("rank"), 10).as("rank"))
@@ -565,11 +567,15 @@ object GraftOps {
       .localCheckpoint()
     var lbl = nodes.select(col(idCol).cast("long").as("__id"),
       col(idCol).cast("long").as("cluster_id"))
-    (1 to rounds).foreach { _ =>
+    (1 to rounds).foreach { i =>
       lbl = e.join(lbl, col("__dst") === col("__id"))
         .groupBy("__src").agg(min("cluster_id").as("cluster_id"))
         .withColumnRenamed("__src", "__id")
-        .localCheckpoint()
+      // The final round's labels flow straight into the caller's plan —
+      // checkpointing them would materialize an extra eager job for a
+      // table consumed exactly once. Intermediate rounds still cut
+      // lineage so the plan stays flat at any `rounds`.
+      if (i < rounds) lbl = lbl.localCheckpoint()
     }
     lbl.select(col("__id").as(idCol), col("cluster_id"))
   }

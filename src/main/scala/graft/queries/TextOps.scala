@@ -876,7 +876,9 @@ object TextOps {
           .select(col("b").as("node"), lit(i.toLong).as("dist"))
         dist = dist.union(next)
           .groupBy("node").agg(min("dist").as("dist"))
-          .localCheckpoint(true)
+        // Final frontier flows straight to the caller — checkpointing it
+        // would add one eager job for a once-consumed table.
+        if (i < BfsRounds) dist = dist.localCheckpoint(true)
       }
       dist
     }),

@@ -43,6 +43,32 @@ object EventOps {
       graft.streaming.EventStream.sessionAgg(Tables.events(s, d),
         "30 minutes")),
 
+    // DAU / rolling-7-day WAU / stickiness — the product-analytics
+    // staple that needs DISTINCT users per day AND per trailing window.
+    // The distinct (day, user) table is built once; each pair then
+    // contributes to its own day plus the next 6 (a 7-way explode —
+    // bounded fan-out, partial-aggregated), so the trailing-window
+    // distinct never re-scans events and never holds a per-window user
+    // set: at 100 TB this is one events scan + two groupBys. Target
+    // days clamp to days that exist (inner join with the day list).
+    "ev_dau_wau" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+        .localCheckpoint()
+      val dau = daily.groupBy("day").agg(count(lit(1)).as("dau"))
+      val wau = daily
+        .select(col("day"), col("user_id"),
+          explode(sequence(lit(0), lit(6))).as("i"))
+        .select(date_add(col("day"), col("i")).as("day"), col("user_id"))
+        .distinct()
+        .join(dau.select("day"), Seq("day"), "left_semi")
+        .groupBy("day").agg(count(lit(1)).as("wau"))
+      dau.join(wau, Seq("day"))
+        .select(col("day"), col("dau"), col("wau"),
+          round(col("dau").cast("double") / col("wau").cast("double"), 6)
+            .as("stickiness"))
+    }),
+
     // Gap-based sessionization (30-minute inactivity gap) per user:
     // lag → new-session flag → running session index → per-session agg.
     // Micros arithmetic on both engines (DuckDB epoch() is fractional
@@ -263,6 +289,16 @@ object EventOps {
         |  event_type, count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "ev_dau_wau" ->
+      """WITH daily AS (SELECT DISTINCT ts::DATE AS day, user_id
+        |  FROM events),
+        |dau AS (SELECT day, count(*) AS dau FROM daily GROUP BY day),
+        |wau AS (SELECT t.day, count(DISTINCT d.user_id) AS wau
+        |  FROM dau t JOIN daily d ON d.day BETWEEN t.day - 6 AND t.day
+        |  GROUP BY t.day)
+        |SELECT dau.day, dau.dau, wau.wau,
+        |  round(CAST(dau.dau AS DOUBLE) / wau.wau, 6) AS stickiness
+        |FROM dau JOIN wau ON dau.day = wau.day""".stripMargin,
     "ev_sliding" ->
       """WITH both_grids AS (
         |  SELECT time_bucket(INTERVAL '10 minutes', ts) AS window_start,

@@ -454,6 +454,25 @@ object Relational {
       ex.join(ap, Seq("o_orderpriority"))
     }),
 
+    // Exact distinct counting via MERGEABLE bitmaps (the
+    // ClickHouse/Druid groupBitmap pattern): each 64-key word holds a
+    // bit_or-aggregated presence mask, popcounts sum to the exact
+    // distinct count. Unlike count_distinct's shuffle of every distinct
+    // (group, key) pair, the partial state here is ≤ keyspace/64 words
+    // per group per mapper and merges with OR — the exact-sketch
+    // alternative to HLL (agg_approx_distinct) when keys are dense
+    // integers. Must equal COUNT(DISTINCT) precisely — that's the gate.
+    "agg_bitmap_distinct" -> ((s, d) =>
+      Tables.orders(s, d)
+        .select(col("o_orderpriority"),
+          (col("o_custkey") / 64L).cast("long").as("w"),
+          call_function("shiftleft", lit(1L),
+            pmod(col("o_custkey"), lit(64L)).cast("int")).as("b"))
+        .groupBy("o_orderpriority", "w")
+        .agg(expr("bit_or(b)").as("bits"))
+        .groupBy("o_orderpriority")
+        .agg(sum(expr("bit_count(bits)")).cast("long").as("exact_nd"))),
+
     // Salted skew join under the correctness gate: the salted plan MUST
     // hash-match the plain-join oracle — proving the skew machinery is
     // result-transparent. Left rows split across 8 deterministic salt
@@ -645,6 +664,31 @@ object Relational {
             SELECT 1 FROM v_orders o
             WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
         GROUP BY c.c_nationkey""")
+    }),
+
+    // Recursive CTE (Spark 4's WITH RECURSIVE) — the SQL-surface twin of
+    // graph_bfs: 2-hop reachability from seed suppliers over the
+    // supplier↔part graph, depth-bounded in the recursive member. The
+    // engine runs each recursion level as one join+union step — same
+    // per-round shuffle shape as the DataFrame loop, but the level
+    // iteration lives in the engine instead of driver code. min(dist)
+    // collapses the UNION ALL path multiplicity to BFS distance.
+    "sql_recursive_cte" -> ((s, d) => {
+      Tables.lineitem(s, d).createOrReplaceTempView("v_lineitem")
+      s.sql("""
+        WITH RECURSIVE ed0 AS (
+          SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS src,
+                 CAST(l_partkey + 1000000 AS BIGINT) AS dst
+          FROM v_lineitem),
+        e AS (SELECT src AS a, dst AS b FROM ed0
+              UNION SELECT dst, src FROM ed0),
+        reach(node, dist) AS (
+          SELECT DISTINCT src AS node, 0 AS dist FROM ed0 WHERE src < 3
+          UNION ALL
+          SELECT e.b, r.dist + 1 FROM reach r JOIN e ON e.a = r.node
+          WHERE r.dist < 2)
+        SELECT node, CAST(min(dist) AS BIGINT) AS dist
+        FROM reach GROUP BY node""")
     }),
 
     // Pagination: total order + OFFSET/LIMIT (Spark 3.4+ offset). At
@@ -1218,6 +1262,10 @@ object Relational {
         |  count(*) AS n_items
         |FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
         |GROUP BY s.s_nationkey""".stripMargin,
+    "agg_bitmap_distinct" ->
+      """SELECT o_orderpriority,
+        |  count(DISTINCT o_custkey) AS exact_nd
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
     "j16_bloom_join" ->
       """SELECT p.p_brand,
         |  CAST(sum(CAST(trunc(l.l_extendedprice * 100.0 + 0.5) AS BIGINT))
@@ -1345,6 +1393,20 @@ object Relational {
         |    SELECT 1 FROM orders o
         |    WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
         |GROUP BY c.c_nationkey""".stripMargin,
+    "sql_recursive_cte" ->
+      """WITH RECURSIVE ed0 AS (
+        |  SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS src,
+        |         CAST(l_partkey + 1000000 AS BIGINT) AS dst
+        |  FROM lineitem),
+        |e AS (SELECT src AS a, dst AS b FROM ed0
+        |      UNION SELECT dst, src FROM ed0),
+        |reach(node, dist) AS (
+        |  SELECT DISTINCT src AS node, 0 AS dist FROM ed0 WHERE src < 3
+        |  UNION ALL
+        |  SELECT e.b, r.dist + 1 FROM reach r JOIN e ON e.a = r.node
+        |  WHERE r.dist < 2)
+        |SELECT node, CAST(min(dist) AS BIGINT) AS dist
+        |FROM reach GROUP BY node""".stripMargin,
     "o3_limit_offset" ->
       """SELECT o_orderkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey

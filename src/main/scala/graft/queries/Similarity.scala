@@ -140,10 +140,7 @@ object Similarity {
     // end-to-end ANN path (cluster → probe own cell → top-k), replacing
     // emb_ivf_topk's label stand-in with real learned cells.
     "emb_ivf_kmeans_topk" -> ((s, d) => {
-      // Query and candidate sides both read the assignment — one
-      // materialization instead of two k-means chains.
       val cells = kmeansAssign(s, d).select("vec_id", "u", "cluster")
-        .localCheckpoint()
       val q = cells.filter(col("vec_id") < 5)
         .select(col("vec_id").as("q_id"), col("cluster").as("q_cluster"),
           col("u").as("q_u"))
@@ -231,10 +228,7 @@ object Similarity {
     // kmeansAssign), so the whole chain cluster → pair → drop is the
     // production semantic-dedup path in one declarative plan.
     "dedup_semantic" -> ((s, d) => {
-      // The assignment chain feeds three consumers (both pair sides +
-      // the final keep join) — materialize it once.
       val cells = kmeansAssign(s, d).select("vec_id", "u", "cluster")
-        .localCheckpoint()
       val a = cells.select(col("vec_id").as("left_id"),
         col("cluster"), col("u").as("ua"))
       val b = cells.select(col("vec_id").as("right_id"),

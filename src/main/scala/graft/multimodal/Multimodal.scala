@@ -81,10 +81,17 @@ object Multimodal {
   /** Frame sampling for video-shaped payloads: emit every `stride`-th
     * fixed-size chunk as a "frame" (stub for keyframe extraction). A
     * generator-shaped op: one input row → N output rows, columnar via
-    * posexplode so it stays in Tungsten. */
+    * posexplode so it stays in Tungsten.
+    * Spark's base64 emits MIME-CHUNKED output (76-char lines joined with
+    * \r\n) — the line breaks both corrupt the 4-chars-per-3-bytes chunk
+    * arithmetic and stop `.{n}` from matching across lines, silently
+    * collapsing any payload over one line to a single "frame" (caught by
+    * the DuckDB oracle, whose to_base64 is unchunked). Strip them first. */
   def sampleFrames(media: DataFrame, frameBytes: Int, stride: Int): DataFrame =
     media.select(col("media_id"),
-      posexplode(split(base64(col("payload")), s"(?<=\\G.{${4 * frameBytes}})"))
+      posexplode(split(
+        regexp_replace(base64(col("payload")), "[\\r\\n]", ""),
+        s"(?<=\\G.{${4 * frameBytes}})"))
         .as(Seq("frame_idx", "frame_b64")))
       .filter(col("frame_idx") % stride === 0)
 }

@@ -421,6 +421,23 @@ object TextOps {
         (expr("octet_length(text)").cast("long") * 3 % 480).as("fake_height"),
         lit(3).as("channels"))),
 
+    // Multimodal frame sampling (Multimodal.sampleFrames): the
+    // video-shaped generator op — one payload row → every 2nd fixed-size
+    // chunk as a "frame", columnar (posexplode over base64 chunking, no
+    // UDF, stays in Tungsten). The oracle rebuilds the identical chunks
+    // with substr arithmetic; frames hash to md5 so the compare stays
+    // scalar. Text bytes stand in for the video payload — the operator
+    // only sees a binary column.
+    "mm_frame_sample" -> ((s, d) => {
+      val media = Tables.documents(s, d)
+        .select(col("doc_id").as("media_id"),
+          col("text").cast("binary").as("payload"))
+      graft.multimodal.Multimodal.sampleFrames(media, 48, 2)
+        .filter(col("frame_b64") =!= "")
+        .select(col("media_id"), col("frame_idx").cast("long").as("frame_idx"),
+          md5(col("frame_b64")).as("frame_hash"))
+    }),
+
     // Benchmark decontamination: flag training docs sharing any word
     // 8-gram with the held-out set (doc_id % 20 == 0 stands in for the
     // eval benchmark). The benchmark's distinct grams are BROADCAST —
@@ -1763,6 +1780,16 @@ object TextOps {
         |  octet_length(encode(text)) * 3 % 480 AS fake_height,
         |  3 AS channels
         |FROM documents""".stripMargin,
+    "mm_frame_sample" ->
+      """WITH b AS (SELECT doc_id AS media_id,
+        |    to_base64(encode(text)) AS s FROM documents),
+        |f AS (SELECT media_id, i AS frame_idx,
+        |    substr(s, i * 192 + 1, 192) AS frame_b64
+        |  FROM b, (SELECT unnest(range(0, 1000)) AS i)
+        |  WHERE length(s) > i * 192)
+        |SELECT media_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+        |  md5(frame_b64) AS frame_hash
+        |FROM f WHERE frame_idx % 2 = 0""".stripMargin,
     "txt_decontaminate" ->
       s"""WITH $TokedCte,
          |grams AS (SELECT doc_id,

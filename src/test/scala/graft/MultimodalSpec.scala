@@ -36,4 +36,19 @@ class MultimodalSpec extends SparkSpec {
     val idx = frames.select("frame_idx").as[Int].collect().toSeq
     assert(idx.nonEmpty && idx.forall(_ % 2 == 0))
   }
+
+  test("sampleFrames chunks payloads beyond one base64 line (76 chars)") {
+    // Spark's base64 MIME-chunks at 76 chars; the regression collapsed
+    // any payload > 57 bytes to a single frame. 300 bytes → b64 400
+    // chars → ceil(400/16)=25 chunks at frameBytes=4 → 13 even-indexed.
+    val big = Seq((9L, ("ab" * 150).getBytes("UTF-8"), "video/fake"))
+      .toDF("media_id", "payload", "mime")
+    val frames = Multimodal.sampleFrames(big, 4, 2)
+    assert(frames.count() == 13)
+    // Re-decoding the surviving chunks reproduces the original bytes'
+    // even-chunk slices (chunk arithmetic is byte-exact).
+    val first = frames.orderBy("frame_idx")
+      .select(unbase64($"frame_b64")).as[Array[Byte]].first()
+    assert(new String(first, "UTF-8") == "ab" * 6)
+  }
 }

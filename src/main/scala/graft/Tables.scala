@@ -20,16 +20,30 @@ object Tables {
 
   // Analyzed-relation cache: `spark.read.parquet` re-lists the path and
   // re-reads footers for schema on EVERY call, and the harness resolves
-  // each table hundreds of times across the registered queries. DataFrames
-  // are immutable, so handing back the same analyzed relation is safe and
-  // skips that per-query listing/schema cost. Keyed by session so a
-  // restarted session (tests) never sees a relation bound to a dead one.
+  // each table hundreds of times across the registered queries (~15% of
+  // the full-registry bench). DataFrames are immutable and the testdata
+  // files never change, so handing back the same analyzed relation is
+  // safe. WeakHashMap keyed by session: a stopped, dereferenced session's
+  // entries (and their file indexes) are GC'd instead of pinned forever.
+  // Caveat for reuse outside the harness: callers direct-self-joining the
+  // SAME returned instance must alias/rename first (standard Spark
+  // self-join rule — every query here already does).
   private val relCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.concurrent.TrieMap[String, DataFrame]]
 
-  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    relCache.computeIfAbsent((spark, s"$sfDir/$name.parquet"),
-      key => key._1.read.parquet(key._2))
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val perSession = relCache.synchronized {
+      var m = relCache.get(spark)
+      if (m == null) {
+        m = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+        relCache.put(spark, m)
+      }
+      m
+    }
+    val path = s"$sfDir/$name.parquet"
+    perSession.getOrElseUpdate(path, spark.read.parquet(path))
+  }
 
   def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")

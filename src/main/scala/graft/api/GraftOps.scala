@@ -378,15 +378,22 @@ object GraftOps {
     * trivial, and unlike a global `Window.orderBy` cumsum it never
     * routes data through a single-partition WindowExec. This is the
     * shared spine of every "distributed prefix sum" query (global
-    * ntile, deterministic shuffle rank, sequence packing). */
+    * ntile, deterministic shuffle rank, sequence packing). Pass
+    * `partitionCols` to restart the running sum per partition (e.g.
+    * per curriculum phase). */
   def cumulativeOffsets(counts: DataFrame, bktCol: String, valCol: String,
-      ascending: Boolean = true): DataFrame = {
+      ascending: Boolean = true,
+      partitionCols: Seq[String] = Nil): DataFrame = {
     val a = counts.as("a"); val b = counts.as("b")
     val before =
       if (ascending) col(s"b.$bktCol") < col(s"a.$bktCol")
       else col(s"b.$bktCol") > col(s"a.$bktCol")
-    a.join(broadcast(b), before, "left")
-      .groupBy(col(s"a.$bktCol").as(bktCol))
+    val samePart = partitionCols
+      .map(c => col(s"b.$c") === col(s"a.$c"))
+      .foldLeft(before)(_ && _)
+    a.join(broadcast(b), samePart, "left")
+      .groupBy(col(s"a.$bktCol").as(bktCol) +:
+        partitionCols.map(c => col(s"a.$c").as(c)): _*)
       .agg(coalesce(sum(col(s"b.$valCol")), lit(0L)).as("off"))
   }
 

@@ -93,5 +93,9 @@ object Multimodal {
         regexp_replace(base64(col("payload")), "[\\r\\n]", ""),
         s"(?<=\\G.{${4 * frameBytes}})"))
         .as(Seq("frame_idx", "frame_b64")))
+      // split keeps a trailing "" when the length divides evenly (and
+      // yields [""] for empty payloads) — not a frame, drop it here
+      // rather than in every caller.
+      .filter(col("frame_b64") =!= "")
       .filter(col("frame_idx") % stride === 0)
 }

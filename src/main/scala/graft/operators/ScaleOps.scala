@@ -68,14 +68,17 @@ object ScaleOps {
       col("__bits").as("__bits0")))
     val w1 = broadcast(words.select(col("__w").as("__w1"),
       col("__bits").as("__bits1")))
-    val p0 = pos(probe(probeKey), 0)
-    val p1 = pos(probe(probeKey), 1)
+    // Project each md5-derived position ONCE — inlining the raw
+    // expression into both the join key and the bit test would hash
+    // every probe row twice per seed.
     val filtered = probe
-      .join(w0, word(p0) === col("__w0"))
-      .join(w1, word(p1) === col("__w1"))
-      .filter((col("__bits0").bitwiseAND(bit(p0)) =!= 0L) &&
-        (col("__bits1").bitwiseAND(bit(p1)) =!= 0L))
-      .drop("__w0", "__bits0", "__w1", "__bits1")
+      .withColumn("__p0", pos(probe(probeKey), 0))
+      .withColumn("__p1", pos(probe(probeKey), 1))
+      .join(w0, word(col("__p0")) === col("__w0"))
+      .join(w1, word(col("__p1")) === col("__w1"))
+      .filter((col("__bits0").bitwiseAND(bit(col("__p0"))) =!= 0L) &&
+        (col("__bits1").bitwiseAND(bit(col("__p1"))) =!= 0L))
+      .drop("__w0", "__bits0", "__w1", "__bits1", "__p0", "__p1")
     filtered.join(build, filtered(probeKey) === build(buildKey))
   }
 

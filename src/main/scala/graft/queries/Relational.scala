@@ -514,6 +514,9 @@ object Relational {
     // max-over-partition broadcasts it to every row. Two window passes
     // over the SAME partitioning (one Exchange, one sort); the oracle
     // runs DuckDB's native COUNT(DISTINCT ...) OVER.
+    // NULL caveat for reuse: dense_rank counts a NULL group, SQL's
+    // COUNT(DISTINCT) skips it — on a NULLABLE value column, pre-filter
+    // nulls (o_orderpriority is NOT NULL here).
     "w8_distinct_window" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val wRank = Window.partitionBy("o_custkey").orderBy("o_orderpriority")
@@ -673,13 +676,19 @@ object Relational {
     // per-round shuffle shape as the DataFrame loop, but the level
     // iteration lives in the engine instead of driver code. min(dist)
     // collapses the UNION ALL path multiplicity to BFS distance.
+    // The graph is restricted to the l_suppkey < 200 subgraph: the
+    // UnionLoop RE-DERIVES referenced CTEs on every level (no automatic
+    // materialization — measured 9 s unrestricted vs the DataFrame
+    // loop's explicit localCheckpoint), so a production recursion over
+    // a big edge table should stage the edges to a materialized view
+    // first; graph_bfs is this library's checkpointed form.
     "sql_recursive_cte" -> ((s, d) => {
       Tables.lineitem(s, d).createOrReplaceTempView("v_lineitem")
       s.sql("""
         WITH RECURSIVE ed0 AS (
           SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS src,
                  CAST(l_partkey + 1000000 AS BIGINT) AS dst
-          FROM v_lineitem),
+          FROM v_lineitem WHERE l_suppkey < 200),
         e AS (SELECT src AS a, dst AS b FROM ed0
               UNION SELECT dst, src FROM ed0),
         reach(node, dist) AS (
@@ -1397,7 +1406,7 @@ object Relational {
       """WITH RECURSIVE ed0 AS (
         |  SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS src,
         |         CAST(l_partkey + 1000000 AS BIGINT) AS dst
-        |  FROM lineitem),
+        |  FROM lineitem WHERE l_suppkey < 200),
         |e AS (SELECT src AS a, dst AS b FROM ed0
         |      UNION SELECT dst, src FROM ed0),
         |reach(node, dist) AS (

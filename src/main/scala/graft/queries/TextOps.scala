@@ -433,7 +433,6 @@ object TextOps {
         .select(col("doc_id").as("media_id"),
           col("text").cast("binary").as("payload"))
       graft.multimodal.Multimodal.sampleFrames(media, 48, 2)
-        .filter(col("frame_b64") =!= "")
         .select(col("media_id"), col("frame_idx").cast("long").as("frame_idx"),
           md5(col("frame_b64")).as("frame_hash"))
     }),
@@ -537,12 +536,8 @@ object TextOps {
       val counts = phased.groupBy("phase", "bkt").agg(count(lit(1)).as("cnt"))
       // Per-phase cumulative bucket offsets (the bucket prefix of k makes
       // bucket-ascending + k-ascending == plain k-ascending per phase).
-      val a = counts.as("a"); val b = counts.as("b")
-      val offs = a.join(broadcast(b),
-          col("b.phase") === col("a.phase") && col("b.bkt") < col("a.bkt"),
-          "left")
-        .groupBy(col("a.phase").as("phase"), col("a.bkt").as("bkt"))
-        .agg(coalesce(sum(col("b.cnt")), lit(0L)).as("off"))
+      val offs = graft.api.GraftOps.cumulativeOffsets(
+        counts, "bkt", "cnt", partitionCols = Seq("phase"))
       val wIn = Window.partitionBy("phase", "bkt").orderBy("k", "doc_id")
       phased.join(broadcast(offs), Seq("phase", "bkt"))
         .select(col("doc_id"), col("phase"),
@@ -1784,9 +1779,9 @@ object TextOps {
       """WITH b AS (SELECT doc_id AS media_id,
         |    to_base64(encode(text)) AS s FROM documents),
         |f AS (SELECT media_id, i AS frame_idx,
-        |    substr(s, i * 192 + 1, 192) AS frame_b64
-        |  FROM b, (SELECT unnest(range(0, 1000)) AS i)
-        |  WHERE length(s) > i * 192)
+        |    substr(s, CAST(i * 192 + 1 AS BIGINT), 192) AS frame_b64
+        |  FROM b, LATERAL (SELECT unnest(
+        |    range(0, CAST(ceil(length(s) / 192.0) AS BIGINT))) AS i))
         |SELECT media_id, CAST(frame_idx AS BIGINT) AS frame_idx,
         |  md5(frame_b64) AS frame_hash
         |FROM f WHERE frame_idx % 2 = 0""".stripMargin,

@@ -129,6 +129,24 @@ class DedupPackSpec extends SparkSpec {
     assert(got.exists(_._5 >= 15), "planted 15-token run not recovered")
   }
 
+  test("cumulativeOffsets restarts per partition with partitionCols") {
+    val counts = Seq(
+      ("p1", 0, 3L), ("p1", 1, 5L), ("p1", 2, 2L),
+      ("p2", 0, 7L), ("p2", 2, 1L)).toDF("phase", "bkt", "cnt")
+    val offs = GraftOps
+      .cumulativeOffsets(counts, "bkt", "cnt", partitionCols = Seq("phase"))
+      .orderBy("phase", "bkt")
+      .select("phase", "bkt", "off").as[(String, Int, Long)].collect().toSeq
+    assert(offs == Seq(
+      ("p1", 0, 0L), ("p1", 1, 3L), ("p1", 2, 8L),
+      ("p2", 0, 0L), ("p2", 2, 7L)))
+    // Without partitionCols the sum runs across everything (back-compat).
+    val flat = GraftOps.cumulativeOffsets(
+        counts.groupBy("bkt").agg(sum("cnt").as("cnt")), "bkt", "cnt")
+      .orderBy("bkt").select("bkt", "off").as[(Int, Long)].collect().toSeq
+    assert(flat == Seq((0, 0L), (1, 10L), (2, 15L)))
+  }
+
   test("packChunks: exact global prefix-sum bins, bounded overflow") {
     // 10 docs × 100 tokens → chunks of 64+36 per doc; bins of 128.
     val docs = (0L until 10L)

@@ -1114,8 +1114,12 @@ object TextOps {
       val find = lit(" " + pr + " ")
       val repl = lit(" " + pr.replace(" ", "") + " ")
       def rep(c0: Column): Column = replace(c0, find, repl)
+      // No per-step checkpoint: the vocabulary table is already
+      // materialized once, and re-deriving ≤ 3·BpeSteps nested replaces
+      // over the Heaps'-law vocab is cheaper than BpeSteps eager
+      // materialization jobs (measured — the original per-step
+      // localCheckpoint doubled the loop's wall time at sf0.1).
       cur = cur.withColumn("sp", rep(rep(rep(col("sp")))))
-        .localCheckpoint(true)
     }
     (cur, merges.result())
   }

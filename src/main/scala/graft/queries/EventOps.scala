@@ -43,6 +43,29 @@ object EventOps {
       graft.streaming.EventStream.sessionAgg(Tables.events(s, d),
         "30 minutes")),
 
+    // Exact rolling MEDIAN (7-event window per type) — the robust
+    // sibling of ev_rolling_zscore's mean/std: medians resist the
+    // outliers a z-score flags. Spark has no exact windowed median, so
+    // the engine composes one: collect_list over the bounded frame →
+    // array_sort → middle (odd) / mean-of-middles (even, = DuckDB's
+    // interpolated median at 0.5). The frame is ≤ 7 values, so the
+    // per-row sort is O(1) and the whole thing is one partitioned
+    // window pass — the composition only works for BOUNDED frames,
+    // which is exactly when a rolling median is well-posed.
+    "ev_rolling_median" -> ((s, d) => {
+      val w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+        .rowsBetween(-6, 0)
+      val arr = array_sort(collect_list(col("value")).over(w))
+      val n = size(arr)
+      Tables.events(s, d)
+        .select(col("event_id"), col("event_type"),
+          round(when(n % 2 === 1,
+              element_at(arr, ((n + 1) / 2).cast("int")))
+            .otherwise((element_at(arr, (n / 2).cast("int"))
+              + element_at(arr, (n / 2).cast("int") + 1)) / 2.0), 6)
+            .as("rolling_med"))
+    }),
+
     // DAU / rolling-7-day WAU / stickiness — the product-analytics
     // staple that needs DISTINCT users per day AND per trailing window.
     // The distinct (day, user) table is built once; each pair then
@@ -289,6 +312,12 @@ object EventOps {
         |  event_type, count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "ev_rolling_median" ->
+      """SELECT event_id, event_type,
+        |  round(median(value) OVER (PARTITION BY event_type
+        |    ORDER BY ts, event_id
+        |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS rolling_med
+        |FROM events""".stripMargin,
     "ev_dau_wau" ->
       """WITH daily AS (SELECT DISTINCT ts::DATE AS day, user_id
         |  FROM events),

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -452,6 +452,40 @@ object Relational {
         .agg(approx_count_distinct(col("o_custkey"), 0.02)
           .as("approx_nd"))
       ex.join(ap, Seq("o_orderpriority"))
+    }),
+
+    // Data-quality assertion suite — the validation pass a production
+    // pipeline runs before promoting a load: referential integrity
+    // (anti join), null checks, key uniqueness, range and enum
+    // constraints, each as one aggregate; the union is a constant-width
+    // report. At 100 TB each check is an independent scan/agg —
+    // schedulable in parallel, no check blocks another.
+    "dq_constraints" -> ((s, d) => {
+      def one(name: String, n: Column, src: DataFrame): DataFrame =
+        src.agg(n.cast("long").as("n_violations"))
+          .select(lit(name).as("check_name"), col("n_violations"))
+      val fkOrphans = one("lineitem_orderkey_fk",
+        count(lit(1)),
+        Tables.lineitem(s, d).join(
+          Tables.orders(s, d).select(col("o_orderkey")),
+          col("l_orderkey") === col("o_orderkey"), "left_anti"))
+      val nameNull = one("customer_name_not_null",
+        count(lit(1)),
+        Tables.customer(s, d).filter(col("c_name").isNull))
+      val dupKeys = one("orders_orderkey_unique",
+        coalesce(sum(lit(1L)), lit(0L)),
+        Tables.orders(s, d).groupBy("o_orderkey")
+          .agg(count(lit(1)).as("c")).filter(col("c") > 1))
+      val qtyRange = one("lineitem_quantity_range",
+        count(lit(1)),
+        Tables.lineitem(s, d)
+          .filter(col("l_quantity") <= 0 || col("l_quantity") > 100))
+      val statusEnum = one("orders_status_enum",
+        count(lit(1)),
+        Tables.orders(s, d)
+          .filter(!col("o_orderstatus").isin("O", "F", "P")))
+      fkOrphans.union(nameNull).union(dupKeys).union(qtyRange)
+        .union(statusEnum)
     }),
 
     // Exact distinct counting via MERGEABLE bitmaps (the
@@ -1271,6 +1305,27 @@ object Relational {
         |  count(*) AS n_items
         |FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
         |GROUP BY s.s_nationkey""".stripMargin,
+    "dq_constraints" ->
+      """SELECT 'lineitem_orderkey_fk' AS check_name,
+        |  (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+        |    (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+        |  AS n_violations
+        |UNION ALL
+        |SELECT 'customer_name_not_null',
+        |  (SELECT count(*) FROM customer WHERE c_name IS NULL)
+        |UNION ALL
+        |SELECT 'orders_orderkey_unique',
+        |  (SELECT coalesce(sum(1), 0) FROM
+        |    (SELECT o_orderkey FROM orders GROUP BY o_orderkey
+        |     HAVING count(*) > 1))
+        |UNION ALL
+        |SELECT 'lineitem_quantity_range',
+        |  (SELECT count(*) FROM lineitem
+        |   WHERE l_quantity <= 0 OR l_quantity > 100)
+        |UNION ALL
+        |SELECT 'orders_status_enum',
+        |  (SELECT count(*) FROM orders
+        |   WHERE o_orderstatus NOT IN ('O', 'F', 'P'))""".stripMargin,
     "agg_bitmap_distinct" ->
       """SELECT o_orderpriority,
         |  count(DISTINCT o_custkey) AS exact_nd

@@ -685,6 +685,62 @@ object TextOps {
         .select("doc_id", "lang")
     }),
 
+    // Exact-substring dedup APPLIED (the removal step after
+    // dedup_substring_spans' detection, Lee et al. 2022): every token of
+    // doc_b covered by a cross-doc shared span is dropped (doc_a — the
+    // lower id — keeps its copy), and the document is reassembled from
+    // the survivors in position order. Span ranges explode to (doc, pos)
+    // rows (bounded: spans are rare by the occurrence cap), the corpus
+    // anti-joins that removal set on (doc, pos), and reassembly is one
+    // groupBy with a sorted collect — the same bounded-fan-out shapes as
+    // the detector, nothing global.
+    "txt_span_removal" -> ((s, d) => {
+      val docs = docsOf(s, d)
+      val spans = graft.api.GraftOps
+        .substringSpans(docs, "doc_id", "text")
+      val rm = spans
+        .select(col("doc_b").as("doc_id"),
+          explode(sequence(col("start_b"),
+            col("start_b") + col("span_tokens") - 1)).as("pos"))
+        .distinct()
+      val tok = docs
+        .select(col("doc_id"),
+          posexplode(tokens(col("text"))).as(Seq("p", "tok")))
+        .select(col("doc_id"), col("p").cast("long").as("pos"), col("tok"))
+      val kept = tok.join(rm, Seq("doc_id", "pos"), "left_anti")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_kept"),
+          md5(array_join(transform(
+            array_sort(collect_list(struct(col("pos"), col("tok")))),
+            x => x.getField("tok")), " ")).as("clean_hash"))
+      docs.select(col("doc_id"),
+          tokenCount(col("text")).cast("long").as("n_tokens"))
+        .join(kept, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tokens"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          coalesce(col("clean_hash"), md5(lit(""))).as("clean_hash"))
+    }),
+
+    // Temperature-scaled language mixture (the multilingual-LM sampling
+    // standard, α = 0.5): w_l ∝ (n_l/N)^α, which at α = ½ is
+    // sqrt(n_l)/Σ sqrt(n_k) — N cancels, and sqrt (unlike pow) is
+    // IEEE-correctly-rounded on both engines (the agg_skew_kurt
+    // discipline). Each sqrt rounds to 6 places and scales to an exact
+    // long; the denominator is then an exact integer sum, so the final
+    // division has identical operands everywhere.
+    "samp_temperature" -> ((s, d) => {
+      val c = docsOf(s, d)
+        .groupBy(coalesce(col("lang"), lit("")).as("lang"))
+        .agg(count(lit(1)).as("n_docs"))
+        .withColumn("sq",
+          (round(sqrt(col("n_docs")), 6) * 1000000.0 + 0.5).cast("long"))
+      val den = c.agg(sum("sq").as("den"))
+      c.crossJoin(broadcast(den))
+        .select(col("lang"), col("n_docs"),
+          round(col("sq").cast("double") / col("den").cast("double"), 6)
+            .as("weight"))
+    }),
+
     // DSIR-style importance weights (Xie et al. 2023): per-document mean
     // log-ratio between a TARGET unigram LM (here: the English slice)
     // and the overall corpus LM, add-one smoothed over the corpus vocab.
@@ -1686,6 +1742,50 @@ object TextOps {
          |  min(pb) AS start_b, CAST(count(*) + 7 AS BIGINT) AS span_tokens
          |FROM isl GROUP BY a, b, diag, isl
          |HAVING count(*) >= 2""".stripMargin,
+    "txt_span_removal" ->
+      s"""WITH $TokedCte,
+         |gl AS (SELECT doc_id,
+         |  [md5(array_to_string(toks[i:i+7], ' '))
+         |   for i in range(1, len(toks) - 6)] AS gs
+         |  FROM toked WHERE len(toks) >= 8),
+         |gr AS (SELECT doc_id AS id, generate_subscripts(gs, 1) - 1 AS pos,
+         |  unnest(gs) AS g FROM gl),
+         |occ AS (SELECT g, count(*) AS cnt FROM gr GROUP BY g),
+         |rare AS (SELECT gr.* FROM gr JOIN occ ON gr.g = occ.g
+         |  WHERE occ.cnt BETWEEN 2 AND 8),
+         |pr AS (SELECT x.id AS a, x.pos AS pa, y.id AS b, y.pos AS pb
+         |  FROM rare x JOIN rare y ON x.g = y.g WHERE x.id < y.id),
+         |isl AS (SELECT *, pa - pb AS diag,
+         |  pa - row_number() OVER (PARTITION BY a, b, pa - pb
+         |    ORDER BY pa) AS isl FROM pr),
+         |sp AS (SELECT b AS doc_id, min(pb) AS start_b,
+         |    count(*) + 7 AS span_tokens
+         |  FROM isl GROUP BY a, b, diag, isl HAVING count(*) >= 2),
+         |rm AS (SELECT DISTINCT doc_id, pos FROM (
+         |  SELECT doc_id, unnest(range(start_b, start_b + span_tokens))
+         |    AS pos FROM sp)),
+         |tokpos AS (SELECT doc_id, generate_subscripts(toks, 1) - 1 AS pos,
+         |  unnest(toks) AS tok FROM toked),
+         |kept AS (SELECT t.doc_id, count(*) AS n_kept,
+         |    md5(array_to_string(list(t.tok ORDER BY t.pos), ' '))
+         |      AS clean_hash
+         |  FROM tokpos t LEFT JOIN rm
+         |    ON rm.doc_id = t.doc_id AND rm.pos = t.pos
+         |  WHERE rm.doc_id IS NULL GROUP BY t.doc_id)
+         |SELECT t0.doc_id, CAST(len(t0.toks) AS BIGINT) AS n_tokens,
+         |  coalesce(k.n_kept, 0) AS n_kept,
+         |  coalesce(k.clean_hash, md5('')) AS clean_hash
+         |FROM toked t0 LEFT JOIN kept k USING (doc_id)""".stripMargin,
+    "samp_temperature" ->
+      """WITH c AS (SELECT coalesce(lang, '') AS lang, count(*) AS n_docs
+        |  FROM documents GROUP BY coalesce(lang, '')),
+        |sq AS (SELECT lang, n_docs,
+        |  CAST(trunc(round(sqrt(n_docs), 6) * 1000000 + 0.5) AS BIGINT)
+        |    AS sq FROM c),
+        |den AS (SELECT CAST(sum(sq) AS BIGINT) AS den FROM sq)
+        |SELECT lang, n_docs,
+        |  round(CAST(sq AS DOUBLE) / CAST(den AS DOUBLE), 6) AS weight
+        |FROM sq, den""".stripMargin,
     "dedup_lines" ->
       s"""WITH $TokedCte,
          |bl AS (SELECT doc_id,

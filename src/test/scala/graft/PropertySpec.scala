@@ -80,4 +80,36 @@ class PropertySpec extends SparkSpec {
     assert(sigs(0) == sigs(1))      // identical docs
     assert(sigs(0) != sigs(3))      // different content
   }
+
+  test("bloomPrefilterJoin equals the plain join on arbitrary key sets") {
+    val probeGen = Gen.listOfN(300, Gen.chooseNum(-500L, 500L))
+    val buildGen = Gen.listOfN(12, Gen.chooseNum(-500L, 500L))
+    cases(Gen.zip(probeGen, buildGen), 5).foreach { case (pks, bks) =>
+      val probe = pks.zipWithIndex.map { case (k, i) => (k, i) }
+        .toDF("k", "pv")
+      val build = bks.distinct.map(k => (k, s"b$k")).toDF("bk", "bv")
+      val plain = probe.join(build, col("k") === col("bk"))
+        .select("k", "pv", "bv").collect().map(_.toString).sorted.toSeq
+      val bloomed = graft.operators.ScaleOps
+        .bloomPrefilterJoin(probe, "k", build, "bk")
+        .select("k", "pv", "bv").collect().map(_.toString).sorted.toSeq
+      assert(bloomed == plain)
+    }
+  }
+
+  test("sampleFrames at stride 1 reassembles the exact payload") {
+    val gen = Gen.chooseNum(0, 400).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(-128, 127).map(_.toByte)))
+    cases(gen, 20).zipWithIndex.foreach { case (bytes, i) =>
+      val media = Seq((i.toLong, bytes.toArray, "video/fake"))
+        .toDF("media_id", "payload", "mime")
+      val back = graft.multimodal.Multimodal.sampleFrames(media, 4, 1)
+        .agg(concat_ws("", transform(
+          array_sort(collect_list(struct($"frame_idx", $"frame_b64"))),
+          x => x.getField("frame_b64")))).as[String]
+        .collect().headOption.filter(_.nonEmpty)
+        .map(java.util.Base64.getDecoder.decode).getOrElse(Array.empty[Byte])
+      assert(back.toSeq == bytes, s"case $i (${bytes.length} bytes)")
+    }
+  }
 }

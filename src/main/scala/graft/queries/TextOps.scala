@@ -421,6 +421,73 @@ object TextOps {
         (expr("octet_length(text)").cast("long") * 3 % 480).as("fake_height"),
         lit(3).as("channels"))),
 
+    // THE RAG ingest path, composed from the library's own stages:
+    // quality/language gate + exact doc dedup (the shared clean gate) →
+    // 64-token chunking → corpus-wide chunk dedup (first occurrence
+    // wins) → BM25 retrieval over the surviving chunks for the fixed
+    // query-term set, top-10. This is what "build a retrieval corpus"
+    // means operationally; every stage is a shape already proven under
+    // the gate (cleanGate, chunkTokens, occurrence ranking, the
+    // single-pass BM25), and each stays shuffle-bounded — gates are
+    // projections, chunk dedup partitions by content hash, scoring is
+    // one conditional-sum aggregate over chunks.
+    "pipeline_rag_corpus" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val (gated, keep) = cleanGate(docsOf(s, d))
+      val clean = gated.join(keep, Seq("doc_id"), "left_semi")
+      val chunks = graft.api.GraftOps.chunkTokens(
+        clean.select("doc_id", "text"), "doc_id", "text", 64)
+      val wOcc = Window.partitionBy(md5(col("chunk_text")))
+        .orderBy("doc_id", "chunk_id")
+      val uniq = chunks
+        .withColumn("occ", row_number().over(wOcc))
+        .filter(col("occ") === 1)
+      // One tokenize pass: chunk length + the five query-term tfs in
+      // the same conditional-sum aggregate (txt_bm25_topk's shape, unit
+      // = chunk). Checkpointed: feeds both the stats row and scoring.
+      val perChunk = uniq
+        .select(col("doc_id"), col("chunk_id"),
+          explode(tokens(col("chunk_text"))).as("term"))
+        .groupBy("doc_id", "chunk_id").agg(
+          count(lit(1)).as("len"),
+          Bm25Terms.zipWithIndex.map { case (t, i) =>
+            sum(when(col("term") === t, 1L).otherwise(0L)).as(s"tf_$i")
+          }: _*)
+        .localCheckpoint()
+      val stats = perChunk.agg(count(lit(1)).cast("long").as("n_docs"),
+        sum("len").cast("long").as("tot_len"))
+      val tf = perChunk
+        .select(col("doc_id"), col("chunk_id"), col("len"),
+          explode(array(Bm25Terms.zipWithIndex.map { case (t, i) =>
+            struct(lit(t).as("term"), col(s"tf_$i").as("tf"))
+          }: _*)).as("p"))
+        .select(col("doc_id"), col("chunk_id"), col("len"),
+          col("p.term").as("term"), col("p.tf").as("tf"))
+        .filter(col("tf") > 0)
+      val idf = tf.groupBy("term").agg(count(lit(1)).as("df"))
+        .crossJoin(broadcast(stats))
+        .select(col("term"),
+          round(log((col("n_docs").cast("double")
+            - col("df").cast("double") + 0.5)
+            / (col("df").cast("double") + 0.5) + 1.0), 6).as("idf"),
+          (col("tot_len").cast("double") / col("n_docs").cast("double"))
+            .as("avgdl"))
+      tf.join(broadcast(idf), "term")
+        .withColumn("contrib",
+          (round(col("idf") * (col("tf").cast("double") * 2.2
+            / (col("tf").cast("double") + lit(1.2)
+              * (lit(0.25) + lit(0.75)
+                * (col("len").cast("double") / col("avgdl"))))),
+            6) * 1000000.0 + 0.5).cast("long"))
+        .groupBy("doc_id", "chunk_id")
+        .agg(sum("contrib").as("s"),
+          count(lit(1)).cast("long").as("n_terms"))
+        .orderBy(col("s").desc, col("doc_id"), col("chunk_id")).limit(10)
+        .select(col("doc_id"), col("chunk_id"),
+          round(col("s").cast("double") / 1000000.0, 6).as("score"),
+          col("n_terms"))
+    }),
+
     // Multimodal frame sampling (Multimodal.sampleFrames): the
     // video-shaped generator op — one payload row → every 2nd fixed-size
     // chunk as a "frame", columnar (posexplode over base64 chunking, no
@@ -1879,6 +1946,59 @@ object TextOps {
         |  octet_length(encode(text)) * 3 % 480 AS fake_height,
         |  3 AS channels
         |FROM documents""".stripMargin,
+    "pipeline_rag_corpus" ->
+      s"""WITH $TokedCte, $CleanGateCte,
+         |keep AS (SELECT min(doc_id) AS doc_id FROM documents
+         |  GROUP BY md5(text)),
+         |gated AS (SELECT doc_id FROM scored
+         |  WHERE n_tokens >= 20 AND stop_ratio >= 0.05
+         |    AND lang_guess <> 'und'),
+         |clean AS (SELECT g.doc_id FROM gated g
+         |  JOIN keep k ON g.doc_id = k.doc_id),
+         |ct AS (SELECT t.doc_id, t.toks, CAST(len(t.toks) AS BIGINT) AS n
+         |  FROM toked t JOIN clean c ON t.doc_id = c.doc_id
+         |  WHERE len(t.toks) > 0),
+         |ch AS (SELECT doc_id,
+         |  unnest(range(CAST(ceil(n / 64.0) AS BIGINT))) AS chunk_id,
+         |  unnest([array_to_string(toks[i*64+1 : i*64+64], ' ')
+         |          for i in range(CAST(ceil(n / 64.0) AS BIGINT))])
+         |    AS chunk_text
+         |  FROM ct),
+         |uniq AS (SELECT * FROM (SELECT doc_id, chunk_id, chunk_text,
+         |    row_number() OVER (PARTITION BY md5(chunk_text)
+         |      ORDER BY doc_id, chunk_id) AS occ FROM ch)
+         |  WHERE occ = 1),
+         |tok2 AS (SELECT doc_id, chunk_id, unnest(list_filter(
+         |    regexp_split_to_array(trim(chunk_text), '\\s+'), x -> x != ''))
+         |    AS term FROM uniq),
+         |dl AS (SELECT doc_id, chunk_id, count(*) AS len FROM tok2
+         |  GROUP BY doc_id, chunk_id),
+         |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(len) AS BIGINT) AS tot_len FROM dl),
+         |tf AS (SELECT doc_id, chunk_id, term, count(*) AS tf FROM tok2
+         |  WHERE term IN (${Bm25Terms.map("'" + _ + "'").mkString(", ")})
+         |  GROUP BY doc_id, chunk_id, term),
+         |idf AS (SELECT term,
+         |  round(ln((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE)
+         |      + CAST(0.5 AS DOUBLE))
+         |    / (CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE))
+         |    + CAST(1.0 AS DOUBLE)), 6) AS idf,
+         |  CAST(tot_len AS DOUBLE) / CAST(n_docs AS DOUBLE) AS avgdl
+         |  FROM (SELECT term, count(*) AS df FROM tf GROUP BY term), stats),
+         |sc AS (SELECT tf.doc_id, tf.chunk_id, CAST(trunc(round(idf.idf
+         |    * (CAST(tf.tf AS DOUBLE) * CAST(2.2 AS DOUBLE)
+         |      / (CAST(tf.tf AS DOUBLE) + CAST(1.2 AS DOUBLE)
+         |        * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE)
+         |          * (CAST(dl.len AS DOUBLE) / idf.avgdl)))), 6)
+         |    * 1000000 + CAST(0.5 AS DOUBLE)) AS BIGINT) AS contrib
+         |  FROM tf JOIN idf USING (term)
+         |  JOIN dl ON tf.doc_id = dl.doc_id AND tf.chunk_id = dl.chunk_id),
+         |g AS (SELECT doc_id, chunk_id, CAST(sum(contrib) AS BIGINT) AS s,
+         |  CAST(count(*) AS BIGINT) AS n_terms FROM sc
+         |  GROUP BY doc_id, chunk_id)
+         |SELECT doc_id, chunk_id,
+         |  round(CAST(s AS DOUBLE) / 1000000, 6) AS score, n_terms
+         |FROM g ORDER BY s DESC, doc_id, chunk_id LIMIT 10""".stripMargin,
     "mm_frame_sample" ->
       """WITH b AS (SELECT doc_id AS media_id,
         |    to_base64(encode(text)) AS s FROM documents),

@@ -59,7 +59,11 @@ object EventOps {
       val n = size(arr)
       Tables.events(s, d)
         .select(col("event_id"), col("event_type"),
-          round(when(n % 2 === 1,
+          // collect_list drops NULLs: an all-NULL frame gives an empty
+          // array, where element_at(_, 0) would abort — return NULL like
+          // SQL median does (latent here: value is NOT NULL in testdata).
+          round(when(n === 0, lit(null).cast("double"))
+            .when(n % 2 === 1,
               element_at(arr, ((n + 1) / 2).cast("int")))
             .otherwise((element_at(arr, (n / 2).cast("int"))
               + element_at(arr, (n / 2).cast("int") + 1)) / 2.0), 6)

@@ -473,7 +473,7 @@ object Relational {
         count(lit(1)),
         Tables.customer(s, d).filter(col("c_name").isNull))
       val dupKeys = one("orders_orderkey_unique",
-        coalesce(sum(lit(1L)), lit(0L)),
+        count(lit(1)),
         Tables.orders(s, d).groupBy("o_orderkey")
           .agg(count(lit(1)).as("c")).filter(col("c") > 1))
       val qtyRange = one("lineitem_quantity_range",
@@ -1315,7 +1315,7 @@ object Relational {
         |  (SELECT count(*) FROM customer WHERE c_name IS NULL)
         |UNION ALL
         |SELECT 'orders_orderkey_unique',
-        |  (SELECT coalesce(sum(1), 0) FROM
+        |  (SELECT count(*) FROM
         |    (SELECT o_orderkey FROM orders GROUP BY o_orderkey
         |     HAVING count(*) > 1))
         |UNION ALL

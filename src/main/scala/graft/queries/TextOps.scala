@@ -431,62 +431,9 @@ object TextOps {
     // single-pass BM25), and each stays shuffle-bounded — gates are
     // projections, chunk dedup partitions by content hash, scoring is
     // one conditional-sum aggregate over chunks.
-    "pipeline_rag_corpus" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val (gated, keep) = cleanGate(docsOf(s, d))
-      val clean = gated.join(keep, Seq("doc_id"), "left_semi")
-      val chunks = graft.api.GraftOps.chunkTokens(
-        clean.select("doc_id", "text"), "doc_id", "text", 64)
-      val wOcc = Window.partitionBy(md5(col("chunk_text")))
-        .orderBy("doc_id", "chunk_id")
-      val uniq = chunks
-        .withColumn("occ", row_number().over(wOcc))
-        .filter(col("occ") === 1)
-      // One tokenize pass: chunk length + the five query-term tfs in
-      // the same conditional-sum aggregate (txt_bm25_topk's shape, unit
-      // = chunk). Checkpointed: feeds both the stats row and scoring.
-      val perChunk = uniq
-        .select(col("doc_id"), col("chunk_id"),
-          explode(tokens(col("chunk_text"))).as("term"))
-        .groupBy("doc_id", "chunk_id").agg(
-          count(lit(1)).as("len"),
-          Bm25Terms.zipWithIndex.map { case (t, i) =>
-            sum(when(col("term") === t, 1L).otherwise(0L)).as(s"tf_$i")
-          }: _*)
-        .localCheckpoint()
-      val stats = perChunk.agg(count(lit(1)).cast("long").as("n_docs"),
-        sum("len").cast("long").as("tot_len"))
-      val tf = perChunk
-        .select(col("doc_id"), col("chunk_id"), col("len"),
-          explode(array(Bm25Terms.zipWithIndex.map { case (t, i) =>
-            struct(lit(t).as("term"), col(s"tf_$i").as("tf"))
-          }: _*)).as("p"))
-        .select(col("doc_id"), col("chunk_id"), col("len"),
-          col("p.term").as("term"), col("p.tf").as("tf"))
-        .filter(col("tf") > 0)
-      val idf = tf.groupBy("term").agg(count(lit(1)).as("df"))
-        .crossJoin(broadcast(stats))
-        .select(col("term"),
-          round(log((col("n_docs").cast("double")
-            - col("df").cast("double") + 0.5)
-            / (col("df").cast("double") + 0.5) + 1.0), 6).as("idf"),
-          (col("tot_len").cast("double") / col("n_docs").cast("double"))
-            .as("avgdl"))
-      tf.join(broadcast(idf), "term")
-        .withColumn("contrib",
-          (round(col("idf") * (col("tf").cast("double") * 2.2
-            / (col("tf").cast("double") + lit(1.2)
-              * (lit(0.25) + lit(0.75)
-                * (col("len").cast("double") / col("avgdl"))))),
-            6) * 1000000.0 + 0.5).cast("long"))
-        .groupBy("doc_id", "chunk_id")
-        .agg(sum("contrib").as("s"),
-          count(lit(1)).cast("long").as("n_terms"))
-        .orderBy(col("s").desc, col("doc_id"), col("chunk_id")).limit(10)
-        .select(col("doc_id"), col("chunk_id"),
-          round(col("s").cast("double") / 1000000.0, 6).as("score"),
-          col("n_terms"))
-    }),
+    "pipeline_rag_corpus" -> ((s, d) =>
+      bm25TopK(cleanChunksDeduped(s, d),
+        Seq("doc_id", "chunk_id"), "chunk_text", 10)),
 
     // Multimodal frame sampling (Multimodal.sampleFrames): the
     // video-shaped generator op — one payload row → every 2nd fixed-size
@@ -665,22 +612,13 @@ object TextOps {
     // the per-bin occupancy a batching loader consumes. Every stage is
     // shuffle-bounded: gates are projections, dedup partitions by
     // content hash, packing is the distributed prefix-sum.
-    "pipeline_pretrain_corpus" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val (gated, keep) = cleanGate(docsOf(s, d))
-      val clean = gated.join(keep, Seq("doc_id"), "left_semi")
-        .select("doc_id", "text")
-      val wOcc = Window.partitionBy(md5(col("chunk_text")))
-        .orderBy(col("doc_id"), col("chunk_id"))
-      val uniq = graft.api.GraftOps.chunkTokens(clean, "doc_id", "text", 64)
-        .withColumn("occ", row_number().over(wOcc))
-        .filter(col("occ") === 1)
-        .select("doc_id", "chunk_id", "n_tokens")
-      graft.api.GraftOps.packTokenRows(uniq, "doc_id", 512)
+    "pipeline_pretrain_corpus" -> ((s, d) =>
+      graft.api.GraftOps.packTokenRows(
+        cleanChunksDeduped(s, d).select("doc_id", "chunk_id", "n_tokens"),
+        "doc_id", 512)
         .groupBy("bin_id").agg(
           count(lit(1)).as("n_chunks"),
-          sum("n_tokens").as("n_tokens"))
-    }),
+          sum("n_tokens").as("n_tokens"))),
 
     // Pipeline observability: the one-row stage-count report every
     // corpus-processing run logs — total docs, exact-dedup survivors,
@@ -802,10 +740,15 @@ object TextOps {
         .withColumn("sq",
           (round(sqrt(col("n_docs")), 6) * 1000000.0 + 0.5).cast("long"))
       val den = c.agg(sum("sq").as("den"))
+      // Half-up at the 6th decimal in exact integer form —
+      // floor((2·sq·1e6 + den) / 2·den) — not engine round(): sq/den is
+      // an integer ratio that can land exactly on a half, where Spark's
+      // and DuckDB's round() disagree (the txt_bigram_logprob incident).
       c.crossJoin(broadcast(den))
         .select(col("lang"), col("n_docs"),
-          round(col("sq").cast("double") / col("den").cast("double"), 6)
-            .as("weight"))
+          (floor((col("sq").cast("double") * 2000000.0
+              + col("den").cast("double"))
+            / (col("den").cast("double") * 2.0)) / 1000000.0).as("weight"))
     }),
 
     // DSIR-style importance weights (Xie et al. 2023): per-document mean
@@ -1032,48 +975,8 @@ object TextOps {
     // 6 places (the proven cross-engine ln discipline) and sum as exact
     // scaled longs; top-20 ranks by the exact long score with doc_id
     // tiebreak, so the selected set is engine-independent.
-    "txt_bm25_topk" -> ((s, d) => {
-      val perDoc = docsOf(s, d)
-        .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
-        .groupBy("doc_id").agg(
-          count(lit(1)).as("len"),
-          Bm25Terms.zipWithIndex.map { case (t, i) =>
-            sum(when(col("term") === t, 1L).otherwise(0L)).as(s"tf_$i")
-          }: _*)
-        .localCheckpoint()
-      val stats = perDoc.agg(count(lit(1)).cast("long").as("n_docs"),
-        sum("len").cast("long").as("tot_len"))
-      val tf = perDoc
-        .select(col("doc_id"), col("len"),
-          explode(array(Bm25Terms.zipWithIndex.map { case (t, i) =>
-            struct(lit(t).as("term"), col(s"tf_$i").as("tf"))
-          }: _*)).as("p"))
-        .select(col("doc_id"), col("len"),
-          col("p.term").as("term"), col("p.tf").as("tf"))
-        .filter(col("tf") > 0)
-      val idf = tf.groupBy("term").agg(count(lit(1)).as("df"))
-        .crossJoin(broadcast(stats))
-        .select(col("term"),
-          round(log((col("n_docs").cast("double")
-            - col("df").cast("double") + 0.5)
-            / (col("df").cast("double") + 0.5) + 1.0), 6).as("idf"),
-          (col("tot_len").cast("double") / col("n_docs").cast("double"))
-            .as("avgdl"))
-      val scored = tf.join(broadcast(idf), "term")
-        .withColumn("contrib",
-          (round(col("idf") * (col("tf").cast("double") * 2.2
-            / (col("tf").cast("double") + lit(1.2)
-              * (lit(0.25) + lit(0.75)
-                * (col("len").cast("double") / col("avgdl"))))),
-            6) * 1000000.0 + 0.5).cast("long"))
-        .groupBy("doc_id")
-        .agg(sum("contrib").as("s"),
-          count(lit(1)).cast("long").as("n_terms"))
-      scored.orderBy(col("s").desc, col("doc_id")).limit(20)
-        .select(col("doc_id"),
-          round(col("s").cast("double") / 1000000.0, 6).as("score"),
-          col("n_terms"))
-    }),
+    "txt_bm25_topk" -> ((s, d) =>
+      bm25TopK(docsOf(s, d), Seq("doc_id"), "text", 20)),
 
     // Count-min sketch heavy hitters: the sublinear frequency sketch
     // next to the exact count (the same exact-vs-sketch pairing as
@@ -1206,6 +1109,77 @@ object TextOps {
 
   /** Fixed query-term set for txt_bm25_topk — shared with its oracle. */
   private val Bm25Terms = Seq("spark", "window", "hash", "vector", "stream")
+
+  /** Single-pass BM25 top-k over `units` (one text per keyCols row):
+    * one tokenize pass computes unit length and the query-term tfs as
+    * conditional sums, tf rows unpivot with length riding along,
+    * df/idf/avgdl are tiny broadcasts, contributions round to 6 places
+    * and sum as exact scaled longs, ranking ties break on the full key.
+    * Shared by txt_bm25_topk (unit = document) and pipeline_rag_corpus
+    * (unit = deduped chunk) so the determinism recipe and the
+    * k1=1.2 / b=0.75 constants live in exactly one place. */
+  private def bm25TopK(units: DataFrame, keyCols: Seq[String],
+      textCol: String, k: Int): DataFrame = {
+    val keys = keyCols.map(col)
+    val perUnit = units
+      .select(keys :+ explode(tokens(col(textCol))).as("term"): _*)
+      .groupBy(keys: _*).agg(
+        count(lit(1)).as("len"),
+        Bm25Terms.zipWithIndex.map { case (t, i) =>
+          sum(when(col("term") === t, 1L).otherwise(0L)).as(s"tf_$i")
+        }: _*)
+      .localCheckpoint()
+    val stats = perUnit.agg(count(lit(1)).cast("long").as("n_docs"),
+      sum("len").cast("long").as("tot_len"))
+    val tf = perUnit
+      .select(keys ++ Seq(col("len"),
+        explode(array(Bm25Terms.zipWithIndex.map { case (t, i) =>
+          struct(lit(t).as("term"), col(s"tf_$i").as("tf"))
+        }: _*)).as("p")): _*)
+      .select(keys ++ Seq(col("len"), col("p.term").as("term"),
+        col("p.tf").as("tf")): _*)
+      .filter(col("tf") > 0)
+    val idf = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(stats))
+      .select(col("term"),
+        round(log((col("n_docs").cast("double")
+          - col("df").cast("double") + 0.5)
+          / (col("df").cast("double") + 0.5) + 1.0), 6).as("idf"),
+        (col("tot_len").cast("double") / col("n_docs").cast("double"))
+          .as("avgdl"))
+    tf.join(broadcast(idf), "term")
+      .withColumn("contrib",
+        (round(col("idf") * (col("tf").cast("double") * 2.2
+          / (col("tf").cast("double") + lit(1.2)
+            * (lit(0.25) + lit(0.75)
+              * (col("len").cast("double") / col("avgdl"))))),
+          6) * 1000000.0 + 0.5).cast("long"))
+      .groupBy(keys: _*)
+      .agg(sum("contrib").as("s"),
+        count(lit(1)).cast("long").as("n_terms"))
+      .orderBy(col("s").desc +: keys: _*).limit(k)
+      .select(keys ++ Seq(
+        round(col("s").cast("double") / 1000000.0, 6).as("score"),
+        col("n_terms")): _*)
+  }
+
+  /** Shared prefix of the corpus-layout pipelines: clean gate + exact
+    * doc dedup → 64-token chunks → corpus-wide first-occurrence chunk
+    * dedup. The (doc_id, chunk_id) tie-break IS the "first occurrence
+    * wins" definition every oracle mirrors — defined once here, consumed
+    * by pipeline_pretrain_corpus and pipeline_rag_corpus. */
+  private def cleanChunksDeduped(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (gated, keep) = cleanGate(docsOf(s, d))
+    val clean = gated.join(keep, Seq("doc_id"), "left_semi")
+      .select("doc_id", "text")
+    val wOcc = Window.partitionBy(md5(col("chunk_text")))
+      .orderBy(col("doc_id"), col("chunk_id"))
+    graft.api.GraftOps.chunkTokens(clean, "doc_id", "text", 64)
+      .withColumn("occ", row_number().over(wOcc))
+      .filter(col("occ") === 1)
+      .select("doc_id", "chunk_id", "chunk_text", "n_tokens")
+  }
 
   /** The BPE training loop shared by tok_bpe_learn / tok_bpe_apply:
     * returns (final word→spelling table, learned merges). One corpus
@@ -1851,7 +1825,8 @@ object TextOps {
         |    AS sq FROM c),
         |den AS (SELECT CAST(sum(sq) AS BIGINT) AS den FROM sq)
         |SELECT lang, n_docs,
-        |  round(CAST(sq AS DOUBLE) / CAST(den AS DOUBLE), 6) AS weight
+        |  floor((CAST(sq AS DOUBLE) * 2000000 + CAST(den AS DOUBLE))
+        |    / (CAST(den AS DOUBLE) * 2)) / 1000000 AS weight
         |FROM sq, den""".stripMargin,
     "dedup_lines" ->
       s"""WITH $TokedCte,

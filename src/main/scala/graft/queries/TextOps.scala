@@ -803,21 +803,26 @@ object TextOps {
     // rows only for those pairs.
     "dedup_minhash_eval" -> ((s, d) => {
       val docs = docsOf(s, d)
-      // ONE minhash computation: the checkpointed band table feeds both
-      // the candidate-pair generation and the band-agreement join
-      // (exchange reuse would not cover the three consumers).
+      // A pair lands in a band's bucket exactly iff that band's hashes
+      // AGREE — so n_bands_agree is the pair's emission count across
+      // band buckets, free at generation time. (The earlier form joined
+      // the band table back twice per pair to recount what the bucket
+      // membership already knew — two shuffles gone.)
       val bands = graft.api.GraftOps.minhashBands(docs, "doc_id", "text")
+      val buckets = bands
+        .groupBy("band_idx", "band_hash")
+        .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+        .filter(size(col("ids")) > 1)
+      val perBandPairs = buckets.select(explode(
+        flatten(transform(col("ids"), (x, i) =>
+          transform(slice(col("ids"), i + 2, size(col("ids"))),
+            y => struct(x.as("left_id"), y.as("right_id")))))).as("p"))
+        .select(col("p.left_id").as("left_id"),
+          col("p.right_id").as("right_id"))
+      val agree = perBandPairs.groupBy("left_id", "right_id")
+        .agg(count(lit(1)).as("n_bands_agree"))
         .localCheckpoint()
-      val pairs = graft.api.GraftOps
-        .candidatePairsFromBands(bands, "doc_id").localCheckpoint()
-      val agree = pairs
-        .join(bands.select(col("doc_id").as("left_id"), col("band_idx"),
-          col("band_hash").as("bh_l")), Seq("left_id"))
-        .join(bands.select(col("doc_id").as("right_id"), col("band_idx"),
-          col("band_hash").as("bh_r")), Seq("right_id", "band_idx"))
-        .groupBy("left_id", "right_id")
-        .agg(sum(when(col("bh_l") === col("bh_r"), 1L).otherwise(0L))
-          .as("n_bands_agree"))
+      val pairs = agree.select("left_id", "right_id")
       // Shingle only the docs that appear in some candidate pair (a
       // left-semi prune): exact Jaccard is pair-scoped, so the corpus
       // never re-tokenizes — at 100 TB the candidate set is the tiny
@@ -835,8 +840,7 @@ object TextOps {
         .join(sh.select(col("doc_id").as("right_id"), col("sgl")),
           Seq("right_id", "sgl"))
         .groupBy("left_id", "right_id").agg(count(lit(1)).as("inter"))
-      pairs
-        .join(agree, Seq("left_id", "right_id"))
+      agree
         .join(sizes.select(col("doc_id").as("left_id"),
           col("sz").as("sz_l")), Seq("left_id"), "left")
         .join(sizes.select(col("doc_id").as("right_id"),

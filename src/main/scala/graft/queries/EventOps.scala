@@ -158,6 +158,24 @@ object EventOps {
           coalesce(col("n_retained_d7"), lit(0L)).as("n_retained_d7"))
     }),
 
+    // Full weekly cohort retention MATRIX (ev_retention's single-offset
+    // check generalized): cohort week = first active week per user,
+    // one row per (cohort, weeks-since) with the distinct active users.
+    // Same shapes: one distinct (user, week) table, a min-per-user
+    // cohort join, one groupBy — the matrix is cohorts × offsets rows,
+    // tiny at any corpus scale.
+    "ev_cohort_matrix" -> ((s, d) => {
+      val wk = Tables.events(s, d)
+        .select(col("user_id"),
+          floor(unix_micros(col("ts")) / lit(86400e6 * 7)).as("wk"))
+        .distinct()
+      val cohort = wk.groupBy("user_id").agg(min("wk").as("c_wk"))
+      wk.join(cohort, Seq("user_id"))
+        .groupBy(col("c_wk").as("cohort_wk"),
+          (col("wk") - col("c_wk")).as("weeks_since"))
+        .agg(count(lit(1)).as("n_users"))
+    }),
+
     // Semi-structured extraction: schema'd from_json over the props
     // payload column, then a plain aggregate — JSON parse is per-row
     // (codegen'd Jackson path), so the operator shards like any
@@ -316,6 +334,16 @@ object EventOps {
         |  event_type, count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "ev_cohort_matrix" ->
+      """WITH wk AS (SELECT DISTINCT user_id,
+        |    CAST(floor(epoch_us(ts) / (86400e6 * 7)) AS BIGINT) AS wk
+        |  FROM events),
+        |cohort AS (SELECT user_id, min(wk) AS c_wk FROM wk
+        |  GROUP BY user_id)
+        |SELECT c.c_wk AS cohort_wk, w.wk - c.c_wk AS weeks_since,
+        |  count(*) AS n_users
+        |FROM wk w JOIN cohort c ON w.user_id = c.user_id
+        |GROUP BY c.c_wk, w.wk - c.c_wk""".stripMargin,
     "ev_rolling_median" ->
       """SELECT event_id, event_type,
         |  round(median(value) OVER (PARTITION BY event_type

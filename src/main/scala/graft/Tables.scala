@@ -18,31 +18,33 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  // Analyzed-relation cache: `spark.read.parquet` re-lists the path and
-  // re-reads footers for schema on EVERY call, and the harness resolves
-  // each table hundreds of times across the registered queries (~15% of
-  // the full-registry bench). DataFrames are immutable and the testdata
-  // files never change, so handing back the same analyzed relation is
-  // safe. WeakHashMap keyed by session: a stopped, dereferenced session's
-  // entries (and their file indexes) are GC'd instead of pinned forever.
-  // Caveat for reuse outside the harness: callers direct-self-joining the
-  // SAME returned instance must alias/rename first (standard Spark
-  // self-join rule — every query here already does).
-  private val relCache =
-    new java.util.WeakHashMap[SparkSession,
-      scala.collection.concurrent.TrieMap[String, DataFrame]]
+  // Schema cache: schema-less `spark.read.parquet` re-reads footers for
+  // inference on EVERY call, and the harness resolves each table
+  // hundreds of times across the registered queries (~15% of the
+  // full-registry bench was footer I/O). Caching `path -> StructType`
+  // and handing the schema to the reader skips the inference pass while
+  // still returning a FRESH relation per call — so (a) nothing here
+  // holds a SparkSession reference (an earlier session-keyed
+  // DataFrame cache pinned stopped sessions: the cached Dataset's
+  // `sparkSession` field made every map value reach its own key),
+  // (b) direct self-joins of two `table(...)` calls work without alias
+  // gymnastics (distinct plan instances), and (c) the file LISTING is
+  // current each call. Only the SCHEMA is frozen — correct for the
+  // immutable harness testdata; callers whose files change schema
+  // mid-session should call `invalidateSchemaCache()`.
+  private val schemaCache =
+    scala.collection.concurrent.TrieMap
+      .empty[String, org.apache.spark.sql.types.StructType]
+
+  /** Drop all cached parquet schemas (for sources whose schema evolved
+    * mid-session; data-only changes never need this). */
+  def invalidateSchemaCache(): Unit = schemaCache.clear()
 
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    val perSession = relCache.synchronized {
-      var m = relCache.get(spark)
-      if (m == null) {
-        m = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
-        relCache.put(spark, m)
-      }
-      m
-    }
     val path = s"$sfDir/$name.parquet"
-    perSession.getOrElseUpdate(path, spark.read.parquet(path))
+    val schema = schemaCache.getOrElseUpdate(path,
+      spark.read.parquet(path).schema)
+    spark.read.schema(schema).parquet(path)
   }
 
   def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
@@ -75,21 +77,29 @@ object Tables {
   /** Production source path for S1/S4 (utils.py:24-31, :34-47): JDBC scan
     * with the tenant filter expressed as a DataFrame filter — Catalyst
     * pushes it into the generated `WHERE`, reproducing the reference's
-    * hand-inlined `WHERE dispensary_id={id}` without string templating.
+    * hand-inlined `WHERE dispensary_id={id}` without string templating
+    * (pushdown asserted against an embedded Derby in SourcesSpec).
     * `partitionColumn/numPartitions` shard the read across executors
     * (the reference reads single-threaded; at 100 TB the source must
-    * parallelize or it IS the bottleneck). Untestable in this harness
-    * (no database in-container); the parquet readers above are the
-    * test-time stand-in with identical lazy/pushdown semantics. */
+    * parallelize or it IS the bottleneck). `charset` covers the
+    * reference's latin-1 source encoding (members.py:22-23): it lands in
+    * the connection properties as `characterEncoding`, the key MySQL's
+    * driver (the reference's backend) reads; drivers that don't know the
+    * key ignore it. */
   def jdbcTable(s: SparkSession, url: String, table: String,
       partitionColumn: String, lowerBound: Long, upperBound: Long,
-      numPartitions: Int, props: java.util.Properties): DataFrame =
+      numPartitions: Int, props: java.util.Properties,
+      charset: Option[String] = None): DataFrame = {
+    val p = new java.util.Properties()
+    p.putAll(props)
+    charset.foreach(c => p.setProperty("characterEncoding", c))
     s.read
       .option("partitionColumn", partitionColumn)
       .option("lowerBound", lowerBound)
       .option("upperBound", upperBound)
       .option("numPartitions", numPartitions)
-      .jdbc(url, table, props)
+      .jdbc(url, table, p)
+  }
 
   /** CSV source with an EXPLICIT schema — never schema inference, which
     * costs an extra full pass over the data and can silently mistype

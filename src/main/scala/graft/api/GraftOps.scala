@@ -462,6 +462,44 @@ object GraftOps {
         })), 6).as("l2_err"))
   }
 
+  /** SemDeDup (Abbas et al. 2023) drop set with a BOUNDED per-cell pair
+    * cost: ids that have a lower-id neighbor with cosine ≥ `tau` inside
+    * the same cluster cell. The naive within-cell all-pairs join is
+    * quadratic in the LARGEST cell — at 100 TB one hot k-means cell
+    * (dead-center embeddings, near-duplicate floods) turns the whole job
+    * quadratic. Cells above `cellCap` members are therefore split into
+    * `ceil(n/cellCap)` sub-cells by a deterministic content-hash salt
+    * before the pair join, bounding join groups at `cellCap` EXPECTED
+    * rows (hash-balanced; pair cost ~Σ ceil(n/cap)·cap² instead of
+    * Σ n²). Pairs spanning
+    * two sub-cells of one hot cell are NOT compared — the published
+    * algorithm's own degradation mode (SemDeDup re-clusters or samples
+    * oversized cells for exactly this reason); for every cell ≤ cellCap
+    * the result is bit-identical to the unbounded join. Choose cellCap
+    * above the expected cell size so the bound is a safety net, not a
+    * sampler. Expects unit vectors and a registered `graft_vec_dot`.
+    * Cell sizes come from a broadcast k-row count table, so the only
+    * full-data shuffle is the pair join itself. */
+  def semanticDupIds(cells: DataFrame, idCol: String, vecCol: String,
+      clusterCol: String, tau: Double, cellCap: Int = 4096): DataFrame = {
+    require(cellCap >= 1, "semanticDupIds: cellCap must be >= 1")
+    val sizes = cells.groupBy(clusterCol).agg(count(lit(1)).as("__cell_n"))
+    val sub = cells.join(broadcast(sizes), Seq(clusterCol))
+      .withColumn("__n_sub",
+        ceil(col("__cell_n").cast("double") / cellCap).cast("long"))
+      .withColumn("__sub", pmod(xxhash64(col(idCol)), col("__n_sub")))
+    val a = sub.select(col(clusterCol).as("__cl_a"), col("__sub").as("__sub_a"),
+      col(idCol).as("left_id"), col(vecCol).as("ua"))
+    val b = sub.select(col(clusterCol).as("__cl_b"), col("__sub").as("__sub_b"),
+      col(idCol).as("right_id"), col(vecCol).as("ub"))
+    a.join(b, col("__cl_a") === col("__cl_b") &&
+        col("__sub_a") === col("__sub_b") &&
+        col("left_id") < col("right_id"))
+      .filter(round(call_function("graft_vec_dot", col("ua"), col("ub")), 6)
+        >= tau)
+      .select(col("right_id")).distinct()
+  }
+
   /** Bounded-round PageRank over an UNDIRECTED graph (edges are
     * symmetrized, so no node dangles as long as it has any edge;
     * isolated nodes keep teleport-only mass). Same iterative discipline

@@ -8,12 +8,15 @@ import org.apache.spark.sql.types._
   * binary columns + typed metadata, with decode/feature-extract as
   * partition-parallel operators).
   *
-  * The actual codec step is STUBBED (no image/audio libraries ship in this
-  * container): `decodeStub` derives deterministic fake dimensions from the
-  * payload bytes. Everything around it — the binary schema, the
-  * mapPartitions batch shape, the explicit output StructType, the
-  * per-partition amortization pattern (open codec once per partition, not
-  * per row) — is the real 100 TB-relevant plumbing and is tested.
+  * IMAGE decode is REAL: `imageDims` parses true width/height/channels
+  * through `javax.imageio` (JDK built-in — PNG/JPEG/GIF/BMP readers,
+  * header-only, no pixel decode). Payloads no registered reader
+  * recognizes (audio/video — no codecs ship in this container) fall back
+  * to `fakeDecode`, a deterministic stand-in. Everything around the
+  * codec — the binary schema, the mapPartitions batch shape, the
+  * explicit output StructType, the per-partition amortization pattern
+  * (codec config once per partition, not per row) — is the real
+  * 100 TB-relevant plumbing and is tested either way.
   */
 object Multimodal {
 
@@ -30,27 +33,64 @@ object Multimodal {
     StructField("height", IntegerType, nullable = false),
     StructField("channels", IntegerType, nullable = false)))
 
-  /** STUB decode: deterministic fake dimensions from payload bytes.
-    * Replace the body with a real codec (e.g. javax.imageio / ffmpeg
-    * bindings) in production — the operator shape does not change. */
+  /** FALLBACK decode: deterministic fake dimensions from payload bytes,
+    * for payloads no ImageIO reader recognizes (audio/video — swap in
+    * ffmpeg bindings in production; the operator shape does not
+    * change). */
   private def fakeDecode(payload: Array[Byte]): (Int, Int, Int) = {
     val h = if (payload == null || payload.isEmpty) 0
     else payload.foldLeft(17)((acc, b) => acc * 31 + (b & 0xff)) & 0x7fffffff
     (16 + h % 640, 16 + (h / 640) % 480, 3)
   }
 
+  /** REAL image decode via `javax.imageio` (in the JDK — PNG, JPEG, GIF,
+    * BMP, WBMP): sniffs the payload's magic bytes for a registered
+    * reader and asks it for width/height/channel-count. Header-only —
+    * `getWidth/getHeight/getImageTypes` never decode pixel data, so cost
+    * per row is a few header bytes regardless of image size (the
+    * property that matters when the payload column is 100 TB of JPEGs).
+    * None when no reader recognizes the bytes (caller falls back). */
+  private[multimodal] def imageDims(
+      payload: Array[Byte]): Option[(Int, Int, Int)] = {
+    if (payload == null || payload.length == 0) return None
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) None
+      else {
+        val r = readers.next()
+        try {
+          r.setInput(iis, true, true)
+          val types = r.getImageTypes(0)
+          val ch = if (types.hasNext) types.next().getNumComponents else 3
+          Some((r.getWidth(0), r.getHeight(0), ch))
+        } catch {
+          // Truncated/corrupt header: treat as undecodable, not fatal —
+          // a 100 TB crawl WILL contain broken images.
+          case scala.util.control.NonFatal(_) => None
+        } finally r.dispose()
+      }
+    } finally iis.close()
+  }
+
   /** Decode/feature-extract as mapPartitions over the binary column:
-    * one iterator pass per partition (codec init amortized), explicit
-    * output schema (no inference), no driver involvement. */
+    * one iterator pass per partition (codec config amortized), explicit
+    * output schema (no inference), no driver involvement. Images the
+    * JDK recognizes get TRUE dimensions; anything else gets the
+    * deterministic fallback. */
   def extractFeatures(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
     val rdd = media.select("media_id", "payload").rdd.mapPartitions { it =>
-      // Real impl: initialize the codec HERE, once per partition.
+      // Per-partition codec config: in-memory ImageInputStreams (the
+      // default spills every stream to an executor temp FILE — a
+      // per-row disk write at scale).
+      javax.imageio.ImageIO.setUseCache(false)
       it.map { r =>
         val id = r.getLong(0)
         val payload = if (r.isNullAt(1)) Array.empty[Byte]
         else r.getAs[Array[Byte]](1)
-        val (w, h, c) = fakeDecode(payload)
+        val (w, h, c) = imageDims(payload).getOrElse(fakeDecode(payload))
         Row(id, payload.length.toLong, w, h, c)
       }
     }
@@ -82,11 +122,15 @@ object Multimodal {
     * fixed-size chunk as a "frame" (stub for keyframe extraction). A
     * generator-shaped op: one input row → N output rows, columnar via
     * posexplode so it stays in Tungsten.
-    * Spark's base64 emits MIME-CHUNKED output (76-char lines joined with
-    * \r\n) — the line breaks both corrupt the 4-chars-per-3-bytes chunk
-    * arithmetic and stop `.{n}` from matching across lines, silently
-    * collapsing any payload over one line to a single "frame" (caught by
-    * the DuckDB oracle, whose to_base64 is unchunked). Strip them first. */
+    * Spark's base64 MAY emit MIME-CHUNKED output (76-char lines joined
+    * with \r\n — version/config dependent, governed by the legacy
+    * chunkBase64String behavior in recent Spark). When chunked, the line
+    * breaks both corrupt the 4-chars-per-3-bytes chunk arithmetic and
+    * stop `.{n}` from matching across lines, silently collapsing any
+    * payload over one line to a single "frame" (caught by the DuckDB
+    * oracle, whose to_base64 is unchunked). Stripping CR/LF first is
+    * correct under BOTH behaviors (a no-op when unchunked; the stride-1
+    * round-trip property test covers it). */
   def sampleFrames(media: DataFrame, frameBytes: Int, stride: Int): DataFrame =
     media.select(col("media_id"),
       posexplode(split(

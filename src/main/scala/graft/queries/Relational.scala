@@ -435,10 +435,15 @@ object Relational {
 
     // HLL++ approximate distinct counting next to the exact answer —
     // the sketch that replaces count_distinct at 100 TB (mergeable,
-    // fixed memory, no distinct-key shuffle). Registered WITHOUT an
-    // oracle twin (sketch estimates are engine-specific; the driver
-    // records a rows-only check); the ±2 % accuracy contract is pinned
-    // by ApproxDistinctSpec instead.
+    // fixed memory, no distinct-key shuffle). The HLL estimate itself is
+    // engine-specific, so the ORACLE-CHECKABLE contract is the
+    // exact-vs-sketch pairing (same discipline as sketch_cms_heavy):
+    // emit the exact count plus `within_tol` = |approx−exact|/exact ≤ 5 %
+    // (2.5× the sketch's 2 % target rsd), and the oracle asserts
+    // within_tol = TRUE with DuckDB's exact count. A drifting HLL flips
+    // the boolean and fails the hash — a real accuracy gate, not a
+    // rows-only check. The tighter ±2 % contract stays pinned by
+    // ApproxDistinctSpec.
     // Exact and sketch paths run as SEPARATE aggregates joined on the
     // 5-row group key: mixing count_distinct with another aggregate
     // forces an Expand that doubles every input row; split, the sketch
@@ -452,6 +457,9 @@ object Relational {
         .agg(approx_count_distinct(col("o_custkey"), 0.02)
           .as("approx_nd"))
       ex.join(ap, Seq("o_orderpriority"))
+        .select(col("o_orderpriority"), col("exact_nd"),
+          (abs(col("approx_nd") - col("exact_nd")).cast("double")
+            <= col("exact_nd").cast("double") * 0.05).as("within_tol"))
     }),
 
     // Data-quality assertion suite — the validation pass a production
@@ -1329,6 +1337,14 @@ object Relational {
     "agg_bitmap_distinct" ->
       """SELECT o_orderpriority,
         |  count(DISTINCT o_custkey) AS exact_nd
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
+    // The HLL estimate is engine-specific, so the oracle checks the
+    // CONTRACT: exact counts match and the sketch stayed within ±5 %
+    // (the Spark side computes within_tol from the real HLL output; the
+    // oracle asserts it came out TRUE for every group).
+    "agg_approx_distinct" ->
+      """SELECT o_orderpriority,
+        |  count(DISTINCT o_custkey) AS exact_nd, TRUE AS within_tol
         |FROM orders GROUP BY o_orderpriority""".stripMargin,
     "j16_bloom_join" ->
       """SELECT p.p_brand,

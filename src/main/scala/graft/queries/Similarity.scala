@@ -224,19 +224,18 @@ object Similarity {
     // dedup_embedding; production uses ~0.95). Greedy min-id canonical —
     // the same keep-rule as dedup_exact. The cell restriction is what scales:
     // candidate pairs are O(Σ|cell|²) like the MinHash bands / IVF
-    // probes, never corpus². Reuses the learned k-means cells (shared
-    // kmeansAssign), so the whole chain cluster → pair → drop is the
-    // production semantic-dedup path in one declarative plan.
+    // probes, never corpus² — and GraftOps.semanticDupIds additionally
+    // salt-splits any cell above 4096 members, so one hot cell can never
+    // turn the job quadratic (a no-op at the tested SFs: max cell ≤ 2000
+    // vectors, so the oracle result is bit-identical to the unbounded
+    // join). Reuses the learned k-means cells (shared kmeansAssign), so
+    // the whole chain cluster → pair → drop is the production
+    // semantic-dedup path in one declarative plan.
     "dedup_semantic" -> ((s, d) => {
       val cells = kmeansAssign(s, d).select("vec_id", "u", "cluster")
-      val a = cells.select(col("vec_id").as("left_id"),
-        col("cluster"), col("u").as("ua"))
-      val b = cells.select(col("vec_id").as("right_id"),
-        col("cluster").as("cl_b"), col("u").as("ub"))
-      val dropped = a.join(b, col("cluster") === col("cl_b") &&
-          col("left_id") < col("right_id"))
-        .filter(round(expr("graft_vec_dot(ua, ub)"), 6) >= 0.3)
-        .select(col("right_id").as("vec_id")).distinct()
+      val dropped = graft.api.GraftOps
+        .semanticDupIds(cells, "vec_id", "u", "cluster", 0.3)
+        .select(col("right_id").as("vec_id"))
         .withColumn("dup", lit(true))
       cells.select("vec_id", "cluster")
         .join(dropped, Seq("vec_id"), "left")

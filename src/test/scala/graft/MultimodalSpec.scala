@@ -25,6 +25,28 @@ class MultimodalSpec extends SparkSpec {
     assert(rows.toSeq == again.toSeq)                    // deterministic
   }
 
+  test("extractFeatures decodes REAL dimensions from a PNG payload") {
+    // Hand-built 123×45 RGB PNG via the same JDK ImageIO the operator
+    // reads with — true dims must surface, not the stub's hash dims.
+    val img = new java.awt.image.BufferedImage(
+      123, 45, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val png = bos.toByteArray
+    val df = Seq((7L, png, "image/png"))
+      .toDF("media_id", "payload", "mime")
+    val Array((id, len, w, h, c)) = Multimodal.extractFeatures(df)
+      .as[(Long, Long, Int, Int, Int)].collect()
+    assert(id == 7L && len == png.length.toLong)
+    assert((w, h, c) == ((123, 45, 3)))
+    // Truncated header: undecodable → deterministic fallback, no crash.
+    val broken = Seq((8L, png.take(16), "image/png"))
+      .toDF("media_id", "payload", "mime")
+    val rows = Multimodal.extractFeatures(broken)
+      .as[(Long, Long, Int, Int, Int)].collect()
+    assert(rows.head._3 >= 16 && rows.head._4 >= 16)
+  }
+
   test("resizeStub: deterministic downsample, schema pinned") {
     val out = Multimodal.resizeStub(media, 4).orderBy("media_id")
       .select("media_id", "byte_len").as[(Long, Long)].collect()

@@ -54,6 +54,60 @@ class SourcesSpec extends SparkSpec {
     assert(merged.toSeq == Seq((1L, "a", None), (2L, "b", Some(9L))))
   }
 
+  // --- JDBC (the reference's actual source modality, utils.py:24-31) ---
+  // Embedded in-memory Derby (ships with the Spark distribution) stands
+  // in for the reference's MySQL: same Spark JDBC relation, same
+  // pushdown machinery.
+  private lazy val jdbcUrl: String = {
+    System.setProperty("derby.stream.error.file",
+      System.getProperty("java.io.tmpdir") + "/derby.log")
+    val url = "jdbc:derby:memory:graftjdbc;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      try st.execute("DROP TABLE members") catch { case _: Exception => () }
+      st.execute(
+        "CREATE TABLE members (id BIGINT, dispensary_id BIGINT, " +
+          "name VARCHAR(64))")
+      val ps = conn.prepareStatement("INSERT INTO members VALUES (?, ?, ?)")
+      (1 to 100).foreach { i =>
+        ps.setLong(1, i.toLong)
+        ps.setLong(2, if (i % 3 == 0) 42L else 7L)
+        ps.setString(3, s"m$i")
+        ps.executeUpdate()
+      }
+      ps.close(); st.close()
+    } finally conn.close()
+    url
+  }
+
+  test("jdbcTable reads partitioned and pushes the tenant filter down") {
+    val df = Tables.jdbcTable(spark, jdbcUrl, "members",
+        "id", 1L, 100L, 4, new java.util.Properties())
+      .filter(col("dispensary_id") === 42L)
+    // The tenant predicate must reach the source as a generated WHERE —
+    // the reference hand-inlines `WHERE dispensary_id={id}`; here
+    // Catalyst does it (PushedFilters on the JDBC scan node).
+    val physical = df.queryExecution.executedPlan.toString.toLowerCase
+    assert(physical.contains("pushedfilters") &&
+      physical.contains("dispensary_id"),
+      s"tenant filter not pushed into the JDBC scan:\n$physical")
+    assert(physical.contains("numpartitions=4"),
+      s"JDBC read not sharded:\n$physical")
+    val rows = df.select("id", "name").as[(Long, String)].collect().sorted
+    assert(rows.length == 33 && rows.forall { case (id, _) => id % 3 == 0 })
+  }
+
+  test("jdbcTable charset option is accepted (latin-1 source note)") {
+    // members.py:22-23 ingests latin-1; the option lands as the MySQL
+    // driver's characterEncoding property. Derby ignores unknown
+    // properties, so this asserts the plumbing doesn't break the read.
+    val df = Tables.jdbcTable(spark, jdbcUrl, "members",
+        "id", 1L, 100L, 2, new java.util.Properties(),
+        charset = Some("latin1"))
+    assert(df.count() == 100)
+  }
+
   test("FAILFAST surfaces malformed csv rows instead of nulling them") {
     val dir = java.nio.file.Files.createTempDirectory("graft-bad").toString
     java.nio.file.Files.writeString(

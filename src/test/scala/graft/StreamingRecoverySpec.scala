@@ -61,6 +61,51 @@ class StreamingRecoverySpec extends SparkSpec {
       (ts(20), "a", 1L, 8.0)))
   }
 
+  test("sliding aggregation restarted from checkpoint equals batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-ckpt-slide").toString
+    val out = java.nio.file.Files
+      .createTempDirectory("graft-stream-out-slide").toString
+    val batch1 = Seq((ts(1), "a", 1.0), (ts(4), "a", 2.0))
+    val batch2 = Seq((ts(11), "b", 4.0), (ts(25), "a", 8.0),
+      (ts(51), "a", 16.0))
+
+    val stream = MemoryStream[(Timestamp, String, Double)]
+    def start() = EventStream
+      .slidingStream(stream.toDF().toDF("ts", "event_type", "value"),
+        "10 minutes", "5 minutes", "5 minutes")
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+
+    stream.addData(batch1)
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+
+    stream.addData(batch2)
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+
+    val streamed = spark.read.parquet(out)
+      .select("window_start", "event_type", "n", "total")
+      .as[(Timestamp, String, Long, Double)].collect().toSet
+    // Watermark 00:51 − 5 min = 00:46 ⇒ only windows ENDING ≤ 00:46
+    // (start ≤ 00:36) are final in append mode.
+    val expected = EventStream
+      .slidingAgg((batch1 ++ batch2).toDF("ts", "event_type", "value"),
+        "10 minutes", "5 minutes")
+      .filter(col("window_start") <= ts(36))
+      .as[(Timestamp, String, Long, Double)].collect().toSet
+    assert(streamed == expected,
+      s"sliding restart must resume exactly-once:\n got  $streamed\n" +
+        s" want $expected")
+    // Sliding shape: each event lands in dur/slide = 2 windows, so the
+    // two 00:0x events appear in both [23:55,00:05) and [00:00,00:10).
+    assert(expected.contains((ts(0), "a", 2L, 3.0)))
+    assert(expected.size == 6)
+  }
+
   test("foreachBatch idempotent sink: a replayed batch does not duplicate") {
     implicit val sqlCtx = spark.sqlContext
     val out = java.nio.file.Files

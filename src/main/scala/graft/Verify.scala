@@ -28,9 +28,10 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // Reclaim localCheckpoint blocks from iterative queries (see
-      // Bench) — dead after the write completes.
+      // Bench) — dead after the write completes. Blocking, so a big
+      // query's blocks can't bleed memory pressure into the next one.
       spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
+        .foreach(_.unpersist(blocking = true))
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

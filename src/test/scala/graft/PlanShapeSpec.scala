@@ -56,6 +56,22 @@ class PlanShapeSpec extends SparkSpec {
       s"pair generation must be in-bucket combinations, not a self-join:\n$p")
   }
 
+  test("bloomPrefilterJoin probe side: one single-row broadcast, no " +
+      "probe-side shuffle before the exact join") {
+    val probe = (1 to 200).map(i => (i.toLong % 50, s"p$i")).toDF("k", "pv")
+    val build = Seq((3L, "b3"), (7L, "b7")).toDF("bk", "bv")
+    val p = phys(graft.operators.ScaleOps
+      .bloomPrefilterJoin(probe, "k", build, "bk"))
+    // The filter is ONE broadcast row (word→bits map) crossed with the
+    // probe — a nested-loop over exactly one row, NOT hash joins per
+    // seed, and no Exchange may sit between the probe scan and the
+    // exact join (the whole point: only bloom survivors reach a join).
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("SortMergeJoin"),
+      s"probe side must not shuffle before the exact join:\n$p")
+    assert(p.contains("map_from_entries") || p.contains("xxhash64"), p)
+  }
+
   test("decontaminate broadcasts the benchmark side") {
     val docs = Seq((1L, "a b c d e f g h i"), (20L, "a b c d e f g h i"))
       .toDF("doc_id", "text")

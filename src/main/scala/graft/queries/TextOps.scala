@@ -850,33 +850,41 @@ object TextOps {
       // Shingle only the docs that appear in some candidate pair (a
       // left-semi prune): exact Jaccard is pair-scoped, so the corpus
       // never re-tokenizes — at 100 TB the candidate set is the tiny
-      // side by construction.
+      // side by construction. Each pruned doc keeps its DISTINCT
+      // shingle set as one array row (row-local array_distinct) and
+      // |A∩B| is a per-pair array_intersect — two joins instead of the
+      // previous explode→distinct→double-join chain, which exchanged
+      // shingle ROWS four times for the same answer. Measured a wash at
+      // sf0.1 (the shared minhash/banding upstream dominates) but four
+      // fewer exchanges on the pair-scoped stage is the shape that
+      // wins when the candidate set grows with the corpus. No
+      // broadcast hint on the set side: pair-doc shingle sets scale
+      // with the corpus, so the join must stay distributed (AQE still
+      // broadcasts when small).
       val pairIds = pairs.select(col("left_id").as("doc_id"))
         .union(pairs.select(col("right_id").as("doc_id"))).distinct()
-      val sh = docs.join(broadcast(pairIds), Seq("doc_id"), "left_semi")
+      val sets = docs.join(broadcast(pairIds), Seq("doc_id"), "left_semi")
         .select(col("doc_id"),
-          explode(shingles(tokens(col("text")), 3)).as("sgl"))
-        .distinct()
-      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-      val inter = pairs
-        .join(sh.select(col("doc_id").as("left_id"), col("sgl")),
-          Seq("left_id"))
-        .join(sh.select(col("doc_id").as("right_id"), col("sgl")),
-          Seq("right_id", "sgl"))
-        .groupBy("left_id", "right_id").agg(count(lit(1)).as("inter"))
+          array_distinct(shingles(tokens(col("text")), 3)).as("sh"))
       agree
-        .join(sizes.select(col("doc_id").as("left_id"),
-          col("sz").as("sz_l")), Seq("left_id"), "left")
-        .join(sizes.select(col("doc_id").as("right_id"),
-          col("sz").as("sz_r")), Seq("right_id"), "left")
-        .join(inter, Seq("left_id", "right_id"), "left")
-        .withColumn("un", coalesce(col("sz_l"), lit(0L))
-          + coalesce(col("sz_r"), lit(0L)) - coalesce(col("inter"), lit(0L)))
+        .join(sets.select(col("doc_id").as("left_id"),
+          col("sh").as("sh_l")), Seq("left_id"), "left")
+        .join(sets.select(col("doc_id").as("right_id"),
+          col("sh").as("sh_r")), Seq("right_id"), "left")
+        .withColumn("sz_l",
+          size(coalesce(col("sh_l"), array().cast("array<string>"))))
+        .withColumn("sz_r",
+          size(coalesce(col("sh_r"), array().cast("array<string>"))))
+        .withColumn("inter", size(array_intersect(
+          coalesce(col("sh_l"), array().cast("array<string>")),
+          coalesce(col("sh_r"), array().cast("array<string>")))))
+        .withColumn("un",
+          (col("sz_l") + col("sz_r") - col("inter")).cast("long"))
         .select(col("left_id"), col("right_id"), col("n_bands_agree"),
           // Two empty shingle sets are identical: Jaccard 1 by
           // convention (default-signature pairs land here).
           when(col("un") > 0,
-            round(coalesce(col("inter"), lit(0L)).cast("double")
+            round(col("inter").cast("double")
               / col("un").cast("double"), 6))
             .otherwise(1.0).as("jacc"))
     }),

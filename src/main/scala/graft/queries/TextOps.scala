@@ -116,6 +116,43 @@ object TextOps {
           regexp_replace(lower(col("text")), "[.,!?;:]", ""),
           "\\s+", " ")).as("norm_text"))),
 
+    // PII scrubbing (the privacy-redaction pass every training corpus
+    // runs before release): phone/email/IPv4 patterns → typed
+    // placeholders, plus per-doc match counts — one projection, no
+    // shuffle, trivially partition-parallel at 100 TB. The synthetic
+    // corpus carries no PII, so deterministic PII-SHAPED tokens are
+    // appended from doc_id with the identical construction on both
+    // engines; the tested surface is the regex semantics, the
+    // replacement order (phone → email → IP, counts on the raw blob),
+    // and the placeholder splice. Patterns stay inside the Java∩RE2
+    // common subset (no lookaround, no backrefs) so Spark and DuckDB
+    // match identically.
+    "txt_pii_scrub" -> ((s, d) => {
+      val phone = "\\d{2}-\\d{3}-\\d{3}-\\d{4}"
+      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val ip = "\\b\\d{1,3}(?:\\.\\d{1,3}){3}\\b"
+      def count(b: Column, re: String): Column =
+        size(regexp_extract_all(b, lit(re), lit(0))).cast("long")
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          concat(col("text"),
+            lit(" contact user"), col("doc_id").cast("string"),
+            lit("@mail.example.com tel 55-555-"),
+            (pmod(col("doc_id"), lit(900L)) + 100L).cast("string"),
+            lit("-"),
+            (pmod(col("doc_id"), lit(9000L)) + 1000L).cast("string"),
+            lit(" host 10.0."),
+            pmod(col("doc_id"), lit(256L)).cast("string"),
+            lit(".7")).as("blob"))
+        .select(col("doc_id"),
+          regexp_replace(regexp_replace(regexp_replace(col("blob"),
+            phone, "[PHONE]"), email, "[EMAIL]"), ip, "[IP]")
+            .as("scrubbed"),
+          count(col("blob"), phone).as("n_phone"),
+          count(col("blob"), email).as("n_email"),
+          count(col("blob"), ip).as("n_ip"))
+    }),
+
     // Winnowing fingerprints (rolling-hash document fingerprinting, the
     // MOSS scheme): hash every word 3-gram, slide a window of 4 hashes,
     // keep each window's minimum, emit the distinct minima per doc. The
@@ -1574,6 +1611,28 @@ object TextOps {
         |  regexp_split_to_array(trim(lower(text)), '\s+'), t -> t != ''),
         |  ' ')) AS fp
         |FROM documents""".stripMargin,
+    "txt_pii_scrub" ->
+      """WITH b AS (SELECT doc_id,
+        |  text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+        |  '@mail.example.com tel 55-555-' ||
+        |  CAST(doc_id % 900 + 100 AS VARCHAR) || '-' ||
+        |  CAST(doc_id % 9000 + 1000 AS VARCHAR) ||
+        |  ' host 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7' AS blob
+        |  FROM documents)
+        |SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(blob,
+        |    '\d{2}-\d{3}-\d{3}-\d{4}', '[PHONE]', 'g'),
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+        |    '[EMAIL]', 'g'),
+        |    '\b\d{1,3}(?:\.\d{1,3}){3}\b', '[IP]', 'g') AS scrubbed,
+        |  CAST(len(regexp_extract_all(blob,
+        |    '\d{2}-\d{3}-\d{3}-\d{4}')) AS BIGINT) AS n_phone,
+        |  CAST(len(regexp_extract_all(blob,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+        |    AS BIGINT) AS n_email,
+        |  CAST(len(regexp_extract_all(blob,
+        |    '\b\d{1,3}(?:\.\d{1,3}){3}\b')) AS BIGINT) AS n_ip
+        |FROM b""".stripMargin,
     "dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
         |  count(*) AS n_copies

@@ -462,6 +462,30 @@ object GraftOps {
         })), 6).as("l2_err"))
   }
 
+  /** PII scrubbing (the privacy-redaction pass a training corpus runs
+    * before release): phone / email / IPv4 patterns → typed
+    * placeholders, plus per-row match counts for redaction auditing.
+    * One projection — no shuffle, embarrassingly parallel at any scale.
+    * Replacement order is phone → email → IP (counts are taken on the
+    * RAW text); patterns stay inside the Java∩RE2 regex common subset
+    * (no lookaround, no backreferences) so results are identical on
+    * any conforming engine. Swap/extend the pattern list for
+    * jurisdiction-specific classes (SSNs, IBANs, …) — the operator
+    * shape does not change. */
+  def scrubPii(docs: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val phone = "\\d{2}-\\d{3}-\\d{3}-\\d{4}"
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val ip = "\\b\\d{1,3}(?:\\.\\d{1,3}){3}\\b"
+    def cnt(re: String): Column =
+      size(regexp_extract_all(col(textCol), lit(re), lit(0))).cast("long")
+    docs.select(col(idCol),
+      regexp_replace(regexp_replace(regexp_replace(col(textCol),
+        phone, "[PHONE]"), email, "[EMAIL]"), ip, "[IP]").as("scrubbed"),
+      cnt(phone).as("n_phone"), cnt(email).as("n_email"),
+      cnt(ip).as("n_ip"))
+  }
+
   /** SemDeDup (Abbas et al. 2023) drop set with a BOUNDED per-cell pair
     * cost: ids that have a lower-id neighbor with cosine ≥ `tau` inside
     * the same cluster cell. The naive within-cell all-pairs join is

@@ -127,31 +127,20 @@ object TextOps {
     // and the placeholder splice. Patterns stay inside the Java∩RE2
     // common subset (no lookaround, no backrefs) so Spark and DuckDB
     // match identically.
-    "txt_pii_scrub" -> ((s, d) => {
-      val phone = "\\d{2}-\\d{3}-\\d{3}-\\d{4}"
-      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-      val ip = "\\b\\d{1,3}(?:\\.\\d{1,3}){3}\\b"
-      def count(b: Column, re: String): Column =
-        size(regexp_extract_all(b, lit(re), lit(0))).cast("long")
-      Tables.documents(s, d)
-        .select(col("doc_id"),
-          concat(col("text"),
-            lit(" contact user"), col("doc_id").cast("string"),
-            lit("@mail.example.com tel 55-555-"),
-            (pmod(col("doc_id"), lit(900L)) + 100L).cast("string"),
-            lit("-"),
-            (pmod(col("doc_id"), lit(9000L)) + 1000L).cast("string"),
-            lit(" host 10.0."),
-            pmod(col("doc_id"), lit(256L)).cast("string"),
-            lit(".7")).as("blob"))
-        .select(col("doc_id"),
-          regexp_replace(regexp_replace(regexp_replace(col("blob"),
-            phone, "[PHONE]"), email, "[EMAIL]"), ip, "[IP]")
-            .as("scrubbed"),
-          count(col("blob"), phone).as("n_phone"),
-          count(col("blob"), email).as("n_email"),
-          count(col("blob"), ip).as("n_ip"))
-    }),
+    "txt_pii_scrub" -> ((s, d) =>
+      graft.api.GraftOps.scrubPii(
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            concat(col("text"),
+              lit(" contact user"), col("doc_id").cast("string"),
+              lit("@mail.example.com tel 55-555-"),
+              (pmod(col("doc_id"), lit(900L)) + 100L).cast("string"),
+              lit("-"),
+              (pmod(col("doc_id"), lit(9000L)) + 1000L).cast("string"),
+              lit(" host 10.0."),
+              pmod(col("doc_id"), lit(256L)).cast("string"),
+              lit(".7")).as("blob")),
+        "doc_id", "blob")),
 
     // Winnowing fingerprints (rolling-hash document fingerprinting, the
     // MOSS scheme): hash every word 3-gram, slide a window of 4 hashes,

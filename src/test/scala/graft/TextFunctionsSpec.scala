@@ -47,4 +47,21 @@ class TextFunctionsSpec extends SparkSpec {
     val bands = df.as[(Int, String)].collect().toSeq
     assert(bands.size == 8 && bands.distinct.size == 4)
   }
+
+  test("scrubPii redacts phones/emails/IPs, counts on raw text, " +
+      "leaves clean text untouched") {
+    val docs = Seq(
+      (1L, "call 55-123-456-7890 or mail a.b+c@ex-1.example.org now"),
+      (2L, "host 192.168.0.1 and 10.0.0.255 up"),
+      (3L, "no pii here, just words and 1234 numbers"))
+      .toDF("id", "text")
+    val out = graft.api.GraftOps.scrubPii(docs, "id", "text")
+      .as[(Long, String, Long, Long, Long)].collect()
+      .sortBy(_._1).toSeq
+    assert(out(0) ==
+      ((1L, "call [PHONE] or mail [EMAIL] now", 1L, 1L, 0L)))
+    assert(out(1) == ((2L, "host [IP] and [IP] up", 0L, 0L, 2L)))
+    assert(out(2) ==
+      ((3L, "no pii here, just words and 1234 numbers", 0L, 0L, 0L)))
+  }
 }

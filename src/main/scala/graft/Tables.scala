@@ -91,7 +91,12 @@ object Tables {
       numPartitions: Int, props: java.util.Properties,
       charset: Option[String] = None): DataFrame = {
     val p = new java.util.Properties()
-    p.putAll(props)
+    // Not putAll: that copies only the Hashtable's DIRECT entries, so a
+    // Properties built with defaults would silently lose its default
+    // keys; stringPropertyNames() resolves the full default chain.
+    props.stringPropertyNames().forEach { k =>
+      p.setProperty(k, props.getProperty(k))
+    }
     charset.foreach(c => p.setProperty("characterEncoding", c))
     s.read
       .option("partitionColumn", partitionColumn)

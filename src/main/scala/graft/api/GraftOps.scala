@@ -74,11 +74,40 @@ object GraftOps {
   /** Candidate pairs from a precomputed band table (doc, band_idx,
     * band_hash) — lets callers that also need the bands themselves
     * (e.g. band-agreement scoring) compute the minhash pipeline ONCE
-    * and reuse it, instead of rebuilding it inside the pair step. */
-  def candidatePairsFromBands(bands: DataFrame, idCol: String)
-      : DataFrame = {
+    * and reuse it, instead of rebuilding it inside the pair step.
+    *
+    * Bucket cost is BOUNDED (same discipline as `semanticDupIds`'s
+    * cellCap): a band bucket with more than `bucketCap` members is
+    * split into `ceil(n/bucketCap)` sub-buckets by a deterministic
+    * id-hash salt before the collect, so no single row ever carries
+    * more than ~bucketCap ids and the per-bucket pair emission is
+    * ~cap² instead of n². Without this, one boilerplate band hash
+    * shared by 10⁶ docs at 100 TB means a 10⁶-element array on one
+    * executor row and 5·10¹¹ emitted pairs — the uncapped LSH bucket
+    * is the standard near-dedup scale-killer, and dropping or
+    * splitting hot buckets is the standard LSH "stop-band" rule (a
+    * hot bucket is boilerplate, not signal; its cross-sub-bucket pairs
+    * are the accepted recall loss). For every bucket ≤ bucketCap the
+    * output is bit-identical to the unbounded form (every row computes
+    * sub-bucket 0) — at all tested SFs the max bucket is tiny, so the
+    * cap is a safety net, not a sampler; over-cap behavior is a strict
+    * subset (spec-pinned like SemanticDedup's). Bucket sizes come from
+    * a count window over the SAME (band_idx, band_hash) exchange the
+    * bucket groupBy needs — not a pre-count join, which would evaluate
+    * the upstream minhash pipeline twice (measured 1.7× the whole
+    * query at sf0.1) — and the groupBy on (band key, __sub) reuses
+    * that partitioning (hash-partitioning on a subset of the grouping
+    * keys satisfies the clustered distribution), so the cap costs one
+    * in-partition sort, zero extra shuffles, zero recompute. */
+  def candidatePairsFromBands(bands: DataFrame, idCol: String,
+      bucketCap: Int = 4096): DataFrame = {
+    require(bucketCap >= 2, "candidatePairsFromBands: bucketCap must be >= 2")
     val buckets = bands
-      .groupBy("band_idx", "band_hash")
+      .withColumn("__n", count(lit(1))
+        .over(Window.partitionBy("band_idx", "band_hash")))
+      .withColumn("__sub", pmod(xxhash64(col(idCol)),
+        ceil(col("__n").cast("double") / bucketCap).cast("long")))
+      .groupBy("band_idx", "band_hash", "__sub")
       .agg(sort_array(collect_list(col(idCol))).as("ids"))
       .filter(size(col("ids")) > 1)
     val pairs = flatten(transform(col("ids"), (x, i) =>
@@ -466,15 +495,22 @@ object GraftOps {
     * before release): phone / email / IPv4 patterns → typed
     * placeholders, plus per-row match counts for redaction auditing.
     * One projection — no shuffle, embarrassingly parallel at any scale.
-    * Replacement order is phone → email → IP (counts are taken on the
-    * RAW text); patterns stay inside the Java∩RE2 regex common subset
-    * (no lookaround, no backreferences) so results are identical on
-    * any conforming engine. Swap/extend the pattern list for
+    * Replacement order is phone → email → IP; patterns stay inside the
+    * Java∩RE2 regex common subset (no lookaround, no backreferences;
+    * \b IS in that subset) so results are identical on any conforming
+    * engine. Phone and IP are \b-anchored so a longer digit/hyphen run
+    * is never partially spliced. COUNT CAVEAT: the n_* columns are
+    * matched on the RAW text while replacement is sequential, so a
+    * substring matching two classes (an email whose local part embeds a
+    * phone-shaped run) is counted under BOTH classes but redacted once
+    * — treat the counts as per-class detector hits, not as a partition
+    * of redacted spans. Swap/extend the pattern list for
     * jurisdiction-specific classes (SSNs, IBANs, …) — the operator
-    * shape does not change. */
+    * shape does not change. The companion masking mode (redact digits
+    * in place, keep a recognizable suffix) is [[maskTrailingDigits]]. */
   def scrubPii(docs: DataFrame, idCol: String, textCol: String)
       : DataFrame = {
-    val phone = "\\d{2}-\\d{3}-\\d{3}-\\d{4}"
+    val phone = "\\b\\d{2}-\\d{3}-\\d{3}-\\d{4}\\b"
     val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
     val ip = "\\b\\d{1,3}(?:\\.\\d{1,3}){3}\\b"
     def cnt(re: String): Column =
@@ -484,6 +520,27 @@ object GraftOps {
         phone, "[PHONE]"), email, "[EMAIL]"), ip, "[IP]").as("scrubbed"),
       cnt(phone).as("n_phone"), cnt(email).as("n_email"),
       cnt(ip).as("n_ip"))
+  }
+
+  /** PII masking, the OTHER redaction mode (see [[scrubPii]] for typed
+    * placeholders): blank every digit of an identifier-bearing column
+    * except the last `keepLast`, plus a redaction count — the
+    * "xxx-xx-1234" style that keeps records humanly matchable while
+    * removing the identifying prefix. Same scaling shape as scrubPii:
+    * one projection, digit-class regex only (Java∩RE2-safe, no
+    * lookaround). `greatest` guards values shorter than `keepLast`
+    * (negative-length substr is ''-vs-ERROR engine-divergent). */
+  def maskTrailingDigits(df: DataFrame, idCol: String, valueCol: String,
+      keepLast: Int = 4): DataFrame = {
+    require(keepLast >= 0, "maskTrailingDigits: keepLast must be >= 0")
+    val len = length(col(valueCol))
+    val pre = col(valueCol).substr(lit(1), greatest(len - keepLast, lit(0)))
+    df.select(col(idCol),
+      concat(regexp_replace(pre, "[0-9]", "*"),
+        col(valueCol).substr(greatest(len - (keepLast - 1), lit(1)),
+          lit(keepLast))).as("masked"),
+      length(regexp_replace(pre, "[^0-9]", "")).cast("long")
+        .as("n_redacted"))
   }
 
   /** SemDeDup (Abbas et al. 2023) drop set with a BOUNDED per-cell pair
@@ -503,7 +560,11 @@ object GraftOps {
     * above the expected cell size so the bound is a safety net, not a
     * sampler. Expects unit vectors and a registered `graft_vec_dot`.
     * Cell sizes come from a broadcast k-row count table, so the only
-    * full-data shuffle is the pair join itself. */
+    * full-data shuffle is the pair join itself. The broadcast hint
+    * assumes k (cluster count) stays in SemDeDup's published regime
+    * (~10⁴-10⁵ cells — a few MB); if you run an extreme-k clustering
+    * (k approaching row count), drop the hint and let AQE decide, or
+    * the k-row table lands whole on the driver. */
   def semanticDupIds(cells: DataFrame, idCol: String, vecCol: String,
       clusterCol: String, tau: Double, cellCap: Int = 4096): DataFrame = {
     require(cellCap >= 1, "semanticDupIds: cellCap must be >= 1")
@@ -587,9 +648,15 @@ object GraftOps {
             (lit(1.0 - damping) / col("__n") +
               lit(damping) * col("__in")).as("rank"))
           .union(iso)
-        // Last round: no checkpoint — the ranks are consumed once by the
-        // caller, so eager materialization would only add a job.
-        if (i < rounds) pr = pr.localCheckpoint()
+        // Lineage truncation every THIRD round only (never the last —
+        // the caller consumes it once). A/B at sf0.1 graph_pagerank
+        // (rounds=2): per-round localCheckpoint 3.68-5.36 s vs chained
+        // plan 3.42-3.55 s — the eager materialization job costs more
+        // than the 4-shuffle chained plan saves, the same finding that
+        // won 2× on the BPE loop. At higher `rounds` an unbounded chain
+        // is an optimizer-time risk, so the cut stays, just at a 3-round
+        // cadence (plan depth ≤ 6 shuffles between cuts).
+        if (i % 3 == 0 && i < rounds) pr = pr.localCheckpoint()
       }
     }
     pr.select(col("__id").as(idCol), round(col("rank"), 10).as("rank"))
@@ -647,5 +714,62 @@ object GraftOps {
       if (i < rounds) lbl = lbl.localCheckpoint()
     }
     lbl.select(col("__id").as(idCol), col("cluster_id"))
+  }
+
+  /** Degree-oriented edge list for triangle enumeration: each undirected
+    * edge {x,y} becomes one directed edge u→v where u is the LOWER-degree
+    * endpoint (id as tiebreak). Ordering by (degree, id) is a total
+    * order, so the oriented graph is a DAG and every triangle has
+    * exactly one wedge u→w→v with closing edge u→v — same
+    * count-each-once property as id-orientation, but the wedge join's
+    * fan-out per node is bounded by its ORIENTED out-degree, which
+    * degree-ordering caps at O(sqrt(m)) (the classic Chiba–Nishizeki /
+    * Schank–Wagner bound): a boilerplate hub of degree 10⁶ in a skewed
+    * near-dup graph has out-degree ~0 because every neighbor is
+    * lower-degree, where id-orientation would hand a low-id hub 10⁶
+    * out-edges and a 10¹² wedge explosion on one join key.
+    * Input: one row per undirected edge (srcCol < dstCol, distinct —
+    * what `minhashCandidatePairs` emits). Output: (u, v) long columns.
+    * The two degree joins shuffle on each endpoint; AQE broadcasts the
+    * node-sized degree table when small. */
+  def orientEdgesByDegree(pairs: DataFrame, srcCol: String, dstCol: String)
+      : DataFrame = {
+    val deg = pairs.select(explode(array(col(srcCol).cast("long"),
+        col(dstCol).cast("long"))).as("__node"))
+      .groupBy("__node").agg(count(lit(1)).as("__deg"))
+    pairs
+      .select(col(srcCol).cast("long").as("__s"),
+        col(dstCol).cast("long").as("__t"))
+      .join(deg.select(col("__node").as("__s"), col("__deg").as("__ds")),
+        Seq("__s"))
+      .join(deg.select(col("__node").as("__t"), col("__deg").as("__dt")),
+        Seq("__t"))
+      .select(when(col("__ds") < col("__dt") ||
+          (col("__ds") === col("__dt") && col("__s") < col("__t")),
+          struct(col("__s").as("u"), col("__t").as("v")))
+        .otherwise(struct(col("__t").as("u"), col("__s").as("v"))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
+  }
+
+  /** Triangle enumeration over an undirected edge list (srcCol < dstCol,
+    * distinct): degree-oriented wedge join + semi-join closure, output
+    * as id-sorted triples (a < b < c) — identical rows to the naive
+    * id-oriented three-leg join, enumeration order aside, but with the
+    * wedge fan-out bound described on `orientEdgesByDegree`. The
+    * oriented edge table feeds all three legs, so it is materialized
+    * once (localCheckpoint); the closing leg stays a LEFT SEMI (probe,
+    * never multiply). */
+  def triangles(pairs: DataFrame, srcCol: String, dstCol: String)
+      : DataFrame = {
+    val e = orientEdgesByDegree(pairs, srcCol, dstCol).localCheckpoint()
+    val e1 = e.select(col("u").as("x"), col("v").as("w"))
+    val e2 = e.select(col("u").as("w2"), col("v").as("z"))
+    val e3 = e.select(col("u").as("x3"), col("v").as("z3"))
+    e1.join(e2, col("w") === col("w2"))
+      .join(e3, col("x") === col("x3") && col("z") === col("z3"),
+        "left_semi")
+      .select(array_sort(array(col("x"), col("w"), col("z"))).as("t"))
+      .select(col("t").getItem(0).as("a"), col("t").getItem(1).as("b"),
+        col("t").getItem(2).as("c"))
   }
 }

@@ -55,6 +55,10 @@ object Multimodal {
     if (payload == null || payload.length == 0) return None
     val iis = javax.imageio.ImageIO.createImageInputStream(
       new java.io.ByteArrayInputStream(payload))
+    // createImageInputStream returns null when no stream SPI is
+    // registered — fall through to the caller's fallback rather than
+    // NPE in the finally.
+    if (iis == null) return None
     try {
       val readers = javax.imageio.ImageIO.getImageReaders(iis)
       if (!readers.hasNext) None
@@ -72,6 +76,107 @@ object Multimodal {
         } finally r.dispose()
       }
     } finally iis.close()
+  }
+
+  val audioFeatureSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("byte_len", LongType, nullable = false),
+    StructField("sample_rate", IntegerType, nullable = false),
+    StructField("channels", IntegerType, nullable = false),
+    StructField("n_frames", LongType, nullable = false),
+    StructField("duration_us", LongType, nullable = false)))
+
+  /** REAL audio metadata via `javax.sound.sampled` (in the JDK — WAV,
+    * AIFF, AU file readers ship with every JRE): sample rate, channel
+    * count, and frame length parsed from the container header.
+    * Header-only like `imageDims` — `getAudioFileFormat` reads the
+    * RIFF/chunk headers, never the sample data, so per-row cost is
+    * independent of payload size. None when no provider recognizes the
+    * bytes (caller falls back to the deterministic stub — MP3/OGG/video
+    * codecs don't ship in the JDK). */
+  private[multimodal] def audioMeta(
+      payload: Array[Byte]): Option[(Int, Int, Long)] = {
+    if (payload == null || payload.length == 0) return None
+    try {
+      // ByteArrayInputStream supports mark/reset, which the provider
+      // probe requires; no buffering wrapper needed.
+      val aff = javax.sound.sampled.AudioSystem.getAudioFileFormat(
+        new java.io.ByteArrayInputStream(payload))
+      val f = aff.getFormat
+      Some((f.getSampleRate.toInt, f.getChannels, aff.getFrameLength.toLong))
+    } catch {
+      // UnsupportedAudioFileException = not audio; any other header
+      // parse failure = corrupt payload. Both are per-row fall-through,
+      // never task failures — a 100 TB crawl WILL contain broken files.
+      case scala.util.control.NonFatal(_) => None
+    }
+  }
+
+  /** Audio feature extraction as mapPartitions over the binary column —
+    * same shape as `extractFeatures`: explicit schema, per-partition
+    * amortization, no driver involvement. Real WAV/AIFF/AU headers get
+    * TRUE (sample_rate, channels, n_frames); anything else gets the
+    * deterministic fallback so the pipeline never stalls on a bad row.
+    * duration_us is exact integer microseconds (frames·10⁶/rate). */
+  def extractAudioFeatures(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val rdd = media.select("media_id", "payload").rdd.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val payload = if (r.isNullAt(1)) Array.empty[Byte]
+        else r.getAs[Array[Byte]](1)
+        val (sr, ch, fr) = audioMeta(payload).getOrElse {
+          val (w, h, c) = fakeDecode(payload)
+          (w * 25, c, h.toLong) // fake-but-deterministic audio shape
+        }
+        val durUs = if (sr > 0) fr * 1000000L / sr else 0L
+        Row(id, payload.length.toLong, sr, ch, fr, durUs)
+      }
+    }
+    spark.createDataFrame(rdd, audioFeatureSchema)
+  }
+
+  /** Canonical 44-byte PCM WAV container around `nFrames` frames of
+    * 16-bit audio with deterministic body bytes — the test-fixture
+    * payload generator for the audio path (the container format is the
+    * public RIFF/WAVE layout; no codec needed for PCM). */
+  def wavBytes(sampleRate: Int, channels: Int, nFrames: Int): Array[Byte] = {
+    val dataSize = nFrames * channels * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+    bb.put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+    bb.putShort(1).putShort(channels.toShort) // PCM, channel count
+    bb.putInt(sampleRate).putInt(sampleRate * channels * 2)
+    bb.putShort((channels * 2).toShort).putShort(16) // block align, bits
+    bb.put("data".getBytes("US-ASCII")).putInt(dataSize)
+    var i = 0
+    while (i < dataSize) {
+      bb.put(((i * 31 + sampleRate) & 0xff).toByte); i += 1
+    }
+    bb.array()
+  }
+
+  /** Synthesize one REAL WAV payload per input id (executor-side
+    * mapPartitions — the driver never sees a payload): sample rate
+    * 8000 + (id%4)·2000, channels 1 + id%2, frames 100 + id%50. The
+    * derivation is the oracle-checkable contract: a DuckDB twin
+    * recomputes the expected metadata from the same arithmetic while
+    * the Spark side must recover it by actually parsing the bytes it
+    * built — an end-to-end build→parse round trip per row. */
+  def synthWav(ids: DataFrame, idCol: String): DataFrame = {
+    val spark = ids.sparkSession
+    val rdd = ids.select(col(idCol).cast("long")).rdd.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val sr = 8000 + (id % 4).toInt * 2000
+        val ch = 1 + (id % 2).toInt
+        val fr = 100 + (id % 50).toInt
+        Row(id, wavBytes(sr, ch, fr), "audio/wav")
+      }
+    }
+    spark.createDataFrame(rdd, mediaSchema)
   }
 
   /** Decode/feature-extract as mapPartitions over the binary column:

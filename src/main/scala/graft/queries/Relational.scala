@@ -415,23 +415,15 @@ object Relational {
           round(element_at(col("ps"), 2), 6).as("p90"),
           round(element_at(col("ps"), 3), 6).as("p99"))),
 
-    // PII scrub: mask every digit of the identifier except the last four
-    // and count the redactions — pure per-row projection (regex class
-    // only, no lookaround, so Java regex and RE2 agree).
-    "pii_scrub" -> ((s, d) => {
-      val c = Tables.customer(s, d)
-      val len = length(col("c_name"))
-      // greatest() guards names shorter than 4 chars: without it Spark's
-      // negative-length substr yields '' but DuckDB substr ERRORS, so the
-      // oracle run would crash rather than mismatch.
-      val pre = col("c_name").substr(lit(1), greatest(len - 4, lit(0)))
-      c.select(col("c_custkey"),
-        concat(regexp_replace(pre, "[0-9]", "*"),
-          col("c_name").substr(greatest(len - 3, lit(1)), lit(4)))
-          .as("name_masked"),
-        length(regexp_replace(pre, "[^0-9]", "")).cast("long")
-          .as("n_redacted"))
-    }),
+    // PII scrub, masking mode (GraftOps.maskTrailingDigits — the typed
+    // placeholder mode is GraftOps.scrubPii / txt_pii_scrub): mask every
+    // digit of the identifier except the last four and count the
+    // redactions — pure per-row projection (regex class only, no
+    // lookaround, so Java regex and RE2 agree).
+    "pii_scrub" -> ((s, d) =>
+      graft.api.GraftOps.maskTrailingDigits(
+        Tables.customer(s, d), "c_custkey", "c_name", keepLast = 4)
+        .withColumnRenamed("masked", "name_masked")),
 
     // HLL++ approximate distinct counting next to the exact answer —
     // the sketch that replaces count_distinct at 100 TB (mergeable,

@@ -280,6 +280,53 @@ object Similarity {
           round(col("n_overlap").cast("double") / 10.0, 6).as("recall_at_10"))
     }),
 
+    // Two-stage retrieve→rerank cascade — the 100 TB ANN serving shape
+    // that emb_mrl_recall (truncation quality) and emb_ivf_kmeans_topk
+    // (coarse cells) each measure half of, composed end-to-end: stage 1
+    // retrieves a WIDE top-50 per query with the CHEAP 16-dim MRL
+    // truncation (4× fewer multiplies per candidate — at scale this is
+    // the compressed-index scan), stage 2 re-scores ONLY those 50
+    // survivors with the full 64-dim vector and keeps top-5. The fine
+    // pass touches 50 rows per query regardless of corpus size — the
+    // cascade asymmetry that makes full-precision scoring affordable.
+    // c_rnk (coarse position) rides along so the output shows which
+    // coarse candidates the fine pass promoted/demoted.
+    "emb_cascade_rerank" -> ((s, d) => {
+      val e = unitVecs(s, d).select("vec_id", "u")
+      val t = e.select(col("vec_id"), slice(col("u"), 1, 16).as("t16"))
+        .withColumn("tn",
+          sqrt(call_function("graft_vec_dot", col("t16"), col("t16"))))
+        .filter(col("tn") > 0)
+        .select(col("vec_id"),
+          transform(col("t16"), x => x / col("tn")).as("ut"))
+      val qt = t.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("ut").as("q_t"))
+      val wCoarse = Window.partitionBy("q_id")
+        .orderBy(col("c_score").desc, col("cand_id"))
+      val coarse = t.select(col("vec_id").as("cand_id"), col("ut"))
+        .crossJoin(broadcast(qt))
+        .filter(col("cand_id") =!= col("q_id"))
+        .select(col("q_id"), col("cand_id"),
+          round(call_function("graft_vec_dot", col("ut"), col("q_t")), 6)
+            .as("c_score"))
+        .withColumn("c_rnk", row_number().over(wCoarse).cast("long"))
+        .filter(col("c_rnk") <= 50)
+      val qf = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("u").as("q_u"))
+      val wFine = Window.partitionBy("q_id")
+        .orderBy(col("score").desc, col("cand_id"))
+      coarse
+        .join(e.select(col("vec_id").as("cand_id"), col("u")),
+          Seq("cand_id"))
+        .join(broadcast(qf), Seq("q_id"))
+        .select(col("q_id"), col("cand_id"), col("c_rnk"),
+          round(call_function("graft_vec_dot", col("u"), col("q_u")), 6)
+            .as("score"))
+        .withColumn("rnk", row_number().over(wFine).cast("long"))
+        .filter(col("rnk") <= 5)
+        .select("q_id", "cand_id", "score", "rnk", "c_rnk")
+    }),
+
     // Product quantization (the other ANN memory lever next to int8:
     // 64 dims → 8 subspace codes, 8 bytes per vector at codebook size
     // 256). Deterministic toy codebook — the first 4 vectors' subvectors
@@ -544,6 +591,30 @@ object Similarity {
          |JOIN (SELECT q_id, cand_id FROM tt WHERE rnk <= 10) x
          |  ON f.q_id = x.q_id AND f.cand_id = x.cand_id
          |GROUP BY f.q_id""".stripMargin,
+    "emb_cascade_rerank" ->
+      s"""WITH $UnitCte,
+         |t AS (SELECT vec_id,
+         |    [x / sqrt(list_dot_product(t16, t16)) for x in t16] AS ut
+         |  FROM (SELECT vec_id, u[1:16] AS t16 FROM e)
+         |  WHERE sqrt(list_dot_product(t16, t16)) > 0),
+         |qt AS (SELECT vec_id AS q_id, ut AS q_t FROM t WHERE vec_id < 5),
+         |coarse AS (SELECT *, row_number() OVER (PARTITION BY q_id
+         |    ORDER BY c_score DESC, cand_id) AS c_rnk
+         |  FROM (SELECT q.q_id, t.vec_id AS cand_id,
+         |      round(list_dot_product(t.ut, q.q_t), 6) AS c_score
+         |    FROM t CROSS JOIN qt q WHERE t.vec_id <> q.q_id)),
+         |qf AS (SELECT vec_id AS q_id, u AS q_u FROM e WHERE vec_id < 5),
+         |fine AS (SELECT c.q_id, c.cand_id,
+         |    CAST(c.c_rnk AS BIGINT) AS c_rnk,
+         |    round(list_dot_product(e2.u, q.q_u), 6) AS score
+         |  FROM (SELECT q_id, cand_id, c_rnk FROM coarse WHERE c_rnk <= 50)
+         |    c
+         |  JOIN e e2 ON e2.vec_id = c.cand_id
+         |  JOIN qf q ON q.q_id = c.q_id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY q_id
+         |    ORDER BY score DESC, cand_id) AS rnk FROM fine)
+         |SELECT q_id, cand_id, score, CAST(rnk AS BIGINT) AS rnk, c_rnk
+         |FROM r WHERE rnk <= 5""".stripMargin,
     "emb_pq" ->
       s"""WITH $UnitCte,
          |subs AS (SELECT vec_id, j AS sub, u[j*8+1 : j*8+8] AS x

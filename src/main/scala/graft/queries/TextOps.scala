@@ -452,6 +452,19 @@ object TextOps {
         (expr("octet_length(text)").cast("long") * 3 % 480).as("fake_height"),
         lit(3).as("channels"))),
 
+    // Multimodal audio path, REAL end-to-end: synthWav builds one
+    // genuine PCM WAV container per doc (executor-side, derivation
+    // sr/ch/frames = arithmetic on doc_id), extractAudioFeatures
+    // recovers the metadata by PARSING those bytes with the JDK's
+    // javax.sound.sampled reader — the oracle recomputes the expected
+    // values from the same arithmetic, so any header-layout or parse
+    // bug breaks the hash compare. Header-only decode: cost per row is
+    // independent of payload size (the 100 TB property).
+    "mm_audio_features" -> ((s, d) =>
+      graft.multimodal.Multimodal.extractAudioFeatures(
+        graft.multimodal.Multimodal.synthWav(
+          Tables.documents(s, d).select(col("doc_id")), "doc_id"))),
+
     // THE RAG ingest path, composed from the library's own stages:
     // quality/language gate + exact doc dedup (the shared clean gate) →
     // 64-token chunking → corpus-wide chunk dedup (first occurrence
@@ -859,8 +872,19 @@ object TextOps {
       // the band table back twice per pair to recount what the bucket
       // membership already knew — two shuffles gone.)
       val bands = graft.api.GraftOps.minhashBands(docs, "doc_id", "text")
+      // Same bucketCap salt-split as GraftOps.candidatePairsFromBands
+      // (window count rides the bucket groupBy's own exchange): a hot
+      // boilerplate bucket must not collect unbounded or emit n² pairs
+      // here either. Under the cap (always, at tested SFs) the output
+      // is bit-identical; n_bands_agree then counts same-sub-bucket
+      // band agreements — the identical quantity.
+      import org.apache.spark.sql.expressions.Window
       val buckets = bands
-        .groupBy("band_idx", "band_hash")
+        .withColumn("__n", count(lit(1))
+          .over(Window.partitionBy("band_idx", "band_hash")))
+        .withColumn("__sub", pmod(xxhash64(col("doc_id")),
+          ceil(col("__n").cast("double") / 4096).cast("long")))
+        .groupBy("band_idx", "band_hash", "__sub")
         .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
         .filter(size(col("ids")) > 1)
       val perBandPairs = buckets.select(explode(
@@ -972,27 +996,22 @@ object TextOps {
 
     // Triangle counting over the minhash candidate-pair graph — the
     // standard "how clustered are my near-duplicates" graph statistic.
-    // Edges are already oriented (doc_id ascending), so each triangle is
-    // enumerated exactly once by the two-hop join; at 100 TB swap the
-    // id-orientation for degree-orientation (low-degree → high-degree),
-    // which bounds the e1⋈e2 wedge fan-out by sqrt-degree — the output
-    // rows are identical, only the join skew changes.
+    // DEGREE-oriented enumeration (GraftOps.triangles): on a skewed
+    // near-dup graph a low-id boilerplate hub under id-orientation owns
+    // every incident edge's out-direction and the e1⋈e2 wedge join
+    // explodes quadratically on its key; orienting low-degree →
+    // high-degree caps per-node wedge fan-out at O(sqrt(m)) while
+    // emitting the identical id-sorted triangle set (oracle-pinned).
     "graph_triangles" -> ((s, d) => {
-      // Materialize the candidate-pair edge list ONCE — it feeds all
-      // three legs of the triangle join; unmaterialized, each leg
-      // re-runs the whole minhash pipeline.
+      // Materialize the candidate-pair edge list ONCE — it feeds the
+      // degree count and all three legs of the triangle join;
+      // unmaterialized, each consumer re-runs the whole minhash
+      // pipeline. No output orderBy: the triangle set is the result,
+      // order is not part of the contract (the harness sorts before
+      // hashing) — a global sort here is a pure extra range-Exchange.
       val pr = graft.api.GraftOps.minhashCandidatePairs(
         docsOf(s, d), "doc_id", "text").localCheckpoint()
-      val e1 = pr.select(col("left_id").as("a"), col("right_id").as("b"))
-      val e2 = pr.select(col("left_id").as("b2"), col("right_id").as("c"))
-      val e3 = pr.select(col("left_id").as("a3"), col("right_id").as("c3"))
-      // No output orderBy: the triangle set is the result, order is
-      // not part of the contract (the harness sorts before hashing) —
-      // a global sort here is a pure extra range-Exchange.
-      e1.join(e2, col("b") === col("b2"))
-        .join(e3, col("a") === col("a3") && col("c") === col("c3"),
-          "left_semi")
-        .select(col("a"), col("b"), col("c"))
+      graft.api.GraftOps.triangles(pr, "left_id", "right_id")
     }),
 
     // Bounded-hop BFS from a seed set over the near-dup candidate graph
@@ -1610,18 +1629,28 @@ object TextOps {
         |  FROM documents)
         |SELECT doc_id,
         |  regexp_replace(regexp_replace(regexp_replace(blob,
-        |    '\d{2}-\d{3}-\d{3}-\d{4}', '[PHONE]', 'g'),
+        |    '\b\d{2}-\d{3}-\d{3}-\d{4}\b', '[PHONE]', 'g'),
         |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
         |    '[EMAIL]', 'g'),
         |    '\b\d{1,3}(?:\.\d{1,3}){3}\b', '[IP]', 'g') AS scrubbed,
         |  CAST(len(regexp_extract_all(blob,
-        |    '\d{2}-\d{3}-\d{3}-\d{4}')) AS BIGINT) AS n_phone,
+        |    '\b\d{2}-\d{3}-\d{3}-\d{4}\b')) AS BIGINT) AS n_phone,
         |  CAST(len(regexp_extract_all(blob,
         |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
         |    AS BIGINT) AS n_email,
         |  CAST(len(regexp_extract_all(blob,
         |    '\b\d{1,3}(?:\.\d{1,3}){3}\b')) AS BIGINT) AS n_ip
         |FROM b""".stripMargin,
+    "mm_audio_features" ->
+      """SELECT doc_id AS media_id,
+        |  CAST(44 + (100 + doc_id % 50) * (1 + doc_id % 2) * 2 AS BIGINT)
+        |    AS byte_len,
+        |  CAST(8000 + (doc_id % 4) * 2000 AS INTEGER) AS sample_rate,
+        |  CAST(1 + doc_id % 2 AS INTEGER) AS channels,
+        |  CAST(100 + doc_id % 50 AS BIGINT) AS n_frames,
+        |  CAST((100 + doc_id % 50) * 1000000
+        |    // (8000 + (doc_id % 4) * 2000) AS BIGINT) AS duration_us
+        |FROM documents""".stripMargin,
     "dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
         |  count(*) AS n_copies

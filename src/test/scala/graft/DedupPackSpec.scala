@@ -209,4 +209,40 @@ class DedupPackSpec extends SparkSpec {
     val ids = occupancy.keys.toSeq.sorted
     assert(ids == (0L until ids.length.toLong))
   }
+
+  test("candidatePairsFromBands: under-cap buckets bit-identical to " +
+      "unbounded; over-cap buckets salt-split to bounded pair emission") {
+    // Synthetic band table, no minhash needed: one hot bucket of 30 ids,
+    // one small bucket of 3, one singleton (never a pair).
+    val bands = ((1 to 30).map(i => (i.toLong, 0, "HOT")) ++
+      Seq((101L, 1, "COLD"), (102L, 1, "COLD"), (103L, 1, "COLD"),
+        (200L, 2, "SOLO")))
+      .toDF("doc_id", "band_idx", "band_hash")
+    def pairs(cap: Int): Set[(Long, Long)] =
+      GraftOps.candidatePairsFromBands(bands, "doc_id", cap)
+        .as[(Long, Long)].collect().toSet
+    // Cap above every bucket ⇒ exactly the unbounded combinations:
+    // C(30,2) sorted pairs from HOT + C(3,2) from COLD.
+    val unbounded = pairs(4096)
+    val wantHot = for (a <- 1L to 30L; b <- (a + 1) to 30L) yield (a, b)
+    val wantCold = Set((101L, 102L), (101L, 103L), (102L, 103L))
+    assert(unbounded == wantHot.toSet ++ wantCold)
+    // Cap below the hot bucket ⇒ strict subset, never an invented pair;
+    // the under-cap COLD bucket is untouched.
+    val capped = pairs(8)
+    assert(capped.subsetOf(unbounded) && wantCold.subsetOf(capped))
+    assert(capped.size < unbounded.size && (capped -- wantCold).nonEmpty)
+    // Exact over-cap contract: HOT pairs survive iff both endpoints land
+    // in the same of ceil(30/8)=4 xxhash64 sub-buckets (the operator's
+    // own salt formula, re-derived independently here).
+    val sub = (1 to 30).map(_.toLong).map { i =>
+      i -> spark.range(i, i + 1)
+        .select(pmod(xxhash64(col("id")), lit(4L))).as[Long].head()
+    }.toMap
+    val wantCapped = wantHot.filter { case (a, b) => sub(a) == sub(b) }
+    assert((capped -- wantCold) == wantCapped.toSet,
+      "salt-split pair set must match the re-derived sub-bucket formula")
+    // The salt actually sharded the hot bucket.
+    assert(sub.values.toSet.size > 1)
+  }
 }

@@ -114,4 +114,31 @@ class GraftOpsCcSpec extends SparkSpec {
     assert(got(1L) > got(2L))
     assert(Seq(2L, 3L, 4L, 5L).map(got).distinct.size == 1) // symmetry
   }
+
+  test("triangles: K4 yields all four id-sorted triples; a hub star " +
+      "yields none and zero hub wedge fan-out under degree orientation") {
+    import org.apache.spark.sql.functions._
+    // K4 on {1,2,3,4}: C(4,3) = 4 triangles, each reported id-sorted.
+    val k4 = (for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b))
+      .toDF("l", "r")
+    val got = GraftOps.triangles(k4, "l", "r")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L, 3L), (1L, 2L, 4L), (1L, 3L, 4L),
+      (2L, 3L, 4L)))
+    // Star with LOW-id hub 0 → leaves 1..20: the id-oriented wedge join
+    // would fan out C(20,2)=190 wedges from the hub's key; degree
+    // orientation points every edge leaf→hub (leaf deg 1 < hub deg 20),
+    // so the hub has out-degree 0 and the wedge join sees ZERO wedges.
+    val star = (1L to 20L).map(i => (0L, i)).toDF("l", "r")
+    assert(GraftOps.triangles(star, "l", "r").count() == 0)
+    val oriented = GraftOps.orientEdgesByDegree(star, "l", "r")
+      .as[(Long, Long)].collect()
+    assert(oriented.forall(_._2 == 0L),
+      s"every star edge must point INTO the hub, got ${oriented.toSeq}")
+    // Triangle + pendant checks the (degree, id) tiebreak total order:
+    // {1,2,3} triangle, pendant 4-1 (deg: 1→3, 2→2, 3→2, 4→1).
+    val mixed = Seq((1L, 2L), (1L, 3L), (2L, 3L), (1L, 4L)).toDF("l", "r")
+    assert(GraftOps.triangles(mixed, "l", "r")
+      .as[(Long, Long, Long)].collect().toSet == Set((1L, 2L, 3L)))
+  }
 }

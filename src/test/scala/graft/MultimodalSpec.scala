@@ -47,6 +47,52 @@ class MultimodalSpec extends SparkSpec {
     assert(rows.head._3 >= 16 && rows.head._4 >= 16)
   }
 
+  test("extractAudioFeatures decodes REAL metadata from a hand-built " +
+      "WAV header; non-audio falls back deterministically") {
+    // 11025 Hz stereo, 250 frames — wavBytes builds the canonical
+    // 44-byte PCM container, the operator must parse it back with the
+    // JDK's javax.sound.sampled reader (mirrors the PNG decode spec).
+    val wav = Multimodal.wavBytes(11025, 2, 250)
+    assert(wav.length == 44 + 250 * 2 * 2)
+    val df = Seq((7L, wav, "audio/wav"))
+      .toDF("media_id", "payload", "mime")
+    val Array((id, len, sr, ch, fr, dur)) =
+      Multimodal.extractAudioFeatures(df)
+        .as[(Long, Long, Int, Int, Long, Long)].collect()
+    assert(id == 7L && len == wav.length.toLong)
+    assert((sr, ch, fr) == ((11025, 2, 250L)))
+    assert(dur == 250L * 1000000L / 11025L)
+    // Truncated header and non-audio bytes: deterministic fallback, no
+    // task failure; schema pinned.
+    val junk = Seq((8L, wav.take(12), "audio/wav"),
+      (9L, "definitely not audio".getBytes("UTF-8"), "text/plain"))
+      .toDF("media_id", "payload", "mime")
+    val out = Multimodal.extractAudioFeatures(junk)
+    assert(out.schema == Multimodal.audioFeatureSchema)
+    val rows = out.orderBy("media_id")
+      .as[(Long, Long, Int, Int, Long, Long)].collect()
+    assert(rows.length == 2 && rows.forall(_._3 > 0))
+    val again = Multimodal.extractAudioFeatures(junk).orderBy("media_id")
+      .as[(Long, Long, Int, Int, Long, Long)].collect()
+    assert(rows.toSeq == again.toSeq)
+  }
+
+  test("synthWav → extractAudioFeatures round-trips the id-derived " +
+      "metadata (the mm_audio_features contract)") {
+    val ids = Seq(0L, 1L, 2L, 3L, 5L, 49L, 103L).toDF("doc_id")
+    val got = Multimodal.extractAudioFeatures(
+      Multimodal.synthWav(ids, "doc_id"))
+      .orderBy("media_id")
+      .as[(Long, Long, Int, Int, Long, Long)].collect().toSeq
+    val want = Seq(0L, 1L, 2L, 3L, 5L, 49L, 103L).map { id =>
+      val sr = 8000 + (id % 4).toInt * 2000
+      val ch = 1 + (id % 2).toInt
+      val fr = 100L + id % 50
+      (id, 44L + fr * ch * 2, sr, ch, fr, fr * 1000000L / sr)
+    }
+    assert(got == want)
+  }
+
   test("resizeStub: deterministic downsample, schema pinned") {
     val out = Multimodal.resizeStub(media, 4).orderBy("media_id")
       .select("media_id", "byte_len").as[(Long, Long)].collect()

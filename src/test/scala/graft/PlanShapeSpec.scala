@@ -36,6 +36,23 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), s"pairs must be bucket-local:\n$p")
   }
 
+  test("candidatePairsFromBands bucket-cap window shares the bucket " +
+      "groupBy's exchange: no extra shuffle, no pre-count join") {
+    val bands = Seq((1L, 0, "A"), (2L, 0, "A"), (3L, 1, "B"))
+      .toDF("doc_id", "band_idx", "band_hash")
+    val p = phys(GraftOps.candidatePairsFromBands(bands, "doc_id"))
+    assert(p.contains("Window"), s"bucket-size count must be a window:\n$p")
+    assert(!p.contains("Join"),
+      s"cap must not re-join a pre-counted hot set (double compute):\n$p")
+    // Exactly two hashpartitioning exchanges end-to-end: one shuffling
+    // the band table by its bucket key (shared by the count window AND
+    // the collect groupBy via subset-clustering reuse), one for the
+    // final pair distinct. A third would mean the salt column broke
+    // partitioning reuse.
+    val n = "Exchange hashpartitioning".r.findAllMatchIn(p).size
+    assert(n == 2, s"expected 2 exchanges, found $n:\n$p")
+  }
+
   test("interval join binning avoids nested-loop strategies") {
     val q = SparkEntry.queries("j12_range_join")(
       spark, "/root/testdata/sf0.001")

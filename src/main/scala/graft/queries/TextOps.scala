@@ -465,6 +465,17 @@ object TextOps {
         graft.multimodal.Multimodal.synthWav(
           Tables.documents(s, d).select(col("doc_id")), "doc_id"))),
 
+    // Multimodal video path, REAL end-to-end like the audio twin:
+    // synthMp4 builds a genuine ISO-BMFF container per doc (ftyp +
+    // moov/mvhd/trak/tkhd — public box layout, no codec involved) and
+    // extractVideoFeatures recovers timescale/duration/dims by walking
+    // the box tree it wrote. The oracle recomputes the derivation
+    // arithmetic, so a box-offset bug anywhere breaks the hash compare.
+    "mm_video_features" -> ((s, d) =>
+      graft.multimodal.Multimodal.extractVideoFeatures(
+        graft.multimodal.Multimodal.synthMp4(
+          Tables.documents(s, d).select(col("doc_id")), "doc_id"))),
+
     // THE RAG ingest path, composed from the library's own stages:
     // quality/language gate + exact doc dedup (the shared clean gate) →
     // 64-token chunking → corpus-wide chunk dedup (first occurrence
@@ -1650,6 +1661,14 @@ object TextOps {
         |  CAST(100 + doc_id % 50 AS BIGINT) AS n_frames,
         |  CAST((100 + doc_id % 50) * 1000000
         |    // (8000 + (doc_id % 4) * 2000) AS BIGINT) AS duration_us
+        |FROM documents""".stripMargin,
+    "mm_video_features" ->
+      """SELECT doc_id AS media_id,
+        |  CAST(236 AS BIGINT) AS byte_len,
+        |  CAST(600 + (doc_id % 5) * 300 AS INTEGER) AS timescale,
+        |  CAST((2 + doc_id % 7) * 1000 AS BIGINT) AS duration_ms,
+        |  CAST(320 + (doc_id % 4) * 160 AS INTEGER) AS width,
+        |  CAST(240 + (doc_id % 3) * 120 AS INTEGER) AS height
         |FROM documents""".stripMargin,
     "dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,

@@ -115,6 +115,29 @@ class GraftOpsCcSpec extends SparkSpec {
     assert(Seq(2L, 3L, 4L, 5L).map(got).distinct.size == 1) // symmetry
   }
 
+  test("triangles equals the brute-force triple scan on a random graph") {
+    val rnd = new scala.util.Random(23)
+    val n = 40
+    // Dense enough (150 draws on 40 nodes) to land dozens of triangles,
+    // normalized to the operator's input contract: src < dst, distinct.
+    val es = (0 until 150).map(_ =>
+      (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      .filter(e => e._1 != e._2)
+      .map(e => (e._1 min e._2, e._1 max e._2)).distinct
+    val got = GraftOps.triangles(es.toDF("l", "r"), "l", "r")
+      .as[(Long, Long, Long)].collect().toSet
+    val set = es.toSet
+    val want = (for {
+      a <- 0L until n.toLong; b <- (a + 1) until n.toLong
+      if set((a, b))
+      c <- (b + 1) until n.toLong
+      if set((b, c)) && set((a, c))
+    } yield (a, b, c)).toSet
+    assert(want.nonEmpty, "fixture must actually contain triangles")
+    assert(got == want,
+      s"missing=${want -- got}\nextra=${got -- want}")
+  }
+
   test("triangles: K4 yields all four id-sorted triples; a hub star " +
       "yields none and zero hub wedge fan-out under degree orientation") {
     import org.apache.spark.sql.functions._

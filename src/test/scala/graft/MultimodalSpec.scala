@@ -93,6 +93,50 @@ class MultimodalSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("extractVideoFeatures walks a hand-built ISO-BMFF box tree; " +
+      "non-MP4 falls back deterministically") {
+    // 1500 ticks/s, 4.5 s, 640×360 — mp4Bytes writes the real box
+    // layout, the operator must recover the fields by offset walking.
+    val mp4 = Multimodal.mp4Bytes(1500, 6750L, 640, 360)
+    assert(mp4.length == 236)
+    val df = Seq((7L, mp4, "video/mp4"))
+      .toDF("media_id", "payload", "mime")
+    val Array((id, len, ts, dur, w, h)) =
+      Multimodal.extractVideoFeatures(df)
+        .as[(Long, Long, Int, Long, Int, Int)].collect()
+    assert(id == 7L && len == 236L)
+    assert((ts, dur, w, h) == ((1500, 4500L, 640, 360)))
+    // Truncated container, non-video bytes, and a WAV (valid media,
+    // wrong family): all deterministic fallback, schema pinned.
+    val junk = Seq((8L, mp4.take(30), "video/mp4"),
+      (9L, "not a video at all".getBytes("UTF-8"), "text/plain"),
+      (10L, Multimodal.wavBytes(8000, 1, 10), "audio/wav"))
+      .toDF("media_id", "payload", "mime")
+    val out = Multimodal.extractVideoFeatures(junk)
+    assert(out.schema == Multimodal.videoFeatureSchema)
+    val rows = out.orderBy("media_id")
+      .as[(Long, Long, Int, Long, Int, Int)].collect()
+    assert(rows.length == 3 && rows.forall(_._3 > 0))
+    val again = Multimodal.extractVideoFeatures(junk).orderBy("media_id")
+      .as[(Long, Long, Int, Long, Int, Int)].collect()
+    assert(rows.toSeq == again.toSeq)
+  }
+
+  test("synthMp4 → extractVideoFeatures round-trips the id-derived " +
+      "metadata (the mm_video_features contract)") {
+    val ids = Seq(0L, 1L, 2L, 3L, 4L, 6L, 34L, 101L).toDF("doc_id")
+    val got = Multimodal.extractVideoFeatures(
+      Multimodal.synthMp4(ids, "doc_id"))
+      .orderBy("media_id")
+      .as[(Long, Long, Int, Long, Int, Int)].collect().toSeq
+    val want = Seq(0L, 1L, 2L, 3L, 4L, 6L, 34L, 101L).map { id =>
+      val ts = 600 + (id % 5).toInt * 300
+      (id, 236L, ts, (2 + id % 7) * 1000L,
+        320 + (id % 4).toInt * 160, 240 + (id % 3).toInt * 120)
+    }
+    assert(got == want)
+  }
+
   test("resizeStub: deterministic downsample, schema pinned") {
     val out = Multimodal.resizeStub(media, 4).orderBy("media_id")
       .select("media_id", "byte_len").as[(Long, Long)].collect()

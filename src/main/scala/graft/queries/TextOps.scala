@@ -184,6 +184,21 @@ object TextOps {
     // band collision already implies high similarity.
     "dedup_minhash_bands" -> ((s, d) => bandTable(s, d)),
 
+    // The ROW-LOCAL band formulation (minhashSig/lshBands projection,
+    // no explode/window/groupBy) against the SAME oracle as
+    // dedup_minhash_bands: pins bit-equality of the two minhash
+    // implementations under DuckDB. This is the form a streaming
+    // micro-batch runs (EventStream.nearDupGateStream) — streams can't
+    // execute the batch pipeline's window/agg stages — so its parity
+    // with the stored corpus index is exactly what makes the streaming
+    // ingest gate's probes meaningful.
+    "dedup_bands_rowlocal" -> ((s, d) =>
+      docsOf(s, d).select(col("doc_id"),
+        explode(lshBands(minhashSig(shingles(tokens(col("text")), 3), 8),
+          8)).as("band"))
+        .select(col("doc_id"), col("band.band_idx").as("band_idx"),
+          col("band.band_hash").as("band_hash"))),
+
     // MinHash-LSH candidate pairs, generated BUCKET-LOCALLY: group by
     // (band_idx, band_hash), collect the tiny member list, emit sorted
     // combinations. One aggregation, no self-join (which would compute
@@ -1675,6 +1690,11 @@ object TextOps {
         |  count(*) AS n_copies
         |FROM documents GROUP BY md5(text)""".stripMargin,
     "dedup_minhash_bands" ->
+      s"""WITH $SigCte
+         |SELECT doc_id, band_idx, band_hash FROM bands""".stripMargin,
+    // Same truth as dedup_minhash_bands on purpose: the row-local Spark
+    // formulation must land on the identical band table.
+    "dedup_bands_rowlocal" ->
       s"""WITH $SigCte
          |SELECT doc_id, band_idx, band_hash FROM bands""".stripMargin,
     "dedup_minhash_pairs" ->

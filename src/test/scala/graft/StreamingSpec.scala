@@ -154,6 +154,51 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("rowlocal minhash bands are bit-identical to the batch pipeline") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "entirely different text about spark execution plans here"),
+      (4L, "short"), (5L, "")).toDF("doc_id", "text")
+    import graft.functions.TextFunctions._
+    val batch = graft.api.GraftOps.minhashBands(docs, "doc_id", "text")
+      .as[(Long, Int, String)].collect().toSet
+    val rowlocal = docs.select($"doc_id",
+        explode(lshBands(minhashSig(shingles(tokens($"text"), 3), 8), 8))
+          .as("band"))
+      .select($"doc_id", $"band.band_idx", $"band.band_hash")
+      .as[(Long, Int, String)].collect().toSet
+    assert(rowlocal == batch)
+    assert(batch.size == 20) // 5 docs × 4 bands, incl. empty/short docs
+  }
+
+  test("nearDupGateStream flags stream docs whose bands hit the stored " +
+    "corpus index, once per doc") {
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (11L, "one two three four five six seven eight nine"))
+      .toDF("doc_id", "text")
+    val index = graft.api.GraftOps
+      .minhashBands(corpus, "doc_id", "text").localCheckpoint()
+    val stream = MemoryStream[(Long, Timestamp, String)]
+    val q = EventStream.nearDupGateStream(
+      stream.toDF().toDF("doc_id", "ts", "text"), index, "10 minutes")
+      .writeStream.format("memory").queryName("neardup_out")
+      .outputMode("append").start()
+    try {
+      // 100 duplicates corpus doc 10 (all bands agree → 4 hits, must
+      // collapse to ONE verdict row); 101 is novel (no band can match).
+      stream.addData(
+        (100L, ts(0), "alpha beta gamma delta epsilon zeta eta theta"),
+        (101L, ts(1), "completely novel never indexed words appear now"))
+      q.processAllAvailable()
+      val out = spark.table("neardup_out")
+        .select("doc_id").as[Long].collect().toSeq
+      assert(out == Seq(100L), s"got $out")
+    } finally q.stop()
+  }
+
   test("attributionJoin pairs purchases with in-horizon clicks, " +
     "null row when none") {
     implicit val sqlCtx = spark.sqlContext

@@ -144,6 +144,29 @@ object Multimodal {
     spark.createDataFrame(rdd, audioFeatureSchema)
   }
 
+  /** Synthesize one REAL PNG per id (executor-side, via the same JDK
+    * ImageIO the decoder reads with): dims 16+(id%32) × 16+(id%16),
+    * RGB. The byte stream is encoder-dependent (never oracle it); the
+    * PARSED dimensions are the deterministic contract `mm_image_features`
+    * checks — the image twin of `synthWav`/`synthMp4`. */
+  def synthPng(ids: DataFrame, idCol: String): DataFrame = {
+    val spark = ids.sparkSession
+    val rdd = ids.select(col(idCol).cast("long")).rdd.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { r =>
+        val id = r.getLong(0)
+        val w = 16 + (id % 32).toInt
+        val h = 16 + (id % 16).toInt
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        Row(id, bos.toByteArray, "image/png")
+      }
+    }
+    spark.createDataFrame(rdd, mediaSchema)
+  }
+
   /** Canonical 44-byte PCM WAV container around `nFrames` frames of
     * 16-bit audio with deterministic body bytes — the test-fixture
     * payload generator for the audio path (the container format is the

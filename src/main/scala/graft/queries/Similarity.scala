@@ -280,6 +280,31 @@ object Similarity {
           round(col("n_overlap").cast("double") / 10.0, 6).as("recall_at_10"))
     }),
 
+    // SEMANTIC decontamination — the embedding-space complement of the
+    // n-gram txt_decontaminate: flag corpus vectors whose cosine
+    // similarity to ANY held-out benchmark vector reaches tau
+    // (paraphrased contamination that shares no 8-gram). The benchmark
+    // side (vec_id % 20 == 0 stands in for the eval set) is BROADCAST —
+    // the realistic asymmetry, identical to the n-gram variant: the
+    // corpus streams once with no shuffle before the per-doc aggregate,
+    // so cost is corpus-linear at any scale. Emits the max-similarity
+    // evidence per flagged vector (threshold 0.35 sits in this
+    // synthetic data's tail; production uses ~0.9 — shape unchanged).
+    "emb_decontaminate" -> ((s, d) => {
+      val e = unitVecs(s, d).select("vec_id", "u")
+      val bench = e.filter(col("vec_id") % 20 === 0)
+        .select(col("vec_id").as("b_id"), col("u").as("b_u"))
+      e.filter(col("vec_id") % 20 =!= 0)
+        .crossJoin(broadcast(bench))
+        .select(col("vec_id"),
+          round(call_function("graft_vec_dot", col("u"), col("b_u")), 6)
+            .as("cos"))
+        .filter(col("cos") >= 0.35)
+        .groupBy("vec_id")
+        .agg(max("cos").as("max_cos"),
+          count(lit(1)).as("n_bench_hits"))
+    }),
+
     // Two-stage retrieve→rerank cascade — the 100 TB ANN serving shape
     // that emb_mrl_recall (truncation quality) and emb_ivf_kmeans_topk
     // (coarse cells) each measure half of, composed end-to-end: stage 1
@@ -591,6 +616,16 @@ object Similarity {
          |JOIN (SELECT q_id, cand_id FROM tt WHERE rnk <= 10) x
          |  ON f.q_id = x.q_id AND f.cand_id = x.cand_id
          |GROUP BY f.q_id""".stripMargin,
+    "emb_decontaminate" ->
+      s"""WITH $UnitCte,
+         |b AS (SELECT vec_id AS b_id, u AS b_u FROM e
+         |  WHERE vec_id % 20 = 0),
+         |sc AS (SELECT e.vec_id,
+         |    round(list_dot_product(e.u, b.b_u), 6) AS cos
+         |  FROM e CROSS JOIN b WHERE e.vec_id % 20 <> 0)
+         |SELECT vec_id, max(cos) AS max_cos,
+         |  CAST(count(*) AS BIGINT) AS n_bench_hits
+         |FROM sc WHERE cos >= 0.35 GROUP BY vec_id""".stripMargin,
     "emb_cascade_rerank" ->
       s"""WITH $UnitCte,
          |t AS (SELECT vec_id,

@@ -467,6 +467,19 @@ object TextOps {
         (expr("octet_length(text)").cast("long") * 3 % 480).as("fake_height"),
         lit(3).as("channels"))),
 
+    // Multimodal IMAGE path, REAL end-to-end: synthPng encodes a
+    // genuine PNG per doc through the JDK encoder and extractFeatures
+    // must recover width/height/channels by actually parsing those
+    // bytes (javax.imageio header read). byte_len is deliberately NOT
+    // emitted — PNG byte size is encoder-dependent; the parsed
+    // dimensions are the deterministic contract the oracle recomputes.
+    "mm_image_features" -> ((s, d) =>
+      graft.multimodal.Multimodal.extractFeatures(
+        graft.multimodal.Multimodal.synthPng(
+          Tables.documents(s, d).select(col("doc_id")), "doc_id"))
+        .select(col("media_id"), col("width"), col("height"),
+          col("channels"))),
+
     // Multimodal audio path, REAL end-to-end: synthWav builds one
     // genuine PCM WAV container per doc (executor-side, derivation
     // sr/ch/frames = arithmetic on doc_id), extractAudioFeatures
@@ -1667,6 +1680,12 @@ object TextOps {
         |  CAST(len(regexp_extract_all(blob,
         |    '\b\d{1,3}(?:\.\d{1,3}){3}\b')) AS BIGINT) AS n_ip
         |FROM b""".stripMargin,
+    "mm_image_features" ->
+      """SELECT doc_id AS media_id,
+        |  CAST(16 + doc_id % 32 AS INTEGER) AS width,
+        |  CAST(16 + doc_id % 16 AS INTEGER) AS height,
+        |  3 AS channels
+        |FROM documents""".stripMargin,
     "mm_audio_features" ->
       """SELECT doc_id AS media_id,
         |  CAST(44 + (100 + doc_id % 50) * (1 + doc_id % 2) * 2 AS BIGINT)

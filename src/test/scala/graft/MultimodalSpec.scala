@@ -137,6 +137,19 @@ class MultimodalSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("synthPng → extractFeatures round-trips the id-derived dims " +
+      "(the mm_image_features contract)") {
+    val ids = Seq(0L, 1L, 15L, 31L, 47L, 200L).toDF("doc_id")
+    val got = Multimodal.extractFeatures(Multimodal.synthPng(ids, "doc_id"))
+      .orderBy("media_id")
+      .select("media_id", "width", "height", "channels")
+      .as[(Long, Int, Int, Int)].collect().toSeq
+    val want = Seq(0L, 1L, 15L, 31L, 47L, 200L).map { id =>
+      (id, 16 + (id % 32).toInt, 16 + (id % 16).toInt, 3)
+    }
+    assert(got == want)
+  }
+
   test("resizeStub: deterministic downsample, schema pinned") {
     val out = Multimodal.resizeStub(media, 4).orderBy("media_id")
       .select("media_id", "byte_len").as[(Long, Long)].collect()

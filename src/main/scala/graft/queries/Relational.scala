@@ -454,6 +454,31 @@ object Relational {
             <= col("exact_nd").cast("double") * 0.05).as("within_tol"))
     }),
 
+    // The sketch PERCENTILE next to the exact answer — the same
+    // exact-vs-sketch pairing as agg_approx_distinct, completing the
+    // claim agg_percentiles makes in prose: at 100 TB approx_percentile
+    // (mergeable GK sketch, bounded memory per group, no per-group
+    // value buffering) replaces the exact buffering aggregate with an
+    // identical plan shape. The sketch value is engine-specific, so the
+    // ORACLE-CHECKABLE contract is exact values + the in-tolerance
+    // boolean: the GK accuracy parameter 100 bounds rank error at
+    // n/100, which for these group sizes keeps the VALUE error well
+    // inside 10 % of the exact p50/p90 on this data.
+    "agg_approx_percentiles" -> ((s, d) => {
+      val l = Tables.lineitem(s, d).select("l_returnflag", "l_extendedprice")
+      val g = l.groupBy("l_returnflag").agg(
+        expr("percentile(l_extendedprice, array(0.5D, 0.9D))").as("ex"),
+        expr("approx_percentile(l_extendedprice, array(0.5D, 0.9D), 100)")
+          .as("ap"))
+      g.select(col("l_returnflag"),
+        round(element_at(col("ex"), 1), 6).as("p50_exact"),
+        round(element_at(col("ex"), 2), 6).as("p90_exact"),
+        (abs(element_at(col("ap"), 1) - element_at(col("ex"), 1))
+          <= abs(element_at(col("ex"), 1)) * 0.1 &&
+         abs(element_at(col("ap"), 2) - element_at(col("ex"), 2))
+          <= abs(element_at(col("ex"), 2)) * 0.1).as("within_tol"))
+    }),
+
     // Data-quality assertion suite — the validation pass a production
     // pipeline runs before promoting a load: referential integrity
     // (anti join), null checks, key uniqueness, range and enum
@@ -1338,6 +1363,16 @@ object Relational {
       """SELECT o_orderpriority,
         |  count(DISTINCT o_custkey) AS exact_nd, TRUE AS within_tol
         |FROM orders GROUP BY o_orderpriority""".stripMargin,
+    // Same contract shape: exact percentiles match bit-for-bit (both
+    // engines use the p·(n−1) interpolation), the GK sketch's values
+    // are engine-specific so the oracle asserts the tolerance boolean
+    // the Spark side computed from the real sketch output.
+    "agg_approx_percentiles" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_extendedprice, 0.5), 6) AS p50_exact,
+        |  round(quantile_cont(l_extendedprice, 0.9), 6) AS p90_exact,
+        |  TRUE AS within_tol
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "j16_bloom_join" ->
       """SELECT p.p_brand,
         |  CAST(sum(CAST(trunc(l.l_extendedprice * 100.0 + 0.5) AS BIGINT))

@@ -71,6 +71,56 @@ object GraftOps {
       : DataFrame =
     candidatePairsFromBands(minhashBands(docs, idCol, textCol), idCol)
 
+  /** ROW-LOCAL band table — bit-identical output to `minhashBands`
+    * (oracle- and spec-pinned) computed as a chain of pure projections
+    * (no posexplode/window/groupBy), the form a STREAMING micro-batch
+    * can run. Higher-order functions are CodegenFallback, so the cost
+    * discipline is md5 COUNT: the digest pair is materialized ONCE per
+    * shingle in its own projection (a struct-per-element transform in a
+    * dedicated column — CollapseProject keeps a non-cheap expression
+    * used 8× from being re-inlined), and all eight slice-minima fold in
+    * ONE aggregate traversal of those stored digests. The naive
+    * per-slice `array_min(transform(sh, s => slice(md5(s))))` form
+    * evaluates md5 8× per shingle INTERPRETED — measured 229 s for the
+    * corpus-wide parity query at sf0.1, vs 5.1 s with shared digests
+    * and 3.5 s with the single-traversal fold. Batch corpora should
+    * still use `minhashBands` (fully codegen'd, 0.9 s on the same
+    * input); this path exists for streams and the parity gate. */
+  def rowLocalBands(docs: DataFrame, idCol: String, textCol: String,
+      carryCols: Seq[String] = Nil): DataFrame = {
+    val keep = (idCol +: carryCols).map(col)
+    val digs = docs
+      .select(keep :+ shingles(tokens(col(textCol)), 3).as("__sh"): _*)
+      .select(keep :+
+        transform(col("__sh"), s => struct(md5(s).as("m1"),
+          md5(concat(lit("8:"), s)).as("m2"))).as("__digs"): _*)
+    // All 8 minima in ONE array traversal (an aggregate fold with an
+    // 8-field struct accumulator) instead of 8 array_min passes —
+    // interpreted per-element dispatch dominates HOF cost, so traversal
+    // count is the lever ("g" sorts after every hex digit = +inf; a
+    // fold that never ran yields "g" → the empty-shingle default, the
+    // same coalesce semantics as the batch pipeline).
+    // The fold lands in its OWN projection column before the 16
+    // getField reads below — referenced inline, the whole aggregate
+    // would re-evaluate per reference (no CSE in interpreted eval).
+    val init = struct((0 until 8).map(j => lit("g").as(s"h$j")): _*)
+    val folded = digs.select(keep :+ aggregate(col("__digs"), init,
+      (acc, d) => struct((0 until 8).map { j =>
+        val fld = if (j < 4) "m1" else "m2"
+        least(acc.getField(s"h$j"), minhashSlice(d.getField(fld), j))
+          .as(s"h$j")
+      }: _*)).as("__fold"): _*)
+    val sig = folded.select(keep :+ array((0 until 8).map { j =>
+      val prefix = if (j < 4) "" else "8:"
+      when(col("__fold").getField(s"h$j") === "g",
+        minhashSlice(md5(lit(prefix)), j))
+        .otherwise(col("__fold").getField(s"h$j"))
+    }: _*).as("__sig"): _*)
+    sig.select(keep :+ explode(lshBands(col("__sig"), 8)).as("band"): _*)
+      .select(keep :+ col("band.band_idx").as("band_idx")
+        :+ col("band.band_hash").as("band_hash"): _*)
+  }
+
   /** Candidate pairs from a precomputed band table (doc, band_idx,
     * band_hash) — lets callers that also need the bands themselves
     * (e.g. band-agreement scoring) compute the minhash pipeline ONCE

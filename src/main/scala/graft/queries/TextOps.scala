@@ -184,20 +184,16 @@ object TextOps {
     // band collision already implies high similarity.
     "dedup_minhash_bands" -> ((s, d) => bandTable(s, d)),
 
-    // The ROW-LOCAL band formulation (minhashSig/lshBands projection,
-    // no explode/window/groupBy) against the SAME oracle as
-    // dedup_minhash_bands: pins bit-equality of the two minhash
+    // The ROW-LOCAL band formulation (GraftOps.rowLocalBands — pure
+    // projections, no explode/window/groupBy) against the SAME oracle
+    // as dedup_minhash_bands: pins bit-equality of the two minhash
     // implementations under DuckDB. This is the form a streaming
     // micro-batch runs (EventStream.nearDupGateStream) — streams can't
     // execute the batch pipeline's window/agg stages — so its parity
     // with the stored corpus index is exactly what makes the streaming
     // ingest gate's probes meaningful.
     "dedup_bands_rowlocal" -> ((s, d) =>
-      docsOf(s, d).select(col("doc_id"),
-        explode(lshBands(minhashSig(shingles(tokens(col("text")), 3), 8),
-          8)).as("band"))
-        .select(col("doc_id"), col("band.band_idx").as("band_idx"),
-          col("band.band_hash").as("band_hash"))),
+      graft.api.GraftOps.rowLocalBands(docsOf(s, d), "doc_id", "text")),
 
     // MinHash-LSH candidate pairs, generated BUCKET-LOCALLY: group by
     // (band_idx, band_hash), collect the tiny member list, emit sorted

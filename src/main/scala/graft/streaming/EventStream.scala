@@ -86,31 +86,25 @@ object EventStream {
     * STATIC stored band index (the corpus index `dedup_minhash_bands`
     * materializes) with a stream-static left-semi join, and band hits
     * collapse to one verdict row per doc. The bands are computed with
-    * the row-local minhashSig/lshBands projection — bit-identical to
-    * the batch pipeline's window/groupBy formulation (spec-pinned and
-    * oracle-pinned via `dedup_bands_rowlocal`), which a stream cannot
-    * run (non-time windows and multi-stage aggregations are unsupported
-    * on streaming Datasets). State is only the per-doc dedup keys
+    * the row-local GraftOps.rowLocalBands projection — bit-identical
+    * to the batch pipeline's window/groupBy formulation (spec-pinned
+    * and oracle-pinned via `dedup_bands_rowlocal`), which a stream
+    * cannot run (non-time windows and multi-stage aggregations are
+    * unsupported on streaming Datasets). State is only the per-doc keys
     * inside the watermark horizon; the static index side holds no
     * state. At 100 TB/day the probe is a broadcast lookup when the
     * index's distinct band keys fit, else a co-partitioned join against
     * a bucketed index table — either way the stream side never
     * shuffles twice. */
   def nearDupGateStream(docs: DataFrame, bandIndex: DataFrame,
-      watermarkDelay: String): DataFrame = {
-    import graft.functions.TextFunctions._
-    docs.withWatermark("ts", watermarkDelay)
-      .select(col("doc_id"), col("ts"),
-        explode(lshBands(minhashSig(shingles(tokens(col("text")), 3), 8),
-          8)).as("band"))
-      .select(col("doc_id"), col("ts"),
-        col("band.band_idx").as("band_idx"),
-        col("band.band_hash").as("band_hash"))
+      watermarkDelay: String): DataFrame =
+    graft.api.GraftOps
+      .rowLocalBands(docs.withWatermark("ts", watermarkDelay),
+        "doc_id", "text", carryCols = Seq("ts"))
       .join(bandIndex.select("band_idx", "band_hash"),
         Seq("band_idx", "band_hash"), "left_semi")
       .dropDuplicatesWithinWatermark("doc_id")
       .select(col("doc_id"), col("ts"))
-  }
 
   /** Streaming attribution — the streaming shape of the batch as-of join
     * (GraftOps.asofJoin / j11): each purchase left-outer joins the

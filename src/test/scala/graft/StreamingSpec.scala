@@ -160,13 +160,10 @@ class StreamingSpec extends SparkSpec {
       (2L, "the quick brown fox jumps over the lazy dog"),
       (3L, "entirely different text about spark execution plans here"),
       (4L, "short"), (5L, "")).toDF("doc_id", "text")
-    import graft.functions.TextFunctions._
     val batch = graft.api.GraftOps.minhashBands(docs, "doc_id", "text")
       .as[(Long, Int, String)].collect().toSet
-    val rowlocal = docs.select($"doc_id",
-        explode(lshBands(minhashSig(shingles(tokens($"text"), 3), 8), 8))
-          .as("band"))
-      .select($"doc_id", $"band.band_idx", $"band.band_hash")
+    val rowlocal = graft.api.GraftOps
+      .rowLocalBands(docs, "doc_id", "text")
       .as[(Long, Int, String)].collect().toSet
     assert(rowlocal == batch)
     assert(batch.size == 20) // 5 docs × 4 bands, incl. empty/short docs

@@ -329,6 +329,22 @@ object TextOps {
           (col("doc_id") === col("cluster_id")).as("is_canonical"))
     }),
 
+    // EXACT connected components (GraftOps.connectedComponentsFixpoint:
+    // min-label to FIXPOINT with pointer jumping, ~log-diameter rounds)
+    // against an UNBOUNDED recursive-CTE oracle — where dedup_cluster_cc
+    // pins the bounded-2-round contract, this pins true components at
+    // any diameter, so a chain-shaped near-dup cluster (A~B~C where
+    // A and C never pair directly) still collapses to one cluster id.
+    "graph_cc_exact" -> ((s, d) => {
+      val docs = docsOf(s, d)
+      val pairs = graft.api.GraftOps.minhashCandidatePairs(
+        docs, "doc_id", "text")
+      graft.api.GraftOps.connectedComponentsFixpoint(
+          docs.select(col("doc_id")), "doc_id",
+          pairs, "left_id", "right_id")._1
+        .select(col("doc_id"), col("cluster_id"))
+    }),
+
     // TF-IDF top-3 terms per document — the classic relevance/keyword
     // surface. Corpus size joins in as a broadcast 1-row aggregate (no
     // driver-side count()); ties break on term so ranking is total.
@@ -1821,6 +1837,24 @@ object TextOps {
       s"""WITH RECURSIVE $CcCte
          |SELECT d.doc_id, coalesce(cm.cl, d.doc_id) AS cluster_id,
          |  coalesce(cm.cl, d.doc_id) = d.doc_id AS is_canonical
+         |FROM documents d LEFT JOIN cm ON d.doc_id = cm.src""".stripMargin,
+    // Unbounded transitive closure (UNION dedups, so the recursion
+    // reaches a fixpoint on its own) — the exact-CC twin of CcCte's
+    // depth-2 variant.
+    "graph_cc_exact" ->
+      s"""WITH RECURSIVE $SigCte,
+         |pr AS (SELECT DISTINCT a.doc_id AS left_id, b.doc_id AS right_id
+         |  FROM bands a JOIN bands b
+         |    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+         |    AND a.doc_id < b.doc_id),
+         |e AS (SELECT left_id AS a, right_id AS b FROM pr
+         |  UNION SELECT right_id, left_id FROM pr),
+         |reach AS (
+         |  SELECT a AS src, a AS dst FROM (SELECT DISTINCT a FROM e)
+         |  UNION
+         |  SELECT r.src, e2.b AS dst FROM reach r JOIN e e2 ON e2.a = r.dst),
+         |cm AS (SELECT src, min(dst) AS cl FROM reach GROUP BY src)
+         |SELECT d.doc_id, coalesce(cm.cl, d.doc_id) AS cluster_id
          |FROM documents d LEFT JOIN cm ON d.doc_id = cm.src""".stripMargin,
     // Same cluster map, argmax-quality retention within each cluster.
     "cluster_keep_best" ->

@@ -115,6 +115,41 @@ class GraftOpsCcSpec extends SparkSpec {
     assert(Seq(2L, 3L, 4L, 5L).map(got).distinct.size == 1) // symmetry
   }
 
+  test("connectedComponentsFixpoint: exact on a 60-node chain in " +
+      "~log rounds, exact on a random graph") {
+    // Chain 0-1-...-59: diameter 59. Plain min-label needs 59 rounds;
+    // pointer jumping must land the fixpoint in well under 15 (observed
+    // 8: each round roughly squares the propagation distance).
+    val chainNodes = (0L until 60L).toDF("id")
+    val chainEdges = (0L until 59L).map(i => (i, i + 1)).toDF("a", "b")
+    val (lbl, rounds) = GraftOps.connectedComponentsFixpoint(
+      chainNodes, "id", chainEdges, "a", "b")
+    val got = lbl.as[(Long, Long)].collect().toMap
+    assert(got == (0L until 60L).map(_ -> 0L).toMap)
+    assert(rounds <= 15, s"pointer jumping should cut 59 rounds, got $rounds")
+    // Random graph: fixpoint labels equal true components (union-find).
+    val rnd = new scala.util.Random(7)
+    val n = 80
+    val es = (0 until 70).map(_ =>
+      (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      .filter(e => e._1 != e._2).distinct
+    val (lbl2, _) = GraftOps.connectedComponentsFixpoint(
+      (0L until n.toLong).toDF("id"), "id", es.toDF("a", "b"), "a", "b")
+    val got2 = lbl2.as[(Long, Long)].collect().toMap
+    val parent = Array.tabulate(n)(identity)
+    def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r)
+      var c = x; while (parent(c) != c) { val nx = parent(c); parent(c) = r; c = nx }; r }
+    es.foreach { case (a, b) =>
+      val (ra, rb) = (find(a.toInt), find(b.toInt))
+      if (ra != rb) parent(ra max rb) = ra min rb
+    }
+    val want = (0 until n).map { v =>
+      val root = find(v)
+      v.toLong -> (0 until n).filter(u => find(u) == root).min.toLong
+    }.toMap
+    assert(got2 == want)
+  }
+
   test("triangles equals the brute-force triple scan on a random graph") {
     val rnd = new scala.util.Random(23)
     val n = 40

@@ -280,6 +280,40 @@ object Similarity {
           round(col("n_overlap").cast("double") / 10.0, 6).as("recall_at_10"))
     }),
 
+    // IVF with nprobe=2 — the real multi-cell probe a production IVF
+    // index runs: rank the k-means CELLS per query by centroid cosine,
+    // search the best TWO (recovering near-boundary neighbors that the
+    // own-cell-only emb_ivf_kmeans_topk misses), then top-5 across the
+    // union. Each vector lives in exactly one cell, so the two probed
+    // cells are disjoint — no candidate dedup needed. At scale the
+    // centroid ranking is a broadcast k-row table per query and the
+    // probe joins on the cell id — nprobe multiplies candidates
+    // scanned, never corpus passes.
+    "emb_ivf_nprobe" -> ((s, d) => {
+      def dot(a: Column, b: Column) = call_function("graft_vec_dot", a, b)
+      val cells = kmeansAssign(s, d).select("vec_id", "u", "cluster")
+      val cents = kmeansCentroids(s, d)
+      val q0 = cells.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("u").as("q_u"))
+      val wCell = Window.partitionBy("q_id")
+        .orderBy(col("csc").desc, col("cid"))
+      val probes = q0.crossJoin(broadcast(cents))
+        .select(col("q_id"), col("q_u"), col("cid"),
+          round(dot(col("q_u"), col("cu")), 6).as("csc"))
+        .withColumn("crn", row_number().over(wCell))
+        .filter(col("crn") <= 2)
+        .select(col("q_id"), col("q_u"), col("cid").as("q_cluster"))
+      val w = Window.partitionBy("q_id")
+        .orderBy(col("score").desc, col("cand_id"))
+      cells.join(broadcast(probes),
+          col("cluster") === col("q_cluster") &&
+          col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id").as("cand_id"),
+          round(dot(col("u"), col("q_u")), 6).as("score"))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 5)
+    }),
+
     // SEMANTIC decontamination — the embedding-space complement of the
     // n-gram txt_decontaminate: flag corpus vectors whose cosine
     // similarity to ANY held-out benchmark vector reaches tau
@@ -396,7 +430,11 @@ object Similarity {
     * assignment as a k-row window, centroid update summed through
     * DECIMAL(20,15) for partition-order exactness. Shared by
     * emb_kmeans_iter and emb_ivf_kmeans_topk. */
-  private def kmeansAssign(s: SparkSession, d: String): DataFrame = {
+  /** The updated (post-one-iteration) centroid table (cid, cu) the
+    * assignment in `kmeansAssign` ranks against — exposed separately so
+    * multi-cell probing (emb_ivf_nprobe) can rank CELLS per query the
+    * way a real IVF index does. */
+  private def kmeansCentroids(s: SparkSession, d: String): DataFrame = {
     graft.expressions.VectorExpressions.register(s)
     def dot(a: Column, b: Column) = call_function("graft_vec_dot", a, b)
     val e = unitVecs(s, d).select("vec_id", "u")
@@ -409,8 +447,7 @@ object Similarity {
         round(dot(col("u"), col("cu")), 6).as("sc"))
       .withColumn("rn", row_number().over(wBest)).filter(col("rn") === 1)
       .select(col("vec_id"), col("u"), col("cid").as("cl"))
-    val c1 = a0
-      .select(col("cl"), posexplode(col("u")).as(Seq("idx", "val")))
+    a0.select(col("cl"), posexplode(col("u")).as(Seq("idx", "val")))
       .groupBy("cl", "idx")
       .agg(sum(col("val").cast(DecimalType(20, 15))).cast("double")
         .as("sv"))
@@ -420,6 +457,15 @@ object Similarity {
       .withColumn("nrm", sqrt(dot(col("raw"), col("raw"))))
       .select(col("cl").as("cid"),
         transform(col("raw"), x => x / col("nrm")).as("cu"))
+  }
+
+  private def kmeansAssign(s: SparkSession, d: String): DataFrame = {
+    graft.expressions.VectorExpressions.register(s)
+    def dot(a: Column, b: Column) = call_function("graft_vec_dot", a, b)
+    val e = unitVecs(s, d).select("vec_id", "u")
+    val wBest = Window.partitionBy("vec_id")
+      .orderBy(col("sc").desc, col("cid"))
+    val c1 = kmeansCentroids(s, d)
     e.crossJoin(broadcast(c1))
       .select(col("vec_id"), col("u"), col("cid"),
         round(dot(col("u"), col("cu")), 6).as("sc"))
@@ -616,6 +662,23 @@ object Similarity {
          |JOIN (SELECT q_id, cand_id FROM tt WHERE rnk <= 10) x
          |  ON f.q_id = x.q_id AND f.cand_id = x.cand_id
          |GROUP BY f.q_id""".stripMargin,
+    "emb_ivf_nprobe" ->
+      s"""WITH $KmeansCte,
+         |q AS (SELECT vec_id AS q_id, u AS q_u FROM a2 WHERE vec_id < 5),
+         |pc AS (SELECT q_id, q_u, cid FROM (
+         |  SELECT q.q_id, q.q_u, c.cid,
+         |    row_number() OVER (PARTITION BY q.q_id
+         |      ORDER BY round(list_dot_product(q.q_u, c.cu), 6) DESC,
+         |        c.cid) AS crn
+         |  FROM q CROSS JOIN c1 c) WHERE crn <= 2),
+         |sc AS (SELECT p.q_id, a.vec_id AS cand_id,
+         |    round(list_dot_product(a.u, p.q_u), 6) AS score
+         |  FROM a2 a JOIN pc p
+         |    ON a.cluster = p.cid AND a.vec_id <> p.q_id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY q_id
+         |    ORDER BY score DESC, cand_id) AS rnk FROM sc)
+         |SELECT q_id, cand_id, score, rnk FROM r WHERE rnk <= 5"""
+        .stripMargin,
     "emb_decontaminate" ->
       s"""WITH $UnitCte,
          |b AS (SELECT vec_id AS b_id, u AS b_u FROM e

@@ -383,6 +383,22 @@ object TextOps {
           1, 2) < when(col("lang") === "en", lit("1a")).otherwise(lit("80")))
         .select("doc_id", "lang", "source")),
 
+    // Deterministic train/val/test split (80/10/10): the hash-bucket
+    // assignment every training corpus freezes before any run — id-only
+    // hashing, so the split is stable under re-partitioning, re-ingest
+    // order, and corpus growth (a doc's split never changes when other
+    // docs arrive; sampling by position cannot promise that). One
+    // projection, no shuffle; the same md5-prefix-to-int path the
+    // shuffle/curriculum queries already prove cross-engine.
+    "samp_split" -> ((s, d) =>
+      docsOf(s, d).select(col("doc_id"),
+        (conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+          .cast("long") % 100).as("bucket"))
+        .select(col("doc_id"), col("bucket"),
+          when(col("bucket") < 80, "train")
+            .when(col("bucket") < 90, "val")
+            .otherwise("test").as("split"))),
+
     // Repetition ratio (Gopher-style quality signal): share of word
     // 3-grams that are repeats of an earlier 3-gram in the same doc.
     // Same codegen'd shingle path as winnowing; one aggregate.
@@ -2109,6 +2125,16 @@ object TextOps {
          |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
          |    ORDER BY score DESC, term) AS rnk FROM sc)
          |SELECT doc_id, term, score, rnk FROM r WHERE rnk <= 3""".stripMargin,
+    "samp_split" ->
+      """SELECT doc_id,
+        |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+        |    AS BIGINT) % 100 AS bucket,
+        |  CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+        |      1, 4)) AS BIGINT) % 100 < 80 THEN 'train'
+        |    WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+        |      1, 4)) AS BIGINT) % 100 < 90 THEN 'val'
+        |    ELSE 'test' END AS split
+        |FROM documents""".stripMargin,
     "samp_stratified" ->
       """SELECT doc_id, lang, source FROM documents
         |WHERE substr(md5(coalesce(lang, '') || ':'

@@ -112,4 +112,24 @@ class PropertySpec extends SparkSpec {
       assert(back.toSeq == bytes, s"case $i (${bytes.length} bytes)")
     }
   }
+
+  test("rowLocalBands equals minhashBands for arbitrary random corpora") {
+    // Random docs over a tiny vocabulary (forces shared shingles and
+    // band collisions) plus degenerate shapes: empty, 1-2 tokens
+    // (no shingles), repeated tokens. One Spark job per batch.
+    val docGen = Gen.chooseNum(0, 12).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("aa", "bb", "cc", "dd", "ee"))
+        .map(_.mkString(" ")))
+    val docs = cases(docGen, 60).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val batch = graft.api.GraftOps
+      .minhashBands(docs, "doc_id", "text")
+      .as[(Long, Int, String)].collect().toSet
+    val rowlocal = graft.api.GraftOps
+      .rowLocalBands(docs, "doc_id", "text")
+      .as[(Long, Int, String)].collect().toSet
+    assert(rowlocal == batch,
+      s"missing=${batch -- rowlocal}\nextra=${rowlocal -- batch}")
+    assert(batch.size == 60 * 4) // every doc bands, even shingle-less ones
+  }
 }

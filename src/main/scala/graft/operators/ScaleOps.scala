@@ -182,4 +182,31 @@ object ScaleOps {
       .drop("__z")
       .write.mode("overwrite").parquet(path)
   }
+
+  /** Small-files compaction (the OPTIMIZE/rewrite pass every long-lived
+    * 100 TB table needs): rewrite a parquet directory into
+    * ceil(totalBytes / targetFileBytes) files. Thousands of kilobyte
+    * files — the natural residue of incremental ingest and fine-grained
+    * partition writes — cost a task launch + footer read each at scan
+    * time and throttle the namenode; compaction restores scan
+    * efficiency without changing a row. Sizing comes from the
+    * FileSystem's listing (driver-side metadata, no data read), and the
+    * rewrite lands in `outPath` then swaps — never in place, so a
+    * failed rewrite leaves the source intact (rename-based swap is the
+    * caller's choice at real scale; here the two-path contract keeps
+    * the operator testable and object-store-safe). Returns the output
+    * file count. */
+  def compactFiles(df0: org.apache.spark.sql.SparkSession, path: String,
+      outPath: String, targetFileBytes: Long = 128L * 1024 * 1024): Int = {
+    require(targetFileBytes > 0, "compactFiles: targetFileBytes must be > 0")
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(df0.sparkContext.hadoopConfiguration)
+    val totalBytes = fs.getContentSummary(hp).getLength
+    val nFiles = math.max(1,
+      math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
+    df0.read.parquet(path)
+      .repartition(nFiles)
+      .write.mode("overwrite").parquet(outPath)
+    nFiles
+  }
 }

@@ -72,6 +72,29 @@ object EventOps {
 
     // DAU / rolling-7-day WAU / stickiness — the product-analytics
     // staple that needs DISTINCT users per day AND per trailing window.
+    // Top navigation paths: each user-day's first 5 events (by time,
+    // event_id tiebreak) joined into an ordered "a>b>c" path string,
+    // then the 10 most common paths — the product-analytics "what do
+    // users actually do" query. The per-user-day window caps fan-in at
+    // 5 rows regardless of how chatty a user is (the unbounded-path
+    // variant would make one hot user-day a giant array row — same
+    // bucket-cap discipline as LSH), and path counting is an ordinary
+    // partial-aggregated groupBy on the path string.
+    "ev_top_paths" -> ((s, d) => {
+      val w = Window.partitionBy("user_id", "day")
+        .orderBy("ts", "event_id")
+      Tables.events(s, d)
+        .withColumn("day", to_date(col("ts")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .groupBy("user_id", "day")
+        .agg(array_join(transform(
+          array_sort(collect_list(struct(col("rn"), col("event_type")))),
+          x => x.getField("event_type")), ">").as("path"))
+        .groupBy("path").agg(count(lit(1)).as("n_user_days"))
+        .orderBy(col("n_user_days").desc, col("path")).limit(10)
+    }),
+
     // The distinct (day, user) table is built once; each pair then
     // contributes to its own day plus the next 6 (a 7-way explode —
     // bounded fan-out, partial-aggregated), so the trailing-window
@@ -350,6 +373,17 @@ object EventOps {
         |    ORDER BY ts, event_id
         |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS rolling_med
         |FROM events""".stripMargin,
+    "ev_top_paths" ->
+      """WITH r AS (SELECT user_id, ts::DATE AS day, event_type,
+        |    row_number() OVER (PARTITION BY user_id, ts::DATE
+        |      ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |p AS (SELECT user_id, day,
+        |    array_to_string(list(event_type ORDER BY rn), '>') AS path
+        |  FROM r WHERE rn <= 5 GROUP BY user_id, day)
+        |SELECT path, count(*) AS n_user_days FROM p
+        |GROUP BY path ORDER BY n_user_days DESC, path LIMIT 10"""
+        .stripMargin,
     "ev_dau_wau" ->
       """WITH daily AS (SELECT DISTINCT ts::DATE AS day, user_id
         |  FROM events),

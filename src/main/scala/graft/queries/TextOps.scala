@@ -483,9 +483,11 @@ object TextOps {
         .select("doc_id", "source", "n_tokens", "lang_guess")
     }),
 
-    // Multimodal plumbing: opaque binary payload + typed metadata. The
-    // decode step is a deterministic stub (no image libs in-container);
-    // the schema/partitioning/feature shape is the real, tested part.
+    // Multimodal plumbing over NON-image payloads (text bytes stand in
+    // for the blob): deterministic fake dims, testing the schema and
+    // feature shape on arbitrary binary. The REAL decode paths are
+    // mm_image_features / mm_audio_features / mm_video_features, which
+    // synthesize genuine PNG/WAV/MP4 containers and parse them back.
     "mm_features" -> ((s, d) =>
       Tables.documents(s, d).select(
         col("doc_id"),

@@ -72,6 +72,51 @@ object EventOps {
 
     // DAU / rolling-7-day WAU / stickiness — the product-analytics
     // staple that needs DISTINCT users per day AND per trailing window.
+    // RFM segmentation (recency / frequency / monetary) — the classic
+    // user-value matrix: per user, days since last event (vs the
+    // corpus-max day, so the anchor is data-derived, not wall clock),
+    // event count, and value sum; each dimension bucketed 1-4 against
+    // its quartile BOUNDARIES (one percentile aggregate broadcast back,
+    // strict > comparisons). Deliberately NOT ntile: a global ntile is
+    // a single-reducer sort of the whole user table, and its
+    // tie-splitting is positional; boundary-compare is one broadcast
+    // row + a distributed projection, and both engines compute the
+    // p·(n−1)-interpolated quartiles identically (the agg_percentiles
+    // discipline). One events scan, one user-level groupBy, one 1-row
+    // aggregate — nothing global-sorts at any scale.
+    "ev_rfm" -> ((s, d) => {
+      val perUser = Tables.events(s, d)
+        .groupBy("user_id").agg(
+          max(to_date(col("ts"))).as("last_day"),
+          count(lit(1)).as("frequency"),
+          round(sum(col("value").cast(DecimalType(18, 2)))
+            .cast("double"), 2).as("monetary"))
+      val anchor = perUser.agg(max("last_day").as("anchor"))
+      val rfm = perUser.crossJoin(broadcast(anchor))
+        .select(col("user_id"),
+          datediff(col("anchor"), col("last_day")).cast("long")
+            .as("recency_days"),
+          col("frequency"), col("monetary"))
+      val bounds = rfm.agg(
+        expr("percentile(recency_days, array(0.25D, 0.5D, 0.75D))")
+          .as("rb"),
+        expr("percentile(frequency, array(0.25D, 0.5D, 0.75D))")
+          .as("fb"),
+        expr("percentile(monetary, array(0.25D, 0.5D, 0.75D))")
+          .as("mb"))
+      def bucket(c: org.apache.spark.sql.Column,
+          b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        (lit(1L) + (c > element_at(b, 1)).cast("long")
+          + (c > element_at(b, 2)).cast("long")
+          + (c > element_at(b, 3)).cast("long"))
+      rfm.crossJoin(broadcast(bounds))
+        .select(col("user_id"), col("recency_days"), col("frequency"),
+          col("monetary"),
+          bucket(col("recency_days").cast("double"), col("rb")).as("r_q"),
+          bucket(col("frequency").cast("double"), col("fb")).as("f_q"),
+          bucket(col("monetary"), col("mb")).as("m_q"))
+    }),
+
     // Top navigation paths: each user-day's first 5 events (by time,
     // event_id tiebreak) joined into an ordered "a>b>c" path string,
     // then the 10 most common paths — the product-analytics "what do
@@ -373,6 +418,34 @@ object EventOps {
         |    ORDER BY ts, event_id
         |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS rolling_med
         |FROM events""".stripMargin,
+    "ev_rfm" ->
+      """WITH pu AS (SELECT user_id, max(ts::DATE) AS last_day,
+        |    CAST(count(*) AS BIGINT) AS frequency,
+        |    round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)
+        |      AS monetary
+        |  FROM events GROUP BY user_id),
+        |rfm AS (SELECT user_id,
+        |    CAST(date_diff('day', last_day,
+        |      (SELECT max(last_day) FROM pu)) AS BIGINT) AS recency_days,
+        |    frequency, monetary FROM pu),
+        |b AS (SELECT
+        |  quantile_cont(recency_days, 0.25) AS r1,
+        |  quantile_cont(recency_days, 0.5) AS r2,
+        |  quantile_cont(recency_days, 0.75) AS r3,
+        |  quantile_cont(frequency, 0.25) AS f1,
+        |  quantile_cont(frequency, 0.5) AS f2,
+        |  quantile_cont(frequency, 0.75) AS f3,
+        |  quantile_cont(monetary, 0.25) AS m1,
+        |  quantile_cont(monetary, 0.5) AS m2,
+        |  quantile_cont(monetary, 0.75) AS m3 FROM rfm)
+        |SELECT user_id, recency_days, frequency, monetary,
+        |  CAST(1 + (recency_days > r1)::INT + (recency_days > r2)::INT
+        |    + (recency_days > r3)::INT AS BIGINT) AS r_q,
+        |  CAST(1 + (frequency > f1)::INT + (frequency > f2)::INT
+        |    + (frequency > f3)::INT AS BIGINT) AS f_q,
+        |  CAST(1 + (monetary > m1)::INT + (monetary > m2)::INT
+        |    + (monetary > m3)::INT AS BIGINT) AS m_q
+        |FROM rfm CROSS JOIN b""".stripMargin,
     "ev_top_paths" ->
       """WITH r AS (SELECT user_id, ts::DATE AS day, event_type,
         |    row_number() OVER (PARTITION BY user_id, ts::DATE

@@ -116,6 +116,41 @@ object TextOps {
           regexp_replace(lower(col("text")), "[.,!?;:]", ""),
           "\\s+", " ")).as("norm_text"))),
 
+    // HTML stripping — the first transform every web-crawl corpus runs
+    // (trafilatura-lite): drop script/style blocks wholesale ((?s)
+    // dotall + non-greedy, both in the Java∩RE2 subset), strip the
+    // remaining tags, decode the common entities, collapse whitespace.
+    // The corpus carries no HTML, so a deterministic HTML wrapper is
+    // built from each doc the same way on both engines — the tested
+    // surface is the strip/decode pipeline itself, one shuffle-free
+    // projection. n_tags counts on the wrapped input for auditability.
+    "txt_html_strip" -> ((s, d) => {
+      val html = concat(lit("<html><body><h1>Doc "),
+        col("doc_id").cast("string"),
+        lit("</h1><p class=\"body\">"), col("text"),
+        lit(" &amp; more &lt;here&gt;</p><script>var x=1;</script>"),
+        lit("<style>p{color:red}</style></body></html>"))
+      Tables.documents(s, d).select(col("doc_id"),
+        trim(regexp_replace(
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(
+                regexp_replace(
+                  regexp_replace(
+                    regexp_replace(
+                      regexp_replace(html,
+                        "(?s)<script.*?</script>", " "),
+                      "(?s)<style.*?</style>", " "),
+                    "<[^>]+>", " "),
+                  "&amp;", "&"),
+                "&lt;", "<"),
+              "&gt;", ">"),
+            "&quot;", "\""),
+          "\\s+", " ")).as("clean_text"),
+        size(regexp_extract_all(html, lit("<[^>]+>"), lit(0)))
+          .cast("long").as("n_tags"))
+    }),
+
     // PII scrubbing (the privacy-redaction pass every training corpus
     // runs before release): phone/email/IPv4 patterns → typed
     // placeholders, plus per-doc match counts — one projection, no
@@ -398,6 +433,30 @@ object TextOps {
           when(col("bucket") < 80, "train")
             .when(col("bucket") < 90, "val")
             .otherwise("test").as("split"))),
+
+    // Corpus-order n-gram novelty: per doc, the share of its DISTINCT
+    // 3-grams that first appear in THIS doc (min doc_id over the
+    // corpus == this doc) — the cross-doc companion to txt_repetition's
+    // within-doc signal, and the metric behind "is late data adding
+    // anything" ingest audits. Two aggregates on the gram table (per
+    // (gram, doc) dedup, then first-owner), one join back keyed on the
+    // gram hash — at 100 TB everything shuffles on gram, the natural
+    // high-cardinality key, with map-side partial aggregation.
+    "txt_ngram_novelty" -> ((s, d) => {
+      val grams = docsOf(s, d)
+        .select(col("doc_id"),
+          explode(array_distinct(shingles(tokens(col("text")), 3)))
+            .as("g"))
+      val firstOwner = grams.groupBy("g").agg(min("doc_id").as("first_doc"))
+      grams.join(firstOwner, Seq("g"))
+        .groupBy("doc_id").agg(
+          count(lit(1)).as("n_grams"),
+          sum((col("doc_id") === col("first_doc")).cast("long"))
+            .as("n_novel"))
+        .select(col("doc_id"), col("n_grams"), col("n_novel"),
+          round(col("n_novel").cast("double")
+            / col("n_grams").cast("double"), 6).as("novelty"))
+    }),
 
     // Repetition ratio (Gopher-style quality signal): share of word
     // 3-grams that are repeats of an earlier 3-gram in the same doc.
@@ -1688,6 +1747,45 @@ object TextOps {
         |  regexp_split_to_array(trim(lower(text)), '\s+'), t -> t != ''),
         |  ' ')) AS fp
         |FROM documents""".stripMargin,
+    "txt_ngram_novelty" ->
+      s"""WITH $TokedCte, $ShingledCte,
+         |grams AS (SELECT doc_id, unnest(list_distinct(shingles)) AS g
+         |  FROM sh),
+         |fo AS (SELECT g, min(doc_id) AS first_doc FROM grams GROUP BY g)
+         |SELECT gr.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+         |  CAST(sum((gr.doc_id = fo.first_doc)::INT) AS BIGINT)
+         |    AS n_novel,
+         |  round(CAST(sum((gr.doc_id = fo.first_doc)::INT) AS DOUBLE)
+         |    / count(*), 6) AS novelty
+         |FROM grams gr JOIN fo ON gr.g = fo.g
+         |GROUP BY gr.doc_id""".stripMargin,
+    "txt_html_strip" ->
+      """WITH h AS (SELECT doc_id,
+        |  '<html><body><h1>Doc ' || CAST(doc_id AS VARCHAR) ||
+        |  '</h1><p class="body">' || text ||
+        |  ' &amp; more &lt;here&gt;</p><script>var x=1;</script>' ||
+        |  '<style>p{color:red}</style></body></html>' AS html
+        |  FROM documents)
+        |SELECT doc_id,
+        |  trim(regexp_replace(
+        |    regexp_replace(
+        |      regexp_replace(
+        |        regexp_replace(
+        |          regexp_replace(
+        |            regexp_replace(
+        |              regexp_replace(
+        |                regexp_replace(html,
+        |                  '(?s)<script.*?</script>', ' ', 'g'),
+        |                '(?s)<style.*?</style>', ' ', 'g'),
+        |              '<[^>]+>', ' ', 'g'),
+        |            '&amp;', '&', 'g'),
+        |          '&lt;', '<', 'g'),
+        |        '&gt;', '>', 'g'),
+        |      '&quot;', '"', 'g'),
+        |    '\s+', ' ', 'g')) AS clean_text,
+        |  CAST(len(regexp_extract_all(html, '<[^>]+>')) AS BIGINT)
+        |    AS n_tags
+        |FROM h""".stripMargin,
     "txt_pii_scrub" ->
       """WITH b AS (SELECT doc_id,
         |  text || ' contact user' || CAST(doc_id AS VARCHAR) ||

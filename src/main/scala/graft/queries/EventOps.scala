@@ -117,6 +117,43 @@ object EventOps {
           bucket(col("monetary"), col("mb")).as("m_q"))
     }),
 
+    // Per-event-type activity trend: OLS slope/intercept of daily event
+    // counts over the day index — "is this event type growing" without
+    // leaving SQL. x = days since the type's first day (integer),
+    // y = count (integer), so every Σ in the closed-form slope is exact
+    // integer arithmetic summed as DECIMAL(38,0); only the final
+    // divisions round (the agg_corr discipline — engine-independent at
+    // any partition order). Daily counts first (events-scale groupBy,
+    // partial-aggregated), then per-type Σs over the tiny day table.
+    "ev_trend" -> ((s, d) => {
+      val dec = DecimalType(38, 0)
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("y"))
+      val withX = daily
+        .withColumn("x",
+          datediff(col("day"), min(col("day"))
+            .over(Window.partitionBy("event_type"))).cast("long"))
+      withX.groupBy("event_type")
+        .agg(count(lit(1)).as("n_days"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x").cast(dec) * col("x")).as("sxx"),
+          sum(col("x").cast(dec) * col("y")).as("sxy"))
+        .select(col("event_type"), col("n_days"),
+          round((col("n_days").cast(dec) * col("sxy")
+              - col("sx").cast(dec) * col("sy")).cast("double")
+            / (col("n_days").cast(dec) * col("sxx")
+              - col("sx").cast(dec) * col("sx")).cast("double"), 6)
+            .as("slope"),
+          round((col("sy").cast("double")
+            - ((col("n_days").cast(dec) * col("sxy")
+                - col("sx").cast(dec) * col("sy")).cast("double")
+              / (col("n_days").cast(dec) * col("sxx")
+                - col("sx").cast(dec) * col("sx")).cast("double"))
+              * col("sx").cast("double"))
+            / col("n_days").cast("double"), 6).as("intercept"))
+    }),
+
     // Top navigation paths: each user-day's first 5 events (by time,
     // event_id tiebreak) joined into an ordered "a>b>c" path string,
     // then the 10 most common paths — the product-analytics "what do
@@ -418,6 +455,33 @@ object EventOps {
         |    ORDER BY ts, event_id
         |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS rolling_med
         |FROM events""".stripMargin,
+    "ev_trend" ->
+      """WITH daily AS (SELECT event_type, ts::DATE AS day,
+        |    CAST(count(*) AS BIGINT) AS y
+        |  FROM events GROUP BY event_type, ts::DATE),
+        |wx AS (SELECT event_type, y,
+        |    CAST(date_diff('day',
+        |      min(day) OVER (PARTITION BY event_type), day) AS BIGINT)
+        |      AS x
+        |  FROM daily),
+        |s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    sum(CAST(x AS DECIMAL(38,0)) * x) AS sxx,
+        |    sum(CAST(x AS DECIMAL(38,0)) * y) AS sxy
+        |  FROM wx GROUP BY event_type)
+        |SELECT event_type, n_days,
+        |  round(CAST(CAST(n_days AS DECIMAL(38,0)) * sxy
+        |      - CAST(sx AS DECIMAL(38,0)) * sy AS DOUBLE)
+        |    / CAST(CAST(n_days AS DECIMAL(38,0)) * sxx
+        |      - CAST(sx AS DECIMAL(38,0)) * sx AS DOUBLE), 6) AS slope,
+        |  round((CAST(sy AS DOUBLE)
+        |    - (CAST(CAST(n_days AS DECIMAL(38,0)) * sxy
+        |        - CAST(sx AS DECIMAL(38,0)) * sy AS DOUBLE)
+        |      / CAST(CAST(n_days AS DECIMAL(38,0)) * sxx
+        |        - CAST(sx AS DECIMAL(38,0)) * sx AS DOUBLE))
+        |      * CAST(sx AS DOUBLE))
+        |    / CAST(n_days AS DOUBLE), 6) AS intercept
+        |FROM s""".stripMargin,
     "ev_rfm" ->
       """WITH pu AS (SELECT user_id, max(ts::DATE) AS last_day,
         |    CAST(count(*) AS BIGINT) AS frequency,

@@ -784,6 +784,32 @@ object TextOps {
         .withColumn("fill",
           round(col("n_tokens").cast("double") / 512.0, 6))),
 
+    // Shard ASSEMBLY — the step after pack_chunks' bin assignment: each
+    // bin's chunks concatenated in deterministic (doc_id, chunk_id)
+    // order with an <eod> separator, i.e. the actual byte stream a
+    // pretraining loader memory-maps. The shard text is md5'd so the
+    // oracle compare stays scalar; per-bin fan-in is bounded by the bin
+    // token budget (512 here), so the row-local sort+join never sees an
+    // unbounded group. Chunk text rides a (doc, chunk) equi-join back
+    // onto the bin table — at 100 TB both sides partition on the same
+    // key pair.
+    "pack_shards" -> ((s, d) => {
+      val docs = docsOf(s, d)
+      val packed = graft.api.GraftOps
+        .packChunks(docs, "doc_id", "text", 64, 512)
+      val chunks = graft.api.GraftOps
+        .chunkTokens(docs, "doc_id", "text", 64)
+        .select(col("doc_id"), col("chunk_id"), col("chunk_text"))
+      packed.join(chunks, Seq("doc_id", "chunk_id"))
+        .groupBy("bin_id").agg(
+          count(lit(1)).as("n_chunks"),
+          sum("n_tokens").as("n_tokens"),
+          md5(array_join(transform(
+            array_sort(collect_list(struct(col("doc_id"), col("chunk_id"),
+              col("chunk_text")))),
+            x => x.getField("chunk_text")), "<eod>")).as("shard_md5"))
+    }),
+
     // THE end-to-end pretraining-data layout job, composed from the
     // library's own stages: quality/language gate + exact dedup (the
     // pipeline_clean_corpus gates) → 64-token chunking → corpus-wide
@@ -2218,6 +2244,29 @@ object TextOps {
          |SELECT CAST(cum0 // 512 AS BIGINT) AS bin_id, count(*) AS n_chunks,
          |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
          |  round(CAST(sum(n_tokens) AS DOUBLE) / 512, 6) AS fill
+         |FROM c GROUP BY bin_id""".stripMargin,
+    "pack_shards" ->
+      s"""WITH $TokedCte,
+         |bl AS (SELECT doc_id,
+         |  [least(64, len(toks) - (i-1)*64)
+         |   for i in range(1, CAST((len(toks)-1)//64 AS BIGINT) + 2)]
+         |    AS lens,
+         |  [array_to_string(toks[(i-1)*64+1 : (i-1)*64+64], ' ')
+         |   for i in range(1, CAST((len(toks)-1)//64 AS BIGINT) + 2)]
+         |    AS texts
+         |  FROM toked WHERE len(toks) > 0),
+         |ex AS (SELECT doc_id, generate_subscripts(lens, 1) - 1
+         |    AS chunk_id, unnest(lens) AS n_tokens,
+         |    unnest(texts) AS chunk_text FROM bl),
+         |c AS (SELECT *, coalesce(sum(n_tokens) OVER (
+         |    ORDER BY doc_id, chunk_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum0
+         |  FROM ex)
+         |SELECT CAST(cum0 // 512 AS BIGINT) AS bin_id,
+         |  count(*) AS n_chunks,
+         |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+         |  md5(string_agg(chunk_text, '<eod>'
+         |    ORDER BY doc_id, chunk_id)) AS shard_md5
          |FROM c GROUP BY bin_id""".stripMargin,
     "txt_tfidf_topk" ->
       s"""WITH $TokedCte,

@@ -243,6 +243,35 @@ object EventOps {
         .crossJoin(t3.agg(count(lit(1)).as("n_purchase_after")))
     }),
 
+    // Time-bounded funnel — ev_funnel with a conversion HORIZON per
+    // step (click within 24h of signup, purchase within 24h of that
+    // click): the form product analytics actually reports, since an
+    // unbounded funnel credits conversions months later. Same
+    // sequential keyed-aggregate shape (one shuffle per stage on
+    // user_id), the horizon is one more pushed-down predicate on the
+    // joined row — no new plan structure, which is exactly why the
+    // unbounded funnel generalizes.
+    "ev_funnel_window" -> ((s, d) => {
+      val horizonUs = 24L * 3600 * 1000000
+      val ev = Tables.events(s, d).select(col("user_id"),
+        col("event_type"), unix_micros(col("ts")).as("us"))
+      val t1 = ev.filter(col("event_type") === "signup")
+        .groupBy("user_id").agg(min("us").as("t1"))
+      val t2 = ev.filter(col("event_type") === "click")
+        .join(t1, Seq("user_id"))
+        .filter(col("us") > col("t1") &&
+          col("us") <= col("t1") + horizonUs)
+        .groupBy("user_id").agg(min("us").as("t2"))
+      val t3 = ev.filter(col("event_type") === "purchase")
+        .join(t2, Seq("user_id"))
+        .filter(col("us") > col("t2") &&
+          col("us") <= col("t2") + horizonUs)
+        .groupBy("user_id").agg(min("us").as("t3"))
+      t1.agg(count(lit(1)).as("n_signup"))
+        .crossJoin(t2.agg(count(lit(1)).as("n_click_24h")))
+        .crossJoin(t3.agg(count(lit(1)).as("n_purchase_24h")))
+    }),
+
     // Day-7 cohort retention: cohort = first active UTC day per user;
     // retained = any activity exactly 7 days later. Day arithmetic on
     // epoch micros (exact for all representable days) — identical on
@@ -585,6 +614,22 @@ object EventOps {
         |SELECT (SELECT count(*) FROM t1) AS n_signup,
         |  (SELECT count(*) FROM t2) AS n_click_after,
         |  (SELECT count(*) FROM t3) AS n_purchase_after""".stripMargin,
+    "ev_funnel_window" ->
+      """WITH t1 AS (SELECT user_id, min(epoch_us(ts)) AS t1 FROM events
+        |  WHERE event_type = 'signup' GROUP BY user_id),
+        |t2 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t2 FROM events e
+        |  JOIN t1 ON e.user_id = t1.user_id
+        |  WHERE e.event_type = 'click' AND epoch_us(e.ts) > t1.t1
+        |    AND epoch_us(e.ts) <= t1.t1 + 86400000000
+        |  GROUP BY e.user_id),
+        |t3 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t3 FROM events e
+        |  JOIN t2 ON e.user_id = t2.user_id
+        |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > t2.t2
+        |    AND epoch_us(e.ts) <= t2.t2 + 86400000000
+        |  GROUP BY e.user_id)
+        |SELECT (SELECT count(*) FROM t1) AS n_signup,
+        |  (SELECT count(*) FROM t2) AS n_click_24h,
+        |  (SELECT count(*) FROM t3) AS n_purchase_24h""".stripMargin,
     "ev_retention" ->
       """WITH d0 AS (SELECT DISTINCT user_id,
         |  CAST(floor(epoch_us(ts) / 86400000000.0) AS BIGINT) AS day

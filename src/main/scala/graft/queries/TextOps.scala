@@ -364,6 +364,28 @@ object TextOps {
           (col("doc_id") === col("cluster_id")).as("is_canonical"))
     }),
 
+    // SOFT dedup — down-WEIGHT near-duplicates instead of dropping
+    // them (per-doc sampling weight 1/cluster_size): keeps every
+    // training example reachable while a boilerplate cluster of 1000
+    // copies contributes one doc's worth of expected mass — the policy
+    // between hard dedup (cluster_keep_best) and no dedup. Cluster map
+    // is the same bounded-round CC as dedup_cluster_cc; the size join
+    // keys on cluster_id, the natural post-CC partitioning.
+    "dedup_soft_weights" -> ((s, d) => {
+      val docs = docsOf(s, d)
+      val pairs = graft.api.GraftOps.minhashCandidatePairs(
+        docs, "doc_id", "text")
+      val cc = graft.api.GraftOps.connectedComponents(
+        docs.select(col("doc_id")), "doc_id",
+        pairs, "left_id", "right_id", rounds = 2)
+      val sizes = cc.groupBy("cluster_id")
+        .agg(count(lit(1)).as("cluster_size"))
+      cc.join(sizes, Seq("cluster_id"))
+        .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+          round(lit(1.0) / col("cluster_size").cast("double"), 6)
+            .as("sample_weight"))
+    }),
+
     // EXACT connected components (GraftOps.connectedComponentsFixpoint:
     // min-label to FIXPOINT with pointer jumping, ~log-diameter rounds)
     // against an UNBOUNDED recursive-CTE oracle — where dedup_cluster_cc
@@ -1988,6 +2010,18 @@ object TextOps {
          |SELECT d.doc_id, coalesce(cm.cl, d.doc_id) AS cluster_id,
          |  coalesce(cm.cl, d.doc_id) = d.doc_id AS is_canonical
          |FROM documents d LEFT JOIN cm ON d.doc_id = cm.src""".stripMargin,
+    "dedup_soft_weights" ->
+      s"""WITH RECURSIVE $CcCte,
+         |base AS (SELECT d.doc_id, coalesce(cm.cl, d.doc_id)
+         |    AS cluster_id
+         |  FROM documents d LEFT JOIN cm ON d.doc_id = cm.src),
+         |sizes AS (SELECT cluster_id, CAST(count(*) AS BIGINT)
+         |    AS cluster_size
+         |  FROM base GROUP BY cluster_id)
+         |SELECT b.doc_id, b.cluster_id, s.cluster_size,
+         |  round(1.0 / s.cluster_size, 6) AS sample_weight
+         |FROM base b JOIN sizes s ON b.cluster_id = s.cluster_id"""
+        .stripMargin,
     // Unbounded transitive closure (UNION dedups, so the recursion
     // reaches a fixpoint on its own) — the exact-CC twin of CcCte's
     // depth-2 variant.

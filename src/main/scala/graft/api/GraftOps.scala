@@ -476,6 +476,87 @@ object GraftOps {
       .agg(coalesce(sum(col(s"b.$valCol")), lit(0L)).as("off"))
   }
 
+  /** EXACT interpolated percentiles (`percentile`/`quantile_cont`
+    * semantics: value at 0-based position p·(n−1) of the sorted
+    * non-null values, linear interpolation between the two straddling
+    * order statistics) WITHOUT the single-task buffer of the built-in
+    * exact aggregate — `percentile()` over one group collects every
+    * value into ONE ObjectHashAggregate buffer (tens of GB at 10⁹
+    * rows), which is the same bottleneck as a global sort in different
+    * clothes. This form never materializes more than a partition of
+    * the DISTINCT-value table anywhere:
+    *
+    *  1. per-value counts — an ordinary partial-aggregated groupBy
+    *     (the only pass over the full data);
+    *  2. a DETERMINISTIC monotone bucket id from a broadcast min/max:
+    *     `floor((v − min) · buckets / (max − min))`. Value-derived, so
+    *     re-evaluation/retry of any branch reproduces identical
+    *     bucketing (a `repartitionByRange` + `spark_partition_id`
+    *     variant is NOT safe here: range-boundary sampling is seeded
+    *     per-RDD, and the bucket table feeds two plan branches that
+    *     must agree). Linear bucketing can skew if distinct values
+    *     cluster in a narrow slice of the range — the cost is an
+    *     unbalanced WINDOW SORT over part of the distinct-value table,
+    *     which spills gracefully, not an aggregation buffer that OOMs;
+    *  3. exact global rank range per value = broadcast cumulative
+    *     bucket offsets ([[cumulativeOffsets]], ≤ `buckets` rows) + a
+    *     per-bucket window cumsum — the distributed prefix-sum spine
+    *     shared with ntile/packing;
+    *  4. each requested p probes the two straddling ranks (at most
+    *     2·|ps| surviving rows) and interpolates.
+    *
+    * Returns one row, one `array<double>` column `q` ordered like
+    * `ps` — drop-in for `percentile(v, array(ps…))` on a single group.
+    * Exactness is oracle-gated: `agg_percentiles_dist` and `ev_rfm`
+    * hash-match DuckDB's `quantile_cont` on the same data. */
+  def exactPercentilesDist(df: DataFrame, valCol: String,
+      ps: Seq[Double], buckets: Int = 32): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p >= 0 && p <= 1),
+      "exactPercentilesDist: ps must be within [0, 1]")
+    val v = col(valCol).cast("double")
+    val counts = df.filter(v.isNotNull)
+      .groupBy(v.as("__v")).agg(count(lit(1)).as("__c"))
+    val mm = counts.agg(min("__v").as("__mn"), max("__v").as("__mx"))
+    val bkted = counts.crossJoin(broadcast(mm))
+      .withColumn("__bkt",
+        when(col("__mx") === col("__mn"), lit(0L))
+          .otherwise(least(greatest(
+            floor((col("__v") - col("__mn")) * buckets
+              / (col("__mx") - col("__mn"))).cast("long"),
+            lit(0L)), lit(buckets - 1L))))
+    val offs = cumulativeOffsets(
+      bkted.groupBy("__bkt").agg(sum("__c").as("__bc")), "__bkt", "__bc")
+    val wIn = Window.partitionBy("__bkt").orderBy("__v")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val total = counts.agg(sum("__c").as("__n"))
+    val ranks = bkted.join(broadcast(offs), Seq("__bkt"))
+      .withColumn("__lo",
+        col("off") + coalesce(sum("__c").over(wIn), lit(0L)))
+      .withColumn("__hi", col("__lo") + col("__c") - 1)
+      .crossJoin(broadcast(total))
+    val probes = ranks
+      .select(col("__v"), col("__lo"), col("__hi"),
+        posexplode(array(ps.map(lit): _*)).as(Seq("__i", "__p")),
+        col("__n"))
+      .withColumn("__pos", col("__p") * (col("__n") - 1).cast("double"))
+      .withColumn("__kLo", floor(col("__pos")).cast("long"))
+      .withColumn("__kHi", ceil(col("__pos")).cast("long"))
+      .filter(col("__kLo").between(col("__lo"), col("__hi")) ||
+        col("__kHi").between(col("__lo"), col("__hi")))
+    probes.groupBy("__i")
+      .agg(
+        max(when(col("__kLo").between(col("__lo"), col("__hi")), col("__v")))
+          .as("__vLo"),
+        max(when(col("__kHi").between(col("__lo"), col("__hi")), col("__v")))
+          .as("__vHi"),
+        first(col("__pos") - col("__kLo").cast("double")).as("__frac"))
+      .select(col("__i"),
+        (col("__vLo") + col("__frac") * (col("__vHi") - col("__vLo")))
+          .as("__q"))
+      .agg(transform(array_sort(collect_list(struct(col("__i"), col("__q")))),
+        x => x.getField("__q")).as("q"))
+  }
+
   /** Packing core over an existing chunk table (idCol, chunk_id,
     * n_tokens, …): assigns each row its training bin by exact global
     * prefix sum of n_tokens in (idCol, chunk_id) order — distributed as

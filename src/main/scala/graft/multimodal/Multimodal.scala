@@ -256,13 +256,25 @@ object Multimodal {
       if (fourcc(4) != "ftyp") return None
       for {
         (moov, moovEnd) <- find("moov", 0, payload.length)
-        (mvhd, _) <- find("mvhd", moov + 8, moovEnd)
+        (mvhd, mvhdEnd) <- find("mvhd", moov + 8, moovEnd)
+        // Field-extent guards: a well-FRAMED box can still be smaller
+        // than the fields this reader pulls from it (e.g. an mvhd of
+        // size 12 passes find()'s sz >= 8 check), and u32 past the
+        // payload returns a -1 sentinel that would otherwise surface
+        // as a "real" timescale/dimension. v0 mvhd fields end at +28,
+        // v0 tkhd width/height at +92 — anything shorter is malformed
+        // for this reader, so fall back to None like any other
+        // not-well-formed prefix.
+        if mvhdEnd - mvhd >= 28
         if payload(mvhd + 8) == 0 // version 0: 32-bit fields
         (trak, trakEnd) <- find("trak", moov + 8, moovEnd)
-        (tkhd, _) <- find("tkhd", trak + 8, trakEnd)
+        (tkhd, tkhdEnd) <- find("tkhd", trak + 8, trakEnd)
+        if tkhdEnd - tkhd >= 92
         if payload(tkhd + 8) == 0
-      } yield (u32(mvhd + 20).toInt, u32(mvhd + 24),
-        (u32(tkhd + 84) >> 16).toInt, (u32(tkhd + 88) >> 16).toInt)
+        ts = u32(mvhd + 20); dur = u32(mvhd + 24)
+        w = u32(tkhd + 84); h = u32(tkhd + 88)
+        if ts >= 0 && dur >= 0 && w >= 0 && h >= 0 // no -1 sentinels
+      } yield (ts.toInt, dur, (w >> 16).toInt, (h >> 16).toInt)
     } catch { case scala.util.control.NonFatal(_) => None }
   }
 

@@ -195,18 +195,46 @@ object ScaleOps {
     * failed rewrite leaves the source intact (rename-based swap is the
     * caller's choice at real scale; here the two-path contract keeps
     * the operator testable and object-store-safe). Returns the output
-    * file count. */
+    * file count.
+    *
+    * `clusterCols` preserves a sorted/Z-ordered layout through the
+    * rewrite: a bare `.repartition(n)` is a hash/round-robin shuffle
+    * that scatters rows across files, silently destroying the min/max
+    * locality a `writeZOrdered` table was built for (every future scan
+    * un-prunes). With cluster columns the rewrite routes through
+    * `repartitionByRange + sortWithinPartitions` — the same layout
+    * mechanism as the Z-order writer — so each compacted file again
+    * covers a narrow range of the cluster key. Pass the expression the
+    * table was originally laid out by — a plain sort column, or
+    * `mortonCode(x, y)` to re-derive the Z-curve (the code column
+    * itself is dropped at write time, so it must be recomputed); empty
+    * keeps the plain unordered compaction. */
   def compactFiles(df0: org.apache.spark.sql.SparkSession, path: String,
-      outPath: String, targetFileBytes: Long = 128L * 1024 * 1024): Int = {
+      outPath: String, targetFileBytes: Long = 128L * 1024 * 1024,
+      clusterBy: Seq[Column] = Nil): Int = {
     require(targetFileBytes > 0, "compactFiles: targetFileBytes must be > 0")
     val hp = new org.apache.hadoop.fs.Path(path)
     val fs = hp.getFileSystem(df0.sparkContext.hadoopConfiguration)
+    // Enforce the documented two-path contract: outPath == path with
+    // mode(overwrite) on a lazily-read source would delete the data
+    // before the rewrite reads it. Compare fully-qualified URIs so
+    // "file:/a" and "/a" (or a trailing slash) don't slip past.
+    val hq = fs.makeQualified(hp)
+    val oq = new org.apache.hadoop.fs.Path(outPath)
+    val oqQ = oq.getFileSystem(df0.sparkContext.hadoopConfiguration)
+      .makeQualified(oq)
+    require(hq != oqQ,
+      s"compactFiles: outPath must differ from path (both resolve to $hq); " +
+        "an in-place overwrite deletes the source before it is read")
     val totalBytes = fs.getContentSummary(hp).getLength
     val nFiles = math.max(1,
       math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
-    df0.read.parquet(path)
-      .repartition(nFiles)
-      .write.mode("overwrite").parquet(outPath)
+    val src = df0.read.parquet(path)
+    val laidOut =
+      if (clusterBy.isEmpty) src.repartition(nFiles)
+      else src.repartitionByRange(nFiles, clusterBy: _*)
+        .sortWithinPartitions(clusterBy: _*)
+    laidOut.write.mode("overwrite").parquet(outPath)
     nFiles
   }
 }

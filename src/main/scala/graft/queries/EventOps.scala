@@ -76,14 +76,17 @@ object EventOps {
     // user-value matrix: per user, days since last event (vs the
     // corpus-max day, so the anchor is data-derived, not wall clock),
     // event count, and value sum; each dimension bucketed 1-4 against
-    // its quartile BOUNDARIES (one percentile aggregate broadcast back,
-    // strict > comparisons). Deliberately NOT ntile: a global ntile is
-    // a single-reducer sort of the whole user table, and its
-    // tie-splitting is positional; boundary-compare is one broadcast
-    // row + a distributed projection, and both engines compute the
-    // p·(n−1)-interpolated quartiles identically (the agg_percentiles
-    // discipline). One events scan, one user-level groupBy, one 1-row
-    // aggregate — nothing global-sorts at any scale.
+    // its quartile BOUNDARIES (broadcast back, strict > comparisons).
+    // Deliberately NOT ntile: a global ntile is a single-reducer sort
+    // of the whole user table, and its tie-splitting is positional;
+    // boundary-compare is one broadcast row + a distributed projection.
+    // The quartile bounds are EXACT p·(n−1) interpolation computed by
+    // GraftOps.exactPercentilesDist — per-value counts + distributed
+    // prefix sum + rank probes — NOT the built-in exact `percentile()`,
+    // whose single-group form buffers every per-user value in ONE
+    // ObjectHashAggregate buffer (tens of GB at 10⁹ users). Nothing in
+    // this plan global-sorts OR global-buffers at any scale, and the
+    // bounds still hash-match DuckDB's quantile_cont exactly.
     "ev_rfm" -> ((s, d) => {
       val perUser = Tables.events(s, d)
         .groupBy("user_id").agg(
@@ -97,13 +100,16 @@ object EventOps {
           datediff(col("anchor"), col("last_day")).cast("long")
             .as("recency_days"),
           col("frequency"), col("monetary"))
-      val bounds = rfm.agg(
-        expr("percentile(recency_days, array(0.25D, 0.5D, 0.75D))")
-          .as("rb"),
-        expr("percentile(frequency, array(0.25D, 0.5D, 0.75D))")
-          .as("fb"),
-        expr("percentile(monetary, array(0.25D, 0.5D, 0.75D))")
-          .as("mb"))
+      val ps = Seq(0.25, 0.5, 0.75)
+      val bounds = graft.api.GraftOps
+        .exactPercentilesDist(rfm, "recency_days", ps)
+        .withColumnRenamed("q", "rb")
+        .crossJoin(graft.api.GraftOps
+          .exactPercentilesDist(rfm, "frequency", ps)
+          .withColumnRenamed("q", "fb"))
+        .crossJoin(graft.api.GraftOps
+          .exactPercentilesDist(rfm, "monetary", ps)
+          .withColumnRenamed("q", "mb"))
       def bucket(c: org.apache.spark.sql.Column,
           b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
         (lit(1L) + (c > element_at(b, 1)).cast("long")
@@ -134,23 +140,28 @@ object EventOps {
         .withColumn("x",
           datediff(col("day"), min(col("day"))
             .over(Window.partitionBy("event_type"))).cast("long"))
+      // Degenerate group guard: n·Σx² − (Σx)² = 0 exactly when every x
+      // is equal, which (x anchored at 0 per type) means a single-day
+      // type. Unguarded, Spark's non-ANSI Divide returns NULL there
+      // while DuckDB's double division returns NaN/±inf — a latent
+      // cross-engine divergence. Explicit: slope NULL, intercept falls
+      // back to the flat fit ȳ (sx = 0 in that case, so the coalesce(0)
+      // term vanishes — continuous with the general formula).
       withX.groupBy("event_type")
         .agg(count(lit(1)).as("n_days"),
           sum(col("x")).as("sx"), sum(col("y")).as("sy"),
           sum(col("x").cast(dec) * col("x")).as("sxx"),
           sum(col("x").cast(dec) * col("y")).as("sxy"))
+        .withColumn("num", (col("n_days").cast(dec) * col("sxy")
+          - col("sx").cast(dec) * col("sy")).cast("double"))
+        .withColumn("den", (col("n_days").cast(dec) * col("sxx")
+          - col("sx").cast(dec) * col("sx")).cast("double"))
+        .withColumn("slope0",
+          when(col("den") =!= 0.0, col("num") / col("den")))
         .select(col("event_type"), col("n_days"),
-          round((col("n_days").cast(dec) * col("sxy")
-              - col("sx").cast(dec) * col("sy")).cast("double")
-            / (col("n_days").cast(dec) * col("sxx")
-              - col("sx").cast(dec) * col("sx")).cast("double"), 6)
-            .as("slope"),
+          round(col("slope0"), 6).as("slope"),
           round((col("sy").cast("double")
-            - ((col("n_days").cast(dec) * col("sxy")
-                - col("sx").cast(dec) * col("sy")).cast("double")
-              / (col("n_days").cast(dec) * col("sxx")
-                - col("sx").cast(dec) * col("sx")).cast("double"))
-              * col("sx").cast("double"))
+            - coalesce(col("slope0"), lit(0.0)) * col("sx").cast("double"))
             / col("n_days").cast("double"), 6).as("intercept"))
     }),
 
@@ -497,20 +508,21 @@ object EventOps {
         |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
         |    sum(CAST(x AS DECIMAL(38,0)) * x) AS sxx,
         |    sum(CAST(x AS DECIMAL(38,0)) * y) AS sxy
-        |  FROM wx GROUP BY event_type)
-        |SELECT event_type, n_days,
-        |  round(CAST(CAST(n_days AS DECIMAL(38,0)) * sxy
-        |      - CAST(sx AS DECIMAL(38,0)) * sy AS DOUBLE)
-        |    / CAST(CAST(n_days AS DECIMAL(38,0)) * sxx
-        |      - CAST(sx AS DECIMAL(38,0)) * sx AS DOUBLE), 6) AS slope,
+        |  FROM wx GROUP BY event_type),
+        |s2 AS (SELECT event_type, n_days, sx, sy,
+        |    CAST(CAST(n_days AS DECIMAL(38,0)) * sxy
+        |      - CAST(sx AS DECIMAL(38,0)) * sy AS DOUBLE) AS num,
+        |    CAST(CAST(n_days AS DECIMAL(38,0)) * sxx
+        |      - CAST(sx AS DECIMAL(38,0)) * sx AS DOUBLE) AS den
+        |  FROM s),
+        |s3 AS (SELECT event_type, n_days, sx, sy,
+        |    CASE WHEN den = 0 THEN NULL ELSE num / den END AS slope0
+        |  FROM s2)
+        |SELECT event_type, n_days, round(slope0, 6) AS slope,
         |  round((CAST(sy AS DOUBLE)
-        |    - (CAST(CAST(n_days AS DECIMAL(38,0)) * sxy
-        |        - CAST(sx AS DECIMAL(38,0)) * sy AS DOUBLE)
-        |      / CAST(CAST(n_days AS DECIMAL(38,0)) * sxx
-        |        - CAST(sx AS DECIMAL(38,0)) * sx AS DOUBLE))
-        |      * CAST(sx AS DOUBLE))
+        |    - coalesce(slope0, 0) * CAST(sx AS DOUBLE))
         |    / CAST(n_days AS DOUBLE), 6) AS intercept
-        |FROM s""".stripMargin,
+        |FROM s3""".stripMargin,
     "ev_rfm" ->
       """WITH pu AS (SELECT user_id, max(ts::DATE) AS last_day,
         |    CAST(count(*) AS BIGINT) AS frequency,

@@ -403,7 +403,9 @@ object Relational {
     // parity: both engines use rank = p·(n−1) linear interpolation).
     // Exact percentile buffers each group's values — right for a gate
     // check; at 100 TB swap in approx_percentile (GK sketch, mergeable,
-    // bounded memory) — the plan shape is otherwise identical.
+    // bounded memory — the plan shape is otherwise identical), or, when
+    // the answer must stay EXACT, GraftOps.exactPercentilesDist
+    // (agg_percentiles_dist below) which removes the buffer entirely.
     "agg_percentiles" -> ((s, d) =>
       Tables.lineitem(s, d).groupBy("l_returnflag").agg(
         // One percentile agg with an array of ps: the group's values are
@@ -478,6 +480,24 @@ object Relational {
          abs(element_at(col("ap"), 2) - element_at(col("ex"), 2))
           <= abs(element_at(col("ex"), 2)) * 0.1).as("within_tol"))
     }),
+
+    // The DISTRIBUTED exact percentile — the third leg of the
+    // percentile story (exact-buffered / approx-sketch / exact-
+    // distributed): GraftOps.exactPercentilesDist computes the same
+    // p·(n−1) interpolation as `percentile()` with NO per-group value
+    // buffer — per-value counts, a deterministic monotone bucket key,
+    // broadcast cumulative bucket offsets, per-bucket window cumsum,
+    // then 2 rank probes per requested p. Deliberately run over the
+    // SINGLE global group, the exact shape where the built-in buffers
+    // the entire column in one task; the oracle hash-matches DuckDB's
+    // quantile_cont, proving exactness (not a within_tol check).
+    "agg_percentiles_dist" -> ((s, d) =>
+      graft.api.GraftOps.exactPercentilesDist(
+        Tables.lineitem(s, d).select("l_extendedprice"),
+        "l_extendedprice", Seq(0.5, 0.9, 0.99))
+        .select(round(element_at(col("q"), 1), 6).as("p50"),
+          round(element_at(col("q"), 2), 6).as("p90"),
+          round(element_at(col("q"), 3), 6).as("p99"))),
 
     // Data-quality assertion suite — the validation pass a production
     // pipeline runs before promoting a load: referential integrity
@@ -1373,6 +1393,14 @@ object Relational {
         |  round(quantile_cont(l_extendedprice, 0.9), 6) AS p90_exact,
         |  TRUE AS within_tol
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    // Distributed exact percentile: hash-exact against quantile_cont —
+    // no tolerance boolean, the whole point is bit-for-bit parity
+    // without the single-task buffer.
+    "agg_percentiles_dist" ->
+      """SELECT round(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
+        |  round(quantile_cont(l_extendedprice, 0.9), 6) AS p90,
+        |  round(quantile_cont(l_extendedprice, 0.99), 6) AS p99
+        |FROM lineitem""".stripMargin,
     "j16_bloom_join" ->
       """SELECT p.p_brand,
         |  CAST(sum(CAST(trunc(l.l_extendedprice * 100.0 + 0.5) AS BIGINT))

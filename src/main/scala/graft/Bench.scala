@@ -52,10 +52,16 @@ object Bench {
     // The two r9 `weak` flags (graph_triangles, emb_cluster_purity) need
     // one extra repeat to make contention-vs-regression decidable; their
     // whole families get it so family-internal comparisons stay
-    // like-for-like. Only widen — never shrink an explicit REPEAT=1.
+    // like-for-like. r11 added the CC-consumer family (cluster_*,
+    // dedup_*, samp_*) after cluster_keep_best's official 2.85 s turned
+    // out to be contention ([7.7, 2.85] at order 20; warm steady state
+    // 1.5-1.7 s — see candidatePairsFromBands' A/B note). Only widen —
+    // never shrink an explicit REPEAT=1.
     def repeatsFor(name: String): Int =
       if (repeatBase == 1) 1
-      else if (name.startsWith("graph_") || name.startsWith("emb_"))
+      else if (name.startsWith("graph_") || name.startsWith("emb_") ||
+        name.startsWith("cluster_") || name.startsWith("dedup_") ||
+        name.startsWith("samp_"))
         repeatBase.max(3)
       else repeatBase
     final case class QStat(times: Seq[Double], okTimes: Seq[Double],
@@ -127,6 +133,30 @@ object Bench {
     }.mkString("{", ",", "}")
     java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_full.json"),
       s"""{"total":$total,"sf":"$sfDir","queries":$full}""" + "\n")
+    // Generated registry index (r10 VERDICT item 7): one line per
+    // registered query — family, oracle discipline, bench time — so the
+    // round artifact is self-describing at 199 queries. Checked in;
+    // regenerate by running Bench.
+    val famNames = Seq("agg", "dedup", "emb", "ev", "graph", "samp",
+      "txt", "tok", "mm", "pack", "chunk", "pipeline", "pii", "sketch",
+      "scale", "shuf", "curriculum", "dq", "sql", "cluster")
+    val idxRows = results.sortBy(_._1).map { case (k, s) =>
+      val fam = k.split("_").headOption.filter(famNames.contains)
+        .getOrElse(k.split("_").headOption.getOrElse(k) match {
+          case p if p.matches("[a-z]\\d*") => "relational"
+          case p => p
+        })
+      val otype =
+        if (SparkEntry.oracleSql.contains(k)) "DuckDB hash-match"
+        else "spec/rows-only"
+      s"| $k | $fam | $otype | ${fmt(s.min)} |"
+    }.mkString("\n")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("QUERIES.md"),
+      s"# Query index — generated by graft.Bench ($sfDir, local[$cpus])\n\n" +
+        s"${results.size} registered queries; times are min over " +
+        "successful repeats, seconds.\n\n" +
+        "| query | family | oracle | bench (s) |\n|---|---|---|---|\n" +
+        idxRows + "\n")
     println(line(bySlowest.take(keep).sortBy(_._1), bySlowest.size - keep))
     spark.stop()
   }

@@ -148,7 +148,16 @@ object GraftOps {
     * query at sf0.1) — and the groupBy on (band key, __sub) reuses
     * that partitioning (hash-partitioning on a subset of the grouping
     * keys satisfies the clustered distribution), so the cap costs one
-    * in-partition sort, zero extra shuffles, zero recompute. */
+    * in-partition sort, zero extra shuffles, zero recompute.
+    *
+    * Measured cost of the cap (round-11 A/B at sf0.1, local[32], warm
+    * steady state of the heaviest consumer `cluster_keep_best`):
+    * cap ON 1.49-1.71 s vs cap OFF (`__sub = 0`, no count window)
+    * 1.44-1.49 s -- under 10 %. The r10 official bench's 2.85 s for
+    * that query was run-order contention (its two repeats were
+    * [7.7, 2.85] early in the run; five consecutive warm repeats sit
+    * at 1.5-1.7 s), so the cap stays ALWAYS-ON: a <10 % constant for
+    * the guarantee that no band bucket can ever go quadratic. */
   def candidatePairsFromBands(bands: DataFrame, idCol: String,
       bucketCap: Int = 4096): DataFrame = {
     require(bucketCap >= 2, "candidatePairsFromBands: bucketCap must be >= 2")

@@ -314,6 +314,83 @@ object Similarity {
         .filter(col("rnk") <= 5)
     }),
 
+    // The COMPOSED production ANN serving topology — IVF retrieval ×
+    // MRL cascade, the two halves emb_ivf_nprobe and emb_cascade_rerank
+    // each measure alone, joined end-to-end: (1) rank k-means cells per
+    // query by centroid cosine and probe the best TWO (nprobe=2);
+    // (2) coarse-score ONLY vectors in the probed cells with the cheap
+    // 16-dim MRL truncation — the candidate stream arrives via an
+    // equi-JOIN on the cell id, so unlike emb_cascade_rerank's coarse
+    // stage nothing here scans the corpus per query: cost is
+    // 2·(N/cells)·16 multiplies per query; (3) rerank the ≤50 coarse
+    // survivors with the full 64-dim vector (50 rows per query
+    // regardless of corpus size) and keep top-5; (4) emit recall@5
+    // against the brute-force full-dim ranking — the eval baseline,
+    // which is the ONE documented corpus-wide pass (broadcast queries,
+    // exactly emb_mrl_recall's measurement shape; drop it in production
+    // serving). At 100 TB: centroids broadcast, cells partition the
+    // corpus, the cascade touches 2 cells coarse + 50 rows fine.
+    "emb_ivf_cascade" -> ((s, d) => {
+      def dot(a: Column, b: Column) = call_function("graft_vec_dot", a, b)
+      val cells = kmeansAssign(s, d).select("vec_id", "u", "cluster")
+      val cents = kmeansCentroids(s, d)
+      val t = cells
+        .select(col("vec_id"), col("cluster"), slice(col("u"), 1, 16).as("t16"))
+        .withColumn("tn", sqrt(dot(col("t16"), col("t16"))))
+        .filter(col("tn") > 0)
+        .select(col("vec_id"), col("cluster"),
+          transform(col("t16"), x => x / col("tn")).as("ut"))
+      val q0 = cells.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("u").as("q_u"))
+      val wCell = Window.partitionBy("q_id")
+        .orderBy(col("csc").desc, col("cid"))
+      val probes = q0.crossJoin(broadcast(cents))
+        .select(col("q_id"), col("cid"),
+          round(dot(col("q_u"), col("cu")), 6).as("csc"))
+        .withColumn("crn", row_number().over(wCell))
+        .filter(col("crn") <= 2)
+        .select(col("q_id"), col("cid").as("q_cluster"))
+      val qt = t.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("ut").as("q_t"))
+      val probeQ = probes.join(qt, Seq("q_id"))
+      val wCoarse = Window.partitionBy("q_id")
+        .orderBy(col("c_score").desc, col("cand_id"))
+      val coarse = t.join(broadcast(probeQ),
+          col("cluster") === col("q_cluster") &&
+          col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id").as("cand_id"),
+          round(dot(col("ut"), col("q_t")), 6).as("c_score"))
+        .withColumn("c_rnk", row_number().over(wCoarse).cast("long"))
+        .filter(col("c_rnk") <= 50)
+      val wFine = Window.partitionBy("q_id")
+        .orderBy(col("score").desc, col("cand_id"))
+      val fine = coarse
+        .join(cells.select(col("vec_id").as("cand_id"), col("u")),
+          Seq("cand_id"))
+        .join(broadcast(q0), Seq("q_id"))
+        .select(col("q_id"), col("cand_id"), col("c_rnk"),
+          round(dot(col("u"), col("q_u")), 6).as("score"))
+        .withColumn("rnk", row_number().over(wFine).cast("long"))
+        .filter(col("rnk") <= 5)
+      val wBf = Window.partitionBy("q_id")
+        .orderBy(col("score").desc, col("cand_id"))
+      val bf = cells.select(col("vec_id").as("cand_id"), col("u"))
+        .crossJoin(broadcast(q0))
+        .filter(col("cand_id") =!= col("q_id"))
+        .select(col("q_id"), col("cand_id"),
+          round(dot(col("u"), col("q_u")), 6).as("score"))
+        .withColumn("bfr", row_number().over(wBf))
+        .filter(col("bfr") <= 5)
+        .select("q_id", "cand_id")
+      val rec = fine.join(bf, Seq("q_id", "cand_id"), "left_semi")
+        .groupBy("q_id").agg(count(lit(1)).as("n_overlap"))
+      fine.join(rec, Seq("q_id"), "left")
+        .select(col("q_id"), col("cand_id"), col("score"), col("rnk"),
+          col("c_rnk"),
+          round(coalesce(col("n_overlap"), lit(0L)).cast("double") / 5.0, 6)
+            .as("recall_at_5"))
+    }),
+
     // SEMANTIC decontamination — the embedding-space complement of the
     // n-gram txt_decontaminate: flag corpus vectors whose cosine
     // similarity to ANY held-out benchmark vector reaches tau
@@ -679,6 +756,54 @@ object Similarity {
          |    ORDER BY score DESC, cand_id) AS rnk FROM sc)
          |SELECT q_id, cand_id, score, rnk FROM r WHERE rnk <= 5"""
         .stripMargin,
+    "emb_ivf_cascade" ->
+      s"""WITH $KmeansCte,
+         |t AS (SELECT vec_id, cluster,
+         |    [x / sqrt(list_dot_product(t16, t16)) for x in t16] AS ut
+         |  FROM (SELECT vec_id, cluster, u[1:16] AS t16 FROM a2)
+         |  WHERE sqrt(list_dot_product(t16, t16)) > 0),
+         |q AS (SELECT vec_id AS q_id, u AS q_u FROM a2 WHERE vec_id < 5),
+         |pc AS (SELECT q_id, cid FROM (
+         |  SELECT q.q_id, c.cid,
+         |    row_number() OVER (PARTITION BY q.q_id
+         |      ORDER BY round(list_dot_product(q.q_u, c.cu), 6) DESC,
+         |        c.cid) AS crn
+         |  FROM q CROSS JOIN c1 c) WHERE crn <= 2),
+         |qt AS (SELECT vec_id AS q_id, ut AS q_t FROM t WHERE vec_id < 5),
+         |coarse AS (SELECT *, row_number() OVER (PARTITION BY q_id
+         |    ORDER BY c_score DESC, cand_id) AS c_rnk
+         |  FROM (SELECT p.q_id, t.vec_id AS cand_id,
+         |      round(list_dot_product(t.ut, qt.q_t), 6) AS c_score
+         |    FROM t JOIN pc p ON t.cluster = p.cid
+         |    JOIN qt ON qt.q_id = p.q_id
+         |    WHERE t.vec_id <> p.q_id)),
+         |fine AS (SELECT c.q_id, c.cand_id,
+         |    CAST(c.c_rnk AS BIGINT) AS c_rnk,
+         |    round(list_dot_product(a.u, q.q_u), 6) AS score
+         |  FROM (SELECT q_id, cand_id, c_rnk FROM coarse WHERE c_rnk <= 50)
+         |    c
+         |  JOIN a2 a ON a.vec_id = c.cand_id
+         |  JOIN q ON q.q_id = c.q_id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY q_id
+         |    ORDER BY score DESC, cand_id) AS rnk FROM fine),
+         |res AS (SELECT q_id, cand_id, score, CAST(rnk AS BIGINT) AS rnk,
+         |    c_rnk
+         |  FROM r WHERE rnk <= 5),
+         |bf AS (SELECT q_id, cand_id FROM (
+         |  SELECT q.q_id, a.vec_id AS cand_id,
+         |    row_number() OVER (PARTITION BY q.q_id
+         |      ORDER BY round(list_dot_product(a.u, q.q_u), 6) DESC,
+         |        a.vec_id) AS bfr
+         |  FROM a2 a CROSS JOIN q WHERE a.vec_id <> q.q_id)
+         |  WHERE bfr <= 5),
+         |rec AS (SELECT res.q_id, CAST(count(*) AS BIGINT) AS n_overlap
+         |  FROM res JOIN bf ON res.q_id = bf.q_id
+         |    AND res.cand_id = bf.cand_id
+         |  GROUP BY res.q_id)
+         |SELECT res.q_id, res.cand_id, res.score, res.rnk, res.c_rnk,
+         |  round(CAST(coalesce(rec.n_overlap, 0) AS DOUBLE) / 5, 6)
+         |    AS recall_at_5
+         |FROM res LEFT JOIN rec ON res.q_id = rec.q_id""".stripMargin,
     "emb_decontaminate" ->
       s"""WITH $UnitCte,
          |b AS (SELECT vec_id AS b_id, u AS b_u FROM e

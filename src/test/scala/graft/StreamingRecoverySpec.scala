@@ -106,6 +106,51 @@ class StreamingRecoverySpec extends SparkSpec {
     assert(expected.size == 6)
   }
 
+  test("near-dup ingest gate restarted from checkpoint keeps its dedup " +
+      "state and the static band index") {
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-ckpt-gate").toString
+    val out = java.nio.file.Files
+      .createTempDirectory("graft-gate-out").toString
+    val corpus = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (11L, "one two three four five six seven eight nine"))
+      .toDF("doc_id", "text")
+    val index = graft.api.GraftOps
+      .minhashBands(corpus, "doc_id", "text").localCheckpoint()
+    val stream = MemoryStream[(Long, Timestamp, String)]
+    def start() = EventStream.nearDupGateStream(
+      stream.toDF().toDF("doc_id", "ts", "text"), index, "10 minutes")
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+
+    // Phase 1: a duplicate of corpus doc 10 passes the gate once, then
+    // the query stops — deploy/crash.
+    stream.addData(
+      (100L, ts(0), "alpha beta gamma delta epsilon zeta eta theta"))
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+
+    // Phase 2, SAME checkpoint: doc 100 re-arrives inside the watermark
+    // horizon — only RECOVERED dropDuplicatesWithinWatermark state can
+    // suppress it (a fresh query would emit it again). A new dup of
+    // corpus doc 11 still flows; a novel doc is still filtered by the
+    // static index probe.
+    stream.addData(
+      (100L, ts(2), "alpha beta gamma delta epsilon zeta eta theta"),
+      (102L, ts(3), "one two three four five six seven eight nine"),
+      (101L, ts(4), "completely novel never indexed words appear now"))
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+
+    val got = spark.read.parquet(out)
+      .select("doc_id").as[Long].collect().toSeq.sorted
+    assert(got == Seq(100L, 102L),
+      s"exactly one verdict per dup doc across the restart, got $got")
+  }
+
   test("foreachBatch idempotent sink: a replayed batch does not duplicate") {
     implicit val sqlCtx = spark.sqlContext
     val out = java.nio.file.Files

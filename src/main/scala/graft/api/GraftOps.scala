@@ -631,6 +631,43 @@ object GraftOps {
         })), 6).as("l2_err"))
   }
 
+  /** URL canonicalization — the normalization pass web-crawl dedup runs
+    * BEFORE any content hash, because the same page hides behind
+    * scheme/host case, default ports, trailing slashes, tracking
+    * parameters, param order, and fragments. Rules (each a documented
+    * choice, not an accident):
+    *   - scheme and host lowercase (RFC 3986 §6.2.2.1); PATH case is
+    *     preserved — paths are case-sensitive on most origins.
+    *   - default port stripped per scheme (http :80, https :443).
+    *   - trailing slashes stripped from the path ("/a/" ≡ "/a";
+    *     the bare root collapses to "" so host-only forms agree).
+    *   - fragment dropped entirely (never sent to the server).
+    *   - tracking params removed (utm_*, fbclid, gclid), the rest
+    *     SORTED — param order is almost never semantic, and sorting
+    *     collapses "?a=1&b=2" with "?b=2&a=1".
+    * Pure per-row Column expression (regex + higher-order array ops,
+    * all codegen) — no UDF, no shuffle, embarrassingly parallel at
+    * 100 TB. Patterns stay in the Java∩RE2 common subset like
+    * [[scrubPii]]'s. */
+  def canonicalizeUrl(url: Column): Column = {
+    val u = regexp_replace(url, "#.*$", "")
+    val scheme = lower(regexp_extract(u, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val hp = lower(regexp_extract(u,
+      "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1))
+    val host = when(scheme === "http", regexp_replace(hp, ":80$", ""))
+      .when(scheme === "https", regexp_replace(hp, ":443$", ""))
+      .otherwise(hp)
+    val path = regexp_replace(
+      regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)", 1),
+      "/+$", "")
+    val q = regexp_extract(u, "\\?([^#]*)", 1)
+    val kept = array_sort(filter(split(q, "&"),
+      p => p =!= "" && !p.rlike("^(utm_|fbclid(=|$)|gclid(=|$))")))
+    val qs = concat_ws("&", kept)
+    concat(scheme, lit("://"), host, path,
+      when(qs === "", lit("")).otherwise(concat(lit("?"), qs)))
+  }
+
   /** PII scrubbing (the privacy-redaction pass a training corpus runs
     * before release): phone / email / IPv4 patterns → typed
     * placeholders, plus per-row match counts for redaction auditing.
@@ -800,6 +837,59 @@ object GraftOps {
       }
     }
     pr.select(col("__id").as(idCol), round(col("rank"), 10).as("rank"))
+  }
+
+  /** Bounded-round COMMUNITY DETECTION via synchronous label
+    * propagation (LPA): every node starts as its own community and each
+    * round adopts the most frequent label among its neighbors AND
+    * itself, ties broken toward the smaller label — the deterministic
+    * variant of classic LPA (whose random visit order cannot be
+    * oracle-checked or reproduced across engines/runs). The SELF-VOTE
+    * is load-bearing: pure neighbor voting oscillates on synchronous
+    * updates (two cliques joined by a bridge swap labels forever —
+    * observed, not hypothetical; the clique spec pins it); adding each
+    * node's own label as one vote is the standard symmetric-update
+    * stabilizer and costs a union of the label table into the vote
+    * stream, no extra shuffle shape. Unlike connectedComponents' min-
+    * label rule this keeps densely-linked groups distinct inside one
+    * weakly-connected blob, which is what near-dup "template families"
+    * and engagement clusters actually need.
+    *
+    * Shape per round: one equi-join (labels onto the symmetrized edge
+    * table) + one count aggregate on (node, label) — the self-votes
+    * union in map-side, partial-aggregated with the rest — + one argmax
+    * aggregate on node; all shuffles on graph keys. The argmax is
+    * max(struct(count, −label)), an AGGREGATE rather than a rank
+    * window, so it partially aggregates instead of sorting each
+    * partition. Lineage is cut on the same 3-round cadence as pageRank.
+    * Nodes are derived from the edge table; isolated nodes (no edges)
+    * have no votes and stay out by construction — callers wanting them
+    * union them back labeled as themselves. */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+      rounds: Int): DataFrame = {
+    val e = edges.select(explode(array(
+        struct(col(srcCol).cast("long").as("s"),
+          col(dstCol).cast("long").as("t")),
+        struct(col(dstCol).cast("long").as("s"),
+          col(srcCol).cast("long").as("t")))).as("p"))
+      .select(col("p.s").as("__src"), col("p.t").as("__dst"))
+      .distinct()
+      .localCheckpoint()
+    var labels = e.select(col("__src").as("__id")).distinct()
+      .select(col("__id"), col("__id").as("label"))
+    (1 to rounds).foreach { i =>
+      val votes = e.join(labels, col("__dst") === col("__id"))
+        .select(col("__src"), col("label"))
+        .unionAll(labels.select(col("__id").as("__src"), col("label")))
+        .groupBy("__src", "label").agg(count(lit(1)).as("__cnt"))
+      labels = votes.groupBy("__src")
+        .agg(max(struct(col("__cnt"), (-col("label")).as("__neg")))
+          .as("__m"))
+        .select(col("__src").as("__id"), (-col("__m.__neg")).as("label"))
+      if (i % 3 == 0 && i < rounds) labels = labels.localCheckpoint()
+    }
+    labels.select(col("__id").as("node_id"),
+      col("label").cast("long").as("label"))
   }
 
   /** Bounded-round connected components via iterated min-label

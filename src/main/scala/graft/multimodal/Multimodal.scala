@@ -230,28 +230,39 @@ object Multimodal {
     * anything that is not a well-formed MP4 prefix — truncated boxes,
     * other formats, or v1 (64-bit) headers this minimal reader does not
     * speak — so the caller falls back instead of failing the task. */
+  /** Big-endian u32 at `off`, or -1 when the read would run past the
+    * payload — callers must treat -1 as malformed, never as a value. */
+  private def u32(payload: Array[Byte], off: Int): Long =
+    if (off + 4 > payload.length) -1L
+    else ((payload(off) & 0xffL) << 24) | ((payload(off + 1) & 0xffL) << 16) |
+      ((payload(off + 2) & 0xffL) << 8) | (payload(off + 3) & 0xffL)
+
+  private def fourcc(payload: Array[Byte], off: Int): String =
+    if (off + 4 > payload.length) ""
+    else new String(payload, off, 4, "US-ASCII")
+
+  /** Walk sibling boxes in [from, until) for `name`; box size 0/1
+    * (to-end / 64-bit) is out of scope for this minimal reader. Shared
+    * by `videoMeta` and `videoSampleTimes`. */
+  private def findBox(payload: Array[Byte], name: String, from: Int,
+      until: Int): Option[(Int, Int)] = {
+    var off = from
+    while (off + 8 <= until) {
+      val sz = u32(payload, off)
+      if (sz < 8 || off + sz > until) return None
+      if (fourcc(payload, off + 4) == name) return Some((off, off + sz.toInt))
+      off += sz.toInt
+    }
+    None
+  }
+
   private[multimodal] def videoMeta(
       payload: Array[Byte]): Option[(Int, Long, Int, Int)] = {
     if (payload == null || payload.length < 8) return None
-    def u32(off: Int): Long =
-      if (off + 4 > payload.length) -1L
-      else ((payload(off) & 0xffL) << 24) | ((payload(off + 1) & 0xffL) << 16) |
-        ((payload(off + 2) & 0xffL) << 8) | (payload(off + 3) & 0xffL)
-    def fourcc(off: Int): String =
-      if (off + 4 > payload.length) ""
-      else new String(payload, off, 4, "US-ASCII")
-    // Walk sibling boxes in [from, until) for `name`; box size 0/1
-    // (to-end / 64-bit) is out of scope for this minimal reader.
-    def find(name: String, from: Int, until: Int): Option[(Int, Int)] = {
-      var off = from
-      while (off + 8 <= until) {
-        val sz = u32(off)
-        if (sz < 8 || off + sz > until) return None
-        if (fourcc(off + 4) == name) return Some((off, off + sz.toInt))
-        off += sz.toInt
-      }
-      None
-    }
+    def u32(off: Int): Long = Multimodal.u32(payload, off)
+    def fourcc(off: Int): String = Multimodal.fourcc(payload, off)
+    def find(name: String, from: Int, until: Int): Option[(Int, Int)] =
+      findBox(payload, name, from, until)
     try {
       if (fourcc(4) != "ftyp") return None
       for {
@@ -276,6 +287,100 @@ object Multimodal {
         if ts >= 0 && dur >= 0 && w >= 0 && h >= 0 // no -1 sentinels
       } yield (ts.toInt, dur, (w >> 16).toInt, (h >> 16).toInt)
     } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** REAL per-sample decode timestamps from the MP4 sample table: walk
+    * moov→trak→mdia→{mdhd, minf→stbl→stts} and expand the stts
+    * (count, delta) run-length pairs into cumulative decode times —
+    * sample k's time is the sum of all deltas before it, in the MEDIA
+    * timescale from mdhd (not mvhd's movie timescale; the distinction
+    * is the classic ISO-BMFF bug this parser must get right). Returns
+    * (mediaTimescale, startTimesInTicks); None for anything not a
+    * well-formed v0 prefix, exactly like `videoMeta`.
+    *
+    * `maxSamples` bounds the expansion: stts is run-length compressed,
+    * so a hostile/corrupt 16-byte box can claim 2^32 samples — at
+    * 100 TB a per-row output cap is the difference between a generator
+    * op and an OOM. Runs are truncated, never rejected, past the cap. */
+  private[graft] def videoSampleTimes(payload: Array[Byte],
+      maxSamples: Int = 65536): Option[(Int, Array[Long])] = {
+    if (payload == null || payload.length < 8) return None
+    def find(name: String, from: Int, until: Int): Option[(Int, Int)] =
+      findBox(payload, name, from, until)
+    try {
+      if (fourcc(payload, 4) != "ftyp") return None
+      for {
+        (moov, moovEnd) <- find("moov", 0, payload.length)
+        (trak, trakEnd) <- find("trak", moov + 8, moovEnd)
+        (mdia, mdiaEnd) <- find("mdia", trak + 8, trakEnd)
+        (mdhd, mdhdEnd) <- find("mdhd", mdia + 8, mdiaEnd)
+        // v0 mdhd: version at +8, timescale at +20 (after ctime/mtime).
+        if mdhdEnd - mdhd >= 32 && payload(mdhd + 8) == 0
+        mts = u32(payload, mdhd + 20)
+        if mts > 0
+        (minf, minfEnd) <- find("minf", mdia + 8, mdiaEnd)
+        (stbl, stblEnd) <- find("stbl", minf + 8, minfEnd)
+        (stts, sttsEnd) <- find("stts", stbl + 8, stblEnd)
+        if sttsEnd - stts >= 16 && payload(stts + 8) == 0
+        nEntries = u32(payload, stts + 12)
+        // The box must physically contain every entry it declares.
+        if nEntries >= 0 && sttsEnd - stts >= 16 + 8 * nEntries
+      } yield {
+        val times = Array.newBuilder[Long]
+        var t = 0L
+        var e = 0
+        var emitted = 0
+        while (e < nEntries && emitted < maxSamples) {
+          val cnt = u32(payload, stts + 16 + 8 * e)
+          val delta = u32(payload, stts + 20 + 8 * e)
+          var k = 0L
+          while (k < cnt && emitted < maxSamples) {
+            times += t
+            t += delta
+            k += 1
+            emitted += 1
+          }
+          e += 1
+        }
+        (mts.toInt, times.result())
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  val frameTimeSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("sample_idx", LongType, nullable = false),
+    StructField("t_ms", LongType, nullable = false)))
+
+  /** TRUE frame-timestamp sampling: one MP4 payload row → one row per
+    * kept sample with its REAL decode time from the sample table
+    * (stts run-length pairs in the mdhd media timescale), not synthetic
+    * spacing. Keeps every `stride`-th sample — the keyframe-ish
+    * decimation a frame-extraction pipeline applies before the (stubbed
+    * here) pixel decode. t_ms is exact integer math: ticks·1000/mts.
+    * Payloads without a parseable sample table emit NO rows (a corrupt
+    * container has no frames to sample — per-row skip, never a task
+    * failure). Generator-shaped like `sampleFrames`; per-row output is
+    * bounded by videoSampleTimes' maxSamples cap. */
+  def sampleFrameTimes(media: DataFrame, stride: Int): DataFrame = {
+    require(stride >= 1, "sampleFrameTimes: stride must be >= 1")
+    val spark = media.sparkSession
+    val rdd = media.select("media_id", "payload").rdd.mapPartitions { it =>
+      it.flatMap { r =>
+        val id = r.getLong(0)
+        val payload = if (r.isNullAt(1)) Array.empty[Byte]
+        else r.getAs[Array[Byte]](1)
+        videoSampleTimes(payload) match {
+          case Some((mts, ticks)) =>
+            ticks.iterator.zipWithIndex.collect {
+              case (t, k) if k % stride == 0 =>
+                Row(id, k.toLong, t * 1000L / mts)
+            }
+          case None => Iterator.empty
+        }
+      }
+    }
+    spark.createDataFrame(rdd, frameTimeSchema)
   }
 
   /** Video feature extraction — same mapPartitions shape as the image
@@ -328,6 +433,84 @@ object Multimodal {
       .foreach(bb.putInt)
     bb.putInt(width << 16).putInt(height << 16) // 16.16 fixed point
     bb.array()
+  }
+
+  /** Minimal real MP4 WITH a sample table: ftyp + moov(mvhd +
+    * trak(tkhd + mdia(mdhd + minf(stbl(stts))))) — the full box
+    * nesting a real demuxer walks for decode timestamps. `mediaTs` is
+    * the mdhd MEDIA timescale (deliberately distinct from the mvhd
+    * movie `timescale` so a parser reading the wrong one fails the
+    * oracle); `stts` is the run-length (sampleCount, deltaTicks) list
+    * written verbatim as the stts entry table. */
+  def mp4BytesStts(timescale: Int, durationTicks: Long, width: Int,
+      height: Int, mediaTs: Int, stts: Seq[(Int, Int)]): Array[Byte] = {
+    val sttsSz = 16 + 8 * stts.length
+    val stblSz = 8 + sttsSz
+    val minfSz = 8 + stblSz
+    val mdhdSz = 32
+    val mdiaSz = 8 + mdhdSz + minfSz
+    val trakSz = 8 + 92 + mdiaSz
+    val moovSz = 8 + 108 + trakSz
+    val bb = java.nio.ByteBuffer.allocate(20 + moovSz)
+      .order(java.nio.ByteOrder.BIG_ENDIAN)
+    bb.putInt(20).put("ftypisom".getBytes("US-ASCII"))
+    bb.putInt(0x200).put("isom".getBytes("US-ASCII")) // minor, compat
+    bb.putInt(moovSz).put("moov".getBytes("US-ASCII"))
+    bb.putInt(108).put("mvhd".getBytes("US-ASCII"))
+    bb.putInt(0).putInt(0).putInt(0) // v0+flags, ctime, mtime
+    bb.putInt(timescale).putInt(durationTicks.toInt)
+    bb.putInt(0x00010000).putShort(0x0100.toShort) // rate 1.0, volume
+    bb.put(new Array[Byte](10)) // reserved
+    Seq(0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000)
+      .foreach(bb.putInt) // unity matrix
+    bb.put(new Array[Byte](24)).putInt(2) // predefined, next track id
+    bb.putInt(trakSz).put("trak".getBytes("US-ASCII"))
+    bb.putInt(92).put("tkhd".getBytes("US-ASCII"))
+    bb.putInt(0).putInt(0).putInt(0) // v0+flags, ctime, mtime
+    bb.putInt(1).putInt(0).putInt(durationTicks.toInt) // track id, rsvd
+    bb.put(new Array[Byte](8)) // reserved
+    bb.putShort(0).putShort(0).putShort(0).putShort(0) // layer/alt/vol
+    Seq(0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000)
+      .foreach(bb.putInt)
+    bb.putInt(width << 16).putInt(height << 16) // 16.16 fixed point
+    bb.putInt(mdiaSz).put("mdia".getBytes("US-ASCII"))
+    bb.putInt(mdhdSz).put("mdhd".getBytes("US-ASCII"))
+    bb.putInt(0).putInt(0).putInt(0) // v0+flags, ctime, mtime
+    bb.putInt(mediaTs)
+    // mdhd duration in MEDIA ticks = total stts span.
+    bb.putInt(stts.map { case (n, d) => n.toLong * d }.sum.toInt)
+    bb.putShort(0x55c4.toShort).putShort(0) // language "und", predefined
+    bb.putInt(minfSz).put("minf".getBytes("US-ASCII"))
+    bb.putInt(stblSz).put("stbl".getBytes("US-ASCII"))
+    bb.putInt(sttsSz).put("stts".getBytes("US-ASCII"))
+    bb.putInt(0).putInt(stts.length) // v0+flags, entry_count
+    stts.foreach { case (n, d) => bb.putInt(n).putInt(d) }
+    bb.array()
+  }
+
+  /** Synthesize one real MP4 with a sample table per id (executor-side),
+    * same oracle-checkable contract as `synthMp4`: media timescale
+    * 1000+(id%3)·500, two stts runs — (3+id%3) samples at
+    * (100+(id%5)·20) ticks, then (2+id%2) samples at (40+(id%7)·10)
+    * ticks. The DuckDB twin recomputes every sample's decode time from
+    * this arithmetic while Spark must expand the actual stts bytes. */
+  def synthMp4Stts(ids: DataFrame, idCol: String): DataFrame = {
+    val spark = ids.sparkSession
+    val rdd = ids.select(col(idCol).cast("long")).rdd.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val mts = 1000 + (id % 3).toInt * 500
+        val runs = Seq(
+          (3 + (id % 3).toInt, 100 + (id % 5).toInt * 20),
+          (2 + (id % 2).toInt, 40 + (id % 7).toInt * 10))
+        val movieTs = 600 + (id % 5).toInt * 300
+        val dur = movieTs.toLong * (2 + (id % 7).toInt)
+        val w = 320 + (id % 4).toInt * 160
+        val h = 240 + (id % 3).toInt * 120
+        Row(id, mp4BytesStts(movieTs, dur, w, h, mts, runs), "video/mp4")
+      }
+    }
+    spark.createDataFrame(rdd, mediaSchema)
   }
 
   /** Synthesize one real MP4 container per id (executor-side), same

@@ -642,6 +642,19 @@ object Relational {
         edges, "src", "dst", rounds = 2)
     }),
 
+    // Bounded-round deterministic label propagation (GraftOps.
+    // labelPropagation) over the same supplier↔part co-occurrence graph
+    // as graph_pagerank — the COMMUNITY structure (most-frequent
+    // neighbor label, ties to the smaller id) where connectedComponents
+    // finds mere reachability. The oracle unrolls the three synchronous
+    // rounds as chained CTEs with an identical argmax rule.
+    "graph_label_prop" -> ((s, d) => {
+      val edges = Tables.lineitem(s, d)
+        .select(col("l_suppkey").cast("long").as("src"),
+          (col("l_partkey") + 1000000L).as("dst")).distinct()
+      graft.api.GraftOps.labelPropagation(edges, "src", "dst", rounds = 3)
+    }),
+
     // Anti join (NOT EXISTS): customers who never produced an event —
     // completes the join-type matrix (inner/left/semi/ANTI/asof/range).
     // Spark plans a BroadcastHashJoin LeftAnti here; at scale it becomes
@@ -1449,6 +1462,35 @@ object Relational {
         |    AS rank
         |  FROM n LEFT JOIN c2 ON n.id = c2.dst, t)
         |SELECT id AS node_id, round(rank, 10) AS rank FROM pr2"""
+        .stripMargin,
+    "graph_label_prop" ->
+      """WITH ed0 AS (SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS src,
+        |  CAST(l_partkey + 1000000 AS BIGINT) AS dst FROM lineitem),
+        |e AS (SELECT src AS s, dst AS t FROM ed0
+        |      UNION SELECT dst, src FROM ed0),
+        |l0 AS (SELECT DISTINCT s AS id, s AS label FROM e),
+        |r1 AS (SELECT s AS id, label FROM (
+        |    SELECT v.s, v.label, count(*) AS c, row_number() OVER (
+        |      PARTITION BY v.s ORDER BY count(*) DESC, v.label) AS rn
+        |    FROM (SELECT e.s, l.label FROM e JOIN l0 l ON e.t = l.id
+        |          UNION ALL SELECT id, label FROM l0) v
+        |    GROUP BY v.s, v.label)
+        |  WHERE rn = 1),
+        |r2 AS (SELECT s AS id, label FROM (
+        |    SELECT v.s, v.label, count(*) AS c, row_number() OVER (
+        |      PARTITION BY v.s ORDER BY count(*) DESC, v.label) AS rn
+        |    FROM (SELECT e.s, l.label FROM e JOIN r1 l ON e.t = l.id
+        |          UNION ALL SELECT id, label FROM r1) v
+        |    GROUP BY v.s, v.label)
+        |  WHERE rn = 1),
+        |r3 AS (SELECT s AS id, label FROM (
+        |    SELECT v.s, v.label, count(*) AS c, row_number() OVER (
+        |      PARTITION BY v.s ORDER BY count(*) DESC, v.label) AS rn
+        |    FROM (SELECT e.s, l.label FROM e JOIN r2 l ON e.t = l.id
+        |          UNION ALL SELECT id, label FROM r2) v
+        |    GROUP BY v.s, v.label)
+        |  WHERE rn = 1)
+        |SELECT id AS node_id, CAST(label AS BIGINT) AS label FROM r3"""
         .stripMargin,
     "j13_anti_join" ->
       """SELECT c_custkey, c_name, c_mktsegment FROM customer c

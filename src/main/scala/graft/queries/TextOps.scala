@@ -456,6 +456,63 @@ object TextOps {
             .when(col("bucket") < 90, "val")
             .otherwise("test").as("split"))),
 
+    // Exact per-stratum quota sampling — "exactly 20 docs per source",
+    // the complement of samp_stratified's fraction filter (a fraction
+    // cannot promise a count; evaluation sets and per-domain audit
+    // samples need the exact k). Deterministic: rank inside each
+    // stratum by the md5 of the doc id — a frozen pseudo-random order
+    // both engines reproduce — and keep rank ≤ 20. The DECLARATIVE
+    // rank≤k form is the 100 TB story: Catalyst rewrites the filtered
+    // row_number into WindowGroupLimit, so each map partition keeps a
+    // running top-k per stratum BEFORE the exchange — the shuffle
+    // carries ≤ k rows per stratum per input partition, not the corpus
+    // (pinned in PlanShapeSpec).
+    // URL-canonicalization dedup (GraftOps.canonicalizeUrl): the
+    // web-crawl stage that collapses scheme/host case, default ports,
+    // trailing slashes, tracking params (utm_*/fbclid/gclid), param
+    // ORDER, and fragments before any content pass. Each group of four
+    // consecutive doc_ids synthesizes the same logical URL behind four
+    // different disguises (the arithmetic is the oracle contract, like
+    // synthWav's); canonicalization must collapse all four — keep_id,
+    // the variant count, and the DISTINCT raw-form count prove it did.
+    // Canonicalize = pure projection; the group-by shuffles on the
+    // canonical-url key exactly like every content-hash dedup.
+    "txt_url_dedup" -> ((s, d) => {
+      val b = expr("doc_id DIV 4")
+      val n = b % 50
+      def s_(c: Column) = c.cast("string")
+      val raw = docsOf(s, d).select(col("doc_id"),
+        when(col("doc_id") % 4 === 0,
+          concat(lit("http://www.example"), s_(n), lit(".com/page/"),
+            s_(b), lit("?id="), s_(b), lit("&z=1")))
+        .when(col("doc_id") % 4 === 1,
+          concat(lit("HTTP://WWW.EXAMPLE"), s_(n), lit(".COM:80/page/"),
+            s_(b), lit("/?z=1&id="), s_(b)))
+        .when(col("doc_id") % 4 === 2,
+          concat(lit("http://www.example"), s_(n), lit(".com/page/"),
+            s_(b), lit("?utm_source=feed&id="), s_(b), lit("&z=1")))
+        .otherwise(
+          concat(lit("http://www.example"), s_(n), lit(".com/page/"),
+            s_(b), lit("?id="), s_(b), lit("&z=1&gclid=1#frag")))
+        .as("url"))
+      raw.select(col("doc_id"), col("url"),
+          graft.api.GraftOps.canonicalizeUrl(col("url"))
+            .as("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(min(col("doc_id")).as("keep_id"),
+          count(lit(1)).as("n_variants"),
+          count_distinct(col("url")).as("n_forms"))
+    }),
+
+    "samp_reservoir" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("source")
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      docsOf(s, d).select(col("doc_id"), col("source"))
+        .withColumn("pick_rank", row_number().over(w).cast("long"))
+        .filter(col("pick_rank") <= 20)
+    }),
+
     // Corpus-order n-gram novelty: per doc, the share of its DISTINCT
     // 3-grams that first appear in THIS doc (min doc_id over the
     // corpus == this doc) — the cross-doc companion to txt_repetition's
@@ -652,6 +709,22 @@ object TextOps {
         .select(col("media_id"), col("frame_idx").cast("long").as("frame_idx"),
           md5(col("frame_b64")).as("frame_hash"))
     }),
+
+    // TRUE frame timestamps from the MP4 sample table (the companion to
+    // mm_frame_sample's synthetic spacing): synthMp4Stts writes a full
+    // moov/trak/mdia/mdhd/minf/stbl/stts hierarchy per doc — two
+    // run-length (count, delta) entries in a media timescale that
+    // deliberately differs from the movie timescale — and
+    // sampleFrameTimes must recover every kept sample's decode time by
+    // expanding the actual stts bytes (cumulative delta sum, mdhd
+    // timescale). The oracle recomputes each time from the synth
+    // arithmetic, so a wrong box offset, a movie-vs-media timescale
+    // mix-up, or an off-by-one in the run expansion breaks the hash.
+    "mm_frame_times" -> ((s, d) =>
+      graft.multimodal.Multimodal.sampleFrameTimes(
+        graft.multimodal.Multimodal.synthMp4Stts(
+          Tables.documents(s, d).select(col("doc_id")), "doc_id"),
+        stride = 2)),
 
     // Benchmark decontamination: flag training docs sharing any word
     // 8-gram with the held-out set (doc_id % 20 == 0 stands in for the
@@ -2326,6 +2399,55 @@ object TextOps {
         |      1, 4)) AS BIGINT) % 100 < 90 THEN 'val'
         |    ELSE 'test' END AS split
         |FROM documents""".stripMargin,
+    // Mirrors canonicalizeUrl rule-for-rule with DuckDB regex/list
+    // functions; the synth disguises come from the same doc_id
+    // arithmetic as the Spark side.
+    "txt_url_dedup" ->
+      """WITH u0 AS (SELECT doc_id, doc_id // 4 AS b, doc_id % 4 AS m,
+        |    (doc_id // 4) % 50 AS n FROM documents),
+        |raw AS (SELECT doc_id, CASE m
+        |    WHEN 0 THEN 'http://www.example' || n || '.com/page/' || b
+        |      || '?id=' || b || '&z=1'
+        |    WHEN 1 THEN 'HTTP://WWW.EXAMPLE' || n || '.COM:80/page/' || b
+        |      || '/?z=1&id=' || b
+        |    WHEN 2 THEN 'http://www.example' || n || '.com/page/' || b
+        |      || '?utm_source=feed&id=' || b || '&z=1'
+        |    ELSE 'http://www.example' || n || '.com/page/' || b
+        |      || '?id=' || b || '&z=1&gclid=1#frag' END AS url
+        |  FROM u0),
+        |s0 AS (SELECT doc_id, url, regexp_replace(url, '#.*$', '') AS u
+        |  FROM raw),
+        |p AS (SELECT doc_id, url,
+        |    lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+        |      AS scheme,
+        |    lower(regexp_extract(u,
+        |      '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)) AS hp,
+        |    regexp_replace(regexp_extract(u,
+        |      '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1),
+        |      '/+$', '') AS path,
+        |    regexp_extract(u, '\?([^#]*)', 1) AS q
+        |  FROM s0),
+        |k AS (SELECT doc_id, url,
+        |    scheme || '://' ||
+        |    CASE WHEN scheme = 'http' THEN regexp_replace(hp, ':80$', '')
+        |      WHEN scheme = 'https' THEN regexp_replace(hp, ':443$', '')
+        |      ELSE hp END || path ||
+        |    CASE WHEN qs = '' THEN '' ELSE '?' || qs END AS canonical_url
+        |  FROM (SELECT *, array_to_string(list_sort(list_filter(
+        |      string_split(q, '&'), x -> x <> '' AND NOT regexp_matches(
+        |        x, '^(utm_|fbclid(=|$)|gclid(=|$))'))), '&') AS qs
+        |    FROM p))
+        |SELECT canonical_url, min(doc_id) AS keep_id,
+        |  count(*) AS n_variants,
+        |  CAST(count(DISTINCT url) AS BIGINT) AS n_forms
+        |FROM k GROUP BY canonical_url""".stripMargin,
+    "samp_reservoir" ->
+      """WITH r AS (SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS pick_rank
+        |  FROM documents)
+        |SELECT doc_id, source, CAST(pick_rank AS BIGINT) AS pick_rank
+        |FROM r WHERE pick_rank <= 20""".stripMargin,
     "samp_stratified" ->
       """SELECT doc_id, lang, source FROM documents
         |WHERE substr(md5(coalesce(lang, '') || ':'
@@ -2428,6 +2550,23 @@ object TextOps {
         |SELECT media_id, CAST(frame_idx AS BIGINT) AS frame_idx,
         |  md5(frame_b64) AS frame_hash
         |FROM f WHERE frame_idx % 2 = 0""".stripMargin,
+    // Recomputes synthMp4Stts' derivation: media timescale, two stts
+    // runs (n1 at d1 ticks, n2 at d2), sample k's decode ticks = k·d1
+    // inside run 1, n1·d1 + (k−n1)·d2 inside run 2; t_ms floors
+    // ticks·1000/mts like the Spark integer math. Stride 2 keeps even k.
+    "mm_frame_times" ->
+      """WITH p AS (SELECT doc_id,
+        |    1000 + (doc_id % 3) * 500 AS mts,
+        |    3 + (doc_id % 3) AS n1, 100 + (doc_id % 5) * 20 AS d1,
+        |    2 + (doc_id % 2) AS n2, 40 + (doc_id % 7) * 10 AS d2
+        |  FROM documents),
+        |e AS (SELECT doc_id, mts, n1, d1, n2, d2, k
+        |  FROM p, LATERAL (SELECT unnest(range(0, n1 + n2)) AS k))
+        |SELECT doc_id AS media_id, CAST(k AS BIGINT) AS sample_idx,
+        |  CAST((CASE WHEN k < n1 THEN k * d1
+        |    ELSE n1 * d1 + (k - n1) * d2 END) * 1000 // mts AS BIGINT)
+        |    AS t_ms
+        |FROM e WHERE k % 2 = 0""".stripMargin,
     "txt_decontaminate" ->
       s"""WITH $TokedCte,
          |grams AS (SELECT doc_id,

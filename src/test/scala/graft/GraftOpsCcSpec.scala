@@ -199,4 +199,40 @@ class GraftOpsCcSpec extends SparkSpec {
     assert(GraftOps.triangles(mixed, "l", "r")
       .as[(Long, Long, Long)].collect().toSet == Set((1L, 2L, 3L)))
   }
+
+  test("labelPropagation keeps two cliques distinct across a bridge " +
+      "where connectedComponents merges them") {
+    // Two triangles {1,2,3} and {7,8,9} joined by bridge 3-7. CC gives
+    // everything label 1; LPA's most-frequent-neighbor rule keeps the
+    // right clique its own community.
+    // Without the self-vote, synchronous neighbor-only voting makes
+    // this graph OSCILLATE (the right clique absorbs the bridge
+    // endpoint's label and never settles) — the self-vote pins it.
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (7L, 8L), (7L, 9L), (8L, 9L), (3L, 7L)).toDF("a", "b")
+    val lpa = GraftOps.labelPropagation(e, "a", "b", rounds = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(lpa == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      7L -> 7L, 8L -> 7L, 9L -> 7L),
+      s"two cliques, two communities: $lpa")
+    // ...and stays converged at more rounds (no oscillation).
+    val lpa5 = GraftOps.labelPropagation(e, "a", "b", rounds = 5)
+      .as[(Long, Long)].collect().toMap
+    assert(lpa5 == lpa, s"must be a fixpoint: $lpa5")
+  }
+
+  test("labelPropagation star: self-vote ties break to the smaller " +
+      "label and the community converges on it") {
+    val star = Seq((5L, 1L), (5L, 2L), (5L, 3L)).toDF("a", "b")
+    // Round 1: leaf k votes {k, 5} → tie → min(k, 5); the hub votes
+    // {5, 1, 2, 3} → tie → 1.
+    val r1 = GraftOps.labelPropagation(star, "a", "b", rounds = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(r1 == Map(1L -> 1L, 2L -> 2L, 3L -> 3L, 5L -> 1L))
+    // Round 2: every leaf now sees the hub's 1 tie with its own label
+    // → 1 everywhere.
+    val r2 = GraftOps.labelPropagation(star, "a", "b", rounds = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(r2 == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 1L))
+  }
 }

@@ -162,6 +162,44 @@ class MultimodalSpec extends SparkSpec {
     assert(idx.nonEmpty && idx.forall(_ % 2 == 0))
   }
 
+  test("videoSampleTimes expands stts runs in the MEDIA timescale " +
+      "(mdhd, not mvhd) and sampleFrameTimes strides over them") {
+    // Movie timescale 600 vs media timescale 1000: a parser reading
+    // mvhd's would scale every t_ms by 5/3.
+    val bytes = Multimodal.mp4BytesStts(600, 1200, 320, 240,
+      mediaTs = 1000, stts = Seq((3, 100), (2, 50)))
+    val Some((mts, ticks)) = Multimodal.videoSampleTimes(bytes)
+    assert(mts == 1000)
+    assert(ticks.toSeq == Seq(0L, 100L, 200L, 300L, 350L))
+    val media = Seq((7L, bytes, "video/mp4"))
+      .toDF("media_id", "payload", "mime")
+    val got = Multimodal.sampleFrameTimes(media, 2).orderBy("sample_idx")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((7L, 0L, 0L), (7L, 2L, 200L), (7L, 4L, 350L)))
+  }
+
+  test("videoSampleTimes rejects an stts that declares more entries " +
+      "than its box holds, and caps run expansion") {
+    val good = Multimodal.mp4BytesStts(600, 1200, 320, 240, 1000,
+      Seq((3, 100)))
+    // Inflate entry_count past the physical box: find the stts header
+    // and overwrite its entry_count field with 1000.
+    val idx = good.indexOfSlice("stts".getBytes("US-ASCII"))
+    val bad = good.clone()
+    val bb = java.nio.ByteBuffer.wrap(bad)
+    bb.putInt(idx + 8, 1000)
+    assert(Multimodal.videoSampleTimes(bad).isEmpty)
+    // A legitimate huge run is truncated at maxSamples, never expanded.
+    val huge = Multimodal.mp4BytesStts(600, 1200, 320, 240, 1000,
+      Seq((1000000, 10)))
+    val Some((_, capped)) = Multimodal.videoSampleTimes(huge, maxSamples = 16)
+    assert(capped.length == 16 && capped.last == 150L)
+    // Payloads with no sample table emit zero rows, not failures.
+    val noStts = Seq((1L, Multimodal.mp4Bytes(600, 1200, 320, 240),
+      "video/mp4")).toDF("media_id", "payload", "mime")
+    assert(Multimodal.sampleFrameTimes(noStts, 1).count() == 0)
+  }
+
   test("sampleFrames chunks payloads beyond one base64 line (76 chars)") {
     // Spark's base64 MIME-chunks at 76 chars; the regression collapsed
     // any payload > 57 bytes to a single frame. 300 bytes → b64 400

@@ -98,4 +98,26 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("SortMergeJoin"), p)
   }
+
+  test("per-stratum rank<=k sampling gets WindowGroupLimit: each map " +
+      "partition pre-truncates to k before the exchange") {
+    // The samp_reservoir shape: rank inside stratum by a frozen hash
+    // order, keep rank <= k. Catalyst must rewrite the filtered
+    // row_number into WindowGroupLimit (partial mode runs BEFORE the
+    // shuffle) — that rewrite is the 100 TB contract: without it the
+    // exchange carries the whole corpus instead of <= k rows per
+    // stratum per input partition.
+    import org.apache.spark.sql.expressions.Window
+    val docs = (1 to 300).map(i => (i.toLong, s"s${i % 3}"))
+      .toDF("doc_id", "source")
+    val w = Window.partitionBy("source")
+      .orderBy(md5($"doc_id".cast("string")), $"doc_id")
+    val p = phys(docs
+      .withColumn("pick_rank", row_number().over(w).cast("long"))
+      .filter($"pick_rank" <= 20))
+    assert(p.contains("WindowGroupLimit"),
+      s"rank<=k must plan a WindowGroupLimit:\n$p")
+    assert(p.contains("Partial"),
+      s"the group-limit must run map-side (Partial) pre-shuffle:\n$p")
+  }
 }

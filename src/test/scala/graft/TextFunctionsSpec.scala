@@ -64,4 +64,32 @@ class TextFunctionsSpec extends SparkSpec {
     assert(out(2) ==
       ((3L, "no pii here, just words and 1234 numbers", 0L, 0L, 0L)))
   }
+
+  test("canonicalizeUrl: case, default ports, trailing slash, tracking " +
+      "params, param order, fragments") {
+    val cases = Seq(
+      // scheme+host lowercase, :80 stripped for http, path case KEPT
+      "HTTP://WWW.Ex.COM:80/Page/1?id=2" ->
+        "http://www.ex.com/Page/1?id=2",
+      // :443 stripped only for https; :8080 never stripped
+      "https://ex.com:443/a" -> "https://ex.com/a",
+      "http://ex.com:8080/a" -> "http://ex.com:8080/a",
+      "https://ex.com:80/a" -> "https://ex.com:80/a",
+      // trailing slashes collapse; bare root collapses to host-only
+      "http://ex.com/a/b///" -> "http://ex.com/a/b",
+      "http://ex.com/" -> "http://ex.com",
+      // tracking stripped wherever it sits; survivors sorted
+      "http://ex.com/p?utm_source=x&b=2&a=1&gclid=99#sec" ->
+        "http://ex.com/p?a=1&b=2",
+      "http://ex.com/p?fbclid=zz" -> "http://ex.com/p",
+      // a param NAMED like a prefix of a tracker is kept
+      "http://ex.com/p?utm=keep&fbclid2=keep" ->
+        "http://ex.com/p?fbclid2=keep&utm=keep")
+    val got = cases.map(_._1).toDF("url")
+      .select(graft.api.GraftOps.canonicalizeUrl($"url")).as[String]
+      .collect().toSeq
+    got.zip(cases).foreach { case (g, (in, want)) =>
+      assert(g == want, s"canonicalizeUrl($in) = $g, want $want")
+    }
+  }
 }

@@ -448,6 +448,36 @@ object EventOps {
             6).as("zscore"))
     }),
 
+    // Robust per-user anomaly flags via median/MAD — the outlier rule
+    // that survives the heavy tails where ev_rolling_zscore's mean/σ
+    // gets dragged by the outliers it is hunting. Quantized cent domain
+    // like the zscore (exact integer inputs → bit-identical percentile
+    // interpolation on both engines). Two unordered windows over ONE
+    // user_id partition — a single exchange, no join-backs; the
+    // percentile window buffers each user's values, which is the
+    // documented agg_percentiles trade (per-user event counts are
+    // product-bounded; at 100 TB swap approx_percentile or
+    // GraftOps.exactPercentilesDist per the registry convention).
+    // Emits only the flagged rows (|robust z| > 3, MAD > 0, n ≥ 5);
+    // the filter compares the ROUNDED score on both engines so the
+    // boundary is engine-stable.
+    "ev_anomaly_mad" -> ((s, d) => {
+      val w = Window.partitionBy("user_id")
+      val z = (col("x").cast("double") - col("med")) /
+        (lit(1.4826) * col("mad"))
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"),
+          (col("value") * 100.0 + 0.5).cast("long").as("x"))
+        .withColumn("n", count(lit(1)).over(w))
+        .withColumn("med", percentile(col("x"), lit(0.5)).over(w))
+        .withColumn("adev", abs(col("x").cast("double") - col("med")))
+        .withColumn("mad", percentile(col("adev"), lit(0.5)).over(w))
+        .filter(col("n") >= 5 && col("mad") > 0)
+        .select(col("event_id"), col("user_id"),
+          round(z, 6).as("robust_z"))
+        .filter(abs(col("robust_z")) > 3.0)
+    }),
+
     // Time-series gap fill (resample-to-daily): per-user daily event
     // counts with the missing days in the user's [first, last] span
     // materialized as zero rows — the densification every downstream
@@ -717,6 +747,20 @@ object EventOps {
         |      * CAST(n AS DOUBLE) / (CAST(n AS DOUBLE) - 1.0)), 6)
         |    AS zscore
         |FROM m WHERE n >= 5 AND n * sxx > sx * sx""".stripMargin,
+    "ev_anomaly_mad" ->
+      """WITH t AS (SELECT event_id, user_id,
+        |  CAST(trunc(value * 100 + 0.5) AS BIGINT) AS x FROM events),
+        |m AS (SELECT event_id, user_id, x,
+        |    count(*) OVER w AS n,
+        |    quantile_cont(x, 0.5) OVER w AS med
+        |  FROM t WINDOW w AS (PARTITION BY user_id)),
+        |m2 AS (SELECT *, quantile_cont(abs(CAST(x AS DOUBLE) - med), 0.5)
+        |    OVER (PARTITION BY user_id) AS mad FROM m)
+        |SELECT event_id, user_id,
+        |  round((CAST(x AS DOUBLE) - med) / (1.4826 * mad), 6) AS robust_z
+        |FROM m2 WHERE n >= 5 AND mad > 0
+        |  AND abs(round((CAST(x AS DOUBLE) - med) / (1.4826 * mad), 6))
+        |    > 3""".stripMargin,
     "ev_gap_fill" ->
       """WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day, value
         |  FROM events),

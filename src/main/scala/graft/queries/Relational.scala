@@ -456,6 +456,32 @@ object Relational {
             <= col("exact_nd").cast("double") * 0.05).as("within_tol"))
     }),
 
+    // The MERGEABILITY of the sketch, demonstrated as the two-level
+    // rollup a 100 TB warehouse actually runs: per-(event_type, day)
+    // Datasketches HLL sketches built ONCE (the pre-aggregated daily
+    // table), then merged per event_type with hll_union_agg — the total
+    // distinct count WITHOUT rescanning raw events, which is the entire
+    // reason sketch columns exist in aggregate tables (a plain distinct
+    // count cannot be rolled up: distinct-per-day does not sum). Oracle
+    // contract as agg_approx_distinct: exact count + tolerance boolean
+    // (default lgConfigK=12 ≈ 1.6 % rsd, asserted at 5 %); n_days pins
+    // that the merge really consumed one sketch per day.
+    "sketch_hll_union" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("event_type"),
+        to_date(col("ts")).as("day"), col("user_id"))
+      val daily = ev.groupBy("event_type", "day")
+        .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      val merged = daily.groupBy("event_type")
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk")))
+          .as("approx_nd"), count(lit(1)).as("n_days"))
+      val exact = ev.groupBy("event_type")
+        .agg(count_distinct(col("user_id")).as("exact_nd"))
+      exact.join(merged, Seq("event_type"))
+        .select(col("event_type"), col("exact_nd"), col("n_days"),
+          (abs(col("approx_nd") - col("exact_nd")).cast("double")
+            <= col("exact_nd").cast("double") * 0.05).as("within_tol"))
+    }),
+
     // The sketch PERCENTILE next to the exact answer — the same
     // exact-vs-sketch pairing as agg_approx_distinct, completing the
     // claim agg_percentiles makes in prose: at 100 TB approx_percentile
@@ -1396,6 +1422,11 @@ object Relational {
       """SELECT o_orderpriority,
         |  count(DISTINCT o_custkey) AS exact_nd, TRUE AS within_tol
         |FROM orders GROUP BY o_orderpriority""".stripMargin,
+    "sketch_hll_union" ->
+      """SELECT event_type, count(DISTINCT user_id) AS exact_nd,
+        |  CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
+        |  TRUE AS within_tol
+        |FROM events GROUP BY event_type""".stripMargin,
     // Same contract shape: exact percentiles match bit-for-bit (both
     // engines use the p·(n−1) interpolation), the GK sketch's values
     // are engine-specific so the oracle asserts the tolerance boolean

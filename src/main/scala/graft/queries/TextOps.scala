@@ -548,6 +548,32 @@ object TextOps {
     // Repetition ratio (Gopher-style quality signal): share of word
     // 3-grams that are repeats of an earlier 3-gram in the same doc.
     // Same codegen'd shingle path as winnowing; one aggregate.
+    // Per-doc token Shannon entropy — the diversity twin of
+    // txt_repetition's dup-ratio: low entropy means boilerplate /
+    // keyword-stuffing even when no single 3-gram repeats. Computed as
+    // H = ln N − (Σ c·ln c)/N, the one-pass identity that needs only
+    // the per-(doc, token) counts — no join-back of N, no second
+    // aggregation level. Shuffles once on (doc_id, token) with
+    // map-side partial counts, then once on doc_id: the gram-table
+    // shape every corpus statistic here uses. Both engines sum the
+    // identical c·ln(c) doubles; round(·, 6) absorbs the ≤1 ulp/term
+    // addend-order noise.
+    "txt_entropy" -> ((s, d) => {
+      val tf = docsOf(s, d)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+      tf.groupBy("doc_id").agg(
+          sum(col("c")).as("n0"),
+          count(lit(1)).as("n_uniq0"),
+          sum(col("c").cast("double") * log(col("c").cast("double")))
+            .as("clogc"))
+        .select(col("doc_id"),
+          col("n0").cast("long").as("n_tokens"),
+          col("n_uniq0").cast("long").as("n_unique"),
+          round(log(col("n0").cast("double")) - col("clogc") / col("n0"),
+            6).as("entropy"))
+    }),
+
     "txt_repetition" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy("doc_id").orderBy("pos")
@@ -2453,6 +2479,18 @@ object TextOps {
         |WHERE substr(md5(coalesce(lang, '') || ':'
         |    || CAST(doc_id AS VARCHAR)), 1, 2)
         |  < CASE WHEN lang = 'en' THEN '1a' ELSE '80' END""".stripMargin,
+    "txt_entropy" ->
+      s"""WITH $TokedCte,
+         |tf AS (SELECT doc_id, t AS tok, count(*) AS c
+         |  FROM (SELECT doc_id, unnest(toks) AS t FROM toked)
+         |  GROUP BY doc_id, t),
+         |h AS (SELECT doc_id, sum(c) AS n, count(*) AS n_uniq,
+         |    sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) AS clogc
+         |  FROM tf GROUP BY doc_id)
+         |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+         |  CAST(n_uniq AS BIGINT) AS n_unique,
+         |  round(ln(CAST(n AS DOUBLE)) - clogc / n, 6) AS entropy
+         |FROM h""".stripMargin,
     "txt_repetition" ->
       s"""WITH $TokedCte, $ShingledCte,
          |st AS (SELECT doc_id, len(shingles) AS n_sh,

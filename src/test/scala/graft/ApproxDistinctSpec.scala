@@ -25,4 +25,22 @@ class ApproxDistinctSpec extends SparkSpec {
         s"approx $approx vs exact $exact")
     }
   }
+
+  test("hll_union_agg over per-day partial sketches equals the sketch " +
+      "of the union (the sketch_hll_union rollup contract)") {
+    // 30 days × overlapping user ranges: day d sees users [d*50, d*50+999]
+    // → total distinct = 29*50 + 1000 = 2450.
+    val rows = for (d <- 0 until 30; u <- 0 until 1000)
+      yield (d, (d * 50 + u).toLong)
+    val df = rows.toDF("day", "user_id")
+    val merged = df.groupBy("day").agg(hll_sketch_agg($"user_id").as("sk"))
+      .agg(hll_sketch_estimate(hll_union_agg($"sk")).as("nd"))
+      .as[Long].head()
+    val direct = df.agg(hll_sketch_estimate(hll_sketch_agg($"user_id")))
+      .as[Long].head()
+    // Merging partials must be EXACTLY the single-pass sketch (HLL
+    // register merge is a max — lossless), not merely close.
+    assert(merged == direct, s"merged $merged vs direct $direct")
+    assert(math.abs(merged - 2450).toDouble / 2450 < 0.05, s"nd=$merged")
+  }
 }

@@ -448,6 +448,40 @@ object EventOps {
             6).as("zscore"))
     }),
 
+    // Two-proportion z-test over a deterministic A/B assignment — the
+    // experiment-readout query product analytics runs daily. Variant =
+    // user_id parity (in production: a seeded hash, same shape);
+    // outcome = the user converted (≥1 purchase). One per-user
+    // aggregate, then ONE conditional global aggregate builds the 2×2
+    // table — no pivot, no join between variant branches, no second
+    // events scan. The z statistic is closed-form double math on four
+    // BIGINTs, so both engines agree bit-for-bit; `significant`
+    // compares the ROUNDED z so the 1.96 boundary is engine-stable.
+    "ev_ab_test" -> ((s, d) => {
+      val users = Tables.events(s, d).groupBy("user_id").agg(
+        max(when(col("event_type") === "purchase" && col("value") > 150.0,
+          1L).otherwise(0L)).as("conv"))
+      val isA = pmod(col("user_id"), lit(2L)) === 0
+      val t = users.agg(
+        sum(when(isA, 1L).otherwise(0L)).as("n_a"),
+        sum(when(isA, col("conv")).otherwise(0L)).as("k_a"),
+        sum(when(!isA, 1L).otherwise(0L)).as("n_b"),
+        sum(when(!isA, col("conv")).otherwise(0L)).as("k_b"))
+      val pA = col("k_a").cast("double") / col("n_a")
+      val pB = col("k_b").cast("double") / col("n_b")
+      val pPool = (col("k_a") + col("k_b")).cast("double") /
+        (col("n_a") + col("n_b"))
+      // Degenerate pools (0 % or 100 % conversion) have zero pooled
+      // variance — z is undefined, not infinite; NULL on both engines.
+      val z = when(pPool > 0.0 && pPool < 1.0,
+        (pA - pB) / sqrt(pPool * (lit(1.0) - pPool) *
+          (lit(1.0) / col("n_a") + lit(1.0) / col("n_b"))))
+      t.select(col("n_a"), col("k_a"), col("n_b"), col("k_b"),
+        round(pA, 6).as("p_a"), round(pB, 6).as("p_b"),
+        round(z, 6).as("z"),
+        coalesce(abs(round(z, 6)) > 1.96, lit(false)).as("significant"))
+    }),
+
     // Robust per-user anomaly flags via median/MAD — the outlier rule
     // that survives the heavy tails where ev_rolling_zscore's mean/σ
     // gets dragged by the outliers it is hunting. Quantized cent domain
@@ -747,6 +781,35 @@ object EventOps {
         |      * CAST(n AS DOUBLE) / (CAST(n AS DOUBLE) - 1.0)), 6)
         |    AS zscore
         |FROM m WHERE n >= 5 AND n * sxx > sx * sx""".stripMargin,
+    "ev_ab_test" ->
+      """WITH u AS (SELECT user_id,
+        |    max(CASE WHEN event_type = 'purchase' AND value > 150
+        |      THEN 1 ELSE 0 END) AS conv
+        |  FROM events GROUP BY user_id),
+        |t AS (SELECT
+        |    CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_a,
+        |    CAST(sum(CASE WHEN user_id % 2 = 0 THEN conv ELSE 0 END)
+        |      AS BIGINT) AS k_a,
+        |    CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_b,
+        |    CAST(sum(CASE WHEN user_id % 2 = 1 THEN conv ELSE 0 END)
+        |      AS BIGINT) AS k_b
+        |  FROM u),
+        |c AS (SELECT *,
+        |    CAST(k_a AS DOUBLE) / n_a AS pa,
+        |    CAST(k_b AS DOUBLE) / n_b AS pb,
+        |    CAST(k_a + k_b AS DOUBLE) / (n_a + n_b) AS pp
+        |  FROM t)
+        |SELECT n_a, k_a, n_b, k_b,
+        |  round(pa, 6) AS p_a, round(pb, 6) AS p_b,
+        |  round(CASE WHEN pp > 0 AND pp < 1 THEN (pa - pb)
+        |    / sqrt(pp * (1.0 - pp) * (1.0 / n_a + 1.0 / n_b)) END, 6)
+        |    AS z,
+        |  coalesce(abs(round(CASE WHEN pp > 0 AND pp < 1 THEN (pa - pb)
+        |    / sqrt(pp * (1.0 - pp) * (1.0 / n_a + 1.0 / n_b)) END, 6))
+        |    > 1.96, FALSE) AS significant
+        |FROM c""".stripMargin,
     "ev_anomaly_mad" ->
       """WITH t AS (SELECT event_id, user_id,
         |  CAST(trunc(value * 100 + 0.5) AS BIGINT) AS x FROM events),

@@ -332,7 +332,12 @@ object Similarity {
     // corpus, the cascade touches 2 cells coarse + 50 rows fine.
     "emb_ivf_cascade" -> ((s, d) => {
       def dot(a: Column, b: Column) = call_function("graft_vec_dot", a, b)
+      // The assignment table feeds FOUR consumers (truncated index,
+      // query set, fine rerank, brute-force eval); materialize it once
+      // or the whole k-means subtree re-derives per consumer (~6× in
+      // the unchecked plan — audited).
       val cells = kmeansAssign(s, d).select("vec_id", "u", "cluster")
+        .localCheckpoint()
       val cents = kmeansCentroids(s, d)
       val t = cells
         .select(col("vec_id"), col("cluster"), slice(col("u"), 1, 16).as("t16"))

@@ -795,6 +795,33 @@ object TextOps {
     "chunk_docs" -> ((s, d) =>
       graft.api.GraftOps.chunkTokens(docsOf(s, d), "doc_id", "text", 64)),
 
+    // SLIDING-window chunking — the overlapping RAG variant of
+    // chunk_docs (stride 48 < size 64 → 16-token overlap, so no answer
+    // span is ever split across a retrieval boundary). Chunk k covers
+    // tokens [k·stride, k·stride+size); generation stops at the first
+    // window that reaches the end of the doc, so no tail chunk is a
+    // strict subset of its predecessor. Same per-row slicing shape as
+    // chunk_docs: embarrassingly parallel, the ~size/stride duplication
+    // factor is the explicit storage cost of overlap.
+    "chunk_sliding" -> ((s, d) => {
+      val cSize = 64
+      val stride = 48
+      val t = docsOf(s, d)
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+        .withColumn("n", size(col("toks")).cast("long"))
+        .filter(col("n") > 0)
+      t.select(col("doc_id"), col("toks"), col("n"),
+          explode(sequence(lit(0L),
+            greatest(ceil((col("n") - cSize).cast("double") / stride)
+              .cast("long"), lit(0L)))).as("k"))
+        .select(col("doc_id"), col("k").as("chunk_id"),
+          array_join(slice(col("toks"),
+            (col("k") * stride + 1).cast("int"), lit(cSize)), " ")
+            .as("chunk_text"),
+          least(lit(cSize.toLong), col("n") - col("k") * stride)
+            .as("n_tokens"))
+    }),
+
     // Corpus mixture reweighting: per-language sampling weights that
     // would rebalance the corpus to uniform language shares (the
     // data-mixture step before training). Two tiny aggregates + a
@@ -2645,6 +2672,18 @@ object TextOps {
          |          for i in range(CAST(ceil(n / 64.0) AS BIGINT))])
          |    AS n_tokens
          |FROM t""".stripMargin,
+    "chunk_sliding" ->
+      s"""WITH $TokedCte,
+         |t AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n
+         |  FROM toked WHERE len(toks) > 0),
+         |k AS (SELECT doc_id, toks, n,
+         |    unnest(range(greatest(CAST(ceil((n - 64) / 48.0) AS BIGINT),
+         |      0) + 1)) AS k
+         |  FROM t)
+         |SELECT doc_id, CAST(k AS BIGINT) AS chunk_id,
+         |  array_to_string(toks[k*48 + 1 : k*48 + 64], ' ') AS chunk_text,
+         |  CAST(least(64, n - k*48) AS BIGINT) AS n_tokens
+         |FROM k""".stripMargin,
     "shuf_deterministic" ->
       """SELECT doc_id, row_number() OVER (
         |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS pos

@@ -448,6 +448,36 @@ object EventOps {
             6).as("zscore"))
     }),
 
+    // Growth accounting — the weekly new/retained/resurrected ledger
+    // every product review starts from (the lifecycle refinement of
+    // ev_dau_wau's raw actives): a user's week is "new" on their first
+    // active week, "retained" when the previous active week is exactly
+    // last week, "resurrected" after a gap. One distinct (user, week)
+    // projection, one lag window on the user partition, one week
+    // rollup — shuffles keyed on user then week, both natural keys
+    // with map-side partials. (Churned-by-week is the same lag table
+    // read from the other side; the three emitted states partition the
+    // actives, which the n_active column pins.)
+    "ev_lifecycle" -> ((s, d) => {
+      val wk = Tables.events(s, d)
+        .select(col("user_id"),
+          date_trunc("week", col("ts")).cast("date").as("week"))
+        .distinct()
+      val w = Window.partitionBy("user_id").orderBy("week")
+      wk.withColumn("prev", lag(col("week"), 1).over(w))
+        .withColumn("status",
+          when(col("prev").isNull, "new")
+            .when(datediff(col("week"), col("prev")) === 7, "retained")
+            .otherwise("resurrected"))
+        .groupBy("week").agg(
+          sum(when(col("status") === "new", 1L).otherwise(0L)).as("n_new"),
+          sum(when(col("status") === "retained", 1L).otherwise(0L))
+            .as("n_retained"),
+          sum(when(col("status") === "resurrected", 1L).otherwise(0L))
+            .as("n_resurrected"),
+          count(lit(1)).as("n_active"))
+    }),
+
     // Two-proportion z-test over a deterministic A/B assignment — the
     // experiment-readout query product analytics runs daily. Variant =
     // user_id parity (in production: a seeded hash, same shape);
@@ -781,6 +811,24 @@ object EventOps {
         |      * CAST(n AS DOUBLE) / (CAST(n AS DOUBLE) - 1.0)), 6)
         |    AS zscore
         |FROM m WHERE n >= 5 AND n * sxx > sx * sx""".stripMargin,
+    "ev_lifecycle" ->
+      """WITH wk AS (SELECT DISTINCT user_id,
+        |    CAST(date_trunc('week', ts) AS DATE) AS week FROM events),
+        |s AS (SELECT user_id, week,
+        |    lag(week) OVER (PARTITION BY user_id ORDER BY week) AS prev
+        |  FROM wk),
+        |c AS (SELECT week, CASE WHEN prev IS NULL THEN 'new'
+        |    WHEN week - prev = 7 THEN 'retained'
+        |    ELSE 'resurrected' END AS status FROM s)
+        |SELECT week,
+        |  CAST(sum(CASE WHEN status = 'new' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_new,
+        |  CAST(sum(CASE WHEN status = 'retained' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_retained,
+        |  CAST(sum(CASE WHEN status = 'resurrected' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_resurrected,
+        |  count(*) AS n_active
+        |FROM c GROUP BY week""".stripMargin,
     "ev_ab_test" ->
       """WITH u AS (SELECT user_id,
         |    max(CASE WHEN event_type = 'purchase' AND value > 150

@@ -729,6 +729,38 @@ object Relational {
         .unionByName(inserts)
     }),
 
+    // Incremental AGGREGATE maintenance — the other half of the CDC
+    // story: cdc_merge maintains the row table, this maintains a
+    // materialized per-customer aggregate by merging a delta batch's
+    // partial aggregate into the stored one ALGEBRAICALLY (counts and
+    // sums add across a full-outer merge; avg re-derives from them) —
+    // the base table is never rescanned, which is the entire point of
+    // keeping mergeable aggregates materialized at 100 TB. Sums ride
+    // in the quantized cent domain for cross-engine exactness. The
+    // oracle computes the same aggregate from the WHOLE table in one
+    // pass; matching hashes prove the maintenance algebra loses
+    // nothing. Deterministic "delta" = o_orderkey % 10 == 0.
+    "cdc_agg_maintain" -> ((s, d) => {
+      val o = Tables.orders(s, d).select(col("o_custkey"),
+        col("o_orderkey"),
+        (col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+      def part(df: DataFrame) = df.groupBy("o_custkey").agg(
+        count(lit(1)).as("n"), sum(col("cents")).as("s"))
+      val base = part(o.filter(col("o_orderkey") % 10 =!= 0))
+      val delta = part(o.filter(col("o_orderkey") % 10 === 0))
+        .withColumnsRenamed(Map("n" -> "dn", "s" -> "ds"))
+      base.join(delta, Seq("o_custkey"), "full_outer")
+        .select(col("o_custkey"),
+          (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L)))
+            .as("n_orders"),
+          (coalesce(col("s"), lit(0L)) + coalesce(col("ds"), lit(0L)))
+            .as("cents"))
+        .select(col("o_custkey"), col("n_orders"),
+          (col("cents").cast("double") / 100.0).as("total_price"),
+          round(col("cents").cast("double") / col("n_orders") / 100.0, 6)
+            .as("avg_price"))
+    }),
+
     // Fuzzy-match join: per-supplier nearest other supplier name by
     // Levenshtein distance, BLOCKED by nation so candidate pairs are
     // bucket-local (the scale answer to string-similarity joins: block
@@ -1537,6 +1569,18 @@ object Relational {
         |  coalesce(s.n_supp, 0) AS n_supp
         |FROM c FULL OUTER JOIN s ON c.c_nationkey = s.s_nationkey"""
         .stripMargin,
+    // One full-table pass — the ground truth the incremental merge
+    // must reproduce exactly.
+    "cdc_agg_maintain" ->
+      """WITH o AS (SELECT o_custkey,
+        |    CAST(trunc(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM orders),
+        |g AS (SELECT o_custkey, count(*) AS n_orders,
+        |    CAST(sum(cents) AS BIGINT) AS cents FROM o GROUP BY o_custkey)
+        |SELECT o_custkey, n_orders,
+        |  CAST(cents AS DOUBLE) / 100.0 AS total_price,
+        |  round(CAST(cents AS DOUBLE) / n_orders / 100.0, 6) AS avg_price
+        |FROM g""".stripMargin,
     "cdc_merge" ->
       """WITH base AS (SELECT c_custkey, c_name, c_acctbal FROM customer),
         |upd AS (SELECT c_custkey, c_acctbal + 100.0 AS new_bal FROM base

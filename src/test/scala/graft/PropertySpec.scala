@@ -113,6 +113,29 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("canonicalizeUrl is idempotent for arbitrary generated URLs") {
+    // A canonicalizer that isn't a fixpoint silently splits dup groups
+    // between passes (ingest canonicalizes once, a backfill twice).
+    val urlGen = for {
+      scheme <- Gen.oneOf("http", "HTTP", "https", "HTTPS")
+      host <- Gen.oneOf("Ex.COM", "www.ex.com", "A.B.ORG")
+      port <- Gen.oneOf("", ":80", ":443", ":8080")
+      path <- Gen.oneOf("", "/", "/A/b", "/a/b/", "/a//")
+      q <- Gen.oneOf("", "?id=1", "?b=2&a=1", "?utm_source=x&id=1",
+        "?gclid=9", "?fbclid=1&z=3&utm_medium=m")
+      frag <- Gen.oneOf("", "#x", "#a/b?c=d")
+    } yield s"$scheme://$host$port$path$q$frag"
+    val urls = cases(urlGen, 120).zipWithIndex
+      .map { case (u, i) => (i.toLong, u) }.toDF("id", "url")
+    val once = graft.api.GraftOps.canonicalizeUrl($"url")
+    val out = urls.select($"id", once.as("c1"),
+        graft.api.GraftOps.canonicalizeUrl(once).as("c2"))
+      .as[(Long, String, String)].collect()
+    out.foreach { case (i, c1, c2) =>
+      assert(c1 == c2, s"not idempotent for row $i: $c1 -> $c2")
+    }
+  }
+
   test("rowLocalBands equals minhashBands for arbitrary random corpora") {
     // Random docs over a tiny vocabulary (forces shared shingles and
     // band collisions) plus degenerate shapes: empty, 1-2 tokens

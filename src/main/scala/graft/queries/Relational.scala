@@ -531,6 +531,27 @@ object Relational {
     // constraints, each as one aggregate; the union is a constant-width
     // report. At 100 TB each check is an independent scan/agg —
     // schedulable in parallel, no check blocks another.
+    // Pipeline-freshness report — the staleness monitor every ingest
+    // DAG alarms on: per event_type, last-seen time and its lag behind
+    // the table's frontier (the global max ts stands in for "now" so
+    // the query is deterministic; production swaps a literal clock).
+    // All time math in epoch MICROS on both engines (ns→us truncation
+    // matches Tables.events' ts DIV 1000), so no timestamp-precision
+    // comparisons ride through the hash. Two aggregates, the one-row
+    // frontier broadcast — no second events scan shuffles.
+    "dq_freshness" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("event_type"), col("ts"))
+      val per = ev.groupBy("event_type").agg(
+        unix_micros(max(col("ts"))).as("last_us"),
+        count(lit(1)).as("n_events"))
+      val frontier = ev.agg(unix_micros(max(col("ts"))).as("now_us"))
+      per.crossJoin(broadcast(frontier))
+        .select(col("event_type"), col("last_us"), col("n_events"),
+          (col("now_us") - col("last_us")).as("lag_us"),
+          ((col("now_us") - col("last_us")) <= 7L * 86400000000L)
+            .as("fresh_7d"))
+    }),
+
     "dq_constraints" -> ((s, d) => {
       def one(name: String, n: Column, src: DataFrame): DataFrame =
         src.agg(n.cast("long").as("n_violations"))
@@ -1421,6 +1442,17 @@ object Relational {
         |  count(*) AS n_items
         |FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
         |GROUP BY s.s_nationkey""".stripMargin,
+    "dq_freshness" ->
+      """WITH per AS (SELECT event_type,
+        |    CAST(epoch_us(max(ts)) AS BIGINT) AS last_us,
+        |    count(*) AS n_events
+        |  FROM events GROUP BY event_type),
+        |f AS (SELECT CAST(epoch_us(max(ts)) AS BIGINT) AS now_us
+        |  FROM events)
+        |SELECT event_type, last_us, n_events,
+        |  now_us - last_us AS lag_us,
+        |  (now_us - last_us) <= 7 * 86400000000 AS fresh_7d
+        |FROM per CROSS JOIN f""".stripMargin,
     "dq_constraints" ->
       """SELECT 'lineitem_orderkey_fk' AS check_name,
         |  (SELECT count(*) FROM lineitem l WHERE NOT EXISTS

@@ -795,6 +795,52 @@ object TextOps {
     "chunk_docs" -> ((s, d) =>
       graft.api.GraftOps.chunkTokens(docsOf(s, d), "doc_id", "text", 64)),
 
+    // SENTENCE-boundary chunking — the semantic RAG variant: chunks
+    // break at sentence ends, never mid-sentence, so retrieval units
+    // stay grammatical. The synthetic corpus has no punctuation, so the
+    // query first BUILDS punctuated text deterministically (sentences
+    // of 5+doc_id%5 tokens, '. '-joined — the synthWav discipline: the
+    // derivation is the oracle contract) and the operator must then
+    // genuinely parse it back: sentinel-replace + split on sentence
+    // ends ([.!?] + space, group-ref replace — RE2-safe, no
+    // lookbehind), token-count each sentence, and bucket sentences
+    // into 16-token chunks by their token START OFFSET (prefix-sum
+    // window — parallel-deterministic where greedy packing is
+    // inherently sequential; a sentence crossing the boundary belongs
+    // to its starting chunk). Chunk reassembly is a row-local ordered
+    // fold; shuffles: one doc_id window + one (doc, chunk) rollup.
+    "txt_sentence_chunk" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val sentinel = "\u0001"
+      val base = docsOf(s, d)
+        .select(col("doc_id"), tokens(col("text")).as("toks"),
+          (lit(5) + pmod(col("doc_id"), lit(5))).cast("int").as("L"))
+        .withColumn("n", size(col("toks")))
+        .filter(col("n") > 0)
+      val punct = base.select(col("doc_id"),
+        concat(array_join(transform(
+          sequence(lit(0), floor((col("n") - 1) / col("L")).cast("int")),
+          i => array_join(slice(col("toks"), i * col("L") + 1, col("L")),
+            " ")), ". "), lit(".")).as("ptext"))
+      val sents = punct.select(col("doc_id"),
+        posexplode(filter(split(regexp_replace(col("ptext"),
+          "([.!?])\\s+", "$1" + sentinel), sentinel),
+          x => trim(x) =!= "")).as(Seq("sent_idx", "sentence")))
+      val w = Window.partitionBy("doc_id").orderBy("sent_idx")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      sents
+        .withColumn("n_tok", size(tokens(col("sentence"))).cast("long"))
+        .withColumn("cum_prev",
+          coalesce(sum(col("n_tok")).over(w), lit(0L)))
+        .withColumn("chunk_id", expr("cum_prev DIV 16"))
+        .groupBy("doc_id", "chunk_id")
+        .agg(count(lit(1)).as("n_sentences"),
+          sum(col("n_tok")).as("n_tokens"),
+          array_join(transform(array_sort(collect_list(
+            struct(col("sent_idx"), col("sentence")))),
+            x => x.getField("sentence")), " ").as("chunk_text"))
+    }),
+
     // SLIDING-window chunking — the overlapping RAG variant of
     // chunk_docs (stride 48 < size 64 → 16-token overlap, so no answer
     // span is ever split across a retrieval boundary). Chunk k covers
@@ -2672,6 +2718,35 @@ object TextOps {
          |          for i in range(CAST(ceil(n / 64.0) AS BIGINT))])
          |    AS n_tokens
          |FROM t""".stripMargin,
+    // Rebuilds the punctuated text from the same arithmetic, then
+    // mirrors the parse: sentinel split, per-sentence token count,
+    // prefix-sum offset bucketing, ordered reassembly.
+    "txt_sentence_chunk" ->
+      s"""WITH $TokedCte,
+         |b AS (SELECT doc_id, toks, len(toks) AS n, 5 + doc_id % 5 AS L
+         |  FROM toked WHERE len(toks) > 0),
+         |p AS (SELECT doc_id,
+         |    array_to_string([array_to_string(toks[i*L+1 : i*L+L], ' ')
+         |      for i in range(0, (n - 1) // L + 1)], '. ') || '.'
+         |      AS ptext
+         |  FROM b),
+         |sx AS (SELECT doc_id, i - 1 AS sent_idx, sents[i] AS sentence
+         |  FROM (SELECT doc_id, list_filter(string_split(
+         |      regexp_replace(ptext, '([.!?])\\s+', '\\1' || chr(1),
+         |        'g'), chr(1)), x -> trim(x) <> '') AS sents FROM p),
+         |    LATERAL (SELECT unnest(range(1, len(sents) + 1)) AS i)),
+         |tk AS (SELECT doc_id, sent_idx, sentence,
+         |    CAST(len(list_filter(regexp_split_to_array(trim(sentence),
+         |      '\\s+'), t -> t != '')) AS BIGINT) AS n_tok FROM sx),
+         |cm AS (SELECT *, coalesce(sum(n_tok) OVER (PARTITION BY doc_id
+         |    ORDER BY sent_idx
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |    AS cum_prev FROM tk)
+         |SELECT doc_id, CAST(cum_prev // 16 AS BIGINT) AS chunk_id,
+         |  CAST(count(*) AS BIGINT) AS n_sentences,
+         |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+         |  string_agg(sentence, ' ' ORDER BY sent_idx) AS chunk_text
+         |FROM cm GROUP BY doc_id, cum_prev // 16""".stripMargin,
     "chunk_sliding" ->
       s"""WITH $TokedCte,
          |t AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n

@@ -723,7 +723,8 @@ object TextOps {
     // Multimodal frame sampling (Multimodal.sampleFrames): the
     // video-shaped generator op — one payload row → every 2nd fixed-size
     // chunk as a "frame", columnar (posexplode over base64 chunking, no
-    // UDF, stays in Tungsten). The oracle rebuilds the identical chunks
+    // UDF, stays in Tungsten). Byte-offset spacing; the TRUE
+    // sample-table timestamps live in mm_frame_times (stts walk). The oracle rebuilds the identical chunks
     // with substr arithmetic; frames hash to md5 so the compare stays
     // scalar. Text bytes stand in for the video payload — the operator
     // only sees a binary column.

@@ -648,7 +648,12 @@ object GraftOps {
     * Pure per-row Column expression (regex + higher-order array ops,
     * all codegen) — no UDF, no shuffle, embarrassingly parallel at
     * 100 TB. Patterns stay in the Java∩RE2 common subset like
-    * [[scrubPii]]'s. */
+    * [[scrubPii]]'s. Scope: the authority is treated as host[:port] —
+    * RFC 3986 userinfo (user@host) is lowercased with the rest (it is
+    * case-sensitive per spec but vanishingly rare in crawl URLs and
+    * usually a credential leak you want normalized for dedup anyway);
+    * IPv6 literals pass through correctly since ":80$" only matches a
+    * trailing port. */
   def canonicalizeUrl(url: Column): Column = {
     val u = regexp_replace(url, "#.*$", "")
     val scheme = lower(regexp_extract(u, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))

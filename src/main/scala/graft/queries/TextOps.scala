@@ -706,6 +706,37 @@ object TextOps {
         graft.multimodal.Multimodal.synthMp4(
           Tables.documents(s, d).select(col("doc_id")), "doc_id"))),
 
+    // The composed MULTIMODAL ingest report: all three real media
+    // paths in one query — synthesize genuine PNG/WAV/MP4 containers
+    // per doc, parse each back through its JDK/byte-walker decoder
+    // (the same build→parse round trips the mm_* queries prove
+    // individually), and roll up a per-kind corpus report. The union
+    // is three independent mapPartitions chains + three 1-row
+    // aggregates — no cross-media shuffle at any scale. PNG byte size
+    // is encoder-dependent, so the image row aggregates PARSED dims
+    // only (the mm_image_features discipline); sums ride through longs
+    // before the final division so the averages are order-exact.
+    "pipeline_media_stats" -> ((s, d) => {
+      val mm = graft.multimodal.Multimodal
+      val ids = Tables.documents(s, d).select(col("doc_id"))
+      def report(df: DataFrame, kind: String, m1: Column, m2: Column) =
+        df.agg(count(lit(1)).as("n_items"),
+            round(sum(m1.cast("long")).cast("double") / count(lit(1)), 6)
+              .as("avg_m1"),
+            round(sum(m2.cast("long")).cast("double") / count(lit(1)), 6)
+              .as("avg_m2"))
+          .select(lit(kind).as("kind"), col("n_items"), col("avg_m1"),
+            col("avg_m2"))
+      report(mm.extractFeatures(mm.synthPng(ids, "doc_id")),
+          "image", col("width"), col("height"))
+        .unionByName(report(
+          mm.extractAudioFeatures(mm.synthWav(ids, "doc_id")),
+          "audio", col("duration_us"), col("channels")))
+        .unionByName(report(
+          mm.extractVideoFeatures(mm.synthMp4(ids, "doc_id")),
+          "video", col("duration_ms"), col("width")))
+    }),
+
     // THE RAG ingest path, composed from the library's own stages:
     // quality/language gate + exact doc dedup (the shared clean gate) →
     // 64-token chunking → corpus-wide chunk dedup (first occurrence
@@ -2662,6 +2693,32 @@ object TextOps {
         |SELECT media_id, CAST(frame_idx AS BIGINT) AS frame_idx,
         |  md5(frame_b64) AS frame_hash
         |FROM f WHERE frame_idx % 2 = 0""".stripMargin,
+    // Per-kind averages recomputed from the synth derivations
+    // (mm_image/audio/video_features' arithmetic), same long-sum-then-
+    // divide ordering as the Spark side.
+    "pipeline_media_stats" ->
+      """WITH img AS (SELECT 'image' AS kind,
+        |    count(*) AS n_items,
+        |    round(CAST(sum(16 + doc_id % 32) AS DOUBLE) / count(*), 6)
+        |      AS avg_m1,
+        |    round(CAST(sum(16 + doc_id % 16) AS DOUBLE) / count(*), 6)
+        |      AS avg_m2
+        |  FROM documents),
+        |aud AS (SELECT 'audio' AS kind, count(*) AS n_items,
+        |    round(CAST(sum((100 + doc_id % 50) * 1000000
+        |      // (8000 + (doc_id % 4) * 2000)) AS DOUBLE) / count(*), 6)
+        |      AS avg_m1,
+        |    round(CAST(sum(1 + doc_id % 2) AS DOUBLE) / count(*), 6)
+        |      AS avg_m2
+        |  FROM documents),
+        |vid AS (SELECT 'video' AS kind, count(*) AS n_items,
+        |    round(CAST(sum((2 + doc_id % 7) * 1000) AS DOUBLE)
+        |      / count(*), 6) AS avg_m1,
+        |    round(CAST(sum(320 + (doc_id % 4) * 160) AS DOUBLE)
+        |      / count(*), 6) AS avg_m2
+        |  FROM documents)
+        |SELECT * FROM img UNION ALL SELECT * FROM aud
+        |UNION ALL SELECT * FROM vid""".stripMargin,
     // Recomputes synthMp4Stts' derivation: media timescale, two stts
     // runs (n1 at d1 ticks, n2 at d2), sample k's decode ticks = k·d1
     // inside run 1, n1·d1 + (k−n1)·d2 inside run 2; t_ms floors

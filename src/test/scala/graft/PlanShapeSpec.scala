@@ -99,6 +99,22 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("ev_rfm's repeated per-user subtree is deduplicated at runtime " +
+      "by AQE exchange reuse — the events scan does not multiply") {
+    // ev_rfm deliberately does NOT materialize its shared `rfm` table
+    // (both cuts measured slower; Scaladoc records the A/B). The scale
+    // safety claim is that AQE replaces the identical repeated
+    // exchanges with ReusedExchange at execution — assert it on the
+    // EXECUTED plan, where adaptive reuse is visible (the static plan
+    // shows the naive duplication).
+    val df = SparkEntry.queries("ev_rfm")(spark, "/root/testdata/sf0.001")
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("ReusedExchange"),
+      s"executed plan must reuse the shared per-user exchange:\n" +
+        p.linesIterator.take(60).mkString("\n"))
+  }
+
   test("per-stratum rank<=k sampling gets WindowGroupLimit: each map " +
       "partition pre-truncates to k before the exchange") {
     // The samp_reservoir shape: rank inside stratum by a frozen hash

@@ -916,6 +916,53 @@ object GraftOps {
       col("label").cast("long").as("label"))
   }
 
+  /** Bounded-round K-CORE decomposition by iterative peeling: each
+    * round drops every node whose current degree is below `k` and
+    * restricts the edge set to survivors — after enough rounds the
+    * survivors are exactly the k-core (every member has ≥ k neighbors
+    * INSIDE the core), the standard web-graph quality/spam filter
+    * (low-core pages are link chaff; dense cores are link farms or
+    * genuine hubs worth separate treatment). Bounded `rounds` like
+    * connectedComponents: each peel can only remove nodes, so the
+    * result is a superset of the true core that equals it once a round
+    * removes nothing — callers needing certainty raise `rounds` (the
+    * peel count needed is the graph's degeneracy ordering depth, small
+    * for power-law web graphs).
+    *
+    * Shape per round: one degree aggregate + the survivor set applied
+    * to BOTH edge endpoints as semi joins. The survivor set is
+    * node-sized and EXPLICITLY broadcast (the checkpointed edge table
+    * hides stats, so Catalyst would otherwise fall back to shuffling
+    * the edges twice per round — the labelPropagation finding); at
+    * billion-node scale drop the hint and take the shuffled semi join,
+    * the knob is this one line. The edge table shrinks monotonically,
+    * so per-round cost falls; lineage cut per round because three
+    * consumers read it. Returns surviving (node_id, degree) — degree
+    * as of the LAST peel. */
+  def kCore(edges: DataFrame, srcCol: String, dstCol: String,
+      k: Int, rounds: Int): DataFrame = {
+    require(k >= 1 && rounds >= 1, "kCore: k and rounds must be >= 1")
+    var e = edges.select(explode(array(
+        struct(col(srcCol).cast("long").as("s"),
+          col(dstCol).cast("long").as("t")),
+        struct(col(dstCol).cast("long").as("s"),
+          col(srcCol).cast("long").as("t")))).as("p"))
+      .select(col("p.s").as("__src"), col("p.t").as("__dst"))
+      .distinct()
+      .localCheckpoint()
+    (1 to rounds).foreach { _ =>
+      val keep = e.groupBy("__src").agg(count(lit(1)).as("__deg"))
+        .filter(col("__deg") >= k).select(col("__src").as("__keep"))
+      e = e.join(broadcast(keep), col("__src") === col("__keep"),
+          "left_semi")
+        .join(broadcast(keep), col("__dst") === col("__keep"),
+          "left_semi")
+        .localCheckpoint()
+    }
+    e.groupBy("__src").agg(count(lit(1)).as("degree"))
+      .select(col("__src").as("node_id"), col("degree"))
+  }
+
   /** Bounded-round connected components via iterated min-label
     * propagation: after round t, a node's label is the minimum id within
     * graph distance t, so `rounds` ≥ cluster diameter yields exact

@@ -689,6 +689,21 @@ object Relational {
         edges, "src", "dst", rounds = 2)
     }),
 
+    // Bounded k-core peeling (GraftOps.kCore, k=25, 3 peels) over the
+    // same supplier↔part graph — the web-graph chaff filter that
+    // completes the graph family (reachability: cc; centrality:
+    // pagerank; communities: label_prop; local density: triangles;
+    // GLOBAL density: k-core). At sf0.001 the graph has no 25-core
+    // (both engines emit zero rows — a correct empty, not a failure);
+    // at the sf0.01 gate 1 370 of 2 100 nodes survive. The oracle
+    // unrolls the three peels as chained CTEs.
+    "graph_kcore" -> ((s, d) => {
+      val edges = Tables.lineitem(s, d)
+        .select(col("l_suppkey").cast("long").as("src"),
+          (col("l_partkey") + 1000000L).as("dst")).distinct()
+      graft.api.GraftOps.kCore(edges, "src", "dst", k = 25, rounds = 3)
+    }),
+
     // Bounded-round deterministic label propagation (GraftOps.
     // labelPropagation) over the same supplier↔part co-occurrence graph
     // as graph_pagerank — the COMMUNITY structure (most-frequent
@@ -1557,6 +1572,25 @@ object Relational {
         |    AS rank
         |  FROM n LEFT JOIN c2 ON n.id = c2.dst, t)
         |SELECT id AS node_id, round(rank, 10) AS rank FROM pr2"""
+        .stripMargin,
+    "graph_kcore" ->
+      """WITH ed0 AS (SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS src,
+        |  CAST(l_partkey + 1000000 AS BIGINT) AS dst FROM lineitem),
+        |e AS (SELECT src AS s, dst AS t FROM ed0
+        |      UNION SELECT dst, src FROM ed0),
+        |d1 AS (SELECT s, count(*) AS c FROM e GROUP BY s),
+        |k1 AS (SELECT s FROM d1 WHERE c >= 25),
+        |e1 AS (SELECT e.s, e.t FROM e
+        |  JOIN k1 a ON e.s = a.s JOIN k1 b ON e.t = b.s),
+        |d2 AS (SELECT s, count(*) AS c FROM e1 GROUP BY s),
+        |k2 AS (SELECT s FROM d2 WHERE c >= 25),
+        |e2 AS (SELECT e.s, e.t FROM e1 e
+        |  JOIN k2 a ON e.s = a.s JOIN k2 b ON e.t = b.s),
+        |d3 AS (SELECT s, count(*) AS c FROM e2 GROUP BY s),
+        |k3 AS (SELECT s FROM d3 WHERE c >= 25),
+        |e3 AS (SELECT e.s, e.t FROM e2 e
+        |  JOIN k3 a ON e.s = a.s JOIN k3 b ON e.t = b.s)
+        |SELECT s AS node_id, count(*) AS degree FROM e3 GROUP BY s"""
         .stripMargin,
     "graph_label_prop" ->
       """WITH ed0 AS (SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS src,

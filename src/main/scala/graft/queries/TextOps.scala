@@ -292,6 +292,53 @@ object TextOps {
             .otherwise(0.0).as("jaccard"))
     }),
 
+    // ASYMMETRIC containment — the near-dup measure Jaccard hides:
+    // |A∩B|/|A| vs |A∩B|/|B|. A short doc fully embedded in a long one
+    // has tiny Jaccard (union-dominated) but containment ≈ 1 on the
+    // short side — exactly the quote/boilerplate-inclusion case a
+    // dedup policy treats differently from mutual near-duplication.
+    // Same adjacent-pair EVAL HARNESS scope as ngram_jaccard (see its
+    // scope note): the set arithmetic verifier you run on
+    // minhashCandidatePairs' output in production. Same single-shuffle
+    // pair-role shape; zero-shingle docs (< 3 tokens) emit 0.0.
+    "txt_containment" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("doc_id").orderBy("pos")
+      val shRows = Tables.documents(s, d)
+        .select(col("doc_id"),
+          posexplode(split(trim(col("text")), "\\s+")).as(Seq("pos", "tok")))
+        .filter(col("tok") =!= "")
+        .withColumn("sgl",
+          when(lead(col("tok"), 2).over(w).isNotNull,
+            concat_ws(" ", col("tok"), lead(col("tok"), 1).over(w),
+              lead(col("tok"), 2).over(w))))
+      val sh = Tables.documents(s, d).select(col("doc_id"))
+        .join(shRows.groupBy("doc_id")
+          .agg(collect_set(col("sgl")).as("sh0")), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("sh0"), array().cast("array<string>")).as("sh"))
+      val roled = sh.select(col("sh"), explode(array(
+          struct(col("doc_id").as("pair_id"), lit("L").as("role")),
+          struct((col("doc_id") - 1).as("pair_id"), lit("R").as("role"))))
+          .as("r"))
+        .select(col("r.pair_id"), col("r.role"), col("sh"))
+      val inter = size(array_intersect(col("sh_a"), col("sh_b")))
+      roled.groupBy("pair_id").agg(
+          first(when(col("role") === "L", col("sh")), ignoreNulls = true)
+            .as("sh_a"),
+          first(when(col("role") === "R", col("sh")), ignoreNulls = true)
+            .as("sh_b"))
+        .filter(col("sh_a").isNotNull && col("sh_b").isNotNull)
+        .select(col("pair_id").as("left_id"),
+          (col("pair_id") + 1).as("right_id"),
+          round(when(size(col("sh_a")) > 0,
+            inter.cast("double") / size(col("sh_a"))).otherwise(0.0), 6)
+            .as("containment_ab"),
+          round(when(size(col("sh_b")) > 0,
+            inter.cast("double") / size(col("sh_b"))).otherwise(0.0), 6)
+            .as("containment_ba"))
+    }),
+
     // 64-bit SimHash: explode to (doc, token-hash) rows, then ONE hash
     // aggregate with 64 codegen'd sum() columns (bit j's ±1 contribution
     // uses literal shift/mask, so the whole thing stays in whole-stage
@@ -2110,6 +2157,19 @@ object TextOps {
          |FROM bands a JOIN bands b
          |  ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
          |  AND a.doc_id < b.doc_id""".stripMargin,
+    "txt_containment" ->
+      s"""WITH $TokedCte, $ShingledCte,
+         |ds AS (SELECT doc_id, list_distinct(shingles) AS sh FROM sh)
+         |SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+         |  round(CASE WHEN len(a.sh) > 0
+         |    THEN CAST(len(list_filter(a.sh,
+         |      x -> list_contains(b.sh, x))) AS DOUBLE) / len(a.sh)
+         |    ELSE 0.0 END, 6) AS containment_ab,
+         |  round(CASE WHEN len(b.sh) > 0
+         |    THEN CAST(len(list_filter(a.sh,
+         |      x -> list_contains(b.sh, x))) AS DOUBLE) / len(b.sh)
+         |    ELSE 0.0 END, 6) AS containment_ba
+         |FROM ds a JOIN ds b ON b.doc_id = a.doc_id + 1""".stripMargin,
     "ngram_jaccard" ->
       s"""WITH $TokedCte, $ShingledCte,
          |ds AS (SELECT doc_id, list_distinct(shingles) AS sh FROM sh)

@@ -200,6 +200,26 @@ class GraftOpsCcSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().toSet == Set((1L, 2L, 3L)))
   }
 
+  test("kCore peels pendants and cascades; a clique is its own core") {
+    // K4 {1,2,3,4} + pendant chain 4-5-6. k=2: 6 peels (deg 1), then 5
+    // (its degree FELL to 1 — the cascade), K4 survives at degree 3.
+    val e = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (5L, 6L)).toDF("a", "b")
+    val core2 = GraftOps.kCore(e, "a", "b", k = 2, rounds = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(core2 == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L),
+      s"K4 is the 2-core, pendants cascade out: $core2")
+    // A pure path has no 2-core but bounded rounds only peel the ends
+    // inward: 6 nodes need 3 peels to empty — rounds=2 leaves the
+    // middle (the documented superset semantics), rounds=3 is exact.
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L))
+      .toDF("a", "b")
+    assert(GraftOps.kCore(path, "a", "b", k = 2, rounds = 2)
+      .count() == 2)
+    assert(GraftOps.kCore(path, "a", "b", k = 2, rounds = 3)
+      .count() == 0)
+  }
+
   test("labelPropagation keeps two cliques distinct across a bridge " +
       "where connectedComponents merges them") {
     // Two triangles {1,2,3} and {7,8,9} joined by bridge 3-7. CC gives

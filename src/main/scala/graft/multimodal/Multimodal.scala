@@ -167,6 +167,108 @@ object Multimodal {
     spark.createDataFrame(rdd, mediaSchema)
   }
 
+  /** Synthesize one PATTERNED 32×32 grayscale PNG per id: pixel
+    * (x, y) carries gray value (id·31 + x·7 + y·13) mod 256 — written
+    * through the real JDK encoder. The arithmetic is the oracle
+    * contract: DuckDB recomputes the pixel grid directly while the
+    * Spark side must recover it by actually DECODING the PNG bytes
+    * (`extractAHash`), making this the first pixel-content round trip
+    * (the header paths stop at dimensions). */
+  def synthPngPattern(ids: DataFrame, idCol: String): DataFrame = {
+    val spark = ids.sparkSession
+    val rdd = ids.select(col(idCol).cast("long")).rdd.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { r =>
+        val id = r.getLong(0)
+        val img = new java.awt.image.BufferedImage(
+          32, 32, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < 32) {
+          var x = 0
+          while (x < 32) {
+            val v = ((id * 31 + x * 7 + y * 13) % 256).toInt
+            img.setRGB(x, y, (v << 16) | (v << 8) | v)
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        Row(id, bos.toByteArray, "image/png")
+      }
+    }
+    spark.createDataFrame(rdd, mediaSchema)
+  }
+
+  val aHashSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("ahash", StringType, nullable = true)))
+
+  /** REAL perceptual average-hash over decoded pixels: decode the PNG
+    * (full `ImageIO.read`, not the header probe), split the 32×32
+    * grayscale into an 8×8 block grid, and emit one bit per block —
+    * 1 when the block's pixel sum beats the global mean (compared as
+    * `blockSum·64 > globalSum`, integer-exact: blockSum/16 >
+    * globalSum/1024 ⟺ blockSum·64 > globalSum). The 64 bits are
+    * emitted row-major as a '0'/'1' string so no engine touches
+    * 64-bit sign semantics. aHash is THE cheap near-dup screen for
+    * image corpora (resize/recompress-invariant in production; here
+    * the invariance under re-encoding is exactly what the PNG round
+    * trip exercises). Undecodable payloads emit NULL, never failures.
+    * Per-row cost is the decode itself — unlike the header paths this
+    * one reads pixel data, which is the honest cost of content
+    * hashing; it stays mapPartitions-parallel with zero shuffle. */
+  def extractAHash(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val rdd = media.select("media_id", "payload").rdd.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { r =>
+        val id = r.getLong(0)
+        val payload = if (r.isNullAt(1)) Array.empty[Byte]
+        else r.getAs[Array[Byte]](1)
+        val hash: String =
+          try {
+            val img = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(payload))
+            if (img == null) null
+            else {
+              val raster = img.getRaster
+              val bw = img.getWidth / 8
+              val bh = img.getHeight / 8
+              if (bw == 0 || bh == 0) null
+              else {
+                val bsum = Array.ofDim[Long](64)
+                var gsum = 0L
+                var y = 0
+                while (y < bh * 8) {
+                  var x = 0
+                  while (x < bw * 8) {
+                    val v = raster.getSample(x, y, 0).toLong
+                    bsum((y / bh) * 8 + (x / bw)) += v
+                    gsum += v
+                    x += 1
+                  }
+                  y += 1
+                }
+                val nPerBlock = bw.toLong * bh
+                val nTotal = nPerBlock * 64
+                val sb = new java.lang.StringBuilder(64)
+                var j = 0
+                while (j < 64) {
+                  sb.append(
+                    if (bsum(j) * nTotal > gsum * nPerBlock) '1' else '0')
+                  j += 1
+                }
+                sb.toString
+              }
+            }
+          } catch { case scala.util.control.NonFatal(_) => null }
+        Row(id, hash)
+      }
+    }
+    spark.createDataFrame(rdd, aHashSchema)
+  }
+
   /** Canonical 44-byte PCM WAV container around `nFrames` frames of
     * 16-bit audio with deterministic body bytes — the test-fixture
     * payload generator for the audio path (the container format is the

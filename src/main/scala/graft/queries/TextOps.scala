@@ -815,6 +815,19 @@ object TextOps {
           md5(col("frame_b64")).as("frame_hash"))
     }),
 
+    // PIXEL-content perceptual hash, REAL end-to-end: synthPngPattern
+    // encodes a deterministic 32×32 gray pattern through the JDK PNG
+    // encoder and extractAHash must recover every pixel by DECODING
+    // the bytes (full ImageIO.read — the first content round trip; the
+    // other image path stops at header dims), then fold them into the
+    // 8×8 average-hash bit string. The oracle recomputes the pixel
+    // arithmetic and the integer-exact block threshold directly, so a
+    // single wrong pixel anywhere flips bits and fails the hash gate.
+    "mm_image_phash" -> ((s, d) =>
+      graft.multimodal.Multimodal.extractAHash(
+        graft.multimodal.Multimodal.synthPngPattern(
+          Tables.documents(s, d).select(col("doc_id")), "doc_id"))),
+
     // TRUE frame timestamps from the MP4 sample table (the companion to
     // mm_frame_sample's synthetic spacing): synthMp4Stts writes a full
     // moov/trak/mdia/mdhd/minf/stbl/stts hierarchy per doc — two
@@ -2779,6 +2792,23 @@ object TextOps {
         |  FROM documents)
         |SELECT * FROM img UNION ALL SELECT * FROM aud
         |UNION ALL SELECT * FROM vid""".stripMargin,
+    // Recomputes the pixel grid (id·31 + x·7 + y·13 mod 256), the 8×8
+    // block sums, and the integer-exact threshold bsum·64 > gsum.
+    "mm_image_phash" ->
+      """WITH px AS (SELECT doc_id, x.x, y.y,
+        |    (doc_id * 31 + x.x * 7 + y.y * 13) % 256 AS v
+        |  FROM documents,
+        |    LATERAL (SELECT unnest(range(0, 32)) AS x) x,
+        |    LATERAL (SELECT unnest(range(0, 32)) AS y) y),
+        |g AS (SELECT doc_id, sum(v) AS gsum FROM px GROUP BY doc_id),
+        |b AS (SELECT doc_id, (y // 4) * 8 + (x // 4) AS blk,
+        |    sum(v) AS bsum
+        |  FROM px GROUP BY doc_id, (y // 4) * 8 + (x // 4))
+        |SELECT b.doc_id AS media_id,
+        |  string_agg(CASE WHEN bsum * 64 > gsum THEN '1' ELSE '0' END,
+        |    '' ORDER BY blk) AS ahash
+        |FROM b JOIN g ON b.doc_id = g.doc_id
+        |GROUP BY b.doc_id""".stripMargin,
     // Recomputes synthMp4Stts' derivation: media timescale, two stts
     // runs (n1 at d1 ticks, n2 at d2), sample k's decode ticks = k·d1
     // inside run 1, n1·d1 + (k−n1)·d2 inside run 2; t_ms floors

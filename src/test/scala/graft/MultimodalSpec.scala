@@ -162,6 +162,28 @@ class MultimodalSpec extends SparkSpec {
     assert(idx.nonEmpty && idx.forall(_ % 2 == 0))
   }
 
+  test("extractAHash decodes real pixels: 64-bit string, discriminative " +
+      "across ids, deterministic, NULL for undecodable payloads") {
+    val ids = Seq(0L, 1L, 2L, 77L).toDF("doc_id")
+    val hashed = Multimodal.extractAHash(
+      Multimodal.synthPngPattern(ids, "doc_id"))
+      .orderBy("media_id").as[(Long, String)].collect().toSeq
+    assert(hashed.forall(h => h._2.length == 64 &&
+      h._2.forall(c => c == '0' || c == '1')))
+    // The gradient pattern differs per id — hashes must too (a decoder
+    // that returns constant/blank pixels would collapse them).
+    assert(hashed.map(_._2).distinct.size == 4, hashed.mkString("\n"))
+    // Deterministic across re-encode (PNG is lossless).
+    val again = Multimodal.extractAHash(
+      Multimodal.synthPngPattern(ids, "doc_id"))
+      .orderBy("media_id").as[(Long, String)].collect().toSeq
+    assert(again == hashed)
+    val junk = Seq((9L, "not a png".getBytes("UTF-8"), "image/png"))
+      .toDF("media_id", "payload", "mime")
+    assert(Multimodal.extractAHash(junk).as[(Long, String)]
+      .collect().head._2 == null)
+  }
+
   test("videoSampleTimes expands stts runs in the MEDIA timescale " +
       "(mdhd, not mvhd) and sampleFrameTimes strides over them") {
     // Movie timescale 600 vs media timescale 1000: a parser reading

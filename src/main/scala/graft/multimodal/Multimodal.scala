@@ -291,6 +291,71 @@ object Multimodal {
     bb.array()
   }
 
+  val audioEnergySchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("window_idx", LongType, nullable = false),
+    StructField("n_frames", LongType, nullable = false),
+    StructField("abs_sum", LongType, nullable = false)))
+
+  /** REAL PCM-content energy profile — the audio twin of
+    * `extractAHash`'s pixel round trip (the header path stops at
+    * sample counts; this one reads the SAMPLES): decode the container
+    * through `AudioSystem.getAudioInputStream` (format-aware — the
+    * stream hands back raw frames regardless of container framing),
+    * reassemble signed 16-bit little-endian samples, and emit one row
+    * per `windowFrames`-frame window with the window's summed absolute
+    * amplitude — the integer-exact stand-in for RMS (no sqrt, so both
+    * engines agree bit-for-bit; production swaps in the float RMS or a
+    * mel filterbank, same operator shape). VAD/silence trimming — the
+    * standard audio-corpus cleaning gate — is a threshold over exactly
+    * this table. Generator-shaped mapPartitions, zero shuffle; per-row
+    * cost is the decode, the honest price of content analysis.
+    * Non-audio payloads emit no rows (per-row skip, never a failure). */
+  def extractAudioEnergy(media: DataFrame, windowFrames: Int): DataFrame = {
+    require(windowFrames >= 1, "extractAudioEnergy: windowFrames >= 1")
+    val spark = media.sparkSession
+    val rdd = media.select("media_id", "payload").rdd.mapPartitions { it =>
+      it.flatMap { r =>
+        val id = r.getLong(0)
+        val payload = if (r.isNullAt(1)) Array.empty[Byte]
+        else r.getAs[Array[Byte]](1)
+        try {
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(payload))
+          try {
+            val fmt = ais.getFormat
+            val ch = fmt.getChannels
+            val ok = fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian &&
+              fmt.getEncoding ==
+                javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+            if (!ok) Iterator.empty
+            else {
+              val bytes = ais.readAllBytes()
+              val nFramesTotal = bytes.length / (2 * ch)
+              val nWindows = (nFramesTotal + windowFrames - 1) / windowFrames
+              val sums = Array.ofDim[Long](nWindows.max(0))
+              var k = 0
+              val nSamples = nFramesTotal * ch
+              while (k < nSamples) {
+                val lo = bytes(2 * k) & 0xff
+                val hi = bytes(2 * k + 1)
+                val v = ((hi << 8) | lo).toShort.toLong
+                sums((k / ch) / windowFrames) += math.abs(v)
+                k += 1
+              }
+              (0 until nWindows).iterator.map { w =>
+                val nf = math.min(windowFrames.toLong,
+                  nFramesTotal.toLong - w.toLong * windowFrames)
+                Row(id, w.toLong, nf, sums(w))
+              }
+            }
+          } finally ais.close()
+        } catch { case scala.util.control.NonFatal(_) => Iterator.empty }
+      }
+    }
+    spark.createDataFrame(rdd, audioEnergySchema)
+  }
+
   /** Synthesize one REAL WAV payload per input id (executor-side
     * mapPartitions — the driver never sees a payload): sample rate
     * 8000 + (id%4)·2000, channels 1 + id%2, frames 100 + id%50. The

@@ -458,6 +458,29 @@ object EventOps {
             6).as("zscore"))
     }),
 
+    // Seasonal-naive forecast backtest — the baseline every real
+    // forecaster must beat, and the cheapest daily-volume anomaly
+    // screen: predict each day's count with the SAME WEEKDAY last week
+    // (a calendar join on day = day − 7, robust to gap days where a
+    // lag-7-ROWS window silently slips) and score per-type MAE over
+    // the scorable days. Daily counts partial-aggregate on the events
+    // scan; the self-join runs on the tiny day table, co-partitioned
+    // on event_type. Integer |y − ŷ| sums → one exact division.
+    "ev_forecast_naive" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("y"))
+      val prior = daily.select(col("event_type").as("p_type"),
+        col("day").as("pday"), col("y").as("y7"))
+      daily.join(prior,
+          col("event_type") === col("p_type") &&
+            col("day") === date_add(col("pday"), 7))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_scored"),
+          round(sum(abs(col("y") - col("y7"))).cast("double") /
+            count(lit(1)), 6).as("mae"))
+    }),
+
     // Growth accounting — the weekly new/retained/resurrected ledger
     // every product review starts from (the lifecycle refinement of
     // ev_dau_wau's raw actives): a user's week is "new" on their first
@@ -821,6 +844,16 @@ object EventOps {
         |      * CAST(n AS DOUBLE) / (CAST(n AS DOUBLE) - 1.0)), 6)
         |    AS zscore
         |FROM m WHERE n >= 5 AND n * sxx > sx * sx""".stripMargin,
+    "ev_forecast_naive" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    count(*) AS y
+        |  FROM events GROUP BY event_type, CAST(ts AS DATE))
+        |SELECT a.event_type, count(*) AS n_scored,
+        |  round(CAST(sum(abs(a.y - b.y)) AS DOUBLE) / count(*), 6)
+        |    AS mae
+        |FROM daily a JOIN daily b ON a.event_type = b.event_type
+        |  AND a.day = b.day + INTERVAL 7 DAY
+        |GROUP BY a.event_type""".stripMargin,
     "ev_lifecycle" ->
       """WITH wk AS (SELECT DISTINCT user_id,
         |    CAST(date_trunc('week', ts) AS DATE) AS week FROM events),

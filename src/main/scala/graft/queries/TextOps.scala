@@ -292,6 +292,33 @@ object TextOps {
             .otherwise(0.0).as("jaccard"))
     }),
 
+    // Vocabulary coverage curve — the statistic that sizes a
+    // word-level vocab / OOV budget: for k ∈ {10, 50, 100}, the share
+    // of all token OCCURRENCES covered by the k most frequent types.
+    // Scale shape: one (token) count shuffle with partials, a
+    // DISTRIBUTED TakeOrdered(100) (never a global sort — the rank
+    // window runs on the 100-row result), and a 3-row k-join; the
+    // corpus total rides in as a broadcast 1-row aggregate.
+    "tok_vocab_coverage" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val freq = docsOf(s, d)
+        .select(explode(tokens(col("text"))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("freq"))
+      val total = freq.agg(sum(col("freq")).as("total"))
+      val top = freq.orderBy(col("freq").desc, col("token")).limit(100)
+        .withColumn("rnk",
+          row_number().over(Window.orderBy(col("freq").desc,
+            col("token"))).cast("long"))
+      val ks = Seq(10, 50, 100).map(k => Tuple1(k.toLong))
+      val kdf = s.createDataFrame(ks).toDF("k")
+      kdf.join(top, col("rnk") <= col("k"))
+        .groupBy("k").agg(sum(col("freq")).as("covered"))
+        .crossJoin(broadcast(total))
+        .select(col("k"), col("covered"), col("total"),
+          round(col("covered").cast("double") / col("total"), 6)
+            .as("coverage"))
+    }),
+
     // ASYMMETRIC containment — the near-dup measure Jaccard hides:
     // |A∩B|/|A| vs |A∩B|/|B|. A short doc fully embedded in a long one
     // has tiny Jaccard (union-dominated) but containment ≈ 1 on the
@@ -814,6 +841,21 @@ object TextOps {
         .select(col("media_id"), col("frame_idx").cast("long").as("frame_idx"),
           md5(col("frame_b64")).as("frame_hash"))
     }),
+
+    // PCM-content energy windows, REAL end-to-end — the audio twin of
+    // mm_image_phash's pixel round trip: synthWav's data section is a
+    // deterministic byte pattern ((i·31 + sr) mod 256), so every
+    // signed-16-LE sample value is closed-form; extractAudioEnergy
+    // must recover them by actually decoding the container
+    // (AudioSystem stream → raw frames) and windowing the absolute
+    // amplitudes. The oracle recomputes sample values from the byte
+    // arithmetic — one wrong byte offset, endianness, or sign
+    // extension anywhere breaks the hash gate.
+    "mm_audio_energy" -> ((s, d) =>
+      graft.multimodal.Multimodal.extractAudioEnergy(
+        graft.multimodal.Multimodal.synthWav(
+          Tables.documents(s, d).select(col("doc_id")), "doc_id"),
+        windowFrames = 50)),
 
     // PIXEL-content perceptual hash, REAL end-to-end: synthPngPattern
     // encodes a deterministic 32×32 gray pattern through the JDK PNG
@@ -2170,6 +2212,21 @@ object TextOps {
          |FROM bands a JOIN bands b
          |  ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
          |  AND a.doc_id < b.doc_id""".stripMargin,
+    "tok_vocab_coverage" ->
+      s"""WITH $TokedCte,
+         |tok AS (SELECT unnest(toks) AS token FROM toked),
+         |freq AS (SELECT token, count(*) AS freq FROM tok
+         |  GROUP BY token),
+         |total AS (SELECT CAST(sum(freq) AS BIGINT) AS total FROM freq),
+         |top AS (SELECT token, freq, row_number() OVER (
+         |    ORDER BY freq DESC, token) AS rnk
+         |  FROM freq ORDER BY freq DESC, token LIMIT 100),
+         |ks AS (SELECT unnest([10, 50, 100]) AS k)
+         |SELECT CAST(ks.k AS BIGINT) AS k,
+         |  CAST(sum(freq) AS BIGINT) AS covered, total.total,
+         |  round(CAST(sum(freq) AS DOUBLE) / total.total, 6) AS coverage
+         |FROM ks JOIN top ON top.rnk <= ks.k CROSS JOIN total
+         |GROUP BY ks.k, total.total""".stripMargin,
     "txt_containment" ->
       s"""WITH $TokedCte, $ShingledCte,
          |ds AS (SELECT doc_id, list_distinct(shingles) AS sh FROM sh)
@@ -2792,6 +2849,28 @@ object TextOps {
         |  FROM documents)
         |SELECT * FROM img UNION ALL SELECT * FROM aud
         |UNION ALL SELECT * FROM vid""".stripMargin,
+    // Recomputes synthWav's data bytes: sample k's low byte is
+    // (62k + sr) mod 256 and high byte (62k + 31 + sr) mod 256
+    // (byte i = (31i + sr) mod 256 at i = 2k, 2k+1), sign-extended
+    // 16-bit LE; windows of 50 frames over fr frames of ch channels.
+    "mm_audio_energy" ->
+      """WITH p AS (SELECT doc_id, 8000 + (doc_id % 4) * 2000 AS sr,
+        |    1 + doc_id % 2 AS ch, 100 + doc_id % 50 AS fr
+        |  FROM documents),
+        |k AS (SELECT doc_id, sr, ch, fr, kk.k
+        |  FROM p, LATERAL (SELECT unnest(range(0, fr * ch)) AS k) kk),
+        |smp AS (SELECT doc_id, ch, fr, k,
+        |    (62 * k + sr) % 256 + 256 * ((62 * k + 31 + sr) % 256)
+        |      AS raw
+        |  FROM k),
+        |v AS (SELECT doc_id, fr,
+        |    (k // ch) // 50 AS w,
+        |    CASE WHEN raw >= 32768 THEN raw - 65536 ELSE raw END AS val
+        |  FROM smp)
+        |SELECT doc_id AS media_id, CAST(w AS BIGINT) AS window_idx,
+        |  CAST(least(50, fr - w * 50) AS BIGINT) AS n_frames,
+        |  CAST(sum(abs(val)) AS BIGINT) AS abs_sum
+        |FROM v GROUP BY doc_id, w, fr""".stripMargin,
     // Recomputes the pixel grid (id·31 + x·7 + y·13 mod 256), the 8×8
     // block sums, and the integer-exact threshold bsum·64 > gsum.
     "mm_image_phash" ->

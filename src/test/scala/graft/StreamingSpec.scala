@@ -40,6 +40,47 @@ class StreamingSpec extends SparkSpec {
       (ts(10), "b", 1L, 8.0), (ts(20), "a", 1L, 16.0)))
   }
 
+  test("late data beyond the watermark is DROPPED in append mode — " +
+      "the state-eviction contract that bounds memory at 100 TB") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Timestamp, String, Double)]
+    val sdf = stream.toDF().toDF("ts", "event_type", "value")
+    // Append mode: a window only emits once the watermark passes its
+    // end, and its state is then evicted — later stragglers have
+    // nowhere to land. Complete mode (above) would instead keep all
+    // state and ACCEPT the late row; both behaviors are by design and
+    // this pins the append/eviction side.
+    val q = EventStream.tumblingStream(sdf, "10 minutes", "5 minutes")
+      .writeStream.format("memory").queryName("late_out")
+      .outputMode("append").start()
+    try {
+      stream.addData((ts(1), "a", 1.0), (ts(4), "a", 2.0))
+      q.processAllAvailable()
+      // Advance event time far enough that watermark (max ts − 5 min)
+      // passes the [00:00, 00:10) window end → it emits and evicts.
+      stream.addData((ts(31), "a", 100.0))
+      q.processAllAvailable()
+      val emitted = spark.table("late_out")
+        .select("window_start", "n", "total")
+        .as[(Timestamp, Long, Double)].collect().toSet
+      assert(emitted == Set((ts(0), 2L, 3.0)),
+        s"first window must emit exactly once: $emitted")
+      // A straggler INSIDE the closed window arrives after eviction…
+      stream.addData((ts(7), "a", 999.0))
+      q.processAllAvailable()
+      stream.addData((ts(55), "a", 0.5))
+      q.processAllAvailable()
+      val after = spark.table("late_out")
+        .select("window_start", "n", "total")
+        .as[(Timestamp, Long, Double)].collect().toSet
+      // …and its 999.0 appears NOWHERE: the closed window is not
+      // re-emitted and no new window absorbs it.
+      assert(!after.exists(_._3 == 999.0) &&
+        after.count(_._1 == ts(0)) == 1,
+        s"late row must be dropped, window emitted once: $after")
+    } finally q.stop()
+  }
+
   test("slidingStream over MemoryStream equals batch slidingAgg") {
     implicit val sqlCtx = spark.sqlContext
     val rows = Seq((ts(1), "a", 1.0), (ts(7), "a", 2.0), (ts(12), "b", 4.0))

@@ -550,6 +550,189 @@ object Multimodal {
     spark.createDataFrame(rdd, frameTimeSchema)
   }
 
+  /** REAL sample-payload demux: walk to the sample table, read the
+    * per-sample sizes from `stsz` and the (single) chunk offset from
+    * `stco`, and slice each sample's actual bytes out of `mdat` —
+    * the byte-range arithmetic every demuxer performs before handing
+    * frames to a codec. Single-chunk layout only (stsc declaring one
+    * run), which is what the fixture writes; multi-chunk interleave is
+    * the production extension, same walk. Returns per-sample
+    * (startOffset, size) into the payload; None when any table is
+    * missing/malformed or a declared range escapes the payload —
+    * a truncated mdat must not yield phantom frames. */
+  private[graft] def videoSampleRanges(
+      payload: Array[Byte], maxSamples: Int = 65536)
+      : Option[Array[(Long, Int)]] = {
+    if (payload == null || payload.length < 8) return None
+    def find(name: String, from: Int, until: Int): Option[(Int, Int)] =
+      findBox(payload, name, from, until)
+    try {
+      if (fourcc(payload, 4) != "ftyp") return None
+      val ranges = for {
+        (moov, moovEnd) <- find("moov", 0, payload.length)
+        (trak, trakEnd) <- find("trak", moov + 8, moovEnd)
+        (mdia, mdiaEnd) <- find("mdia", trak + 8, trakEnd)
+        (minf, minfEnd) <- find("minf", mdia + 8, mdiaEnd)
+        (stbl, stblEnd) <- find("stbl", minf + 8, minfEnd)
+        (stsz, stszEnd) <- find("stsz", stbl + 8, stblEnd)
+        if stszEnd - stsz >= 20 && payload(stsz + 8) == 0
+        // stsz sample_size == 0 → per-sample sizes follow.
+        if u32(payload, stsz + 12) == 0
+        n0 = u32(payload, stsz + 16)
+        n = math.min(n0, maxSamples.toLong)
+        if n0 >= 0 && stszEnd - stsz >= 20 + 4 * n0
+        (stco, stcoEnd) <- find("stco", stbl + 8, stblEnd)
+        if stcoEnd - stco >= 20 && u32(payload, stco + 12) == 1
+        base = u32(payload, stco + 16)
+        if base >= 0
+      } yield {
+        val out = Array.ofDim[(Long, Int)](n.toInt)
+        var off = base
+        var k = 0
+        var ok = true
+        while (k < n && ok) {
+          val sz = u32(payload, stsz + 20 + 4 * k)
+          if (sz < 0 || off + sz > payload.length) ok = false
+          else { out(k) = (off, sz.toInt); off += sz; k += 1 }
+        }
+        if (ok) out else null
+      }
+      ranges.flatMap(Option(_))
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  val frameBytesSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("sample_idx", LongType, nullable = false),
+    StructField("n_bytes", LongType, nullable = false),
+    StructField("byte_sum", LongType, nullable = false),
+    StructField("first_byte", IntegerType, nullable = false),
+    StructField("last_byte", IntegerType, nullable = false)))
+
+  /** Demux + content-summarize each sample's REAL bytes (the video
+    * completion of the pixel/PCM content round trips): per sample, its
+    * length, unsigned byte sum, and first/last byte — integer-exact
+    * summaries the oracle recomputes from the fixture's byte
+    * arithmetic, so a wrong stsz stride, stco base, or slice bound
+    * anywhere shows up as a hash mismatch. Generator-shaped
+    * mapPartitions; undemuxable payloads emit no rows. */
+  def extractFrameBytes(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val rdd = media.select("media_id", "payload").rdd.mapPartitions { it =>
+      it.flatMap { r =>
+        val id = r.getLong(0)
+        val payload = if (r.isNullAt(1)) Array.empty[Byte]
+        else r.getAs[Array[Byte]](1)
+        videoSampleRanges(payload) match {
+          case Some(ranges) =>
+            ranges.iterator.zipWithIndex.map { case ((off, sz), k) =>
+              var s = 0L
+              var j = 0
+              while (j < sz) { s += payload(off.toInt + j) & 0xff; j += 1 }
+              val first = if (sz > 0) payload(off.toInt) & 0xff else 0
+              val last =
+                if (sz > 0) payload(off.toInt + sz - 1) & 0xff else 0
+              Row(id, k.toLong, sz.toLong, s, first, last)
+            }
+          case None => Iterator.empty
+        }
+      }
+    }
+    spark.createDataFrame(rdd, frameBytesSchema)
+  }
+
+  /** Minimal DEMUXABLE MP4: the mp4BytesStts layout extended with the
+    * full sample-location tables (stsz per-sample sizes, stsc one-run
+    * chunk map, stco single chunk offset) and an actual `mdat` whose
+    * payload byte j is (17·j + seed) mod 256 — deterministic content
+    * the oracle can recompute while the Spark side must demux the real
+    * container. */
+  def mp4BytesFrames(timescale: Int, durationTicks: Long, width: Int,
+      height: Int, mediaTs: Int, stts: Seq[(Int, Int)],
+      sampleSizes: Seq[Int], seed: Long): Array[Byte] = {
+    val n = sampleSizes.length
+    val mdatBody = sampleSizes.sum
+    val sttsSz = 16 + 8 * stts.length
+    val stszSz = 20 + 4 * n
+    val stscSz = 28
+    val stcoSz = 20
+    val stblSz = 8 + sttsSz + stszSz + stscSz + stcoSz
+    val minfSz = 8 + stblSz
+    val mdhdSz = 32
+    val mdiaSz = 8 + mdhdSz + minfSz
+    val trakSz = 8 + 92 + mdiaSz
+    val moovSz = 8 + 108 + trakSz
+    val total = 20 + moovSz + 8 + mdatBody
+    val mdatPayloadOff = 20 + moovSz + 8
+    val bb = java.nio.ByteBuffer.allocate(total)
+      .order(java.nio.ByteOrder.BIG_ENDIAN)
+    bb.putInt(20).put("ftypisom".getBytes("US-ASCII"))
+    bb.putInt(0x200).put("isom".getBytes("US-ASCII"))
+    bb.putInt(moovSz).put("moov".getBytes("US-ASCII"))
+    bb.putInt(108).put("mvhd".getBytes("US-ASCII"))
+    bb.putInt(0).putInt(0).putInt(0)
+    bb.putInt(timescale).putInt(durationTicks.toInt)
+    bb.putInt(0x00010000).putShort(0x0100.toShort)
+    bb.put(new Array[Byte](10))
+    Seq(0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000)
+      .foreach(bb.putInt)
+    bb.put(new Array[Byte](24)).putInt(2)
+    bb.putInt(trakSz).put("trak".getBytes("US-ASCII"))
+    bb.putInt(92).put("tkhd".getBytes("US-ASCII"))
+    bb.putInt(0).putInt(0).putInt(0)
+    bb.putInt(1).putInt(0).putInt(durationTicks.toInt)
+    bb.put(new Array[Byte](8))
+    bb.putShort(0).putShort(0).putShort(0).putShort(0)
+    Seq(0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000)
+      .foreach(bb.putInt)
+    bb.putInt(width << 16).putInt(height << 16)
+    bb.putInt(mdiaSz).put("mdia".getBytes("US-ASCII"))
+    bb.putInt(mdhdSz).put("mdhd".getBytes("US-ASCII"))
+    bb.putInt(0).putInt(0).putInt(0)
+    bb.putInt(mediaTs)
+    bb.putInt(stts.map { case (c, dl) => c.toLong * dl }.sum.toInt)
+    bb.putShort(0x55c4.toShort).putShort(0)
+    bb.putInt(minfSz).put("minf".getBytes("US-ASCII"))
+    bb.putInt(stblSz).put("stbl".getBytes("US-ASCII"))
+    bb.putInt(sttsSz).put("stts".getBytes("US-ASCII"))
+    bb.putInt(0).putInt(stts.length)
+    stts.foreach { case (c, dl) => bb.putInt(c).putInt(dl) }
+    bb.putInt(stszSz).put("stsz".getBytes("US-ASCII"))
+    bb.putInt(0).putInt(0).putInt(n) // v0, sample_size=0 (varied), count
+    sampleSizes.foreach(bb.putInt)
+    bb.putInt(stscSz).put("stsc".getBytes("US-ASCII"))
+    bb.putInt(0).putInt(1) // v0, one run
+    bb.putInt(1).putInt(n).putInt(1) // first_chunk, samples/chunk, desc
+    bb.putInt(stcoSz).put("stco".getBytes("US-ASCII"))
+    bb.putInt(0).putInt(1).putInt(mdatPayloadOff) // v0, one chunk, offset
+    bb.putInt(8 + mdatBody).put("mdat".getBytes("US-ASCII"))
+    var j = 0
+    while (j < mdatBody) {
+      bb.put(((17L * j + seed) % 256).toByte); j += 1
+    }
+    bb.array()
+  }
+
+  /** One demuxable MP4 per id: 3+(id%4) samples, sample k sized
+    * 20+((id+k)%30) bytes, mdat byte j = (17j + id) mod 256 — the
+    * oracle contract for `mm_frame_bytes`. */
+  def synthMp4Frames(ids: DataFrame, idCol: String): DataFrame = {
+    val spark = ids.sparkSession
+    val rdd = ids.select(col(idCol).cast("long")).rdd.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val n = 3 + (id % 4).toInt
+        val sizes = (0 until n).map(k => 20 + ((id + k) % 30).toInt)
+        val mts = 1000 + (id % 3).toInt * 500
+        val movieTs = 600 + (id % 5).toInt * 300
+        val dur = movieTs.toLong * (2 + (id % 7).toInt)
+        Row(id, mp4BytesFrames(movieTs, dur, 320, 240, mts,
+          Seq((n, 100)), sizes, id), "video/mp4")
+      }
+    }
+    spark.createDataFrame(rdd, mediaSchema)
+  }
+
   /** Video feature extraction — same mapPartitions shape as the image
     * and audio paths: real ISO-BMFF headers get TRUE
     * timescale/duration/dims, anything else the deterministic fallback.

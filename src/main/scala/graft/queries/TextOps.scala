@@ -842,6 +842,20 @@ object TextOps {
           md5(col("frame_b64")).as("frame_hash"))
     }),
 
+    // REAL MP4 DEMUX — the video completion of the content round
+    // trips: synthMp4Frames writes full sample-location tables (stsz
+    // varied sizes, stsc one-run map, stco chunk offset) plus an mdat
+    // whose byte j is (17j + id) mod 256, and extractFrameBytes must
+    // locate and slice each sample's ACTUAL bytes the way a demuxer
+    // feeds a codec — then summarize them integer-exactly (length,
+    // unsigned sum, first/last byte). The oracle recomputes every
+    // sample's byte range from the arithmetic; a wrong stsz stride,
+    // stco base, or slice bound fails the hash gate.
+    "mm_frame_bytes" -> ((s, d) =>
+      graft.multimodal.Multimodal.extractFrameBytes(
+        graft.multimodal.Multimodal.synthMp4Frames(
+          Tables.documents(s, d).select(col("doc_id")), "doc_id"))),
+
     // PCM-content energy windows, REAL end-to-end — the audio twin of
     // mm_image_phash's pixel round trip: synthWav's data section is a
     // deterministic byte pattern ((i·31 + sr) mod 256), so every
@@ -2849,6 +2863,29 @@ object TextOps {
         |  FROM documents)
         |SELECT * FROM img UNION ALL SELECT * FROM aud
         |UNION ALL SELECT * FROM vid""".stripMargin,
+    // Recomputes synthMp4Frames' layout: sample k of doc has size
+    // 20 + (id+k) mod 30, starts at the running size sum, and mdat
+    // byte j is (17j + id) mod 256.
+    "mm_frame_bytes" ->
+      """WITH p AS (SELECT doc_id, 3 + doc_id % 4 AS n FROM documents),
+        |s AS (SELECT doc_id, kk.k, 20 + (doc_id + kk.k) % 30 AS sz
+        |  FROM p, LATERAL (SELECT unnest(range(0, n)) AS k) kk),
+        |r AS (SELECT doc_id, k, sz,
+        |    CAST(coalesce(sum(sz) OVER (PARTITION BY doc_id ORDER BY k
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS st
+        |  FROM s),
+        |bytes AS (SELECT doc_id, k, sz, st, jj.j,
+        |    (17 * jj.j + doc_id) % 256 AS v
+        |  FROM r, LATERAL (SELECT unnest(range(st, st + sz)) AS j) jj)
+        |SELECT doc_id AS media_id, CAST(k AS BIGINT) AS sample_idx,
+        |  CAST(sz AS BIGINT) AS n_bytes,
+        |  CAST(sum(v) AS BIGINT) AS byte_sum,
+        |  CAST(min(CASE WHEN j = st THEN v END) AS INTEGER)
+        |    AS first_byte,
+        |  CAST(min(CASE WHEN j = st + sz - 1 THEN v END) AS INTEGER)
+        |    AS last_byte
+        |FROM bytes GROUP BY doc_id, k, sz, st""".stripMargin,
     // Recomputes synthWav's data bytes: sample k's low byte is
     // (62k + sr) mod 256 and high byte (62k + 31 + sr) mod 256
     // (byte i = (31i + sr) mod 256 at i = 2k, 2k+1), sign-extended

@@ -222,6 +222,32 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.sampleFrameTimes(noStts, 1).count() == 0)
   }
 
+  test("videoSampleRanges demuxes real stsz/stco byte ranges and " +
+      "refuses truncated mdat (no phantom frames)") {
+    val bytes = Multimodal.mp4BytesFrames(600, 1200, 320, 240, 1000,
+      Seq((3, 100)), Seq(10, 20, 30), seed = 5L)
+    val Some(ranges) = Multimodal.videoSampleRanges(bytes)
+    assert(ranges.map(_._2).toSeq == Seq(10, 20, 30))
+    // Offsets are consecutive and the first slice starts right after
+    // the mdat header; the slice content matches the seed pattern.
+    val (off0, _) = ranges(0)
+    assert(ranges(1)._1 == off0 + 10 && ranges(2)._1 == off0 + 30)
+    assert((bytes(off0.toInt) & 0xff) == 5) // j=0: (17*0 + 5) % 256
+    assert((bytes(off0.toInt + 1) & 0xff) == 22) // j=1: 17+5
+    // Truncate INSIDE the last sample: the declared range escapes the
+    // payload → the whole demux refuses (a codec fed a short frame is
+    // worse than no frame).
+    assert(Multimodal.videoSampleRanges(
+      bytes.take(bytes.length - 1)).isEmpty)
+    val frames = Multimodal.extractFrameBytes(
+      Seq((4L, bytes, "video/mp4")).toDF("media_id", "payload", "mime"))
+      .orderBy("sample_idx")
+      .as[(Long, Long, Long, Long, Int, Int)].collect().toSeq
+    assert(frames.map(_._3) == Seq(10L, 20L, 30L))
+    // byte_sum of sample 0 = Σ_{j=0..9} (17j + 5) % 256 = 815.
+    assert(frames(0)._4 == (0 until 10).map(j => (17 * j + 5) % 256).sum)
+  }
+
   test("sampleFrames chunks payloads beyond one base64 line (76 chars)") {
     // Spark's base64 MIME-chunks at 76 chars; the regression collapsed
     // any payload > 57 bytes to a single frame. 300 bytes → b64 400

@@ -531,6 +531,28 @@ object Relational {
     // constraints, each as one aggregate; the union is a constant-width
     // report. At 100 TB each check is an independent scan/agg —
     // schedulable in parallel, no check blocks another.
+    // Partition-skew report — the diagnostic you run BEFORE reaching
+    // for scale_salted_join's salt: per join key, how unbalanced is
+    // the row distribution (max/avg ratio ≈ the straggler factor an
+    // unsalted shuffle would suffer), plus the hottest key itself
+    // (deterministic argmax: max(struct(n, −key))). One count
+    // aggregate and a 1-row rollup — the report costs one shuffle of
+    // (key, count) partials at any scale.
+    "dq_skew" -> ((s, d) => {
+      val cnt = Tables.lineitem(s, d).groupBy("l_suppkey")
+        .agg(count(lit(1)).as("n"))
+      cnt.agg(
+          count(lit(1)).as("n_keys"),
+          sum(col("n")).as("total_rows"),
+          max(col("n")).as("max_rows"),
+          max(struct(col("n"), (-col("l_suppkey")).as("neg")))
+            .as("hot"))
+        .select(col("n_keys"), col("total_rows"), col("max_rows"),
+          (-col("hot.neg")).as("hot_key"),
+          round(col("max_rows").cast("double") * col("n_keys") /
+            col("total_rows"), 6).as("skew_ratio"))
+    }),
+
     // Pipeline-freshness report — the staleness monitor every ingest
     // DAG alarms on: per event_type, last-seen time and its lag behind
     // the table's frontier (the global max ts stands in for "now" so
@@ -1457,6 +1479,18 @@ object Relational {
         |  count(*) AS n_items
         |FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
         |GROUP BY s.s_nationkey""".stripMargin,
+    "dq_skew" ->
+      """WITH c AS (SELECT l_suppkey, count(*) AS n FROM lineitem
+        |  GROUP BY l_suppkey),
+        |hot AS (SELECT l_suppkey AS hot_key FROM c
+        |  ORDER BY n DESC, l_suppkey LIMIT 1)
+        |SELECT count(*) AS n_keys,
+        |  CAST(sum(n) AS BIGINT) AS total_rows,
+        |  CAST(max(n) AS BIGINT) AS max_rows,
+        |  hot.hot_key,
+        |  round(CAST(max(n) AS DOUBLE) * count(*) / sum(n), 6)
+        |    AS skew_ratio
+        |FROM c CROSS JOIN hot GROUP BY hot.hot_key""".stripMargin,
     "dq_freshness" ->
       """WITH per AS (SELECT event_type,
         |    CAST(epoch_us(max(ts)) AS BIGINT) AS last_us,

@@ -314,6 +314,63 @@ object Similarity {
         .filter(col("rnk") <= 5)
     }),
 
+    // The IVF TUNING CURVE — recall@10 as a function of nprobe
+    // ∈ {1, 2, 4}, the measurement every IVF deployment runs to pick
+    // its latency/recall point (emb_ivf_nprobe is one point of this
+    // curve; this emits the curve). One cell ranking per query feeds
+    // all three probe widths via a 3-row broadcast k-join; candidates
+    // join on the cell id (never a corpus scan per probe width); the
+    // brute-force top-10 baseline is computed ONCE and semi-joined.
+    // The assignment table is checkpointed — three consumers.
+    "emb_nprobe_sweep" -> ((s, d) => {
+      def dot(a: Column, b: Column) = call_function("graft_vec_dot", a, b)
+      val cells = kmeansAssign(s, d).select("vec_id", "u", "cluster")
+        .localCheckpoint()
+      val cents = kmeansCentroids(s, d)
+      val q0 = cells.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("u").as("q_u"))
+      val wCell = Window.partitionBy("q_id")
+        .orderBy(col("csc").desc, col("cid"))
+      val ranked = q0.crossJoin(broadcast(cents))
+        .select(col("q_id"), col("q_u"), col("cid"),
+          round(dot(col("q_u"), col("cu")), 6).as("csc"))
+        .withColumn("crn", row_number().over(wCell))
+      val ks = s.createDataFrame(Seq(1, 2, 4).map(Tuple1(_))).toDF("np")
+      val probes = ranked.join(broadcast(ks), col("crn") <= col("np"))
+        .select(col("np"), col("q_id"), col("q_u"),
+          col("cid").as("q_cluster"))
+      val wTop = Window.partitionBy("np", "q_id")
+        .orderBy(col("score").desc, col("cand_id"))
+      val cand = cells.join(broadcast(probes),
+          col("cluster") === col("q_cluster") &&
+            col("vec_id") =!= col("q_id"))
+        .select(col("np"), col("q_id"), col("vec_id").as("cand_id"),
+          round(dot(col("u"), col("q_u")), 6).as("score"))
+        .withColumn("rnk", row_number().over(wTop))
+        .filter(col("rnk") <= 10)
+        .select("np", "q_id", "cand_id")
+      val wBf = Window.partitionBy("q_id")
+        .orderBy(col("score").desc, col("cand_id"))
+      val bf = cells.select(col("vec_id").as("cand_id"), col("u"))
+        .crossJoin(broadcast(q0))
+        .filter(col("cand_id") =!= col("q_id"))
+        .select(col("q_id"), col("cand_id"),
+          round(dot(col("u"), col("q_u")), 6).as("score"))
+        .withColumn("bfr", row_number().over(wBf))
+        .filter(col("bfr") <= 10)
+        .select("q_id", "cand_id")
+      val hits = cand.join(bf, Seq("q_id", "cand_id"), "left_semi")
+        .groupBy("np", "q_id").agg(count(lit(1)).as("h"))
+      val grid = ks.crossJoin(q0.select("q_id"))
+      grid.join(hits, Seq("np", "q_id"), "left")
+        .groupBy("np").agg(
+          count(lit(1)).as("n_queries"),
+          round(sum(coalesce(col("h"), lit(0L))).cast("double") /
+            (count(lit(1)) * 10.0), 6).as("avg_recall"))
+        .select(col("np").cast("long").as("np"), col("n_queries"),
+          col("avg_recall"))
+    }),
+
     // The COMPOSED production ANN serving topology — IVF retrieval ×
     // MRL cascade, the two halves emb_ivf_nprobe and emb_cascade_rerank
     // each measure alone, joined end-to-end: (1) rank k-means cells per
@@ -761,6 +818,43 @@ object Similarity {
          |    ORDER BY score DESC, cand_id) AS rnk FROM sc)
          |SELECT q_id, cand_id, score, rnk FROM r WHERE rnk <= 5"""
         .stripMargin,
+    "emb_nprobe_sweep" ->
+      s"""WITH $KmeansCte,
+         |q AS (SELECT vec_id AS q_id, u AS q_u FROM a2 WHERE vec_id < 5),
+         |rankedc AS (SELECT q.q_id, q.q_u, c.cid, row_number() OVER (
+         |    PARTITION BY q.q_id
+         |    ORDER BY round(list_dot_product(q.q_u, c.cu), 6) DESC,
+         |      c.cid) AS crn
+         |  FROM q CROSS JOIN c1 c),
+         |ks AS (SELECT unnest([1, 2, 4]) AS np),
+         |probes AS (SELECT ks.np, r.q_id, r.q_u, r.cid
+         |  FROM rankedc r JOIN ks ON r.crn <= ks.np),
+         |cand AS (SELECT np, q_id, cand_id FROM (
+         |  SELECT p.np, p.q_id, a.vec_id AS cand_id,
+         |    row_number() OVER (PARTITION BY p.np, p.q_id
+         |      ORDER BY round(list_dot_product(a.u, p.q_u), 6) DESC,
+         |        a.vec_id) AS rnk
+         |  FROM a2 a JOIN probes p ON a.cluster = p.cid
+         |    AND a.vec_id <> p.q_id) WHERE rnk <= 10),
+         |bf AS (SELECT q_id, cand_id FROM (
+         |  SELECT q.q_id, a.vec_id AS cand_id, row_number() OVER (
+         |      PARTITION BY q.q_id
+         |      ORDER BY round(list_dot_product(a.u, q.q_u), 6) DESC,
+         |        a.vec_id) AS bfr
+         |  FROM a2 a CROSS JOIN q WHERE a.vec_id <> q.q_id)
+         |  WHERE bfr <= 10),
+         |hit AS (SELECT c.np, c.q_id, count(*) AS h
+         |  FROM cand c JOIN bf ON c.q_id = bf.q_id
+         |    AND c.cand_id = bf.cand_id
+         |  GROUP BY c.np, c.q_id),
+         |grid AS (SELECT ks.np, q.q_id FROM ks CROSS JOIN q)
+         |SELECT CAST(g.np AS BIGINT) AS np,
+         |  CAST(count(*) AS BIGINT) AS n_queries,
+         |  round(CAST(sum(coalesce(h, 0)) AS DOUBLE)
+         |    / (count(*) * 10.0), 6) AS avg_recall
+         |FROM grid g LEFT JOIN hit ON g.np = hit.np
+         |  AND g.q_id = hit.q_id
+         |GROUP BY g.np""".stripMargin,
     "emb_ivf_cascade" ->
       s"""WITH $KmeansCte,
          |t AS (SELECT vec_id, cluster,

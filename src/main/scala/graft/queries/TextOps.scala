@@ -1498,6 +1498,29 @@ object TextOps {
         .groupBy("doc_id").agg(sum("n_sym").as("n_bpe_tokens"))
     }),
 
+    // Tokenizer EVAL summary — fertility (BPE tokens per word) and
+    // compression (chars per BPE token), the two numbers that decide
+    // whether a learned vocab is worth shipping (fertility near 1 ⟺
+    // merges cover the corpus; chars/token ≈ bytes saved per step).
+    // One corpus pass joined to the broadcast learned vocab, one
+    // global aggregate — integer sums, two exact divisions.
+    "tok_bpe_compression" -> ((s, d) => {
+      val wc = bpeLearn(s, d)._1
+        .select(col("word"),
+          size(split(trim(col("sp")), " ")).cast("long").as("n_sym"))
+      docsOf(s, d)
+        .select(explode(tokens(col("text"))).as("word"))
+        .join(broadcast(wc), Seq("word"))
+        .agg(count(lit(1)).as("n_words"),
+          sum(length(col("word"))).as("n_chars"),
+          sum(col("n_sym")).as("n_bpe_tokens"))
+        .select(col("n_words"), col("n_chars"), col("n_bpe_tokens"),
+          round(col("n_chars").cast("double") / col("n_bpe_tokens"), 6)
+            .as("chars_per_token"),
+          round(col("n_bpe_tokens").cast("double") / col("n_words"), 6)
+            .as("fertility"))
+    }),
+
     // Triangle counting over the minhash candidate-pair graph — the
     // standard "how clustered are my near-duplicates" graph statistic.
     // DEGREE-oriented enumeration (GraftOps.triangles): on a skewed
@@ -1934,9 +1957,26 @@ object TextOps {
        |cm AS (SELECT src, min(dst) AS cl FROM reach GROUP BY src)"""
       .stripMargin
 
+  private def bpeCompressionOracle: String =
+    s"""WITH $bpeChainCte,
+       |wc AS (SELECT word,
+       |  CAST(len(string_split(trim(sp), ' ')) AS BIGINT) AS n_sym
+       |  FROM w$BpeSteps),
+       |t AS (SELECT t.word, wc.n_sym
+       |  FROM (SELECT unnest(toks) AS word FROM toked) t
+       |  JOIN wc ON t.word = wc.word)
+       |SELECT count(*) AS n_words,
+       |  CAST(sum(length(word)) AS BIGINT) AS n_chars,
+       |  CAST(sum(n_sym) AS BIGINT) AS n_bpe_tokens,
+       |  round(CAST(sum(length(word)) AS DOUBLE) / sum(n_sym), 6)
+       |    AS chars_per_token,
+       |  round(CAST(sum(n_sym) AS DOUBLE) / count(*), 6) AS fertility
+       |FROM t""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "tok_bpe_learn" -> bpeOracle,
     "tok_bpe_apply" -> bpeApplyOracle,
+    "tok_bpe_compression" -> bpeCompressionOracle,
     "graph_bfs" ->
       s"""WITH RECURSIVE $SigCte,
          |pr AS (SELECT DISTINCT a.doc_id AS left_id, b.doc_id AS right_id

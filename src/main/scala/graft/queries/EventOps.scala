@@ -514,7 +514,9 @@ object EventOps {
     // Two-proportion z-test over a deterministic A/B assignment — the
     // experiment-readout query product analytics runs daily. Variant =
     // user_id parity (in production: a seeded hash, same shape);
-    // outcome = the user converted (≥1 purchase). One per-user
+    // outcome = the user converted (≥1 purchase over 150 — thresholded
+    // because EVERY synthetic user has some purchase, and a degenerate
+    // 100 % pool has zero pooled variance). One per-user
     // aggregate, then ONE conditional global aggregate builds the 2×2
     // table — no pivot, no join between variant branches, no second
     // events scan. The z statistic is closed-form double math on four

@@ -787,6 +787,50 @@ object Relational {
         .unionByName(inserts)
     }),
 
+    // Snapshot RECONCILIATION — the diff report run after any
+    // migration/backfill/CDC apply: full-outer join two table versions
+    // on the key and classify every row added / removed / changed /
+    // unchanged, with per-column change counts (which column drifted
+    // is the first triage question). Version 2 is derived by the same
+    // deterministic feed as cdc_merge, so the diff counts are the
+    // oracle contract. One co-partitioned full-outer join + a 4-group
+    // rollup; at 100 TB both sides shuffle once on the key — the same
+    // cost as the merge that produced v2.
+    "dq_table_diff" -> ((s, d) => {
+      val v1 = Tables.customer(s, d)
+        .select("c_custkey", "c_name", "c_acctbal")
+      val updates = v1.filter(col("c_custkey") % 5 === 0)
+        .select(col("c_custkey"), (col("c_acctbal") + 100.0).as("new_bal"))
+      val deletes = v1.filter(col("c_custkey") % 7 === 0 &&
+        col("c_custkey") % 5 =!= 0).select("c_custkey")
+      val inserts = v1.filter(col("c_custkey") % 11 === 0)
+        .select((col("c_custkey") + 1000000L).as("c_custkey"),
+          concat(lit("NEW-"), col("c_name")).as("c_name"),
+          lit(0.0).as("c_acctbal"))
+      val v2 = v1.join(deletes, Seq("c_custkey"), "left_anti")
+        .join(updates, Seq("c_custkey"), "left")
+        .select(col("c_custkey"), col("c_name"),
+          coalesce(col("new_bal"), col("c_acctbal")).as("c_acctbal"))
+        .unionByName(inserts)
+        .select(col("c_custkey"), col("c_name").as("b_name"),
+          col("c_acctbal").as("b_bal"))
+      val nameChanged = col("c_name") =!= col("b_name")
+      val balChanged = col("c_acctbal") =!= col("b_bal")
+      v1.join(v2, Seq("c_custkey"), "full_outer")
+        .select(
+          when(col("c_name").isNull, "added")
+            .when(col("b_name").isNull, "removed")
+            .when(nameChanged || balChanged, "changed")
+            .otherwise("unchanged").as("status"),
+          when(coalesce(nameChanged, lit(false)), 1L).otherwise(0L)
+            .as("nc"),
+          when(coalesce(balChanged, lit(false)), 1L).otherwise(0L)
+            .as("bc"))
+        .groupBy("status").agg(count(lit(1)).as("n_rows"),
+          sum(col("nc")).as("n_name_changed"),
+          sum(col("bc")).as("n_bal_changed"))
+    }),
+
     // Incremental AGGREGATE maintenance — the other half of the CDC
     // story: cdc_merge maintains the row table, this maintains a
     // materialized per-customer aggregate by merging a delta batch's
@@ -1669,6 +1713,36 @@ object Relational {
         |  coalesce(s.n_supp, 0) AS n_supp
         |FROM c FULL OUTER JOIN s ON c.c_nationkey = s.s_nationkey"""
         .stripMargin,
+    "dq_table_diff" ->
+      """WITH v1 AS (SELECT c_custkey, c_name, c_acctbal FROM customer),
+        |upd AS (SELECT c_custkey, c_acctbal + 100.0 AS new_bal FROM v1
+        |  WHERE c_custkey % 5 = 0),
+        |del AS (SELECT c_custkey FROM v1
+        |  WHERE c_custkey % 7 = 0 AND c_custkey % 5 <> 0),
+        |ins AS (SELECT c_custkey + 1000000 AS c_custkey,
+        |  'NEW-' || c_name AS c_name, 0.0 AS c_acctbal FROM v1
+        |  WHERE c_custkey % 11 = 0),
+        |v2 AS (SELECT v1.c_custkey, v1.c_name,
+        |    coalesce(upd.new_bal, v1.c_acctbal) AS c_acctbal
+        |  FROM v1 LEFT JOIN upd ON v1.c_custkey = upd.c_custkey
+        |  WHERE NOT EXISTS (SELECT 1 FROM del
+        |    WHERE del.c_custkey = v1.c_custkey)
+        |  UNION ALL SELECT * FROM ins),
+        |d AS (SELECT
+        |    CASE WHEN a.c_name IS NULL THEN 'added'
+        |      WHEN b.c_name IS NULL THEN 'removed'
+        |      WHEN a.c_name <> b.c_name OR a.c_acctbal <> b.c_acctbal
+        |        THEN 'changed'
+        |      ELSE 'unchanged' END AS status,
+        |    CASE WHEN coalesce(a.c_name <> b.c_name, FALSE)
+        |      THEN 1 ELSE 0 END AS nc,
+        |    CASE WHEN coalesce(a.c_acctbal <> b.c_acctbal, FALSE)
+        |      THEN 1 ELSE 0 END AS bc
+        |  FROM v1 a FULL OUTER JOIN v2 b ON a.c_custkey = b.c_custkey)
+        |SELECT status, count(*) AS n_rows,
+        |  CAST(sum(nc) AS BIGINT) AS n_name_changed,
+        |  CAST(sum(bc) AS BIGINT) AS n_bal_changed
+        |FROM d GROUP BY status""".stripMargin,
     // One full-table pass — the ground truth the incremental merge
     // must reproduce exactly.
     "cdc_agg_maintain" ->

@@ -720,9 +720,12 @@ object Relational {
     // at the sf0.01 gate 1 370 of 2 100 nodes survive. The oracle
     // unrolls the three peels as chained CTEs.
     "graph_kcore" -> ((s, d) => {
+      // No caller-side distinct: kCore symmetrizes and distincts the
+      // exploded edge set itself — a pre-distinct here would be a
+      // second full shuffle of the same data (measured redundant).
       val edges = Tables.lineitem(s, d)
         .select(col("l_suppkey").cast("long").as("src"),
-          (col("l_partkey") + 1000000L).as("dst")).distinct()
+          (col("l_partkey") + 1000000L).as("dst"))
       graft.api.GraftOps.kCore(edges, "src", "dst", k = 25, rounds = 3)
     }),
 
@@ -733,9 +736,11 @@ object Relational {
     // finds mere reachability. The oracle unrolls the three synchronous
     // rounds as chained CTEs with an identical argmax rule.
     "graph_label_prop" -> ((s, d) => {
+      // No caller-side distinct — labelPropagation distincts the
+      // symmetrized set itself (same reasoning as graph_kcore).
       val edges = Tables.lineitem(s, d)
         .select(col("l_suppkey").cast("long").as("src"),
-          (col("l_partkey") + 1000000L).as("dst")).distinct()
+          (col("l_partkey") + 1000000L).as("dst"))
       graft.api.GraftOps.labelPropagation(edges, "src", "dst", rounds = 3)
     }),
 

@@ -563,7 +563,14 @@ object GraftOps {
         (col("__vLo") + col("__frac") * (col("__vHi") - col("__vLo")))
           .as("__q"))
       .agg(transform(array_sort(collect_list(struct(col("__i"), col("__q")))),
-        x => x.getField("__q")).as("q"))
+        x => x.getField("__q")).as("q0"))
+      // Empty/all-null input: no probe rows survive, so the collected
+      // array is [] — but percentile(v, array(ps)) returns an array of
+      // NULLs there, and this function claims drop-in semantics
+      // (element_at(q, i) must yield NULL, not an ANSI index error).
+      .select(when(size(col("q0")) === ps.size, col("q0"))
+        .otherwise(array(ps.map(_ => lit(null).cast("double")): _*))
+        .as("q"))
   }
 
   /** Packing core over an existing chunk table (idCol, chunk_id,
@@ -669,8 +676,15 @@ object GraftOps {
     val kept = array_sort(filter(split(q, "&"),
       p => p =!= "" && !p.rlike("^(utm_|fbclid(=|$)|gclid(=|$))")))
     val qs = concat_ws("&", kept)
-    concat(scheme, lit("://"), host, path,
-      when(qs === "", lit("")).otherwise(concat(lit("?"), qs)))
+    // Non-hierarchical inputs (no "scheme://" — bare hosts, mailto:,
+    // protocol-relative "//host") pass through UNCHANGED: every
+    // extraction above yields "" for them, and collapsing all such
+    // URLs to a shared "://" canonical would merge unrelated documents
+    // in any groupBy-dedup downstream — silent data loss, the one
+    // failure mode a dedup key must never have.
+    when(scheme === "", url).otherwise(
+      concat(scheme, lit("://"), host, path,
+        when(qs === "", lit("")).otherwise(concat(lit("?"), qs))))
   }
 
   /** PII scrubbing (the privacy-redaction pass a training corpus runs
@@ -882,6 +896,7 @@ object GraftOps {
       .localCheckpoint()
     var labels = e.select(col("__src").as("__id")).distinct()
       .select(col("__id"), col("__id").as("label"))
+    var prevCache: Option[DataFrame] = None
     (1 to rounds).foreach { i =>
       // ONE shuffle per round: the raw vote stream is repartitioned on
       // __src once, and BOTH aggregates run in-partition on top of it —
@@ -909,8 +924,21 @@ object GraftOps {
       // instead of broadcasting the node-sized label table (measured:
       // SMJ rounds 6.1 s vs broadcast rounds ~2 s at sf0.1). The cache
       // keeps the plan's stats visible — AQE still decides per scale —
-      // while deduping the two references.
-      if (i < rounds) labels = labels.cache()
+      // while deduping the two references. Live caches are BOUNDED at
+      // one: each round materializes eagerly (count — the same work
+      // the next round would trigger anyway) so round t−1's cache can
+      // unpersist immediately instead of accumulating one node-sized
+      // InMemoryRelation per round in a long-lived session. The LAST
+      // round's cache backs the returned DataFrame — callers that care
+      // unpersist it after consuming (Verify/Bench reclaim it between
+      // queries). Measured cost of the eager rounds at sf0.1: ~1 s
+      // over the lazy chain (3.7 → 4.7 s) — accepted: a library
+      // function that leaks one cache per round into callers' sessions
+      // is wrong regardless of the harness's own reclaim.
+      labels = labels.cache()
+      labels.count()
+      prevCache.foreach(_.unpersist(blocking = false))
+      prevCache = Some(labels)
     }
     labels.select(col("__id").as("node_id"),
       col("label").cast("long").as("label"))

@@ -625,15 +625,23 @@ object Multimodal {
         else r.getAs[Array[Byte]](1)
         videoSampleRanges(payload) match {
           case Some(ranges) =>
-            ranges.iterator.zipWithIndex.map { case ((off, sz), k) =>
-              var s = 0L
-              var j = 0
-              while (j < sz) { s += payload(off.toInt + j) & 0xff; j += 1 }
-              val first = if (sz > 0) payload(off.toInt) & 0xff else 0
-              val last =
-                if (sz > 0) payload(off.toInt + sz - 1) & 0xff else 0
-              Row(id, k.toLong, sz.toLong, s, first, last)
-            }
+            // Zero-size samples (legal in stsz) emit NO row: they have
+            // no content to summarize, and a (0, 0, 0, 0) row would be
+            // indistinguishable from a real 1-byte 0x00 sample's
+            // neighborhood. Sample_idx still counts them (k is the
+            // stsz position), so downstream joins stay aligned.
+            ranges.iterator.zipWithIndex
+              .filter { case ((_, sz), _) => sz > 0 }
+              .map { case ((off, sz), k) =>
+                var s = 0L
+                var j = 0
+                while (j < sz) {
+                  s += payload(off.toInt + j) & 0xff; j += 1
+                }
+                Row(id, k.toLong, sz.toLong, s,
+                  payload(off.toInt) & 0xff,
+                  payload(off.toInt + sz - 1) & 0xff)
+              }
           case None => Iterator.empty
         }
       }

@@ -197,7 +197,7 @@ object ScaleOps {
     * the operator testable and object-store-safe). Returns the output
     * file count.
     *
-    * `clusterCols` preserves a sorted/Z-ordered layout through the
+    * `clusterBy` preserves a sorted/Z-ordered layout through the
     * rewrite: a bare `.repartition(n)` is a hash/round-robin shuffle
     * that scatters rows across files, silently destroying the min/max
     * locality a `writeZOrdered` table was built for (every future scan

@@ -39,6 +39,49 @@ object TextOps {
   private def docsOf(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
 
+  /** Shared eval-harness derivation for ngram_jaccard/txt_containment:
+    * one row per adjacent doc pair — (pair_id, sh_a, sh_b), the two
+    * docs' DISTINCT 3-gram shingle sets (sh_a = doc pair_id, sh_b =
+    * doc pair_id+1). Shingle sets come from the codegen'd window-lead
+    * path + collect_set (only sizes/membership are used downstream, so
+    * set order doesn't matter). Pairing is NOT a self-join: each doc's
+    * set is exploded into its two pair roles and one groupBy(pair_id)
+    * reassembles both sides — one tokenize pass, one shuffle (each set
+    * shipped twice, the same bytes a join would move), no persist (the
+    * round-2 version cached the shingle table to stop a self-join
+    * recomputing it, and leaked the cache). Exactly one row exists per
+    * (pair_id, role), so first(ignoreNulls) is deterministic here
+    * despite its general ordering caveat. */
+  private def adjacentPairShingleSets(s: SparkSession, d: String)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val shRows = Tables.documents(s, d)
+      .select(col("doc_id"),
+        posexplode(split(trim(col("text")), "\\s+")).as(Seq("pos", "tok")))
+      .filter(col("tok") =!= "")
+      .withColumn("sgl",
+        when(lead(col("tok"), 2).over(w).isNotNull,
+          concat_ws(" ", col("tok"), lead(col("tok"), 1).over(w),
+            lead(col("tok"), 2).over(w))))
+    val sh = Tables.documents(s, d).select(col("doc_id"))
+      .join(shRows.groupBy("doc_id")
+        .agg(collect_set(col("sgl")).as("sh0")), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("sh0"), array().cast("array<string>")).as("sh"))
+    sh.select(col("sh"), explode(array(
+        struct(col("doc_id").as("pair_id"), lit("L").as("role")),
+        struct((col("doc_id") - 1).as("pair_id"), lit("R").as("role"))))
+        .as("r"))
+      .select(col("r.pair_id"), col("r.role"), col("sh"))
+      .groupBy("pair_id").agg(
+        first(when(col("role") === "L", col("sh")), ignoreNulls = true)
+          .as("sh_a"),
+        first(when(col("role") === "R", col("sh")), ignoreNulls = true)
+          .as("sh_b"))
+      .filter(col("sh_a").isNotNull && col("sh_b").isNotNull)
+  }
+
   /** Shared Scala twin of the oracle's CleanGateCte: (gated, keep) —
     * quality/language-gated docs (with text) and the exact-dedup keep
     * set. clean = gated left-semi keep. One definition, three pipeline
@@ -247,50 +290,14 @@ object TextOps {
     // arithmetic. It is not a general pairing operator; production
     // candidate generation is GraftOps.minhashCandidatePairs, and this
     // query's set arithmetic is the verifier you run on ITS pairs.
-    "ngram_jaccard" -> ((s, d) => {
-      // Shingle sets via the codegen'd window-lead path + collect_set
-      // (sizes only are used downstream, so set order doesn't matter).
-      // Pairing is NOT a self-join: each doc's set is exploded into its
-      // two pair roles (left of pair doc_id, right of pair doc_id-1) and
-      // one groupBy(pair_id) reassembles both sides. One tokenize pass,
-      // one shuffle (each set shipped twice, same bytes a join would
-      // move), no persist — the round-2 version cached the shingle table
-      // to stop the self-join recomputing it, and leaked the cache.
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy("doc_id").orderBy("pos")
-      val shRows = Tables.documents(s, d)
-        .select(col("doc_id"),
-          posexplode(split(trim(col("text")), "\\s+")).as(Seq("pos", "tok")))
-        .filter(col("tok") =!= "")
-        .withColumn("sgl",
-          when(lead(col("tok"), 2).over(w).isNotNull,
-            concat_ws(" ", col("tok"), lead(col("tok"), 1).over(w),
-              lead(col("tok"), 2).over(w))))
-      val sh = Tables.documents(s, d).select(col("doc_id"))
-        .join(shRows.groupBy("doc_id")
-          .agg(collect_set(col("sgl")).as("sh0")), Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          coalesce(col("sh0"), array().cast("array<string>")).as("sh"))
-      val roled = sh.select(col("sh"), explode(array(
-          struct(col("doc_id").as("pair_id"), lit("L").as("role")),
-          struct((col("doc_id") - 1).as("pair_id"), lit("R").as("role"))))
-          .as("r"))
-        .select(col("r.pair_id"), col("r.role"), col("sh"))
-      // Exactly one row per (pair_id, role), so first(ignoreNulls) is
-      // deterministic here despite its general ordering caveat.
-      roled.groupBy("pair_id").agg(
-          first(when(col("role") === "L", col("sh")), ignoreNulls = true)
-            .as("sh_a"),
-          first(when(col("role") === "R", col("sh")), ignoreNulls = true)
-            .as("sh_b"))
-        .filter(col("sh_a").isNotNull && col("sh_b").isNotNull)
+    "ngram_jaccard" -> ((s, d) =>
+      adjacentPairShingleSets(s, d)
         .select(col("pair_id").as("left_id"),
           (col("pair_id") + 1).as("right_id"),
           when(size(array_union(col("sh_a"), col("sh_b"))) > 0,
             size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
               size(array_union(col("sh_a"), col("sh_b"))))
-            .otherwise(0.0).as("jaccard"))
-    }),
+            .otherwise(0.0).as("jaccard"))),
 
     // Vocabulary coverage curve — the statistic that sizes a
     // word-level vocab / OOV budget: for k ∈ {10, 50, 100}, the share
@@ -329,33 +336,8 @@ object TextOps {
     // minhashCandidatePairs' output in production. Same single-shuffle
     // pair-role shape; zero-shingle docs (< 3 tokens) emit 0.0.
     "txt_containment" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy("doc_id").orderBy("pos")
-      val shRows = Tables.documents(s, d)
-        .select(col("doc_id"),
-          posexplode(split(trim(col("text")), "\\s+")).as(Seq("pos", "tok")))
-        .filter(col("tok") =!= "")
-        .withColumn("sgl",
-          when(lead(col("tok"), 2).over(w).isNotNull,
-            concat_ws(" ", col("tok"), lead(col("tok"), 1).over(w),
-              lead(col("tok"), 2).over(w))))
-      val sh = Tables.documents(s, d).select(col("doc_id"))
-        .join(shRows.groupBy("doc_id")
-          .agg(collect_set(col("sgl")).as("sh0")), Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          coalesce(col("sh0"), array().cast("array<string>")).as("sh"))
-      val roled = sh.select(col("sh"), explode(array(
-          struct(col("doc_id").as("pair_id"), lit("L").as("role")),
-          struct((col("doc_id") - 1).as("pair_id"), lit("R").as("role"))))
-          .as("r"))
-        .select(col("r.pair_id"), col("r.role"), col("sh"))
       val inter = size(array_intersect(col("sh_a"), col("sh_b")))
-      roled.groupBy("pair_id").agg(
-          first(when(col("role") === "L", col("sh")), ignoreNulls = true)
-            .as("sh_a"),
-          first(when(col("role") === "R", col("sh")), ignoreNulls = true)
-            .as("sh_b"))
-        .filter(col("sh_a").isNotNull && col("sh_b").isNotNull)
+      adjacentPairShingleSets(s, d)
         .select(col("pair_id").as("left_id"),
           (col("pair_id") + 1).as("right_id"),
           round(when(size(col("sh_a")) > 0,

@@ -246,6 +246,16 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.map(_._3) == Seq(10L, 20L, 30L))
     // byte_sum of sample 0 = Σ_{j=0..9} (17j + 5) % 256 = 815.
     assert(frames(0)._4 == (0 until 10).map(j => (17 * j + 5) % 256).sum)
+    // A zero-size sample (legal in stsz) emits NO row — its neighbors
+    // keep their stsz positions so joins stay aligned.
+    val withEmpty = Multimodal.mp4BytesFrames(600, 1200, 320, 240, 1000,
+      Seq((3, 100)), Seq(10, 0, 30), seed = 5L)
+    val fr2 = Multimodal.extractFrameBytes(
+      Seq((6L, withEmpty, "video/mp4"))
+        .toDF("media_id", "payload", "mime"))
+      .orderBy("sample_idx")
+      .as[(Long, Long, Long, Long, Int, Int)].collect().toSeq
+    assert(fr2.map(f => (f._2, f._3)) == Seq((0L, 10L), (2L, 30L)))
   }
 
   test("sampleFrames chunks payloads beyond one base64 line (76 chars)") {

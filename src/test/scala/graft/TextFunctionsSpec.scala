@@ -84,7 +84,12 @@ class TextFunctionsSpec extends SparkSpec {
       "http://ex.com/p?fbclid=zz" -> "http://ex.com/p",
       // a param NAMED like a prefix of a tracker is kept
       "http://ex.com/p?utm=keep&fbclid2=keep" ->
-        "http://ex.com/p?fbclid2=keep&utm=keep")
+        "http://ex.com/p?fbclid2=keep&utm=keep",
+      // non-hierarchical forms pass through UNCHANGED — collapsing
+      // them to a shared "://" would merge unrelated docs in dedup
+      "example.com/a?utm_source=x" -> "example.com/a?utm_source=x",
+      "mailto:User@Ex.COM" -> "mailto:User@Ex.COM",
+      "//host/protocol-relative" -> "//host/protocol-relative")
     val got = cases.map(_._1).toDF("url")
       .select(graft.api.GraftOps.canonicalizeUrl($"url")).as[String]
       .collect().toSeq

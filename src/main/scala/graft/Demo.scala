@@ -17,6 +17,9 @@ object Demo {
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
+      // naive parquet timestamps are UTC instants (oracle parity):
+      // read them as TIMESTAMP, not TIMESTAMP_NTZ
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

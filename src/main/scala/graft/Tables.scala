@@ -146,5 +146,10 @@ object Tables {
   def sessionConfigs: Map[String, String] = Map(
     "spark.sql.legacy.parquet.nanosAsLong" -> "true",
     "spark.sql.session.timeZone"           -> "UTC",
+    // The synthetic tables' naive parquet timestamps are UTC instants;
+    // the DuckDB oracle reads them the same way. Without this, Spark 4
+    // infers TIMESTAMP_NTZ (isAdjustedToUTC=false footers) and every
+    // unix_micros/epoch expression fails to resolve.
+    "spark.sql.parquet.inferTimestampNTZ.enabled" -> "false",
     "spark.sql.adaptive.enabled"           -> "true")
 }

@@ -646,26 +646,40 @@ object TextOps {
     // gram hash — at 100 TB everything shuffles on gram, the natural
     // high-cardinality key, with map-side partial aggregation.
     "txt_ngram_novelty" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val grams = docsOf(s, d)
-        .select(col("doc_id"),
-          explode(array_distinct(shingles(tokens(col("text")), 3)))
-            .as("g"))
-      // First-owner via a min window over the SAME gram partition the
-      // per-gram aggregate would need — ONE shuffle of the gram table
-      // instead of groupBy + join-back (which re-derived and re-shuffled
-      // the grams: measured 6.4 s vs 3.0 s for this form at sf0.1). A
-      // boilerplate gram's partition buffers its doc list in the window
-      // — linear and spillable, unlike a collect.
-      grams
-        .withColumn("first_doc",
-          min("doc_id").over(Window.partitionBy("g")))
-        .groupBy("doc_id").agg(
-          count(lit(1)).as("n_grams"),
-          sum((col("doc_id") === col("first_doc")).cast("long"))
-            .as("n_novel"))
-        .select(col("doc_id"), col("n_grams"), col("n_novel"),
-          round(col("n_novel").cast("double")
+      // First-owner min MUST be an aggregate, not a window: a window
+      // partitioned on the raw gram key forces every row of one gram
+      // into one task — a corpus-ubiquitous 3-gram ("all rights
+      // reserved") in 10^9 docs is a single-task straggler at 100 TB.
+      // groupBy(g).min gets map-side partial aggregation for free: a
+      // hot gram collapses to <=1 row PER MAP TASK before the shuffle,
+      // so the reduce side sees at most numMapTasks rows per gram and
+      // no single task ever owns a hot gram's full row set.
+      //
+      // Both branches derive from the SAME generator-form gram table
+      // (explode directly over the shingle expression): materializing
+      // the array behind an alias and re-referencing it looks shared
+      // but is not — CollapseProject inlines the aliased expression
+      // into every consumer, so `gs.size` + `explode(gs)` re-tokenized
+      // every doc 2-3x (measured 15 s vs 4.0 s at sf0.1 for exactly
+      // that shape). In generator form the tokenize+shingle pass runs
+      // once per branch; per-doc gram totals are the exploded row
+      // count (arrays are array_distinct'd), so no size() re-derivation
+      // is needed. A localCheckpoint of the gram table would merge the
+      // two scans (measured 3.4 s) but materializes ~corpus-sized state
+      // at 100 TB; the two linear, embarrassingly-parallel scans (4.0 s,
+      // vs 3.8 s for the skew-prone window form) are the better trade.
+      def grams = docsOf(s, d).select(col("doc_id"),
+        explode(array_distinct(shingles(tokens(col("text")), 3))).as("g"))
+      val perDoc = grams.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"))
+      val novel = grams
+        .groupBy("g").agg(min("doc_id").as("first_doc"))
+        .groupBy(col("first_doc").as("doc_id"))
+        .agg(count(lit(1)).as("novel0"))
+      perDoc.join(novel, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_grams"),
+          coalesce(col("novel0"), lit(0L)).as("n_novel"),
+          round(coalesce(col("novel0"), lit(0L)).cast("double")
             / col("n_grams").cast("double"), 6).as("novelty"))
     }),
 

@@ -115,6 +115,21 @@ class PlanShapeSpec extends SparkSpec {
         p.linesIterator.take(60).mkString("\n"))
   }
 
+  test("txt_ngram_novelty first-owner is a partial-aggregable min on " +
+      "the gram key — no raw-gram window partition anywhere in the plan") {
+    // A Window.partitionBy(g) forces every row of a hot gram into one
+    // task (no partial aggregation path exists for windows); the
+    // aggregate form map-side-combines a ubiquitous gram to <=1 row
+    // per map task. Assert the skew-prone shape cannot come back.
+    val q = SparkEntry.queries("txt_ngram_novelty")(
+      spark, "/root/testdata/sf0.001")
+    val p = phys(q)
+    assert(!p.contains("Window"),
+      s"first-owner must be an aggregate, not a raw-gram window:\n$p")
+    assert(p.contains("partial_min"),
+      s"gram min must run map-side (partial_min) pre-shuffle:\n$p")
+  }
+
   test("per-stratum rank<=k sampling gets WindowGroupLimit: each map " +
       "partition pre-truncates to k before the exchange") {
     // The samp_reservoir shape: rank inside stratum by a frozen hash

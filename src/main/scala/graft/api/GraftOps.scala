@@ -916,6 +916,19 @@ object GraftOps {
         .agg(max(struct(col("__cnt"), (-col("label")).as("__neg")))
           .as("__m"))
         .select(col("__src").as("__id"), (-col("__m.__neg")).as("label"))
+      // Cost floor, pinned (r11 watch item): all four lineage
+      // strategies — this one, lazy cache (no count), no-cache chain,
+      // per-round localCheckpoint — converge to the SAME ~3.4-5.5 s
+      // warm steady state at sf0.1, measured 4 repeats each in both
+      // run orders (this form: 3.38-4.19 s when the JVM is warm;
+      // whichever variant runs FIRST pays 12-18 s). The official
+      // bench's 16.2→11.8→9.7 s repeats are therefore codegen/JIT
+      // warm-up of ~6 fresh whole-stage-codegen stages per round plus
+      // co-tenant load (now decidable from the bench's load1 marker),
+      // not plan cost: there is no lineage strategy to switch to, and
+      // lazy-with-final-checkpoint buys nothing while leaking three
+      // caches per call. Floor stands at ~3.4 s / 3 rounds.
+      //
       // cache(), NOT localCheckpoint(), and EVERY round: the self-vote
       // references `labels` twice per round (join + union branch), so
       // an unmaterialized chain re-derives round t−k 2^k times; and a

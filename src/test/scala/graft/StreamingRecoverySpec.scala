@@ -151,6 +151,82 @@ class StreamingRecoverySpec extends SparkSpec {
       s"exactly one verdict per dup doc across the restart, got $got")
   }
 
+  test("END-TO-END pipeline: ingest → near-dup gate → idempotent sink " +
+      "as ONE stream, killed and restarted, equals the batch twin " +
+      "exactly once") {
+    // The full operational composition VERDICT r11 asked for: the same
+    // corpus/incoming split as the batch `dedup_incremental` oracle
+    // query (corpus = doc_id % 5 != 0 builds the band index; incoming =
+    // doc_id % 5 == 0 probes it), run as a single restartable stream
+    // through the idempotent foreachBatch sink. Kill after the first
+    // half, restart from the checkpoint (re-sending one already-passed
+    // doc inside the watermark to prove recovered dedup state), replay
+    // a committed batch at the sink, and the surviving output must be
+    // EXACTLY the batch twin's near-dup set — once each.
+    implicit val sqlCtx = spark.sqlContext
+    val sfDir = "/root/testdata/sf0.001"
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-e2e-ckpt").toString
+    val out = java.nio.file.Files
+      .createTempDirectory("graft-e2e-out").toString
+
+    val docs = Tables.documents(spark, sfDir)
+    val index = graft.api.GraftOps
+      .minhashBands(docs.filter(col("doc_id") % 5 =!= 0),
+        "doc_id", "text")
+      .select("band_idx", "band_hash").distinct()
+      .localCheckpoint()
+    val incoming = docs.filter(col("doc_id") % 5 === 0)
+      .select("doc_id", "text").as[(Long, String)].collect().toSeq
+      .sortBy(_._1)
+    assert(incoming.size == 100, s"sf0.001 split drifted: ${incoming.size}")
+    val (half1, half2) = incoming.splitAt(incoming.size / 2)
+    def stamped(xs: Seq[(Long, String)], min: Int) =
+      xs.map { case (id, tx) => (id, ts(min), tx) }
+
+    val stream = MemoryStream[(Long, Timestamp, String)]
+    def start() = EventStream.nearDupGateStream(
+      stream.toDF().toDF("doc_id", "ts", "text"), index, "10 minutes")
+      .writeStream
+      .foreachBatch(graft.sinks.Sinks.writeBatchIdempotent(out) _)
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+
+    // Phase 1: first half flows, then the query dies (deploy/crash).
+    stream.addData(stamped(half1, 0))
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+
+    // Phase 2: restart from the SAME checkpoint. One phase-1 doc
+    // re-arrives inside the watermark — only recovered
+    // dropDuplicatesWithinWatermark state suppresses its second
+    // verdict — then the rest of the corpus flows.
+    stream.addData(stamped(half1.take(1), 2))
+    stream.addData(stamped(half2, 3))
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+
+    // Sink-level replay (restart between sink write and offset commit):
+    // re-writing a committed batch id must overwrite its own partition.
+    val preReplay = spark.read.parquet(out).count()
+    graft.sinks.Sinks.writeBatchIdempotent(out)(
+      spark.read.parquet(out).filter(col("batch_id") === 1L)
+        .drop("batch_id"), 1L)
+    assert(spark.read.parquet(out).count() == preReplay,
+      "replayed batch must not change the row count")
+
+    val got = spark.read.parquet(out)
+      .select("doc_id").as[Long].collect().toSeq
+    val want = SparkEntry.queries("dedup_incremental")(spark, sfDir)
+      .filter(col("near_dup_of_corpus"))
+      .select("doc_id").as[Long].collect().toSeq
+    assert(got.sorted == want.sorted,
+      s"stream output must equal the batch twin exactly once: " +
+        s"got ${got.size} (${got.distinct.size} distinct), " +
+        s"want ${want.size}")
+    assert(want.nonEmpty, "vacuous run: the twin found no near-dups")
+  }
+
   test("foreachBatch idempotent sink: a replayed batch does not duplicate") {
     implicit val sqlCtx = spark.sqlContext
     val out = java.nio.file.Files

@@ -453,6 +453,64 @@ object Similarity {
             .as("recall_at_5"))
     }),
 
+    // Index-SIZE tuning evidence for the IVF path — the k analogue of
+    // emb_nprobe_sweep's nprobe curve (r11 item 5): the same one-
+    // iteration k-means index built at the toy k=4 AND at the
+    // production heuristic k=⌈√n⌉ (FAISS/ScaNN's default cell count:
+    // balances N/k probe cost against k centroid-scoring cost —
+    // O(N/√N·√N) total), each probed nprobe=1, each emitting recall@5
+    // against brute force plus the per-query candidate volume. The
+    // output makes the trade quantitative: k=4 probes n/4 vectors per
+    // query for near-perfect recall; k=√n probes ~√n for less — pick
+    // by SLA. Per-query recalls/costs aggregate as INTEGER sums before
+    // one final division so no cross-engine float fold order exists.
+    // The n→k step is a count() action (config-sized, not a collect);
+    // at 100 TB the index build is N·k broadcast-centroid dots + one
+    // posexplode centroid update — the standard IVF training cost, run
+    // once, amortized over every query thereafter.
+    "emb_ivf_k_recall" -> ((s, d) => {
+      def dot(a: Column, b: Column) = call_function("graft_vec_dot", a, b)
+      val n = Tables.embeddings(s, d).count()
+      val kBig = math.ceil(math.sqrt(n.toDouble)).toInt
+      Seq(4, kBig).map { k =>
+        val cells = kmeansAssign(s, d, k).select("vec_id", "u", "cluster")
+          .localCheckpoint()
+        val q0 = cells.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("q_id"), col("cluster").as("q_cl"),
+            col("u").as("q_u"))
+        val cand = cells.join(broadcast(q0),
+            col("cluster") === col("q_cl") && col("vec_id") =!= col("q_id"))
+          .select(col("q_id"), col("vec_id").as("cand_id"),
+            round(dot(col("u"), col("q_u")), 6).as("score"))
+        val wTop = Window.partitionBy("q_id")
+          .orderBy(col("score").desc, col("cand_id"))
+        val top = cand.withColumn("rnk", row_number().over(wTop))
+          .filter(col("rnk") <= 5).select("q_id", "cand_id")
+        val wBf = Window.partitionBy("q_id")
+          .orderBy(col("score").desc, col("cand_id"))
+        val bf = cells.select(col("vec_id").as("cand_id"), col("u"))
+          .crossJoin(broadcast(q0.select("q_id", "q_u")))
+          .filter(col("cand_id") =!= col("q_id"))
+          .select(col("q_id"), col("cand_id"),
+            round(dot(col("u"), col("q_u")), 6).as("score"))
+          .withColumn("rnk", row_number().over(wBf))
+          .filter(col("rnk") <= 5).select("q_id", "cand_id")
+        val rec = top.join(bf, Seq("q_id", "cand_id"), "left_semi")
+          .groupBy("q_id").agg(count(lit(1)).as("n_overlap"))
+        val nc = cand.groupBy("q_id").agg(count(lit(1)).as("n_cands"))
+        q0.select("q_id")
+          .join(rec, Seq("q_id"), "left").join(nc, Seq("q_id"), "left")
+          .agg(count(lit(1)).as("n_queries"),
+            sum(coalesce(col("n_overlap"), lit(0L))).as("so"),
+            sum(coalesce(col("n_cands"), lit(0L))).as("sc"))
+          .select(lit(k.toLong).as("k_cells"), col("n_queries"),
+            round(col("so").cast("double")
+              / (col("n_queries") * 5.0), 6).as("avg_recall"),
+            round(col("sc").cast("double")
+              / col("n_queries").cast("double"), 6).as("avg_cands"))
+      }.reduce(_.unionAll(_))
+    }),
+
     // SEMANTIC decontamination — the embedding-space complement of the
     // n-gram txt_decontaminate: flag corpus vectors whose cosine
     // similarity to ANY held-out benchmark vector reaches tau
@@ -573,11 +631,12 @@ object Similarity {
     * assignment in `kmeansAssign` ranks against — exposed separately so
     * multi-cell probing (emb_ivf_nprobe) can rank CELLS per query the
     * way a real IVF index does. */
-  private def kmeansCentroids(s: SparkSession, d: String): DataFrame = {
+  private def kmeansCentroids(s: SparkSession, d: String,
+      k: Int = 4): DataFrame = {
     graft.expressions.VectorExpressions.register(s)
     def dot(a: Column, b: Column) = call_function("graft_vec_dot", a, b)
     val e = unitVecs(s, d).select("vec_id", "u")
-    val c0 = e.filter(col("vec_id") < 4)
+    val c0 = e.filter(col("vec_id") < k)
       .select(col("vec_id").as("cid"), col("u").as("cu"))
     val wBest = Window.partitionBy("vec_id")
       .orderBy(col("sc").desc, col("cid"))
@@ -598,13 +657,14 @@ object Similarity {
         transform(col("raw"), x => x / col("nrm")).as("cu"))
   }
 
-  private def kmeansAssign(s: SparkSession, d: String): DataFrame = {
+  private def kmeansAssign(s: SparkSession, d: String,
+      k: Int = 4): DataFrame = {
     graft.expressions.VectorExpressions.register(s)
     def dot(a: Column, b: Column) = call_function("graft_vec_dot", a, b)
     val e = unitVecs(s, d).select("vec_id", "u")
     val wBest = Window.partitionBy("vec_id")
       .orderBy(col("sc").desc, col("cid"))
-    val c1 = kmeansCentroids(s, d)
+    val c1 = kmeansCentroids(s, d, k)
     e.crossJoin(broadcast(c1))
       .select(col("vec_id"), col("u"), col("cid"),
         round(dot(col("u"), col("cu")), 6).as("sc"))
@@ -670,6 +730,65 @@ object Similarity {
          |r AS (SELECT *, row_number() OVER (PARTITION BY q_id
          |    ORDER BY score DESC, cand_id) AS rnk FROM sc)
          |SELECT q_id, cand_id, score, rnk FROM r WHERE rnk <= 5""".stripMargin,
+    "emb_ivf_k_recall" ->
+      s"""WITH $UnitCte,
+         |ks AS (SELECT CAST(4 AS BIGINT) AS kv
+         |  UNION ALL
+         |  SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) FROM embeddings),
+         |c0 AS (SELECT ks.kv, e.vec_id AS cid, e.u AS cu
+         |  FROM e JOIN ks ON e.vec_id < ks.kv),
+         |a0 AS (SELECT ks.kv, e.vec_id, e.u,
+         |    (SELECT s.cid FROM (SELECT c0.cid,
+         |        round(list_dot_product(e.u, c0.cu), 6) AS sc
+         |        FROM c0 WHERE c0.kv = ks.kv) s
+         |     ORDER BY s.sc DESC, s.cid LIMIT 1) AS cl
+         |  FROM e CROSS JOIN ks),
+         |sums AS (SELECT kv, cl, idx,
+         |    CAST(sum(CAST(val AS DECIMAL(20,15))) AS DOUBLE) AS sv
+         |  FROM (SELECT kv, cl, unnest(u) AS val,
+         |        generate_subscripts(u, 1) AS idx FROM a0)
+         |  GROUP BY kv, cl, idx),
+         |craw AS (SELECT kv, cl AS cid, list(sv ORDER BY idx) AS raw
+         |  FROM sums GROUP BY kv, cl),
+         |c1 AS (SELECT kv, cid,
+         |  [x / sqrt(list_dot_product(raw, raw)) for x in raw] AS cu
+         |  FROM craw),
+         |a2 AS (SELECT ks.kv, e.vec_id, e.u,
+         |    (SELECT s.cid FROM (SELECT c1.cid,
+         |        round(list_dot_product(e.u, c1.cu), 6) AS sc
+         |        FROM c1 WHERE c1.kv = ks.kv) s
+         |     ORDER BY s.sc DESC, s.cid LIMIT 1) AS cluster
+         |  FROM e CROSS JOIN ks),
+         |q AS (SELECT kv, vec_id AS q_id, cluster AS q_cl, u AS q_u
+         |  FROM a2 WHERE vec_id < 5),
+         |cand AS (SELECT a2.kv, q.q_id, a2.vec_id AS cand_id,
+         |    round(list_dot_product(a2.u, q.q_u), 6) AS score
+         |  FROM a2 JOIN q ON a2.kv = q.kv AND a2.cluster = q.q_cl
+         |    AND a2.vec_id <> q.q_id),
+         |topk AS (SELECT kv, q_id, cand_id FROM (
+         |    SELECT kv, q_id, cand_id, row_number() OVER (
+         |      PARTITION BY kv, q_id ORDER BY score DESC, cand_id) AS rnk
+         |    FROM cand) WHERE rnk <= 5),
+         |bf AS (SELECT kv, q_id, cand_id FROM (
+         |    SELECT q.kv, q.q_id, e.vec_id AS cand_id, row_number() OVER (
+         |      PARTITION BY q.kv, q.q_id
+         |      ORDER BY round(list_dot_product(e.u, q.q_u), 6) DESC,
+         |        e.vec_id) AS rnk
+         |    FROM q JOIN e ON e.vec_id <> q.q_id) WHERE rnk <= 5),
+         |rec AS (SELECT t.kv, t.q_id, CAST(count(*) AS BIGINT) AS n_overlap
+         |  FROM topk t JOIN bf b ON t.kv = b.kv AND t.q_id = b.q_id
+         |    AND t.cand_id = b.cand_id
+         |  GROUP BY t.kv, t.q_id),
+         |nc AS (SELECT kv, q_id, CAST(count(*) AS BIGINT) AS n_cands
+         |  FROM cand GROUP BY kv, q_id)
+         |SELECT q.kv AS k_cells, CAST(count(*) AS BIGINT) AS n_queries,
+         |  round(CAST(sum(coalesce(n_overlap, 0)) AS DOUBLE)
+         |    / (count(*) * 5.0), 6) AS avg_recall,
+         |  round(CAST(sum(coalesce(n_cands, 0)) AS DOUBLE)
+         |    / CAST(count(*) AS DOUBLE), 6) AS avg_cands
+         |FROM q LEFT JOIN rec ON q.kv = rec.kv AND q.q_id = rec.q_id
+         |  LEFT JOIN nc ON q.kv = nc.kv AND q.q_id = nc.q_id
+         |GROUP BY q.kv""".stripMargin,
     "dedup_embedding" ->
       s"""WITH $UnitCte
          |SELECT a.vec_id AS left_id, b.vec_id AS right_id,

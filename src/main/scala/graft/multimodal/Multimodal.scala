@@ -741,6 +741,80 @@ object Multimodal {
     spark.createDataFrame(rdd, mediaSchema)
   }
 
+  /** Demuxable MP4s with CROSS-VIDEO duplicate frames: frame sizes and
+    * mdat content seed from the video's FAMILY (id % familyMod), frame
+    * COUNT from the video id itself — so two videos of one family share
+    * exactly their first min(n_a, n_b) samples byte-for-byte while
+    * videos of different families share nothing (their byte streams
+    * diverge at j=0). This is the fixture shape frame-level video
+    * dedup needs: real demux work, known overlap structure. */
+  def synthMp4FramesShared(ids: DataFrame, idCol: String,
+      familyMod: Int): DataFrame = {
+    val spark = ids.sparkSession
+    val rdd = ids.select(col(idCol).cast("long")).rdd.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val fam = id % familyMod
+        val n = 3 + (id % 4).toInt
+        val sizes = (0 until n).map(k => 20 + ((fam + k) % 30).toInt)
+        val mts = 1000 + (fam % 3).toInt * 500
+        val movieTs = 600 + (fam % 5).toInt * 300
+        val dur = movieTs.toLong * (2 + (fam % 7).toInt)
+        Row(id, mp4BytesFrames(movieTs, dur, 320, 240, mts,
+          Seq((n, 100)), sizes, fam), "video/mp4")
+      }
+    }
+    spark.createDataFrame(rdd, mediaSchema)
+  }
+
+  val frameHashSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("sample_idx", LongType, nullable = false),
+    StructField("fhash", StringType, nullable = false)))
+
+  /** Demux + per-frame CONTENT fingerprint: each sample's real bytes
+    * (located via the same stsz/stsc/stco walk as extractFrameBytes)
+    * hashed to md5 over their unsigned-decimal join — a string both
+    * engines can md5 identically, where a raw-BLOB digest would hinge
+    * on engine binary-literal semantics. One demux pass emits every
+    * frame's hash; downstream consumers (cross-video dedup, frame-level
+    * search) join on the hash instead of re-demuxing. Zero-size samples
+    * emit no row (no content to fingerprint), same contract as
+    * extractFrameBytes. */
+  def extractFrameHashes(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val rdd = media.select("media_id", "payload").rdd.mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.flatMap { r =>
+        val id = r.getLong(0)
+        val payload = if (r.isNullAt(1)) Array.empty[Byte]
+        else r.getAs[Array[Byte]](1)
+        videoSampleRanges(payload) match {
+          case Some(ranges) =>
+            ranges.iterator.zipWithIndex
+              .filter { case ((_, sz), _) => sz > 0 }
+              .map { case ((off, sz), k) =>
+                val sb = new java.lang.StringBuilder(sz * 4)
+                var j = 0
+                while (j < sz) {
+                  if (j > 0) sb.append(',')
+                  sb.append(payload(off.toInt + j) & 0xff)
+                  j += 1
+                }
+                md.reset()
+                val dig = md.digest(
+                  sb.toString.getBytes("US-ASCII"))
+                val hex = new java.lang.StringBuilder(32)
+                dig.foreach(b => hex.append(f"${b & 0xff}%02x"))
+                Row(id, k.toLong, hex.toString)
+              }
+          case None => Iterator.empty
+        }
+      }
+    }
+    spark.createDataFrame(rdd, frameHashSchema)
+  }
+
   /** Video feature extraction — same mapPartitions shape as the image
     * and audio paths: real ISO-BMFF headers get TRUE
     * timescale/duration/dims, anything else the deterministic fallback.

@@ -920,6 +920,43 @@ object TextOps {
         graft.multimodal.Multimodal.synthMp4Frames(
           Tables.documents(s, d).select(col("doc_id")), "doc_id"))),
 
+    // FRAME-LEVEL VIDEO NEAR-DUP (r11 item 6) — the composition the
+    // demux enables: ONE extractFrameHashes pass (real stsz/stsc/stco
+    // walk + md5 over each sample's actual bytes, localCheckpointed so
+    // no consumer re-demuxes) feeds a content-hash self-join — videos
+    // sharing >= 1 identical frame pair up, scored by shared-frame
+    // Jaccard. The join key is the frame CONTENT hash, so like every
+    // dedup in this repo the pair space is bucket-local (only videos
+    // that truly share a frame ever meet — no all-pairs stage), and at
+    // 100 TB the hash table shuffles once on a high-cardinality key.
+    // The fixture (synthMp4FramesShared) gives families of videos
+    // sharing their first min(n_a, n_b) frames, so jaccard varies per
+    // pair and the oracle recomputes every hash from the byte
+    // arithmetic — a demux or slicing bug anywhere breaks the gate.
+    "mm_frame_dedup" -> ((s, d) => {
+      val frames = graft.multimodal.Multimodal.extractFrameHashes(
+        graft.multimodal.Multimodal.synthMp4FramesShared(
+          Tables.documents(s, d).select(col("doc_id")), "doc_id", 5))
+        .localCheckpoint()
+      val nf = frames.groupBy("media_id")
+        .agg(count(lit(1)).as("nf"))
+      val a = frames.select(col("media_id").as("left_id"), col("fhash"))
+      val b = frames.select(col("media_id").as("right_id"), col("fhash"))
+      val shared = a.join(b, Seq("fhash"))
+        .filter(col("left_id") < col("right_id"))
+        .groupBy("left_id", "right_id")
+        .agg(count(lit(1)).as("n_shared"))
+      shared
+        .join(nf.select(col("media_id").as("left_id"),
+          col("nf").as("nf_l")), Seq("left_id"))
+        .join(nf.select(col("media_id").as("right_id"),
+          col("nf").as("nf_r")), Seq("right_id"))
+        .select(col("left_id"), col("right_id"), col("n_shared"),
+          round(col("n_shared").cast("double")
+            / (col("nf_l") + col("nf_r") - col("n_shared"))
+              .cast("double"), 6).as("jaccard"))
+    }),
+
     // PCM-content energy windows, REAL end-to-end — the audio twin of
     // mm_image_phash's pixel round trip: synthWav's data section is a
     // deterministic byte pattern ((i·31 + sr) mod 256), so every
@@ -3033,6 +3070,38 @@ object TextOps {
         |  CAST(min(CASE WHEN j = st + sz - 1 THEN v END) AS INTEGER)
         |    AS last_byte
         |FROM bytes GROUP BY doc_id, k, sz, st""".stripMargin,
+    // Recomputes synthMp4FramesShared's frames analytically (sizes and
+    // bytes seeded by fam = doc_id % 5, count by doc_id), md5s the
+    // same unsigned-decimal join the Spark extractor hashes, and
+    // replays the hash self-join + Jaccard.
+    "mm_frame_dedup" ->
+      """WITH p AS (SELECT doc_id, doc_id % 5 AS fam,
+        |    3 + doc_id % 4 AS n FROM documents),
+        |s AS (SELECT doc_id, fam, kk.k, 20 + (fam + kk.k) % 30 AS sz
+        |  FROM p, LATERAL (SELECT unnest(range(0, n)) AS k) kk),
+        |r AS (SELECT doc_id, fam, k, sz,
+        |    CAST(coalesce(sum(sz) OVER (PARTITION BY doc_id ORDER BY k
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS st
+        |  FROM s),
+        |bytes AS (SELECT doc_id, k, jj.j,
+        |    (17 * jj.j + fam) % 256 AS v
+        |  FROM r, LATERAL (SELECT unnest(range(st, st + sz)) AS j) jj),
+        |fh AS (SELECT doc_id, k,
+        |    md5(string_agg(CAST(v AS VARCHAR), ',' ORDER BY j)) AS fhash
+        |  FROM bytes GROUP BY doc_id, k),
+        |nf AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nf
+        |  FROM fh GROUP BY doc_id),
+        |pr AS (SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+        |    CAST(count(*) AS BIGINT) AS n_shared
+        |  FROM fh a JOIN fh b ON a.fhash = b.fhash
+        |    AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id)
+        |SELECT pr.left_id, pr.right_id, pr.n_shared,
+        |  round(CAST(pr.n_shared AS DOUBLE)
+        |    / CAST(l.nf + r.nf - pr.n_shared AS DOUBLE), 6) AS jaccard
+        |FROM pr JOIN nf l ON pr.left_id = l.doc_id
+        |  JOIN nf r ON pr.right_id = r.doc_id""".stripMargin,
     // Recomputes synthWav's data bytes: sample k's low byte is
     // (62k + sr) mod 256 and high byte (62k + 31 + sr) mod 256
     // (byte i = (31i + sr) mod 256 at i = 2k, 2k+1), sign-extended

@@ -258,6 +258,36 @@ class MultimodalSpec extends SparkSpec {
     assert(fr2.map(f => (f._2, f._3)) == Seq((0L, 10L), (2L, 30L)))
   }
 
+  test("extractFrameHashes fingerprints each demuxed sample's real " +
+      "bytes; shared-family fixtures collide exactly on their prefix") {
+    // Hash parity: sample 0 of a seed-5 fixture is bytes
+    // (17j + 5) % 256 for j in [0, 10) — md5 of their decimal join.
+    val mp4 = Multimodal.mp4BytesFrames(600, 1200, 320, 240, 1000,
+      Seq((2, 100)), Seq(10, 20), seed = 5L)
+    val got = Multimodal.extractFrameHashes(
+      Seq((1L, mp4, "video/mp4")).toDF("media_id", "payload", "mime"))
+      .orderBy("sample_idx").as[(Long, Long, String)].collect().toSeq
+    val want0 = {
+      val s = (0 until 10).map(j => (17 * j + 5) % 256).mkString(",")
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("US-ASCII"))
+        .map(b => f"${b & 0xff}%02x").mkString
+    }
+    assert(got.map(_._2) == Seq(0L, 1L))
+    assert(got.head._3 == want0)
+    // Family overlap contract: two synthMp4FramesShared videos of one
+    // family (ids 3 and 13, familyMod 5) share exactly their first
+    // min(n) frames; different families (3 vs 4) share none.
+    val vids = Multimodal.synthMp4FramesShared(
+      Seq(3L, 13L, 4L).toDF("doc_id"), "doc_id", 5)
+    val fh = Multimodal.extractFrameHashes(vids)
+      .as[(Long, Long, String)].collect().toSeq
+    val by = fh.groupBy(_._1).view.mapValues(_.map(_._3).toSet).toMap
+    // n(3) = 3 + 3%4 = 6, n(13) = 3 + 13%4 = 4 → overlap 4 frames.
+    assert((by(3L) & by(13L)).size == 4)
+    assert((by(3L) & by(4L)).isEmpty)
+  }
+
   test("sampleFrames chunks payloads beyond one base64 line (76 chars)") {
     // Spark's base64 MIME-chunks at 76 chars; the regression collapsed
     // any payload > 57 bytes to a single frame. 300 bytes → b64 400

@@ -21,9 +21,49 @@ import org.apache.spark.sql.functions._
   */
 object ScaleOps {
 
+  /** Skew diagnosis + salting ADVICE for `key` — the report that feeds
+    * `saltedJoin` its salt count (the two were previously disconnected:
+    * dq_skew diagnosed, saltedJoin fixed, nothing linked them). Emits
+    * the key-count distribution (n_keys / total / max / hottest key),
+    * the straggler factor an unsalted shuffle would suffer
+    * (skew_ratio = max/avg), and `rec_salt` =
+    * clamp(⌈skew_ratio⌉, 1, maxSalt): splitting the hottest key into
+    * ⌈max/avg⌉ buckets makes its largest bucket ~avg-sized — i.e. no
+    * longer the straggler — while salts beyond the stage's parallelism
+    * (`maxSalt`, default one salt per local core / shuffle partition)
+    * only multiply the right side's replication without adding
+    * concurrency. ScaleOpsSpec proves the loop closes: saltedJoin with
+    * the diagnosed rec_salt equalizes the hot key's buckets to within
+    * hash noise of avg. One count aggregate + a 1-row rollup — the
+    * report costs one shuffle of (key, count) partials at any scale.
+    * Numeric keys only (the deterministic hot-key argmax negates the
+    * key inside a struct-max). */
+  def skewReport(df: DataFrame, key: String, maxSalt: Int = 32)
+      : DataFrame = {
+    val cnt = df.groupBy(col(key)).agg(count(lit(1)).as("n"))
+    cnt.agg(
+        count(lit(1)).as("n_keys"),
+        sum(col("n")).as("total_rows"),
+        max(col("n")).as("max_rows"),
+        max(struct(col("n"), (-col(key)).as("neg"))).as("hot"))
+      .select(col("n_keys"), col("total_rows"), col("max_rows"),
+        (-col("hot.neg")).as("hot_key"),
+        round(col("max_rows").cast("double") * col("n_keys") /
+          col("total_rows"), 6).as("skew_ratio"),
+        least(lit(maxSalt.toLong), greatest(lit(1L),
+          ceil(col("max_rows").cast("double") * col("n_keys") /
+            col("total_rows")))).as("rec_salt"))
+  }
+
   /** Equi-join `left.key == right.key` with the left side salted.
     * Use when `left` is large and skewed on `key`, and `right` is too big
-    * to broadcast but small per key. Result equals the plain inner join. */
+    * to broadcast but small per key. Result equals the plain inner join.
+    * Pick `saltFactor` from `skewReport(left, key).rec_salt` — the
+    * diagnosed ⌈max/avg⌉ clamp that equalizes the hottest key without
+    * over-replicating the right side. Salting hashes ALL left columns,
+    * so fully-identical duplicate rows land in one bucket — dedup or
+    * add a discriminator column first if exact duplicates dominate a
+    * hot key. */
   def saltedJoin(left: DataFrame, right: DataFrame, key: String,
       saltFactor: Int): DataFrame = {
     val saltedLeft = left.withColumn("__salt",

@@ -538,20 +538,12 @@ object Relational {
     // (deterministic argmax: max(struct(n, −key))). One count
     // aggregate and a 1-row rollup — the report costs one shuffle of
     // (key, count) partials at any scale.
-    "dq_skew" -> ((s, d) => {
-      val cnt = Tables.lineitem(s, d).groupBy("l_suppkey")
-        .agg(count(lit(1)).as("n"))
-      cnt.agg(
-          count(lit(1)).as("n_keys"),
-          sum(col("n")).as("total_rows"),
-          max(col("n")).as("max_rows"),
-          max(struct(col("n"), (-col("l_suppkey")).as("neg")))
-            .as("hot"))
-        .select(col("n_keys"), col("total_rows"), col("max_rows"),
-          (-col("hot.neg")).as("hot_key"),
-          round(col("max_rows").cast("double") * col("n_keys") /
-            col("total_rows"), 6).as("skew_ratio"))
-    }),
+    // Delegates to ScaleOps.skewReport, which also emits `rec_salt` —
+    // the clamp(⌈max/avg⌉, 1, 32) salt count that feeds saltedJoin
+    // directly (the diagnose→fix loop ScaleOpsSpec closes).
+    "dq_skew" -> ((s, d) =>
+      graft.operators.ScaleOps.skewReport(
+        Tables.lineitem(s, d), "l_suppkey")),
 
     // Pipeline-freshness report — the staleness monitor every ingest
     // DAG alarms on: per event_type, last-seen time and its lag behind
@@ -1538,7 +1530,10 @@ object Relational {
         |  CAST(max(n) AS BIGINT) AS max_rows,
         |  hot.hot_key,
         |  round(CAST(max(n) AS DOUBLE) * count(*) / sum(n), 6)
-        |    AS skew_ratio
+        |    AS skew_ratio,
+        |  LEAST(32, GREATEST(1, CAST(ceil(
+        |    CAST(max(n) AS DOUBLE) * count(*) / sum(n)) AS BIGINT)))
+        |    AS rec_salt
         |FROM c CROSS JOIN hot GROUP BY hot.hot_key""".stripMargin,
     "dq_freshness" ->
       """WITH per AS (SELECT event_type,

@@ -21,6 +21,43 @@ class ScaleOpsSpec extends SparkSpec {
     assert(salted.toSeq == plain.toSeq)
   }
 
+  test("skewReport's rec_salt closes the diagnose→fix loop: saltedJoin " +
+      "with the diagnosed count equalizes the hot key's buckets") {
+    // One hot key owns half the table: 2000 of 4000 rows on key 1,
+    // 100 cold keys with 20 each → avg ≈ 39.6, skew_ratio ≈ 50.5,
+    // rec_salt clamps ⌈50.5⌉ to the 32-way parallelism cap.
+    val left = ((1 to 2000).map(i => (1L, s"hot$i")) ++
+      (2 to 101).flatMap(k => (1 to 20).map(i => (k.toLong, s"c$k-$i"))))
+      .toDF("k", "lv")
+    val rep = ScaleOps.skewReport(left, "k")
+      .select("n_keys", "max_rows", "skew_ratio", "rec_salt")
+      .as[(Long, Long, Double, Long)].head()
+    assert(rep == ((101L, 2000L, 50.5, 32L)), s"report drifted: $rep")
+    val salt = rep._4.toInt
+
+    // The fix, applied with the diagnosed count: after salting, the
+    // hot key's largest (key, salt) bucket must be within small-sample
+    // hash noise of the 2000/32 = 62.5 ideal — i.e. the straggler is
+    // gone. (The salting expression below is saltedJoin's own.)
+    val buckets = left
+      .withColumn("__salt",
+        pmod(hash(left.columns.toIndexedSeq.map(col): _*), lit(salt)))
+      .filter(col("k") === 1L)
+      .groupBy("__salt").count()
+      .as[(Int, Long)].collect().toMap
+    assert(buckets.size == salt, s"some salt buckets empty: $buckets")
+    assert(buckets.values.max <= 2 * 2000 / salt,
+      s"hot key still skewed after salting: max=${buckets.values.max}")
+
+    // And the salted join itself is still result-transparent.
+    val right = (1 to 101).map(k => (k.toLong, s"r$k")).toDF("k", "rv")
+    val plain = left.join(right, "k").select("lv", "rv")
+      .collect().map(_.toString).sorted
+    val salted = ScaleOps.saltedJoin(left, right, "k", salt)
+      .select(col("lv"), col("rv")).collect().map(_.toString).sorted
+    assert(salted.toSeq == plain.toSeq)
+  }
+
   test("bloomPrefilterJoin equals the plain join and actually prefilters") {
     val probe = (1 to 2000).map(i => (i.toLong % 100, s"p$i")).toDF("k", "pv")
     val build = Seq((3L, "b3"), (7L, "b7"), (42L, "b42")).toDF("bk", "bv")

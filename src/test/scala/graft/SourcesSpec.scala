@@ -140,6 +140,50 @@ class SourcesSpec extends SparkSpec {
       s"latin-1 text mangled by the JDBC path:\n got  $got\n want $latin")
   }
 
+  test("fetchMedia streams each partition's URLs through the pluggable " +
+      "transport: exact payloads, per-row fault isolation, size cap") {
+    import graft.sources.MediaFetch
+    // URLs built by the same template op the entity pipelines use.
+    val urls = spark.range(0, 40).toDF("id")
+      .select(graft.functions.Scalars.imageUrl("https://media.example",
+        col("id"), "large", concat(lit("p"), col("id"), lit(".jpg")))
+        .as("url"))
+    val got = MediaFetch.fetchMedia(urls, "url", MediaFetch.fakeTransport)
+      .as[(String, Array[Byte], Long, Boolean, String)].collect()
+    assert(got.length == 40 && got.forall(_._4))
+    // Closed-form payload check (the transport's contract), including
+    // one payload much larger than blockSize — proving the 8192-block
+    // loop reassembles multi-block bodies, not just one read().
+    got.foreach { case (url, payload, n, _, _) =>
+      val want = url.length * 700 % 100000
+      assert(n == want && payload.length == want)
+      assert(payload(0) == (url.length % 256).toByte)
+      if (want > 1)
+        assert(payload(want - 1) ==
+          (((want - 1) * 31 + url.length) % 256).toByte)
+    }
+    assert(got.exists(_._3 > 8192), "fixture never exceeded one block")
+
+    // A dead URL yields an error ROW; the stage (and its neighbors)
+    // survive — the reference logs-and-continues, a task must too.
+    val mixed = Seq("https://media.example/ok/1/large/a.jpg",
+      "https://media.example/missing/2/large/b.jpg").toDF("url")
+    val rows = MediaFetch.fetchMedia(mixed, "url",
+        MediaFetch.fakeTransport)
+      .as[(String, Array[Byte], Long, Boolean, String)]
+      .collect().sortBy(_._1)
+    // sorted by url: ".../missing/..." precedes ".../ok/...".
+    assert(!rows(0)._4 && rows(1)._4)
+    assert(rows(0)._5.contains("FileNotFoundException"))
+
+    // Oversized payload → error row, not an OOM'd executor.
+    val capped = MediaFetch.fetchMedia(
+      Seq("https://media.example/ok/1/large/a.jpg").toDF("url"),
+      "url", MediaFetch.fakeTransport, maxBytes = 16L)
+      .as[(String, Array[Byte], Long, Boolean, String)].head()
+    assert(!capped._4 && capped._5.contains("maxBytes"))
+  }
+
   test("FAILFAST surfaces malformed csv rows instead of nulling them") {
     val dir = java.nio.file.Files.createTempDirectory("graft-bad").toString
     java.nio.file.Files.writeString(

@@ -933,6 +933,12 @@ object TextOps {
     // sharing their first min(n_a, n_b) frames, so jaccard varies per
     // pair and the oracle recomputes every hash from the byte
     // arithmetic — a demux or slicing bug anywhere breaks the gate.
+    // Pair multiplicity here is EXACT (the oracle counts shared
+    // frames), so all pairs of one hash meet in one task; a corpus
+    // where one frame recurs across millions of videos should switch
+    // to candidatePairsFromBands' capped enumeration (band_idx=0,
+    // band_hash=fhash) and trade exact per-pair counts for the
+    // bounded-bucket guarantee.
     "mm_frame_dedup" -> ((s, d) => {
       val frames = graft.multimodal.Multimodal.extractFrameHashes(
         graft.multimodal.Multimodal.synthMp4FramesShared(

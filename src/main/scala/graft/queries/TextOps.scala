@@ -290,6 +290,41 @@ object TextOps {
       graft.api.GraftOps.minhashCandidatePairs(docsOf(s, d), "doc_id",
         "text")),
 
+    // Edit-distance VERIFICATION over the LSH candidates — the second
+    // stage of production fuzzy dedup (banding proposes, an exact
+    // similarity disposes): every minhashCandidatePairs pair is scored
+    // with character-level Levenshtein, normalized by the longer text
+    // (edit_sim = 1 − dist/max_len, the classic ratio), and flagged
+    // is_dup at 0.8 — the flag is derived from the ROUNDED sim in both
+    // engines so no boundary ulp can flip it. Cost shape: Levenshtein
+    // is O(len²) per pair, which is exactly why it runs on the
+    // LSH-bounded candidate set and never corpus-wide; the two joins
+    // back to `documents` shuffle on doc_id (at 100 TB: pair table
+    // ≪ corpus, both joins are shuffle-hash on the natural key). For
+    // longer documents swap in Spark's thresholded
+    // levenshtein(l, r, k) early-exit — not used here because the
+    // DuckDB twin has no threshold form to mirror its −1 sentinel.
+    "dedup_edit_verified" -> ((s, d) => {
+      val docs = docsOf(s, d)
+      val cand = graft.api.GraftOps
+        .minhashCandidatePairs(docs, "doc_id", "text")
+      val a = docs.select(col("doc_id").as("left_id"),
+        col("text").as("__ta"))
+      val b = docs.select(col("doc_id").as("right_id"),
+        col("text").as("__tb"))
+      cand.join(a, Seq("left_id")).join(b, Seq("right_id"))
+        .select(col("left_id"), col("right_id"),
+          levenshtein(col("__ta"), col("__tb")).cast("long")
+            .as("edit_dist"),
+          round(when(greatest(length(col("__ta")),
+              length(col("__tb"))) === 0, 1.0)
+            .otherwise(lit(1.0) -
+              levenshtein(col("__ta"), col("__tb")).cast("double") /
+                greatest(length(col("__ta")), length(col("__tb")))
+                  .cast("double")), 6).as("edit_sim"))
+        .withColumn("is_dup", col("edit_sim") >= 0.8)
+    }),
+
     // n-gram Jaccard similarity on deterministic adjacent-id pairs
     // (the verification step that follows LSH candidate generation).
     // SCOPE NOTE: the (doc_id, doc_id-1) pairing is an EVAL HARNESS —
@@ -2373,6 +2408,27 @@ object TextOps {
          |FROM bands a JOIN bands b
          |  ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
          |  AND a.doc_id < b.doc_id""".stripMargin,
+    "dedup_edit_verified" ->
+      s"""WITH $SigCte,
+         |cand AS (SELECT DISTINCT a.doc_id AS left_id,
+         |    b.doc_id AS right_id
+         |  FROM bands a JOIN bands b
+         |    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+         |    AND a.doc_id < b.doc_id),
+         |scored AS (SELECT c.left_id, c.right_id,
+         |    CAST(levenshtein(da.text, db.text) AS BIGINT) AS edit_dist,
+         |    round(CASE
+         |      WHEN greatest(length(da.text), length(db.text)) = 0
+         |        THEN 1.0
+         |      ELSE 1.0 - CAST(levenshtein(da.text, db.text) AS DOUBLE)
+         |        / greatest(length(da.text), length(db.text)) END, 6)
+         |      AS edit_sim
+         |  FROM cand c
+         |    JOIN documents da ON c.left_id = da.doc_id
+         |    JOIN documents db ON c.right_id = db.doc_id)
+         |SELECT left_id, right_id, edit_dist, edit_sim,
+         |  edit_sim >= 0.8 AS is_dup
+         |FROM scored""".stripMargin,
     "tok_vocab_coverage" ->
       s"""WITH $TokedCte,
          |tok AS (SELECT unnest(toks) AS token FROM toked),

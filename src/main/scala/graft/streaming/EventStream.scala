@@ -106,6 +106,44 @@ object EventStream {
       .dropDuplicatesWithinWatermark("doc_id")
       .select(col("doc_id"), col("ts"))
 
+  /** Near-dup gate against a LIVE index — the self-referential upgrade
+    * of `nearDupGateStream`'s static probe: the corpus IS the stream,
+    * and a document is flagged when some EARLIER document inside the
+    * `horizon` shares a MinHash band with it (first-occurrence-wins,
+    * streaming form). Shape: one rowLocalBands projection feeds BOTH
+    * sides of a watermarked stream-stream join whose time condition
+    * (`idx.ts < doc.ts`, `idx.ts >= doc.ts − horizon`) bounds the
+    * state store to horizon + watermark worth of band rows per key —
+    * the same state-bounding contract as `attributionJoin`. One
+    * verdict per doc via dropDuplicatesWithinWatermark (a doc matching
+    * on several bands or several predecessors is still one dup).
+    * Emits the FLAGGED docs (the dups); the novel set is the input
+    * minus these, which the caller already holds. At 100 TB/day both
+    * sides shuffle once on the band key; the hot-band discipline of
+    * the batch path (bucket caps) applies when a boilerplate band
+    * floods a key — cap upstream with the same count-window salt. */
+  def nearDupSelfGateStream(docs: DataFrame, horizon: String,
+      watermarkDelay: String): DataFrame = {
+    val probe = graft.api.GraftOps
+      .rowLocalBands(docs.withWatermark("ts", watermarkDelay),
+        "doc_id", "text", carryCols = Seq("ts"))
+    val idx = graft.api.GraftOps
+      .rowLocalBands(docs.withWatermark("ts", watermarkDelay),
+        "doc_id", "text", carryCols = Seq("ts"))
+      .select(col("doc_id").as("i_doc"), col("ts").as("i_ts"),
+        col("band_idx").as("i_band_idx"),
+        col("band_hash").as("i_band_hash"))
+    probe.join(idx,
+        col("band_idx") === col("i_band_idx") &&
+          col("band_hash") === col("i_band_hash") &&
+          col("i_doc") =!= col("doc_id") &&
+          col("i_ts") < col("ts") &&
+          col("i_ts") >= col("ts") - expr(s"INTERVAL $horizon"),
+        "leftSemi")
+      .dropDuplicatesWithinWatermark("doc_id")
+      .select(col("doc_id"), col("ts"))
+  }
+
   /** Streaming attribution — the streaming shape of the batch as-of join
     * (GraftOps.asofJoin / j11): each purchase left-outer joins the
     * clicks of the same user within the preceding `horizon`. Both sides

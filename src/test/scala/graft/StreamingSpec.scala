@@ -237,6 +237,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("nearDupSelfGateStream: the index IS the stream — a doc is " +
+      "flagged iff an EARLIER in-horizon doc shares a band") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, Timestamp, String)]
+    val q = EventStream.nearDupSelfGateStream(
+      stream.toDF().toDF("doc_id", "ts", "text"),
+      horizon = "30 minutes", watermarkDelay = "10 minutes")
+      .writeStream.format("memory").queryName("selfgate_out")
+      .outputMode("append").start()
+    try {
+      val textA = "alpha beta gamma delta epsilon zeta eta theta"
+      val textB = "one two three four five six seven eight nine"
+      stream.addData(
+        (1L, ts(0), textA),            // first occurrence — novel
+        (2L, ts(5), textA),            // dup of 1 (earlier, in horizon)
+        (3L, ts(6), textB),            // first occurrence — novel
+        (4L, ts(7), "wholly unrelated prose nothing shared here at all"))
+      q.processAllAvailable()
+      // 50 min: dup of 3 but OUTSIDE the 30-min horizon → novel again
+      // (the time bound is what keeps join state finite); 6 is an
+      // in-horizon dup of 5's re-occurrence. 99 only advances the
+      // watermark so every earlier verdict is final in append mode.
+      stream.addData((5L, ts(50), textB), (6L, ts(55), textB))
+      q.processAllAvailable()
+      stream.addData((99L, ts(120),
+        "watermark pusher with its own unique never repeated words"))
+      q.processAllAvailable()
+      val got = spark.table("selfgate_out")
+        .select("doc_id").as[Long].collect().toSeq.sorted
+      assert(got == Seq(2L, 6L),
+        s"flag exactly the earlier-in-horizon band matches, got $got")
+    } finally q.stop()
+  }
+
   test("attributionJoin pairs purchases with in-horizon clicks, " +
     "null row when none") {
     implicit val sqlCtx = spark.sqlContext

@@ -290,6 +290,35 @@ object TextOps {
       graft.api.GraftOps.minhashCandidatePairs(docsOf(s, d), "doc_id",
         "text")),
 
+    // Batch twin of streaming.nearDupSelfGateStream (live-index gate):
+    // a doc is a dup iff an EARLIER doc within the horizon shares a
+    // MinHash band — first-occurrence-wins with a sliding recency
+    // bound, the semantics an ingest stream applies with its
+    // watermarked self-join. Arrival time is proxied by doc_id
+    // (1 "minute" apart, horizon = 30), so the oracle can replay the
+    // exact window arithmetic; StreamingSpec separately proves the
+    // stream operator equals this query on the same inputs. Shape: one
+    // banded self-join bounded by the id window (band key shuffle,
+    // bucket-local pairs), then a distinct + left join back — no
+    // all-pairs stage anywhere.
+    "dedup_first_in_horizon" -> ((s, d) => {
+      val docs = docsOf(s, d)
+      val bands = graft.api.GraftOps
+        .minhashBands(docs, "doc_id", "text").localCheckpoint()
+      val idx = bands.select(col("doc_id").as("i_doc"),
+        col("band_idx"), col("band_hash"))
+      val hits = bands
+        .join(idx, Seq("band_idx", "band_hash"))
+        .filter(col("i_doc") < col("doc_id") &&
+          col("i_doc") >= col("doc_id") - 30)
+        .select("doc_id").distinct()
+        .withColumn("hit", lit(true))
+      docs.select("doc_id")
+        .join(hits, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("hit"), lit(false)).as("dup_in_horizon"))
+    }),
+
     // Edit-distance VERIFICATION over the LSH candidates — the second
     // stage of production fuzzy dedup (banding proposes, an exact
     // similarity disposes): every minhashCandidatePairs pair is scored
@@ -2408,6 +2437,16 @@ object TextOps {
          |FROM bands a JOIN bands b
          |  ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
          |  AND a.doc_id < b.doc_id""".stripMargin,
+    "dedup_first_in_horizon" ->
+      s"""WITH $SigCte,
+         |hits AS (SELECT DISTINCT a.doc_id FROM bands a
+         |  JOIN bands b ON a.band_idx = b.band_idx
+         |    AND a.band_hash = b.band_hash
+         |    AND b.doc_id < a.doc_id
+         |    AND b.doc_id >= a.doc_id - 30)
+         |SELECT d.doc_id,
+         |  d.doc_id IN (SELECT doc_id FROM hits) AS dup_in_horizon
+         |FROM documents d""".stripMargin,
     "dedup_edit_verified" ->
       s"""WITH $SigCte,
          |cand AS (SELECT DISTINCT a.doc_id AS left_id,

@@ -271,6 +271,48 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("nearDupSelfGateStream over the real corpus equals the " +
+      "oracle-checked batch twin dedup_first_in_horizon") {
+    // The strongest closure for the live-index gate: the stream
+    // operator, fed the sf0.001 documents with the SAME arrival proxy
+    // the batch twin encodes (doc_id minutes apart, 30-minute
+    // horizon), must flag exactly the twin's dup_in_horizon set — and
+    // the twin itself is DuckDB-hash-gated, so the streaming semantics
+    // are transitively oracle-verified.
+    implicit val sqlCtx = spark.sqlContext
+    val sfDir = "/root/testdata/sf0.001"
+    val base = ts(0).getTime
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "text").as[(Long, String)].collect().toSeq
+      .sortBy(_._1)
+      .map { case (id, tx) =>
+        (id, new Timestamp(base + id * 60000L), tx) }
+    val stream = MemoryStream[(Long, Timestamp, String)]
+    val q = EventStream.nearDupSelfGateStream(
+      stream.toDF().toDF("doc_id", "ts", "text"),
+      horizon = "30 minutes", watermarkDelay = "5 minutes")
+      .writeStream.format("memory").queryName("selfgate_corpus")
+      .outputMode("append").start()
+    try {
+      stream.addData(docs)
+      q.processAllAvailable()
+      // Watermark pusher: unique text far in the future finalizes
+      // every real verdict in append mode.
+      stream.addData((999999L,
+        new Timestamp(base + 1000L * 60000L),
+        "unique watermark advancing text never shared with anything"))
+      q.processAllAvailable()
+      val got = spark.table("selfgate_corpus")
+        .select("doc_id").as[Long].collect().toSet - 999999L
+      val want = SparkEntry.queries("dedup_first_in_horizon")(spark, sfDir)
+        .filter(col("dup_in_horizon"))
+        .select("doc_id").as[Long].collect().toSet
+      assert(got == want,
+        s"stream vs batch twin: extra=${got -- want} missing=${want -- got}")
+      assert(want.nonEmpty, "vacuous: the twin found no in-horizon dups")
+    } finally q.stop()
+  }
+
   test("attributionJoin pairs purchases with in-horizon clicks, " +
     "null row when none") {
     implicit val sqlCtx = spark.sqlContext

@@ -178,6 +178,53 @@ object GraftOps {
       .distinct()
   }
 
+  /** Co-occurrence pair COUNTS under the bucket cap: for every pair of
+    * ids sharing a key value, the number of (key, occurrence) matches —
+    * the multiplicity-preserving sibling of `candidatePairsFromBands`
+    * (which distincts pairs away). Used where the MATCH COUNT is the
+    * signal, e.g. shared-frame counts for video near-dup jaccard.
+    *
+    * Same bounded-bucket discipline: a key bucket larger than
+    * `bucketCap` is salt-split into ceil(n/cap) sub-buckets by a
+    * deterministic id hash before pair emission, so one ubiquitous key
+    * (a black frame, a station logo) can never go quadratic — cost is
+    * Σ ceil(n/cap)·cap² instead of Σ n². Under the cap every bucket
+    * computes sub-bucket 0 and the output is BIT-IDENTICAL to a raw
+    * self-join on the key (spec-pinned); over the cap the emitted
+    * pair set is a strict subset and per-pair counts are lower bounds
+    * (cross-sub-bucket matches are the accepted recall loss — the
+    * standard LSH stop-band rule, a hot key is boilerplate not
+    * signal). Shape: the count window, the (key, __sub) groupBy and
+    * the in-bucket combination emission all ride ONE exchange on the
+    * key (subset-clustering reuse, as candidatePairsFromBands
+    * documents); the final per-pair count is a second exchange.
+    * Same-id matches (one id holding a key twice) are excluded, like
+    * the raw join's `left < right` filter; cross-id multiplicity
+    * (ca·cb matches for counts ca, cb) is preserved exactly because
+    * the sorted bucket array keeps duplicates and every earlier
+    * occurrence pairs with every later occurrence of a distinct id. */
+  def cappedKeyPairCounts(rows: DataFrame, keyCol: String, idCol: String,
+      bucketCap: Int = 4096): DataFrame = {
+    require(bucketCap >= 2, "cappedKeyPairCounts: bucketCap must be >= 2")
+    val buckets = rows
+      .withColumn("__n", count(lit(1))
+        .over(Window.partitionBy(keyCol)))
+      .withColumn("__sub", pmod(xxhash64(col(idCol)),
+        ceil(col("__n").cast("double") / bucketCap).cast("long")))
+      .groupBy(col(keyCol), col("__sub"))
+      .agg(sort_array(collect_list(col(idCol))).as("ids"))
+      .filter(size(col("ids")) > 1)
+    val pairs = flatten(transform(col("ids"), (x, i) =>
+      filter(transform(slice(col("ids"), i + 2, size(col("ids"))),
+        y => struct(x.as("left_id"), y.as("right_id"))),
+        p => p.getField("left_id") =!= p.getField("right_id"))))
+    buckets.select(explode(pairs).as("p"))
+      .select(col("p.left_id").as("left_id"),
+        col("p.right_id").as("right_id"))
+      .groupBy("left_id", "right_id")
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
   /** Exact-dedup survivor set: rows whose id is the minimum for their
     * content hash (hash-groupBy + left-semi back to the input). */
   def dedupExact(docs: DataFrame, idCol: String, textCol: String)

@@ -297,21 +297,23 @@ object TextOps {
     // watermarked self-join. Arrival time is proxied by doc_id
     // (1 "minute" apart, horizon = 30), so the oracle can replay the
     // exact window arithmetic; StreamingSpec separately proves the
-    // stream operator equals this query on the same inputs. Shape: one
-    // banded self-join bounded by the id window (band key shuffle,
-    // bucket-local pairs), then a distinct + left join back — no
-    // all-pairs stage anywhere.
+    // stream operator equals this query on the same inputs. Pair
+    // generation goes through GraftOps.minhashCandidatePairs — the
+    // CAPPED bucket-local enumerator (4096-member salt-split, see
+    // candidatePairsFromBands' Scaladoc) — NOT a raw band self-join:
+    // one boilerplate band hash shared by 10⁶ docs would make an
+    // equi-join emit |bucket|² rows BEFORE any horizon filter prunes
+    // them. Under the cap the pair set is bit-identical to the
+    // unbounded join (every bucket computes sub-bucket 0), so the
+    // oracle keeps its plain self-join form; the capped pairs carry
+    // left_id < right_id, so "an earlier doc within the horizon"
+    // is exactly left_id >= right_id − 30 with right_id flagged.
     "dedup_first_in_horizon" -> ((s, d) => {
       val docs = docsOf(s, d)
-      val bands = graft.api.GraftOps
-        .minhashBands(docs, "doc_id", "text").localCheckpoint()
-      val idx = bands.select(col("doc_id").as("i_doc"),
-        col("band_idx"), col("band_hash"))
-      val hits = bands
-        .join(idx, Seq("band_idx", "band_hash"))
-        .filter(col("i_doc") < col("doc_id") &&
-          col("i_doc") >= col("doc_id") - 30)
-        .select("doc_id").distinct()
+      val hits = graft.api.GraftOps
+        .minhashCandidatePairs(docs, "doc_id", "text")
+        .filter(col("left_id") >= col("right_id") - 30)
+        .select(col("right_id").as("doc_id")).distinct()
         .withColumn("hit", lit(true))
       docs.select("doc_id")
         .join(hits, Seq("doc_id"), "left")
@@ -342,15 +344,22 @@ object TextOps {
       val b = docs.select(col("doc_id").as("right_id"),
         col("text").as("__tb"))
       cand.join(a, Seq("left_id")).join(b, Seq("right_id"))
+        // One levenshtein per pair, projected ONCE and referenced
+        // twice downstream. CollapseProject will not inline a
+        // non-cheap expression used at two sites, so the analyzed
+        // plan keeps a single levenshtein call — previously the two
+        // inline copies relied on whole-stage-codegen subexpression
+        // elimination, which a non-codegen fallback would lose.
         .select(col("left_id"), col("right_id"),
           levenshtein(col("__ta"), col("__tb")).cast("long")
             .as("edit_dist"),
-          round(when(greatest(length(col("__ta")),
-              length(col("__tb"))) === 0, 1.0)
+          greatest(length(col("__ta")), length(col("__tb")))
+            .cast("double").as("__maxlen"))
+        .select(col("left_id"), col("right_id"), col("edit_dist"),
+          round(when(col("__maxlen") === 0, 1.0)
             .otherwise(lit(1.0) -
-              levenshtein(col("__ta"), col("__tb")).cast("double") /
-                greatest(length(col("__ta")), length(col("__tb")))
-                  .cast("double")), 6).as("edit_sim"))
+              col("edit_dist").cast("double") / col("__maxlen")), 6)
+            .as("edit_sim"))
         .withColumn("is_dup", col("edit_sim") >= 0.8)
     }),
 
@@ -987,22 +996,21 @@ object TextOps {
     // FRAME-LEVEL VIDEO NEAR-DUP (r11 item 6) — the composition the
     // demux enables: ONE extractFrameHashes pass (real stsz/stsc/stco
     // walk + md5 over each sample's actual bytes, localCheckpointed so
-    // no consumer re-demuxes) feeds a content-hash self-join — videos
-    // sharing >= 1 identical frame pair up, scored by shared-frame
-    // Jaccard. The join key is the frame CONTENT hash, so like every
-    // dedup in this repo the pair space is bucket-local (only videos
-    // that truly share a frame ever meet — no all-pairs stage), and at
-    // 100 TB the hash table shuffles once on a high-cardinality key.
-    // The fixture (synthMp4FramesShared) gives families of videos
-    // sharing their first min(n_a, n_b) frames, so jaccard varies per
-    // pair and the oracle recomputes every hash from the byte
-    // arithmetic — a demux or slicing bug anywhere breaks the gate.
-    // Pair multiplicity here is EXACT (the oracle counts shared
-    // frames), so all pairs of one hash meet in one task; a corpus
-    // where one frame recurs across millions of videos should switch
-    // to candidatePairsFromBands' capped enumeration (band_idx=0,
-    // band_hash=fhash) and trade exact per-pair counts for the
-    // bounded-bucket guarantee.
+    // no consumer re-demuxes) feeds frame-CONTENT-hash co-occurrence
+    // counting — videos sharing >= 1 identical frame pair up, scored
+    // by shared-frame Jaccard. Pair emission goes through
+    // GraftOps.cappedKeyPairCounts — the multiplicity-preserving
+    // capped enumerator (4096 salt-split on the fhash key) — NOT a
+    // raw fhash self-join: a degenerate ubiquitous frame (black
+    // frame, station logo, test pattern — guaranteed in real video
+    // corpora) would make one fhash bucket quadratic. Under the cap
+    // the pair counts are bit-identical to the raw join (spec-pinned
+    // in ScaleOpsSpec); over the cap they are documented lower
+    // bounds, like semanticDupIds' cell cap. The fixture
+    // (synthMp4FramesShared) gives families of videos sharing their
+    // first min(n_a, n_b) frames, so jaccard varies per pair and the
+    // oracle recomputes every hash from the byte arithmetic — a
+    // demux or slicing bug anywhere breaks the gate.
     "mm_frame_dedup" -> ((s, d) => {
       val frames = graft.multimodal.Multimodal.extractFrameHashes(
         graft.multimodal.Multimodal.synthMp4FramesShared(
@@ -1010,12 +1018,8 @@ object TextOps {
         .localCheckpoint()
       val nf = frames.groupBy("media_id")
         .agg(count(lit(1)).as("nf"))
-      val a = frames.select(col("media_id").as("left_id"), col("fhash"))
-      val b = frames.select(col("media_id").as("right_id"), col("fhash"))
-      val shared = a.join(b, Seq("fhash"))
-        .filter(col("left_id") < col("right_id"))
-        .groupBy("left_id", "right_id")
-        .agg(count(lit(1)).as("n_shared"))
+      val shared = graft.api.GraftOps.cappedKeyPairCounts(
+        frames.select(col("media_id"), col("fhash")), "fhash", "media_id")
       shared
         .join(nf.select(col("media_id").as("left_id"),
           col("nf").as("nf_l")), Seq("left_id"))

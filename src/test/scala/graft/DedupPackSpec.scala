@@ -245,4 +245,51 @@ class DedupPackSpec extends SparkSpec {
     // The salt actually sharded the hot bucket.
     assert(sub.values.toSet.size > 1)
   }
+
+  test("cappedKeyPairCounts: under-cap counts bit-identical to a raw key " +
+      "self-join; over-cap pairs a strict subset with lower-bound counts") {
+    // Frame-table shape (media_id, fhash): a hot hash held once by ids
+    // 1..20 (the ubiquitous black frame), a small hash K2 held TWICE by
+    // id 1 and once by id 2 (multiplicity: the raw join counts 2×1 = 2
+    // matches for that pair), and a singleton (never pairs).
+    val rows = ((1 to 20).map(i => (i.toLong, "HOT")) ++
+      Seq((1L, "K2"), (1L, "K2"), (2L, "K2"), (9L, "SOLO")))
+      .toDF("media_id", "fhash")
+    def counts(cap: Int): Map[(Long, Long), Long] =
+      GraftOps.cappedKeyPairCounts(rows, "fhash", "media_id", cap)
+        .as[(Long, Long, Long)].collect()
+        .map { case (l, r, n) => (l, r) -> n }.toMap
+    // The raw self-join truth, computed independently here.
+    val a = rows.select($"media_id".as("l"), $"fhash")
+    val b = rows.select($"media_id".as("r"), $"fhash")
+    val raw = a.join(b, "fhash").filter($"l" < $"r")
+      .groupBy("l", "r").count()
+      .as[(Long, Long, Long)].collect()
+      .map { case (l, r, n) => (l, r) -> n }.toMap
+    assert(raw((1L, 2L)) == 3L, "fixture: 1 HOT match + 2 K2 matches")
+    // Cap above every bucket ⇒ bit-identical pair counts.
+    assert(counts(4096) == raw)
+    // Cap below the hot bucket (ceil(20/4) = 5 sub-buckets) ⇒ strict
+    // subset of pairs, every surviving count a lower bound; the
+    // under-cap K2 matches are untouched so (1,2) keeps >= 2.
+    val capped = counts(4)
+    assert(capped.keySet.subsetOf(raw.keySet) &&
+      capped.keySet.size < raw.keySet.size)
+    assert(capped.forall { case (k, n) => n <= raw(k) })
+    assert(capped((1L, 2L)) >= 2L)
+    // Exact over-cap contract, re-derived from the salt formula: a HOT
+    // match survives iff both ids land in the same of 5 xxhash64
+    // sub-buckets.
+    val sub = (1 to 20).map(_.toLong).map { i =>
+      i -> spark.range(i, i + 1)
+        .select(pmod(xxhash64(col("id")), lit(5L))).as[Long].head()
+    }.toMap
+    val wantCapped = (for (x <- 1L to 20L; y <- (x + 1) to 20L
+        if sub(x) == sub(y)) yield (x, y) -> 1L).toMap
+    val want = wantCapped + ((1L, 2L) ->
+      (wantCapped.getOrElse((1L, 2L), 0L) + 2L))
+    assert(capped == want,
+      "salt-split pair counts must match the re-derived sub-bucket formula")
+    assert(sub.values.toSet.size > 1)
+  }
 }

@@ -53,6 +53,40 @@ class PlanShapeSpec extends SparkSpec {
     assert(n == 2, s"expected 2 exchanges, found $n:\n$p")
   }
 
+  test("cappedKeyPairCounts: no self-join — in-bucket combination " +
+      "emission behind the count window's shared exchange") {
+    val rows = Seq((1L, "A"), (2L, "A"), (3L, "B"))
+      .toDF("media_id", "fhash")
+    val p = phys(GraftOps.cappedKeyPairCounts(rows, "fhash", "media_id"))
+    assert(p.contains("Window"), s"bucket-size count must be a window:\n$p")
+    assert(!p.contains("Join"),
+      s"pair counts must not come from a key self-join:\n$p")
+    // One exchange on the key (count window + bucket groupBy via
+    // subset-clustering reuse), one for the per-pair count groupBy.
+    val n = "Exchange hashpartitioning".r.findAllMatchIn(p).size
+    assert(n == 2, s"expected 2 exchanges, found $n:\n$p")
+  }
+
+  test("dedup_first_in_horizon and mm_frame_dedup route pairs through " +
+      "the capped generators: no join keyed on a raw band/frame hash") {
+    // The r12 regression shape: a raw equi-join on the band (or frame
+    // content) hash emits |bucket|² rows before any filter — one hot
+    // hash goes quadratic at 100 TB. Both queries must keep their only
+    // join(s) on document/media ids; the bucket key may appear in
+    // windows and aggregates, never in a join.
+    for (name <- Seq("dedup_first_in_horizon", "mm_frame_dedup")) {
+      val p = phys(SparkEntry.queries(name)(spark, "/root/testdata/sf0.001"))
+      assert(p.contains("Window"),
+        s"$name: bucket-cap count window missing:\n$p")
+      val joinLines = p.linesIterator
+        .filter(l => l.contains("Join")).toSeq
+      assert(joinLines.forall(l =>
+          !l.contains("band_hash") && !l.contains("fhash")),
+        s"$name: a join is keyed on the raw bucket hash:\n" +
+          joinLines.mkString("\n"))
+    }
+  }
+
   test("interval join binning avoids nested-loop strategies") {
     val q = SparkEntry.queries("j12_range_join")(
       spark, "/root/testdata/sf0.001")

@@ -30,9 +30,13 @@ object ScaleOps {
     * clamp(⌈skew_ratio⌉, 1, maxSalt): splitting the hottest key into
     * ⌈max/avg⌉ buckets makes its largest bucket ~avg-sized — i.e. no
     * longer the straggler — while salts beyond the stage's parallelism
-    * (`maxSalt`, default one salt per local core / shuffle partition)
     * only multiply the right side's replication without adding
-    * concurrency. ScaleOpsSpec proves the loop closes: saltedJoin with
+    * concurrency. `maxSalt` defaults to a FIXED 32 (this harness's
+    * local core / shuffle-partition count; a cluster caller should
+    * pass its stage parallelism) — and the dq_skew oracle SQL
+    * independently hardcodes the same LEAST(32, …), so changing this
+    * default requires changing that twin in lockstep or the pair
+    * silently desyncs. ScaleOpsSpec proves the loop closes: saltedJoin with
     * the diagnosed rec_salt equalizes the hot key's buckets to within
     * hash noise of avg. One count aggregate + a 1-row rollup — the
     * report costs one shuffle of (key, count) partials at any scale.

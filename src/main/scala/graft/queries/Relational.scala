@@ -1520,6 +1520,8 @@ object Relational {
         |  count(*) AS n_items
         |FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
         |GROUP BY s.s_nationkey""".stripMargin,
+    // LEAST(32, …) below mirrors skewReport's fixed maxSalt default —
+    // the two constants must change in lockstep (see skewReport doc).
     "dq_skew" ->
       """WITH c AS (SELECT l_suppkey, count(*) AS n FROM lineitem
         |  GROUP BY l_suppkey),

@@ -472,7 +472,11 @@ object Similarity {
       def dot(a: Column, b: Column) = call_function("graft_vec_dot", a, b)
       val n = Tables.embeddings(s, d).count()
       val kBig = math.ceil(math.sqrt(n.toDouble)).toInt
-      Seq(4, kBig).map { k =>
+      // .distinct: for n <= 16, ceil(sqrt(n)) collapses to the toy
+      // k=4 — without it the two branches union into duplicate rows
+      // while the oracle's GROUP BY kv collapses them (engines would
+      // diverge on tiny corpora). The oracle mirrors with DISTINCT.
+      Seq(4, kBig).distinct.map { k =>
         val cells = kmeansAssign(s, d, k).select("vec_id", "u", "cluster")
           .localCheckpoint()
         val q0 = cells.filter(col("vec_id") < 5)
@@ -732,9 +736,10 @@ object Similarity {
          |SELECT q_id, cand_id, score, rnk FROM r WHERE rnk <= 5""".stripMargin,
     "emb_ivf_k_recall" ->
       s"""WITH $UnitCte,
-         |ks AS (SELECT CAST(4 AS BIGINT) AS kv
+         |ks AS (SELECT DISTINCT kv FROM (
+         |  SELECT CAST(4 AS BIGINT) AS kv
          |  UNION ALL
-         |  SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) FROM embeddings),
+         |  SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) FROM embeddings)),
          |c0 AS (SELECT ks.kv, e.vec_id AS cid, e.u AS cu
          |  FROM e JOIN ks ON e.vec_id < ks.kv),
          |a0 AS (SELECT ks.kv, e.vec_id, e.u,

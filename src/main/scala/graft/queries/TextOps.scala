@@ -1005,7 +1005,7 @@ object TextOps {
     // frame, station logo, test pattern — guaranteed in real video
     // corpora) would make one fhash bucket quadratic. Under the cap
     // the pair counts are bit-identical to the raw join (spec-pinned
-    // in ScaleOpsSpec); over the cap they are documented lower
+    // in DedupPackSpec); over the cap they are documented lower
     // bounds, like semanticDupIds' cell cap. The fixture
     // (synthMp4FramesShared) gives families of videos sharing their
     // first min(n_a, n_b) frames, so jaccard varies per pair and the

@@ -39,9 +39,19 @@ object MediaFetch {
 
   /** Production transport: plain HTTP(S) streaming, the urlopen
     * equivalent. Follows redirects, no auth — callers needing signed
-    * requests supply their own Transport. */
-  def httpTransport: Transport =
-    url => new java.net.URL(url).openStream()
+    * requests supply their own Transport. Both timeouts are ALWAYS
+    * set: a bare `openStream()` has none, so one hung connection
+    * would pin an executor slot forever — at 1000 executors a few
+    * thousand dead hosts in a URL corpus silently drain the whole
+    * fetch stage. A timeout surfaces as that row's error row
+    * (fetchMedia's per-row fault isolation), never a stuck task. */
+  def httpTransport(connectTimeoutMs: Int = 10000,
+      readTimeoutMs: Int = 30000): Transport = { url =>
+    val conn = new java.net.URL(url).openConnection()
+    conn.setConnectTimeout(connectTimeoutMs)
+    conn.setReadTimeout(readTimeoutMs)
+    conn.getInputStream
+  }
 
   /** Deterministic offline transport: URL u yields
     * len(u)·700 mod 100_000 bytes (multi-block for any realistic URL),
@@ -80,13 +90,29 @@ object MediaFetch {
               val out = new ByteArrayOutputStream()
               val buf = new Array[Byte](blockSize)
               var total = 0L
+              // read == 0 is legal for a misbehaving Transport (a
+              // blocking stream never returns it for a non-empty
+              // buffer) — unbounded, it would spin this task forever,
+              // so it is tolerated only maxZeroReads times in a row
+              // before the row errors out.
+              val maxZeroReads = 1024
+              var zeroReads = 0
               var read = in.read(buf)
-              while (read >= 0 && total <= maxBytes) {
-                out.write(buf, 0, read)
-                total += read
+              while (read >= 0 && total <= maxBytes &&
+                  zeroReads < maxZeroReads) {
+                if (read == 0) zeroReads += 1
+                else {
+                  zeroReads = 0
+                  out.write(buf, 0, read)
+                  total += read
+                }
                 read = in.read(buf)
               }
-              if (total > maxBytes)
+              if (zeroReads >= maxZeroReads)
+                Row(url, null, 0L, false,
+                  s"transport stalled: $maxZeroReads consecutive " +
+                    "zero-byte reads")
+              else if (total > maxBytes)
                 Row(url, null, 0L, false,
                   s"payload exceeds maxBytes=$maxBytes")
               else

@@ -133,11 +133,20 @@ object EventStream {
       .select(col("doc_id").as("i_doc"), col("ts").as("i_ts"),
         col("band_idx").as("i_band_idx"),
         col("band_hash").as("i_band_hash"))
+    // "Earlier" = (ts, doc_id) lexicographic, not strict ts alone:
+    // ts ties are routine in real streams (same-second ingest), and
+    // strict `i_ts < ts` would leave BOTH tied docs unflagged while
+    // the batch twin (ordered by doc_id) flags the later id. The
+    // range conjuncts `i_ts <= ts` / `i_ts >= ts − horizon` stay
+    // top-level AND terms so the state-bound extraction still sees
+    // a closed event-time interval (the state-eviction contract);
+    // the id tiebreak rides along as a residual predicate.
     probe.join(idx,
         col("band_idx") === col("i_band_idx") &&
           col("band_hash") === col("i_band_hash") &&
           col("i_doc") =!= col("doc_id") &&
-          col("i_ts") < col("ts") &&
+          col("i_ts") <= col("ts") &&
+          (col("i_ts") < col("ts") || col("i_doc") < col("doc_id")) &&
           col("i_ts") >= col("ts") - expr(s"INTERVAL $horizon"),
         "leftSemi")
       .dropDuplicatesWithinWatermark("doc_id")

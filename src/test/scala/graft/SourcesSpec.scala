@@ -182,6 +182,19 @@ class SourcesSpec extends SparkSpec {
       "url", MediaFetch.fakeTransport, maxBytes = 16L)
       .as[(String, Array[Byte], Long, Boolean, String)].head()
     assert(!capped._4 && capped._5.contains("maxBytes"))
+
+    // A transport that returns 0 bytes forever (a broken non-blocking
+    // wrapper) must become an error ROW after the bounded zero-read
+    // budget — not an infinitely spinning task.
+    val stalling: MediaFetch.Transport = _ => new java.io.InputStream {
+      override def read(): Int = 0
+      override def read(b: Array[Byte], off: Int, len: Int): Int = 0
+    }
+    val stalled = MediaFetch.fetchMedia(
+      Seq("https://media.example/ok/1/large/a.jpg").toDF("url"),
+      "url", stalling)
+      .as[(String, Array[Byte], Long, Boolean, String)].head()
+    assert(!stalled._4 && stalled._5.contains("stalled"))
   }
 
   test("FAILFAST surfaces malformed csv rows instead of nulling them") {

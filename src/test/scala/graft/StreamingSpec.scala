@@ -261,12 +261,20 @@ class StreamingSpec extends SparkSpec {
       // watermark so every earlier verdict is final in append mode.
       stream.addData((5L, ts(50), textB), (6L, ts(55), textB))
       q.processAllAvailable()
-      stream.addData((99L, ts(120),
+      // Timestamp TIE: same-second ingest is routine. "Earlier" is
+      // (ts, doc_id) lexicographic, so of two tied dups the HIGHER
+      // doc_id is flagged and the lower is the kept first occurrence
+      // — matching the batch twin's doc_id order; strict ts alone
+      // would silently keep both.
+      val textC = "tied arrival text shared by two same second docs"
+      stream.addData((8L, ts(90), textC), (7L, ts(90), textC))
+      q.processAllAvailable()
+      stream.addData((99L, ts(150),
         "watermark pusher with its own unique never repeated words"))
       q.processAllAvailable()
       val got = spark.table("selfgate_out")
         .select("doc_id").as[Long].collect().toSeq.sorted
-      assert(got == Seq(2L, 6L),
+      assert(got == Seq(2L, 6L, 8L),
         s"flag exactly the earlier-in-horizon band matches, got $got")
     } finally q.stop()
   }

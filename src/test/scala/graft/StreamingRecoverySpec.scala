@@ -151,6 +151,53 @@ class StreamingRecoverySpec extends SparkSpec {
       s"exactly one verdict per dup doc across the restart, got $got")
   }
 
+  test("live-index gate EVICTS band state older than horizon+watermark: " +
+      "state rows plateau across a long replay instead of growing with " +
+      "the stream") {
+    // The property that actually matters for an unbounded ingest: the
+    // batch-twin parity specs prove flag correctness, but a gate whose
+    // stream-stream join state grew with TOTAL ingest would OOM at
+    // 100 TB/day regardless. Replay 300 minutes of unique docs (4 band
+    // rows per doc per join side) in 30-minute micro-batches and
+    // sample the state-store row totals as the watermark advances:
+    // retained rows must track the ~40-minute (horizon + watermark)
+    // sliding interval, NOT the 300-minute stream.
+    implicit val sqlCtx = spark.sqlContext
+    val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val stream = MemoryStream[(Long, Timestamp, String)]
+    val q = EventStream.nearDupSelfGateStream(
+      stream.toDF().toDF("doc_id", "ts", "text"),
+      horizon = "30 minutes", watermarkDelay = "10 minutes")
+      .writeStream.format("memory").queryName("evict_probe")
+      .outputMode("append").start()
+    try {
+      def stateRows(): Long = q.recentProgress
+        .flatMap(p => Option(p.stateOperators))
+        .filter(_.nonEmpty)
+        .lastOption.map(_.map(_.numRowsTotal).sum).getOrElse(0L)
+      val samples = (0 until 300).grouped(30).map { chunk =>
+        stream.addData(chunk.map(i => (i.toLong,
+          new Timestamp(base + i * 60000L),
+          s"unique$i alpha$i beta$i gamma$i delta$i epsilon$i")))
+        q.processAllAvailable()
+        stateRows()
+      }.toSeq
+      // Steady state reached once the first horizon+watermark has
+      // scrolled past (sample 3 onward). A linearly-growing store
+      // would show the last sample ~4x the 4th; eviction holds it
+      // within noise of a fixed plateau.
+      val steady = samples.drop(3)
+      assert(steady.last <= steady.head * 3 / 2,
+        s"state must plateau, got samples $samples")
+      // And the plateau is interval-sized, far below total ingest:
+      // 300 docs × 4 bands × 2 join sides = 2400 rows if nothing
+      // evicted; a ~40-min interval holds well under a quarter.
+      assert(steady.last < 600,
+        s"state must be interval-sized, got samples $samples")
+      assert(steady.last > 0, "vacuous: no state observed")
+    } finally q.stop()
+  }
+
   test("END-TO-END pipeline: ingest → near-dup gate → idempotent sink " +
       "as ONE stream, killed and restarted, equals the batch twin " +
       "exactly once") {

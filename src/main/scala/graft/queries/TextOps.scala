@@ -1031,6 +1031,41 @@ object TextOps {
               .cast("double"), 6).as("jaccard"))
     }),
 
+    // VIDEO RETENTION POLICY (r12 item 6) — cluster_keep_best's
+    // composition applied to video: the capped frame-dup pair table
+    // (same generator as mm_frame_dedup) becomes the edge set, bounded-
+    // round CC collapses transitive families (A shares frames with B,
+    // B with C ⇒ one cluster — near-duplication is transitive, so
+    // pairwise verdicts alone under-drop), and each cluster KEEPS its
+    // best member: most frames (the richest copy, this fixture's
+    // quality proxy), media_id tiebreak. ONE demux pass feeds both the
+    // pair edges and the per-video frame counts; after pair emission
+    // the CC rounds shuffle only the (video, label) table — frames
+    // never re-enter the loop, so at 100 TB the retention decision
+    // costs the pair table plus rounds × a node-sized shuffle.
+    "mm_video_keep_best" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val frames = graft.multimodal.Multimodal.extractFrameHashes(
+        graft.multimodal.Multimodal.synthMp4FramesShared(
+          Tables.documents(s, d).select(col("doc_id")), "doc_id", 5))
+        .localCheckpoint()
+      val nf = frames.groupBy("media_id")
+        .agg(count(lit(1)).as("nf"))
+      val edges = graft.api.GraftOps.cappedKeyPairCounts(
+          frames.select(col("media_id"), col("fhash")), "fhash",
+          "media_id")
+        .select("left_id", "right_id")
+      val cc = graft.api.GraftOps.connectedComponents(
+        nf.select(col("media_id")), "media_id", edges,
+        "left_id", "right_id", rounds = 2)
+      val w = Window.partitionBy("cluster_id")
+        .orderBy(col("nf").desc, col("media_id"))
+      cc.join(nf, Seq("media_id"))
+        .withColumn("rnk", row_number().over(w))
+        .select(col("media_id"), col("cluster_id"), col("nf"),
+          (col("rnk") === 1).as("keep"))
+    }),
+
     // PCM-content energy windows, REAL end-to-end — the audio twin of
     // mm_image_phash's pixel round trip: synthWav's data section is a
     // deterministic byte pattern ((i·31 + sr) mod 256), so every
@@ -3207,6 +3242,47 @@ object TextOps {
         |    / CAST(l.nf + r.nf - pr.n_shared AS DOUBLE), 6) AS jaccard
         |FROM pr JOIN nf l ON pr.left_id = l.doc_id
         |  JOIN nf r ON pr.right_id = r.doc_id""".stripMargin,
+    // Same frame-hash derivation, then bounded (<=2-hop) min-label
+    // reachability over the distinct pair graph — the oracle twin of
+    // connectedComponents(rounds = 2) — and argmax-frames retention
+    // within each cluster.
+    "mm_video_keep_best" ->
+      """WITH RECURSIVE p AS (SELECT doc_id, doc_id % 5 AS fam,
+        |    3 + doc_id % 4 AS n FROM documents),
+        |s AS (SELECT doc_id, fam, kk.k, 20 + (fam + kk.k) % 30 AS sz
+        |  FROM p, LATERAL (SELECT unnest(range(0, n)) AS k) kk),
+        |r AS (SELECT doc_id, fam, k, sz,
+        |    CAST(coalesce(sum(sz) OVER (PARTITION BY doc_id ORDER BY k
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS st
+        |  FROM s),
+        |bytes AS (SELECT doc_id, k, jj.j,
+        |    (17 * jj.j + fam) % 256 AS v
+        |  FROM r, LATERAL (SELECT unnest(range(st, st + sz)) AS j) jj),
+        |fh AS (SELECT doc_id, k,
+        |    md5(string_agg(CAST(v AS VARCHAR), ',' ORDER BY j)) AS fhash
+        |  FROM bytes GROUP BY doc_id, k),
+        |nf AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nf
+        |  FROM fh GROUP BY doc_id),
+        |pr AS (SELECT DISTINCT a.doc_id AS li, b.doc_id AS ri
+        |  FROM fh a JOIN fh b ON a.fhash = b.fhash
+        |    AND a.doc_id < b.doc_id),
+        |e AS (SELECT li AS a, ri AS b FROM pr
+        |  UNION SELECT ri, li FROM pr),
+        |reach AS (
+        |  SELECT a AS src, a AS dst, 0 AS dep
+        |    FROM (SELECT DISTINCT a FROM e)
+        |  UNION
+        |  SELECT rr.src, e2.b AS dst, rr.dep + 1
+        |    FROM reach rr JOIN e e2 ON e2.a = rr.dst WHERE rr.dep < 2),
+        |cm AS (SELECT src, min(dst) AS cl FROM reach GROUP BY src),
+        |base AS (SELECT nf.doc_id,
+        |    coalesce(cm.cl, nf.doc_id) AS cluster_id, nf.nf
+        |  FROM nf LEFT JOIN cm ON nf.doc_id = cm.src),
+        |rk AS (SELECT *, row_number() OVER (PARTITION BY cluster_id
+        |  ORDER BY nf DESC, doc_id) AS rnk FROM base)
+        |SELECT doc_id AS media_id, cluster_id, nf, rnk = 1 AS keep
+        |FROM rk""".stripMargin,
     // Recomputes synthWav's data bytes: sample k's low byte is
     // (62k + sr) mod 256 and high byte (62k + 31 + sr) mod 256
     // (byte i = (31i + sr) mod 256 at i = 2k, 2k+1), sign-extended

@@ -335,6 +335,10 @@ object TextOps {
     // longer documents swap in Spark's thresholded
     // levenshtein(l, r, k) early-exit — not used here because the
     // DuckDB twin has no threshold form to mirror its −1 sentinel.
+    // DedupPackSpec pins the swap's equivalence at the 0.8 threshold
+    // on multi-KB docs and records the measured cutover: 1.8× at
+    // ~6.8 KB with k = 0.2·len (the O((2k+1)·n) band), growing with
+    // stricter thresholds — worth it from ~1 KB documents up.
     "dedup_edit_verified" -> ((s, d) => {
       val docs = docsOf(s, d)
       val cand = graft.api.GraftOps

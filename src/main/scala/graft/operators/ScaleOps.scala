@@ -59,6 +59,28 @@ object ScaleOps {
             col("total_rows")))).as("rec_salt"))
   }
 
+  /** The salt count `autoSaltedJoin` applies: skewReport's rec_salt
+    * read as one scalar — a config-sized driver read (same class as
+    * the BPE trainer's per-step argmax), not a data collect. Exposed
+    * separately so callers (and specs) can see the diagnosed factor
+    * before paying for the join. */
+  def autoSalt(left: DataFrame, key: String, maxSalt: Int = 32): Int =
+    skewReport(left, key, maxSalt)
+      .select(col("rec_salt")).head().getLong(0).toInt
+
+  /** saltedJoin with the salt count DIAGNOSED instead of hand-picked —
+    * the one-call closure of the dq_skew → rec_salt → saltedJoin loop:
+    * skewReport runs on the left side, its rec_salt (clamp(⌈max/avg⌉,
+    * 1, maxSalt)) feeds saltedJoin directly. A uniform left diagnoses
+    * salt 1 — the plain join, zero replication — so this is safe as a
+    * default join form, not just a skew rescue. Cost: one extra
+    * (key, count) shuffle of the left side for the diagnosis; at
+    * 100 TB that is the cheap insurance against the 1000× straggler
+    * an undiagnosed hot key causes. */
+  def autoSaltedJoin(left: DataFrame, right: DataFrame, key: String,
+      maxSalt: Int = 32): DataFrame =
+    saltedJoin(left, right, key, autoSalt(left, key, maxSalt))
+
   /** Equi-join `left.key == right.key` with the left side salted.
     * Use when `left` is large and skewed on `key`, and `right` is too big
     * to broadcast but small per key. Result equals the plain inner join.

@@ -615,15 +615,19 @@ object Relational {
 
     // Salted skew join under the correctness gate: the salted plan MUST
     // hash-match the plain-join oracle — proving the skew machinery is
-    // result-transparent. Left rows split across 8 deterministic salt
-    // buckets, right rows replicate to all 8; same join output,
-    // 8-way-parallel hot keys.
+    // result-transparent. The salt count is DIAGNOSED, not hand-picked
+    // (autoSaltedJoin = skewReport's rec_salt feeding saltedJoin, the
+    // one-call diagnose→fix closure): left rows split across the
+    // diagnosed salt buckets, right rows replicate to all of them;
+    // same join output, straggler-free hot keys. The oracle is the
+    // plain join — any salt count yields the identical result, which
+    // is exactly the property under test.
     "scale_salted_join" -> ((s, d) => {
       val l = Tables.lineitem(s, d).select(col("l_suppkey"),
         (col("l_extendedprice") * 100.0 + 0.5).cast("long").as("p100"))
       val su = Tables.supplier(s, d)
         .select(col("s_suppkey").as("l_suppkey"), col("s_nationkey"))
-      graft.operators.ScaleOps.saltedJoin(l, su, "l_suppkey", 8)
+      graft.operators.ScaleOps.autoSaltedJoin(l, su, "l_suppkey")
         .groupBy("s_nationkey")
         .agg((sum(col("p100")).cast("double") / 100.0).as("revenue"),
           count(lit(1)).as("n_items"))

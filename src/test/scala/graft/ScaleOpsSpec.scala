@@ -56,6 +56,19 @@ class ScaleOpsSpec extends SparkSpec {
     val salted = ScaleOps.saltedJoin(left, right, "k", salt)
       .select(col("lv"), col("rv")).collect().map(_.toString).sorted
     assert(salted.toSeq == plain.toSeq)
+
+    // ONE-CALL closure: autoSaltedJoin derives the same diagnosed
+    // factor internally (autoSalt == rec_salt) and matches the plain
+    // join; a uniform left diagnoses salt 1 — plain join, zero
+    // replication — so auto-salting is safe as a default, not just
+    // a skew rescue.
+    assert(ScaleOps.autoSalt(left, "k") == salt)
+    val auto = ScaleOps.autoSaltedJoin(left, right, "k")
+      .select(col("lv"), col("rv")).collect().map(_.toString).sorted
+    assert(auto.toSeq == plain.toSeq)
+    val uniform = (1 to 404).map(i => (i.toLong % 101 + 1, s"u$i"))
+      .toDF("k", "lv")
+    assert(ScaleOps.autoSalt(uniform, "k") == 1)
   }
 
   test("bloomPrefilterJoin equals the plain join and actually prefilters") {

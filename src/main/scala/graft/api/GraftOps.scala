@@ -194,33 +194,41 @@ object GraftOps {
     * pair set is a strict subset and per-pair counts are lower bounds
     * (cross-sub-bucket matches are the accepted recall loss — the
     * standard LSH stop-band rule, a hot key is boilerplate not
-    * signal). Shape: the count window, the (key, __sub) groupBy and
-    * the in-bucket combination emission all ride ONE exchange on the
-    * key (subset-clustering reuse, as candidatePairsFromBands
-    * documents); the final per-pair count is a second exchange.
-    * Same-id matches (one id holding a key twice) are excluded, like
-    * the raw join's `left < right` filter; cross-id multiplicity
-    * (ca·cb matches for counts ca, cb) is preserved exactly because
-    * the sorted bucket array keeps duplicates and every earlier
-    * occurrence pairs with every later occurrence of a distinct id. */
+    * signal).
+    *
+    * Shape: a SELF-JOIN on (key, salt) — deliberately NOT
+    * candidatePairsFromBands' collect-array combination emission.
+    * The two generators sit on opposite sides of a bucket-size trade:
+    * LSH band buckets are tiny (a collision implies near-dup), so
+    * collecting them dodges the self-join's double evaluation of the
+    * expensive minhash pipeline; content-hash buckets are LEGITIMATELY
+    * large (every video of a family shares frame 0 — thousands of
+    * honest members below any sane cap), and collecting one means a
+    * single row holding a cap-sized array whose cap² pair emission
+    * runs single-threaded in one explode — measured 2× the whole
+    * query at sf0.1 (7-8.7 s vs 3.9 s for mm_frame_dedup) versus
+    * streaming the same pairs through a hash join. The join form
+    * keeps the raw join's plan (plus the salt column in the key) and
+    * its input side is evaluated twice — callers with an expensive
+    * upstream should localCheckpoint it first, as mm_frame_dedup's
+    * one-demux-pass discipline already does. Same-id matches are
+    * excluded and each unordered pair appears once (`left < right`);
+    * cross-id multiplicity (ca·cb matches for occurrence counts ca,
+    * cb) is the raw join's, exactly. */
   def cappedKeyPairCounts(rows: DataFrame, keyCol: String, idCol: String,
       bucketCap: Int = 4096): DataFrame = {
     require(bucketCap >= 2, "cappedKeyPairCounts: bucketCap must be >= 2")
-    val buckets = rows
+    val salted = rows
       .withColumn("__n", count(lit(1))
         .over(Window.partitionBy(keyCol)))
       .withColumn("__sub", pmod(xxhash64(col(idCol)),
         ceil(col("__n").cast("double") / bucketCap).cast("long")))
-      .groupBy(col(keyCol), col("__sub"))
-      .agg(sort_array(collect_list(col(idCol))).as("ids"))
-      .filter(size(col("ids")) > 1)
-    val pairs = flatten(transform(col("ids"), (x, i) =>
-      filter(transform(slice(col("ids"), i + 2, size(col("ids"))),
-        y => struct(x.as("left_id"), y.as("right_id"))),
-        p => p.getField("left_id") =!= p.getField("right_id"))))
-    buckets.select(explode(pairs).as("p"))
-      .select(col("p.left_id").as("left_id"),
-        col("p.right_id").as("right_id"))
+    val a = salted.select(col(idCol).as("left_id"), col(keyCol),
+      col("__sub"))
+    val b = salted.select(col(idCol).as("right_id"), col(keyCol),
+      col("__sub"))
+    a.join(b, Seq(keyCol, "__sub"))
+      .filter(col("left_id") < col("right_id"))
       .groupBy("left_id", "right_id")
       .agg(count(lit(1)).as("n_shared"))
   }

@@ -297,23 +297,38 @@ object TextOps {
     // watermarked self-join. Arrival time is proxied by doc_id
     // (1 "minute" apart, horizon = 30), so the oracle can replay the
     // exact window arithmetic; StreamingSpec separately proves the
-    // stream operator equals this query on the same inputs. Pair
-    // generation goes through GraftOps.minhashCandidatePairs — the
-    // CAPPED bucket-local enumerator (4096-member salt-split, see
-    // candidatePairsFromBands' Scaladoc) — NOT a raw band self-join:
-    // one boilerplate band hash shared by 10⁶ docs would make an
-    // equi-join emit |bucket|² rows BEFORE any horizon filter prunes
-    // them. Under the cap the pair set is bit-identical to the
-    // unbounded join (every bucket computes sub-bucket 0), so the
-    // oracle keeps its plain self-join form; the capped pairs carry
-    // left_id < right_id, so "an earlier doc within the horizon"
-    // is exactly left_id >= right_id − 30 with right_id flagged.
+    // stream operator equals this query on the same inputs. The band
+    // self-join is SALTED under the 4096 bucket cap (the
+    // cappedKeyPairCounts discipline, inlined for the composite
+    // (band_idx, band_hash) key): a count window sizes each band
+    // bucket, over-cap buckets salt-split by an id hash, and the join
+    // key carries the salt — so one boilerplate band hash shared by
+    // 10⁶ docs can no longer emit |bucket|² rows before the horizon
+    // filter prunes them. Under the cap every row computes salt 0 and
+    // the join is bit-identical to the raw form, so the oracle keeps
+    // its plain self-join; the salted band table is localCheckpointed
+    // ONCE and feeds both join sides (the collect-array generator was
+    // measured 2× slower here — the checkpoint makes double
+    // evaluation free, so the join form wins; see cappedKeyPairCounts'
+    // Scaladoc for the trade).
     "dedup_first_in_horizon" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
       val docs = docsOf(s, d)
-      val hits = graft.api.GraftOps
-        .minhashCandidatePairs(docs, "doc_id", "text")
-        .filter(col("left_id") >= col("right_id") - 30)
-        .select(col("right_id").as("doc_id")).distinct()
+      val bands = graft.api.GraftOps
+        .minhashBands(docs, "doc_id", "text")
+        .withColumn("__n", count(lit(1))
+          .over(Window.partitionBy("band_idx", "band_hash")))
+        .withColumn("__sub", pmod(xxhash64(col("doc_id")),
+          ceil(col("__n").cast("double") / 4096).cast("long")))
+        .drop("__n")
+        .localCheckpoint()
+      val idx = bands.select(col("doc_id").as("i_doc"),
+        col("band_idx"), col("band_hash"), col("__sub"))
+      val hits = bands
+        .join(idx, Seq("band_idx", "band_hash", "__sub"))
+        .filter(col("i_doc") < col("doc_id") &&
+          col("i_doc") >= col("doc_id") - 30)
+        .select("doc_id").distinct()
         .withColumn("hit", lit(true))
       docs.select("doc_id")
         .join(hits, Seq("doc_id"), "left")

@@ -53,36 +53,46 @@ class PlanShapeSpec extends SparkSpec {
     assert(n == 2, s"expected 2 exchanges, found $n:\n$p")
   }
 
-  test("cappedKeyPairCounts: no self-join — in-bucket combination " +
-      "emission behind the count window's shared exchange") {
+  test("cappedKeyPairCounts: the self-join key always carries the salt " +
+      "column — no raw-key equi-join, no nested loops") {
     val rows = Seq((1L, "A"), (2L, "A"), (3L, "B"))
       .toDF("media_id", "fhash")
     val p = phys(GraftOps.cappedKeyPairCounts(rows, "fhash", "media_id"))
     assert(p.contains("Window"), s"bucket-size count must be a window:\n$p")
-    assert(!p.contains("Join"),
-      s"pair counts must not come from a key self-join:\n$p")
-    // One exchange on the key (count window + bucket groupBy via
-    // subset-clustering reuse), one for the per-pair count groupBy.
-    val n = "Exchange hashpartitioning".r.findAllMatchIn(p).size
-    assert(n == 2, s"expected 2 exchanges, found $n:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    // Any join on the content key must be salted: the (key, __sub)
+    // composite is what bounds a hot bucket to cap² pairs.
+    val joinLines = p.linesIterator.filter(_.contains("Join")).toSeq
+    assert(joinLines.nonEmpty, s"pair join missing:\n$p")
+    assert(joinLines.forall(l =>
+        !l.contains("fhash") || l.contains("__sub")),
+      s"join keyed on the raw key without its salt:\n" +
+        joinLines.mkString("\n"))
   }
 
   test("dedup_first_in_horizon and mm_frame_dedup route pairs through " +
-      "the capped generators: no join keyed on a raw band/frame hash") {
+      "the capped generators: no join keyed on an unsalted band/frame " +
+      "hash") {
     // The r12 regression shape: a raw equi-join on the band (or frame
     // content) hash emits |bucket|² rows before any filter — one hot
-    // hash goes quadratic at 100 TB. Both queries must keep their only
-    // join(s) on document/media ids; the bucket key may appear in
-    // windows and aggregates, never in a join.
+    // hash goes quadratic at 100 TB. Any join carrying the bucket key
+    // (band or frame hash) must also carry the __sub salt — the cap
+    // that bounds a hot bucket to cap² pairs.
     for (name <- Seq("dedup_first_in_horizon", "mm_frame_dedup")) {
       val p = phys(SparkEntry.queries(name)(spark, "/root/testdata/sf0.001"))
-      assert(p.contains("Window"),
-        s"$name: bucket-cap count window missing:\n$p")
       val joinLines = p.linesIterator
         .filter(l => l.contains("Join")).toSeq
-      assert(joinLines.forall(l =>
-          !l.contains("band_hash") && !l.contains("fhash")),
-        s"$name: a join is keyed on the raw bucket hash:\n" +
+      val bucketJoins = joinLines
+        .filter(l => l.contains("band_hash") || l.contains("fhash"))
+      // The salt in the join key IS the cap; dedup_first_in_horizon's
+      // count window runs upstream of an eager localCheckpoint so it
+      // is not visible in this plan — the __sub requirement on every
+      // bucket-key join is the load-bearing assertion.
+      assert(bucketJoins.nonEmpty,
+        s"$name: expected a salted bucket-key join:\n$p")
+      assert(bucketJoins.forall(_.contains("__sub")),
+        s"$name: a join is keyed on the unsalted bucket hash:\n" +
           joinLines.mkString("\n"))
     }
   }

@@ -1051,17 +1051,29 @@ object TextOps {
     }),
 
     // VIDEO RETENTION POLICY (r12 item 6) — cluster_keep_best's
-    // composition applied to video: the capped frame-dup pair table
-    // (same generator as mm_frame_dedup) becomes the edge set, bounded-
-    // round CC collapses transitive families (A shares frames with B,
-    // B with C ⇒ one cluster — near-duplication is transitive, so
-    // pairwise verdicts alone under-drop), and each cluster KEEPS its
-    // best member: most frames (the richest copy, this fixture's
-    // quality proxy), media_id tiebreak. ONE demux pass feeds both the
-    // pair edges and the per-video frame counts; after pair emission
-    // the CC rounds shuffle only the (video, label) table — frames
-    // never re-enter the loop, so at 100 TB the retention decision
-    // costs the pair table plus rounds × a node-sized shuffle.
+    // composition applied to video: videos sharing a frame are
+    // connected, exact CC collapses transitive families (A shares
+    // frames with B, B with C ⇒ one cluster — near-duplication is
+    // transitive, so pairwise verdicts alone under-drop), and each
+    // cluster KEEPS its best member: most frames (the richest copy,
+    // this fixture's quality proxy), media_id tiebreak.
+    //
+    // The edge set is the per-bucket STAR, not the pair table: within
+    // each salted fhash bucket every member connects to the bucket
+    // minimum — |Σ bucket| edges spanning EXACTLY the same components
+    // as the |Σ bucket²| all-pairs set (a retention policy needs
+    // connectivity, not per-pair scores; mm_frame_dedup keeps the
+    // scored pairs). At sf0.1 that is ~23k star edges vs ~2.5M pairs
+    // — the difference between CC rounds shuffling the corpus's
+    // frame-occurrence table and shuffling its pair closure; at
+    // 100 TB the star is the only shape that survives. Stars stretch
+    // component diameter (member—hub—member), so CC runs TO FIXPOINT
+    // with pointer jumping (~log-diameter rounds) rather than a fixed
+    // round budget, and the oracle mirrors with an unbounded
+    // recursive closure — both sides reach true components, so the
+    // edge-set choice cannot change the answer. ONE demux pass
+    // (localCheckpoint) feeds the star window, the per-video frame
+    // counts, and nothing else — frames never re-enter the CC loop.
     "mm_video_keep_best" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val frames = graft.multimodal.Multimodal.extractFrameHashes(
@@ -1070,13 +1082,19 @@ object TextOps {
         .localCheckpoint()
       val nf = frames.groupBy("media_id")
         .agg(count(lit(1)).as("nf"))
-      val edges = graft.api.GraftOps.cappedKeyPairCounts(
-          frames.select(col("media_id"), col("fhash")), "fhash",
-          "media_id")
-        .select("left_id", "right_id")
-      val cc = graft.api.GraftOps.connectedComponents(
+      val wB = Window.partitionBy("fhash", "__sub")
+      val edges = frames
+        .withColumn("__n", count(lit(1))
+          .over(Window.partitionBy("fhash")))
+        .withColumn("__sub", pmod(xxhash64(col("media_id")),
+          ceil(col("__n").cast("double") / 4096).cast("long")))
+        .withColumn("hub", min(col("media_id")).over(wB))
+        .filter(col("media_id") =!= col("hub"))
+        .select(col("media_id").as("left_id"), col("hub").as("right_id"))
+        .distinct()
+      val cc = graft.api.GraftOps.connectedComponentsFixpoint(
         nf.select(col("media_id")), "media_id", edges,
-        "left_id", "right_id", rounds = 2)
+        "left_id", "right_id")._1
       val w = Window.partitionBy("cluster_id")
         .orderBy(col("nf").desc, col("media_id"))
       cc.join(nf, Seq("media_id"))
@@ -3261,10 +3279,12 @@ object TextOps {
         |    / CAST(l.nf + r.nf - pr.n_shared AS DOUBLE), 6) AS jaccard
         |FROM pr JOIN nf l ON pr.left_id = l.doc_id
         |  JOIN nf r ON pr.right_id = r.doc_id""".stripMargin,
-    // Same frame-hash derivation, then bounded (<=2-hop) min-label
-    // reachability over the distinct pair graph — the oracle twin of
-    // connectedComponents(rounds = 2) — and argmax-frames retention
-    // within each cluster.
+    // Same frame-hash derivation, then UNBOUNDED min-label
+    // reachability over the distinct pair graph (UNION dedups, so the
+    // recursion reaches its own fixpoint) — the oracle twin of
+    // connectedComponentsFixpoint; the Spark side's star edge set
+    // spans the same components as this all-pairs closure by
+    // construction — and argmax-frames retention within each cluster.
     "mm_video_keep_best" ->
       """WITH RECURSIVE p AS (SELECT doc_id, doc_id % 5 AS fam,
         |    3 + doc_id % 4 AS n FROM documents),
@@ -3289,11 +3309,11 @@ object TextOps {
         |e AS (SELECT li AS a, ri AS b FROM pr
         |  UNION SELECT ri, li FROM pr),
         |reach AS (
-        |  SELECT a AS src, a AS dst, 0 AS dep
+        |  SELECT a AS src, a AS dst
         |    FROM (SELECT DISTINCT a FROM e)
         |  UNION
-        |  SELECT rr.src, e2.b AS dst, rr.dep + 1
-        |    FROM reach rr JOIN e e2 ON e2.a = rr.dst WHERE rr.dep < 2),
+        |  SELECT rr.src, e2.b AS dst
+        |    FROM reach rr JOIN e e2 ON e2.a = rr.dst),
         |cm AS (SELECT src, min(dst) AS cl FROM reach GROUP BY src),
         |base AS (SELECT nf.doc_id,
         |    coalesce(cm.cl, nf.doc_id) AS cluster_id, nf.nf

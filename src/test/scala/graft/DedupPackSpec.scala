@@ -293,6 +293,32 @@ class DedupPackSpec extends SparkSpec {
     assert(sub.values.toSet.size > 1)
   }
 
+  test("cappedKeyPairCounts survives a pathologically hot key: 50k " +
+      "occurrences emit the salt-formula pair count, not 1.25 billion") {
+    // The 100 TB failure mode in miniature: ONE key (the black frame /
+    // boilerplate band) held by 50k ids. Uncapped, the self-join emits
+    // C(50k,2) ≈ 1.25e9 rows — at cap 256 the salt splits it into
+    // ceil(50k/256) = 196 sub-buckets and emission is the sum of
+    // per-sub C(n_i,2) ≈ 6.4M pairs, a 196× cut that holds at any
+    // bucket size. The expected total is re-derived independently
+    // from the operator's own salt formula, so the assertion pins the
+    // exact arithmetic, not just "it finished".
+    val n = 50000
+    val hot = spark.range(0, n).select(
+      $"id".as("media_id"), lit("HOT").as("fhash"))
+    val subSizes = spark.range(0, n)
+      .select(pmod(xxhash64($"id"), lit(196L)).as("s"))
+      .groupBy("s").count().as[(Long, Long)].collect().toMap
+    val want = subSizes.values.map(c => c * (c - 1) / 2).sum
+    val got = GraftOps.cappedKeyPairCounts(hot, "fhash", "media_id", 256)
+      .agg(count(lit(1)).cast("long"), sum($"n_shared").cast("long"))
+      .as[(Long, Long)].head()
+    // Every within-sub pair appears once with count 1 (single key).
+    assert(got == ((want, want)), s"got $got want ($want, $want)")
+    assert(want < n.toLong * (n - 1) / 2 / 100,
+      "cap failed to cut the quadratic blowup by >=100x")
+  }
+
   test("thresholded levenshtein(l, r, k) early-exit agrees with the " +
       "full form on multi-KB docs at the 0.8 similarity threshold") {
     // dedup_edit_verified's Scaladoc names the production swap for

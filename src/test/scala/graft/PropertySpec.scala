@@ -180,4 +180,35 @@ class PropertySpec extends SparkSpec {
       s"missing=${batch -- rowlocal}\nextra=${rowlocal -- batch}")
     assert(batch.size == 60 * 4) // every doc bands, even shingle-less ones
   }
+
+  test("cappedKeyPairCounts equals the raw self-join under the cap and " +
+      "is a count-bounded subset over it, for arbitrary key tables") {
+    // Random (id, key) multisets over a small keyspace (forces hot
+    // buckets, within-id duplicate keys, singleton keys). Under a cap
+    // above every bucket the generator must reproduce the raw join's
+    // pair counts EXACTLY; under a tiny cap every surviving pair is a
+    // raw pair with count <= raw count — checked against an
+    // independently computed raw join, one Spark job per batch.
+    val rowGen = for {
+      id <- Gen.chooseNum(0, 25)
+      key <- Gen.oneOf("h", "k1", "k2", "k3", "k4")
+    } yield (id.toLong, key)
+    val rows = cases(rowGen, 300).toDF("media_id", "fhash")
+    def counts(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Long)].collect()
+        .map { case (l, r, n) => (l, r) -> n }.toMap
+    val raw = counts(rows.select($"media_id".as("left_id"), $"fhash")
+      .join(rows.select($"media_id".as("right_id"), $"fhash"), "fhash")
+      .filter($"left_id" < $"right_id")
+      .groupBy("left_id", "right_id").count())
+    val under = counts(graft.api.GraftOps
+      .cappedKeyPairCounts(rows, "fhash", "media_id", 4096))
+    assert(under == raw,
+      s"under-cap must be bit-identical:\nmissing=${raw.keySet -- under.keySet}")
+    val over = counts(graft.api.GraftOps
+      .cappedKeyPairCounts(rows, "fhash", "media_id", 4))
+    assert(over.keySet.subsetOf(raw.keySet), "over-cap invented a pair")
+    assert(over.forall { case (k, n) => n <= raw(k) },
+      "over-cap exceeded a raw count")
+  }
 }

@@ -112,6 +112,40 @@ object TextOps {
   private def bandTable(s: SparkSession, d: String): DataFrame =
     graft.api.GraftOps.minhashBands(docsOf(s, d), "doc_id", "text")
 
+  /** Shared core of mm_video_keep_best / pipeline_video_retention:
+    * one demux pass → per-bucket STAR edges (salted under the 4096
+    * cap) → fixpoint CC → argmax-frames retention flag per cluster.
+    * See mm_video_keep_best's registration comment for the full
+    * design rationale. */
+  private def videoKeepBest(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val frames = graft.multimodal.Multimodal.extractFrameHashes(
+      graft.multimodal.Multimodal.synthMp4FramesShared(
+        Tables.documents(s, d).select(col("doc_id")), "doc_id", 5))
+      .localCheckpoint()
+    val nf = frames.groupBy("media_id")
+      .agg(count(lit(1)).as("nf"))
+    val wB = Window.partitionBy("fhash", "__sub")
+    val edges = frames
+      .withColumn("__n", count(lit(1))
+        .over(Window.partitionBy("fhash")))
+      .withColumn("__sub", pmod(xxhash64(col("media_id")),
+        ceil(col("__n").cast("double") / 4096).cast("long")))
+      .withColumn("hub", min(col("media_id")).over(wB))
+      .filter(col("media_id") =!= col("hub"))
+      .select(col("media_id").as("left_id"), col("hub").as("right_id"))
+      .distinct()
+    val cc = graft.api.GraftOps.connectedComponentsFixpoint(
+      nf.select(col("media_id")), "media_id", edges,
+      "left_id", "right_id")._1
+    val w = Window.partitionBy("cluster_id")
+      .orderBy(col("nf").desc, col("media_id"))
+    cc.join(nf, Seq("media_id"))
+      .withColumn("rnk", row_number().over(w))
+      .select(col("media_id"), col("cluster_id"), col("nf"),
+        (col("rnk") === 1).as("keep"))
+  }
+
   /** Shared DuckDB CTEs reproducing signatures/bandTable. */
   private val SigCte =
     s"""$TokedCte, $ShingledCte,
@@ -1074,34 +1108,25 @@ object TextOps {
     // edge-set choice cannot change the answer. ONE demux pass
     // (localCheckpoint) feeds the star window, the per-video frame
     // counts, and nothing else — frames never re-enter the CC loop.
-    "mm_video_keep_best" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val frames = graft.multimodal.Multimodal.extractFrameHashes(
-        graft.multimodal.Multimodal.synthMp4FramesShared(
-          Tables.documents(s, d).select(col("doc_id")), "doc_id", 5))
-        .localCheckpoint()
-      val nf = frames.groupBy("media_id")
-        .agg(count(lit(1)).as("nf"))
-      val wB = Window.partitionBy("fhash", "__sub")
-      val edges = frames
-        .withColumn("__n", count(lit(1))
-          .over(Window.partitionBy("fhash")))
-        .withColumn("__sub", pmod(xxhash64(col("media_id")),
-          ceil(col("__n").cast("double") / 4096).cast("long")))
-        .withColumn("hub", min(col("media_id")).over(wB))
-        .filter(col("media_id") =!= col("hub"))
-        .select(col("media_id").as("left_id"), col("hub").as("right_id"))
-        .distinct()
-      val cc = graft.api.GraftOps.connectedComponentsFixpoint(
-        nf.select(col("media_id")), "media_id", edges,
-        "left_id", "right_id")._1
-      val w = Window.partitionBy("cluster_id")
-        .orderBy(col("nf").desc, col("media_id"))
-      cc.join(nf, Seq("media_id"))
-        .withColumn("rnk", row_number().over(w))
-        .select(col("media_id"), col("cluster_id"), col("nf"),
-          (col("rnk") === 1).as("keep"))
-    }),
+    "mm_video_keep_best" -> ((s, d) => videoKeepBest(s, d)),
+
+    // RETENTION REPORT — the policy rollup a corpus clean publishes
+    // (pipeline_dedup_report's video twin): per frame-dup cluster, how
+    // many copies existed, the surviving video, and the frame volume
+    // the policy drops. Rides the same keep-best table; the rollup is
+    // one cluster-keyed aggregate (the natural post-CC partitioning),
+    // so the report costs nothing beyond the policy itself at any
+    // scale.
+    "pipeline_video_retention" -> ((s, d) =>
+      videoKeepBest(s, d).groupBy("cluster_id")
+        .agg(count(lit(1)).as("n_videos"),
+          sum(col("nf")).as("n_frames_total"),
+          min(when(col("keep"), col("media_id"))).as("kept_media_id"),
+          max(when(col("keep"), col("nf"))).as("kept_nf"))
+        .select(col("cluster_id"), col("n_videos"),
+          col("n_frames_total"), col("kept_media_id"), col("kept_nf"),
+          (col("n_frames_total") - col("kept_nf"))
+            .as("frames_dropped"))),
 
     // PCM-content energy windows, REAL end-to-end — the audio twin of
     // mm_image_phash's pixel round trip: synthWav's data section is a
@@ -3322,6 +3347,50 @@ object TextOps {
         |  ORDER BY nf DESC, doc_id) AS rnk FROM base)
         |SELECT doc_id AS media_id, cluster_id, nf, rnk = 1 AS keep
         |FROM rk""".stripMargin,
+    // Same keep-best chain, rolled up per cluster into the retention
+    // report.
+    "pipeline_video_retention" ->
+      """WITH RECURSIVE p AS (SELECT doc_id, doc_id % 5 AS fam,
+        |    3 + doc_id % 4 AS n FROM documents),
+        |s AS (SELECT doc_id, fam, kk.k, 20 + (fam + kk.k) % 30 AS sz
+        |  FROM p, LATERAL (SELECT unnest(range(0, n)) AS k) kk),
+        |r AS (SELECT doc_id, fam, k, sz,
+        |    CAST(coalesce(sum(sz) OVER (PARTITION BY doc_id ORDER BY k
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS st
+        |  FROM s),
+        |bytes AS (SELECT doc_id, k, jj.j,
+        |    (17 * jj.j + fam) % 256 AS v
+        |  FROM r, LATERAL (SELECT unnest(range(st, st + sz)) AS j) jj),
+        |fh AS (SELECT doc_id, k,
+        |    md5(string_agg(CAST(v AS VARCHAR), ',' ORDER BY j)) AS fhash
+        |  FROM bytes GROUP BY doc_id, k),
+        |nf AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nf
+        |  FROM fh GROUP BY doc_id),
+        |pr AS (SELECT DISTINCT a.doc_id AS li, b.doc_id AS ri
+        |  FROM fh a JOIN fh b ON a.fhash = b.fhash
+        |    AND a.doc_id < b.doc_id),
+        |e AS (SELECT li AS a, ri AS b FROM pr
+        |  UNION SELECT ri, li FROM pr),
+        |reach AS (
+        |  SELECT a AS src, a AS dst
+        |    FROM (SELECT DISTINCT a FROM e)
+        |  UNION
+        |  SELECT rr.src, e2.b AS dst
+        |    FROM reach rr JOIN e e2 ON e2.a = rr.dst),
+        |cm AS (SELECT src, min(dst) AS cl FROM reach GROUP BY src),
+        |base AS (SELECT nf.doc_id,
+        |    coalesce(cm.cl, nf.doc_id) AS cluster_id, nf.nf
+        |  FROM nf LEFT JOIN cm ON nf.doc_id = cm.src),
+        |rk AS (SELECT *, row_number() OVER (PARTITION BY cluster_id
+        |  ORDER BY nf DESC, doc_id) AS rnk FROM base)
+        |SELECT cluster_id, count(*) AS n_videos,
+        |  CAST(sum(nf) AS BIGINT) AS n_frames_total,
+        |  min(CASE WHEN rnk = 1 THEN doc_id END) AS kept_media_id,
+        |  max(CASE WHEN rnk = 1 THEN nf END) AS kept_nf,
+        |  CAST(sum(nf) AS BIGINT)
+        |    - max(CASE WHEN rnk = 1 THEN nf END) AS frames_dropped
+        |FROM rk GROUP BY cluster_id""".stripMargin,
     // Recomputes synthWav's data bytes: sample k's low byte is
     // (62k + sr) mod 256 and high byte (62k + 31 + sr) mod 256
     // (byte i = (31i + sr) mod 256 at i = 2k, 2k+1), sign-extended

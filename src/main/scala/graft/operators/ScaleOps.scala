@@ -76,7 +76,17 @@ object ScaleOps {
     * default join form, not just a skew rescue. Cost: one extra
     * (key, count) shuffle of the left side for the diagnosis; at
     * 100 TB that is the cheap insurance against the 1000× straggler
-    * an undiagnosed hot key causes. */
+    * an undiagnosed hot key causes.
+    *
+    * EVALUATION NOTE (r13 ADVICE): `left` is evaluated TWICE — once by
+    * the eager diagnosis (autoSalt's head() runs at call time, so even
+    * building/explaining the returned plan triggers that Spark job) and
+    * once by the join itself. A caller feeding an expensive pipeline as
+    * `left` should localCheckpoint it first — the same contract as
+    * cappedKeyPairCounts' self-join input. The checkpoint is NOT done
+    * here: at real scale the right fix for a huge `left` is caching
+    * policy the caller owns (a 100 TB table should not be eagerly
+    * materialized by a join helper's hidden side effect). */
   def autoSaltedJoin(left: DataFrame, right: DataFrame, key: String,
       maxSalt: Int = 32): DataFrame =
     saltedJoin(left, right, key, autoSalt(left, key, maxSalt))

@@ -1830,6 +1830,10 @@ object TextOps {
         .localCheckpoint(true)
       var dist = docs.filter(col("doc_id") < 10)
         .select(col("doc_id").as("node"), lit(0L).as("dist"))
+      // Round state rides RoundCut (serialized blocks, N-2 released as
+      // soon as N materializes); the static edge table above stays a
+      // plain checkpoint — it's read every round, never superseded.
+      val rc = new graft.operators.RoundCut()
       for (i <- 1 to BfsRounds) {
         val next = dist.filter(col("dist") === (i - 1).toLong)
           .join(e, col("node") === col("a"))
@@ -1838,7 +1842,7 @@ object TextOps {
           .groupBy("node").agg(min("dist").as("dist"))
         // Final frontier flows straight to the caller — checkpointing it
         // would add one eager job for a once-consumed table.
-        if (i < BfsRounds) dist = dist.localCheckpoint(true)
+        if (i < BfsRounds) dist = rc.cut(dist)
       }
       dist
     }),

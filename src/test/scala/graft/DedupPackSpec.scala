@@ -380,4 +380,32 @@ class DedupPackSpec extends SparkSpec {
       full > maxlen / 10 && full <= maxlen / 5.0 },
       "no pair lands between 0.8 and 0.9 sim — boundary untested")
   }
+
+  test("oracle-scale cap precondition: every capped bucket stays under " +
+      "4096 at the correctness-gate sf, so capped Spark == uncapped oracle") {
+    // dedup_first_in_horizon and mm_frame_dedup salt-cap their pair
+    // buckets at 4096 while their DuckDB oracles run the uncapped
+    // self-join; the two agree ONLY while every bucket is under the
+    // cap (under-cap the salt is constant 0 and the join is
+    // bit-identical — spec'd above). This pins that precondition AT
+    // THE GATE SCALE (sf0.01): if future test data ever grows a
+    // >4096 band or frame-hash bucket, this test fails with the real
+    // cause instead of the correctness gate failing like a code
+    // regression (r13 ADVICE).
+    val d = "/root/testdata/sf0.01"
+    val docs = Tables.documents(spark, d).select($"doc_id", $"text")
+    val maxBand = GraftOps.minhashBands(docs, "doc_id", "text")
+      .groupBy($"band_idx", $"band_hash").count()
+      .agg(max($"count")).as[Long].head()
+    assert(maxBand <= 4096,
+      s"band bucket $maxBand exceeds the 4096 cap at gate scale — " +
+        "cap the oracle SQL or raise the cap before trusting the gate")
+    val maxFhash = graft.multimodal.Multimodal.extractFrameHashes(
+        graft.multimodal.Multimodal.synthMp4FramesShared(
+          Tables.documents(spark, d).select($"doc_id"), "doc_id", 5))
+      .groupBy($"fhash").count()
+      .agg(max($"count")).as[Long].head()
+    assert(maxFhash <= 4096,
+      s"frame-hash bucket $maxFhash exceeds the 4096 cap at gate scale")
+  }
 }

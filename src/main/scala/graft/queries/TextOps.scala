@@ -370,6 +370,51 @@ object TextOps {
           coalesce(col("hit"), lit(false)).as("dup_in_horizon"))
     }),
 
+    // EVENT-TIME horizon twin (r13 VERDICT item 6): the sibling above
+    // proxies arrival by doc_id so DuckDB can replay the window, but
+    // the stream gate's real contract is event-time with a (ts,
+    // doc_id) tiebreak for same-instant ingest. This twin runs the
+    // SAME gate over a deterministic, NON-monotone event-time
+    // assignment — ts = epoch + (doc_id·37 mod 97) minutes, so ts
+    // order differs from id order AND distinct docs share instants,
+    // exercising exactly the two places the id proxy cannot: the
+    // interval arithmetic over real timestamps and the lexicographic
+    // (i_ts < ts) OR (i_ts = ts AND i_doc < doc_id) "earlier" rule
+    // that nearDupSelfGateStream applies (EventStream.scala — ts ties
+    // are routine in real streams; strict < would leave both tied
+    // docs unflagged). Band buckets carry the same 4096 salt cap as
+    // the sibling; StreamingSpec closes the loop by feeding the
+    // stream gate these exact timestamps.
+    "dedup_first_in_horizon_ts" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = docsOf(s, d)
+      def tsCol = expr("TIMESTAMP '2024-01-01 00:00:00' + " +
+        "make_interval(0, 0, 0, 0, 0, CAST(doc_id * 37 % 97 AS INT), 0)")
+      val bands = graft.api.GraftOps
+        .minhashBands(docs, "doc_id", "text")
+        .withColumn("ts", tsCol)
+        .withColumn("__n", count(lit(1))
+          .over(Window.partitionBy("band_idx", "band_hash")))
+        .withColumn("__sub", pmod(xxhash64(col("doc_id")),
+          ceil(col("__n").cast("double") / 4096).cast("long")))
+        .drop("__n")
+        .localCheckpoint()
+      val idx = bands.select(col("doc_id").as("i_doc"),
+        col("ts").as("i_ts"), col("band_idx"), col("band_hash"),
+        col("__sub"))
+      val hits = bands
+        .join(idx, Seq("band_idx", "band_hash", "__sub"))
+        .filter(col("i_ts") <= col("ts") &&
+          (col("i_ts") < col("ts") || col("i_doc") < col("doc_id")) &&
+          col("i_ts") >= col("ts") - expr("INTERVAL 30 MINUTES"))
+        .select("doc_id").distinct()
+        .withColumn("hit", lit(true))
+      docs.select(col("doc_id"), tsCol.as("ts"))
+        .join(hits, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("ts"),
+          coalesce(col("hit"), lit(false)).as("dup_in_horizon"))
+    }),
+
     // Edit-distance VERIFICATION over the LSH candidates — the second
     // stage of production fuzzy dedup (banding proposes, an exact
     // similarity disposes): every minhashCandidatePairs pair is scored
@@ -2552,6 +2597,22 @@ object TextOps {
          |SELECT d.doc_id,
          |  d.doc_id IN (SELECT doc_id FROM hits) AS dup_in_horizon
          |FROM documents d""".stripMargin,
+    "dedup_first_in_horizon_ts" ->
+      s"""WITH $SigCte,
+         |tsd AS (SELECT doc_id, TIMESTAMP '2024-01-01 00:00:00'
+         |    + (doc_id * 37 % 97) * INTERVAL 1 MINUTE AS ts
+         |  FROM documents),
+         |tb AS (SELECT b.doc_id, b.band_idx, b.band_hash, t.ts
+         |  FROM bands b JOIN tsd t ON b.doc_id = t.doc_id),
+         |hits AS (SELECT DISTINCT a.doc_id FROM tb a
+         |  JOIN tb b ON a.band_idx = b.band_idx
+         |    AND a.band_hash = b.band_hash
+         |    AND b.ts <= a.ts
+         |    AND (b.ts < a.ts OR b.doc_id < a.doc_id)
+         |    AND b.ts >= a.ts - INTERVAL 30 MINUTE)
+         |SELECT t.doc_id, t.ts,
+         |  t.doc_id IN (SELECT doc_id FROM hits) AS dup_in_horizon
+         |FROM tsd t""".stripMargin,
     "dedup_edit_verified" ->
       s"""WITH $SigCte,
          |cand AS (SELECT DISTINCT a.doc_id AS left_id,

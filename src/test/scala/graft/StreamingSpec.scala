@@ -321,6 +321,55 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("nearDupSelfGateStream on EVENT-TIME inputs equals the " +
+      "oracle-checked twin dedup_first_in_horizon_ts") {
+    // Same closure as above but with the ts twin's NON-monotone
+    // event-time assignment (ts = base + (doc_id*37 mod 97) minutes):
+    // arrival order differs from id order and distinct docs share
+    // instants, so this parity run exercises the interval arithmetic
+    // over real timestamps AND the (ts, doc_id) lexicographic
+    // tiebreak — the two behaviors the id-proxy parity test cannot
+    // reach. The twin is DuckDB-hash-gated, so passing here makes the
+    // stream gate's event-time semantics transitively oracle-verified.
+    implicit val sqlCtx = spark.sqlContext
+    val sfDir = "/root/testdata/sf0.001"
+    val base = ts(0).getTime
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "text").as[(Long, String)].collect().toSeq
+      .sortBy(_._1)
+      .map { case (id, tx) =>
+        (id, new Timestamp(base + (id * 37 % 97) * 60000L), tx) }
+    val stream = MemoryStream[(Long, Timestamp, String)]
+    val q = EventStream.nearDupSelfGateStream(
+      stream.toDF().toDF("doc_id", "ts", "text"),
+      horizon = "30 minutes", watermarkDelay = "5 minutes")
+      .writeStream.format("memory").queryName("selfgate_ts")
+      .outputMode("append").start()
+    try {
+      stream.addData(docs)
+      q.processAllAvailable()
+      stream.addData((999999L,
+        new Timestamp(base + 1000L * 60000L),
+        "unique watermark advancing text never shared with anything"))
+      q.processAllAvailable()
+      val got = spark.table("selfgate_ts")
+        .select("doc_id").as[Long].collect().toSet - 999999L
+      val want = SparkEntry.queries("dedup_first_in_horizon_ts")(
+          spark, sfDir)
+        .filter(col("dup_in_horizon"))
+        .select("doc_id").as[Long].collect().toSet
+      assert(got == want,
+        s"stream vs ts twin: extra=${got -- want} missing=${want -- got}")
+      assert(want.nonEmpty, "vacuous: the ts twin found no dups")
+      // The fixture must actually exercise a tie: at least two distinct
+      // docs sharing an instant (97 slots over ~60+ docs guarantees it
+      // by pigeonhole, but assert rather than assume).
+      val slots = docs.map(d => d._2.getTime).groupBy(identity)
+      assert(slots.values.exists(_.size > 1),
+        "no ts tie in the fixture — the tiebreak path went untested")
+    } finally q.stop()
+  }
+
   test("attributionJoin pairs purchases with in-horizon clicks, " +
     "null row when none") {
     implicit val sqlCtx = spark.sqlContext

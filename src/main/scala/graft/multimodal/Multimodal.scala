@@ -200,6 +200,88 @@ object Multimodal {
     spark.createDataFrame(rdd, mediaSchema)
   }
 
+  /** Family-structured near-duplicate image corpus — the image twin of
+    * `synthMp4FramesShared` (which gives video families sharing
+    * frames): every 4 consecutive ids form a FAMILY of re-encoded
+    * variants of one image, at three different resolutions (16/24/32
+    * square — all multiples of 8, so the aHash 8×8 grid divides
+    * exactly), with member m perturbing its first m blocks to white.
+    *
+    * The pixel grid is BLOCK-constant (pixel (x,y) carries the value
+    * of its 8×8-grid block), which makes the aHash bits closed-form —
+    * bit_j = v_j·64 > Σv — AND resolution-invariant (the per-block
+    * pixel count cancels from extractAHash's integer threshold), so
+    * the oracle can replay the hash from the 64 block values without
+    * simulating pixels. Block layout per member (fam = id/4, pert =
+    * id%4):
+    *   - blocks 0..2: 0, except blocks < pert forced to 255 — the
+    *     perturbation channel. Intra-family Hamming distance is
+    *     EXACTLY |pert_a − pert_b| ∈ {1,2,3} ≤ 3, inside the 4×16
+    *     banding guarantee.
+    *   - blocks 3..62: 64 or 192 by one of the 60 low bits of
+    *     md5(fam) — ~15 bits of family entropy per 16-block band, so
+    *     distinct families differ in ~30 bits total (never is_dup)
+    *     and share a band only at ~2⁻¹⁵ (the occasional surviving
+    *     candidate is exactly the propose/dispose split a real pHash
+    *     dedup exhibits, and keeps the candidate table linear-ish in
+    *     corpus size instead of quadratic).
+    *   - block 63: constant 64 (pads the odd block count).
+    * Bit-stability margin: Σv = 3904 + 128k + 255·pert where k =
+    * #192-blocks among the 60 md5 bits. Each threshold v·64 stays on
+    * one side of the whole pert range [Σ, Σ+765] whenever 2 ≤ k ≤ 59
+    * — violated only by an md5 with ≤1 or ≥60 ones in 60 bits, which
+    * no real fam value produces; the generator require()s it per row
+    * so a violation would fail loudly, not corrupt parity.
+    * Encoded through the real JDK PNG encoder; the consumer must
+    * decode actual bytes (extractAHash) to recover the grid. */
+  def synthPngFamilies(ids: DataFrame, idCol: String): DataFrame = {
+    val spark = ids.sparkSession
+    val rdd = ids.select(col(idCol).cast("long")).rdd.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.map { r =>
+        val id = r.getLong(0)
+        val fam = id / 4
+        val pert = (id % 4).toInt
+        val side = 16 + 8 * (pert % 3)
+        md.reset()
+        val hex = md.digest(fam.toString.getBytes("UTF-8"))
+          .map(b => f"$b%02x").mkString
+        def famBit(i: Int): Int = {
+          val h = Character.digit(hex.charAt(i / 2), 16)
+          if (i % 2 == 0) h & 1 else (h >> 1) & 1
+        }
+        val ones = (0 until 60).count(famBit(_) == 1)
+        require(ones >= 2 && ones <= 59,
+          s"synthPngFamilies: degenerate md5 bit count $ones for fam " +
+            s"$fam breaks the aHash stability margin")
+        def blockVal(j: Int): Int =
+          if (j < pert) 255
+          else if (j < 3) 0
+          else if (j == 63) 64
+          else if (famBit(j - 3) == 0) 64
+          else 192
+        val img = new java.awt.image.BufferedImage(
+          side, side, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val bw = side / 8
+        var y = 0
+        while (y < side) {
+          var x = 0
+          while (x < side) {
+            val v = blockVal((y / bw) * 8 + (x / bw))
+            img.setRGB(x, y, (v << 16) | (v << 8) | v)
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        Row(id, bos.toByteArray, "image/png")
+      }
+    }
+    spark.createDataFrame(rdd, mediaSchema)
+  }
+
   val aHashSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
     StructField("ahash", StringType, nullable = true)))

@@ -117,6 +117,51 @@ object TextOps {
     * cap) → fixpoint CC → argmax-frames retention flag per cluster.
     * See mm_video_keep_best's registration comment for the full
     * design rationale. */
+  /** Shared aHash table over the family-structured PNG corpus —
+    * one synthesis + decode feeding mm_image_dedup (checkpointed:
+    * both cappedKeyPairCounts sides and two hash re-joins read it). */
+  private def imageAHashTable(s: SparkSession, d: String): DataFrame =
+    graft.multimodal.Multimodal.extractAHash(
+      graft.multimodal.Multimodal.synthPngFamilies(
+        Tables.documents(s, d).select(col("doc_id")), "doc_id"))
+      .localCheckpoint()
+
+  /** DuckDB replay of synthPngFamilies' closed-form aHash (see the
+    * generator's Scaladoc: block-constant pixels make bit_j =
+    * v_j·64 > Σv exact and resolution-independent) down to the band
+    * candidate table — shared by both image-dedup oracles. */
+  private val ImageAHashCte =
+    """fams AS (SELECT doc_id AS media_id, doc_id // 4 AS fam,
+      |    doc_id % 4 AS pert FROM documents),
+      |vals AS (SELECT media_id,
+      |  [CASE WHEN j < pert THEN 255
+      |        WHEN j < 3 THEN 0
+      |        WHEN j = 63 THEN 64
+      |        WHEN (CASE WHEN (j-3) % 2 = 0
+      |            THEN (strpos('0123456789abcdef',
+      |              substr(md5(CAST(fam AS VARCHAR)), (j-3)//2 + 1, 1))
+      |              - 1) % 2
+      |            ELSE ((strpos('0123456789abcdef',
+      |              substr(md5(CAST(fam AS VARCHAR)), (j-3)//2 + 1, 1))
+      |              - 1) // 2) % 2 END) = 0
+      |          THEN 64
+      |        ELSE 192 END
+      |   FOR j IN range(64)] AS v
+      |  FROM fams),
+      |iah AS (SELECT media_id,
+      |  array_to_string([CASE WHEN x*64 > list_sum(v)
+      |    THEN '1' ELSE '0' END FOR x IN v], '') AS ahash
+      |  FROM vals),
+      |ib AS (SELECT media_id, unnest([0,1,2,3]) AS band_idx, ahash
+      |  FROM iah),
+      |ibands AS (SELECT media_id, band_idx,
+      |  substr(ahash, band_idx*16 + 1, 16) AS band_val FROM ib),
+      |icand AS (SELECT a.media_id AS left_id, b.media_id AS right_id,
+      |    CAST(count(*) AS BIGINT) AS n_bands_shared
+      |  FROM ibands a JOIN ibands b ON a.band_idx = b.band_idx
+      |    AND a.band_val = b.band_val AND a.media_id < b.media_id
+      |  GROUP BY 1, 2)""".stripMargin
+
   private def videoKeepBest(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val frames = graft.multimodal.Multimodal.extractFrameHashes(
@@ -1200,6 +1245,94 @@ object TextOps {
       graft.multimodal.Multimodal.extractAHash(
         graft.multimodal.Multimodal.synthPngPattern(
           Tables.documents(s, d).select(col("doc_id")), "doc_id"))),
+
+    // IMAGE NEAR-DUP PAIRING (r13 VERDICT item 3 — the last modality
+    // without a dedup policy): perceptual-hash Hamming banding over
+    // the family-structured PNG corpus. The 64-bit aHash splits into
+    // 4×16-bit bands — two hashes within Hamming distance ≤ 3 MUST
+    // share at least one exact band (pigeonhole over 4 bands; the
+    // SimHash rule, pinned for this path in MultimodalSpec) — band
+    // candidates go through cappedKeyPairCounts (the same 4096
+    // salt-cap discipline as every pair generator in the repo; a
+    // boilerplate hash — black images, test cards — floods one band
+    // key in any real corpus), and exact Hamming over the full 64
+    // bits disposes: is_dup at ≤ 3. Banding proposes, Hamming
+    // disposes — the two-stage shape of the text MinHash path, on
+    // pixels. The corpus is synthPngFamilies (real PNG encode/decode
+    // round trip at three resolutions; aHash is resolution-invariant
+    // by the block-constant construction, so family members pair
+    // ACROSS sizes — the re-encode invariance production pHash dedup
+    // exists for). The oracle replays hash, banding, candidates, and
+    // Hamming from the closed-form block arithmetic.
+    "mm_image_dedup" -> ((s, d) => {
+      val ah = imageAHashTable(s, d)
+      val bands = ah.select(col("media_id"),
+        posexplode(array((0 to 3).map(b =>
+          substring(col("ahash"), b * 16 + 1, 16)): _*))
+          .as(Seq("band_idx", "band_val")))
+      val cand = graft.api.GraftOps.cappedKeyPairCounts(
+        bands.select(
+          concat_ws(":", col("band_idx"), col("band_val")).as("bkey"),
+          col("media_id")),
+        "bkey", "media_id")
+      cand
+        .join(ah.select(col("media_id").as("left_id"),
+          col("ahash").as("a_hash")), Seq("left_id"))
+        .join(ah.select(col("media_id").as("right_id"),
+          col("ahash").as("b_hash")), Seq("right_id"))
+        .withColumn("hamming",
+          expr("CAST(size(filter(zip_with(split(a_hash, ''), " +
+            "split(b_hash, ''), (x, y) -> x != y), p -> p)) AS BIGINT)"))
+        .select(col("left_id"), col("right_id"),
+          col("n_shared").as("n_bands_shared"), col("hamming"),
+          (col("hamming") <= 3).as("is_dup"))
+    }),
+
+    // IMAGE RETENTION POLICY — keep-best per near-dup cluster, the
+    // image instance of mm_video_keep_best's composition: is_dup
+    // pairs (the two-stage gate above) → exact fixpoint CC → keep the
+    // highest-RESOLUTION member (quality proxy = decoded pixel count,
+    // ties to the smaller id). Family members exist at 16/24/32
+    // square, so the policy provably selects across resolutions — the
+    // "keep the original, drop the thumbnails" decision an image
+    // corpus needs. One synthesis feeds BOTH extractors (hash +
+    // dims) via localCheckpoint; the CC input is pair-per-cluster
+    // small, the final argmax one cluster-keyed window.
+    "mm_image_keep_best" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val media = graft.multimodal.Multimodal.synthPngFamilies(
+        Tables.documents(s, d).select(col("doc_id")), "doc_id")
+        .localCheckpoint()
+      val ah = graft.multimodal.Multimodal.extractAHash(media)
+        .localCheckpoint()
+      val px = graft.multimodal.Multimodal.extractFeatures(media)
+        .select(col("media_id"),
+          (col("width") * col("height")).cast("long").as("pixels"))
+      val bands = ah.select(col("media_id"),
+        posexplode(array((0 to 3).map(b =>
+          substring(col("ahash"), b * 16 + 1, 16)): _*))
+          .as(Seq("band_idx", "band_val")))
+      val dup = graft.api.GraftOps.cappedKeyPairCounts(
+          bands.select(concat_ws(":", col("band_idx"), col("band_val"))
+            .as("bkey"), col("media_id")),
+          "bkey", "media_id")
+        .join(ah.select(col("media_id").as("left_id"),
+          col("ahash").as("a_hash")), Seq("left_id"))
+        .join(ah.select(col("media_id").as("right_id"),
+          col("ahash").as("b_hash")), Seq("right_id"))
+        .filter(expr("size(filter(zip_with(split(a_hash, ''), " +
+          "split(b_hash, ''), (x, y) -> x != y), p -> p)) <= 3"))
+        .select("left_id", "right_id")
+      val cc = graft.api.GraftOps.connectedComponentsFixpoint(
+        ah.select(col("media_id")), "media_id", dup,
+        "left_id", "right_id")._1
+      val w = Window.partitionBy("cluster_id")
+        .orderBy(col("pixels").desc, col("media_id"))
+      cc.join(px, Seq("media_id"))
+        .withColumn("rnk", row_number().over(w))
+        .select(col("media_id"), col("cluster_id"), col("pixels"),
+          (col("rnk") === 1).as("keep"))
+    }),
 
     // TRUE frame timestamps from the MP4 sample table (the companion to
     // mm_frame_sample's synthetic spacing): synthMp4Stts writes a full
@@ -3495,6 +3628,41 @@ object TextOps {
         |    '' ORDER BY blk) AS ahash
         |FROM b JOIN g ON b.doc_id = g.doc_id
         |GROUP BY b.doc_id""".stripMargin,
+    "mm_image_dedup" ->
+      s"""WITH $ImageAHashCte
+         |SELECT c.left_id, c.right_id, c.n_bands_shared,
+         |  CAST(hamming(la.ahash, ra.ahash) AS BIGINT) AS hamming,
+         |  hamming(la.ahash, ra.ahash) <= 3 AS is_dup
+         |FROM icand c
+         |  JOIN iah la ON c.left_id = la.media_id
+         |  JOIN iah ra ON c.right_id = ra.media_id""".stripMargin,
+    "mm_image_keep_best" ->
+      s"""WITH RECURSIVE $ImageAHashCte,
+         |idup AS (SELECT c.left_id AS li, c.right_id AS ri
+         |  FROM icand c
+         |    JOIN iah la ON c.left_id = la.media_id
+         |    JOIN iah ra ON c.right_id = ra.media_id
+         |  WHERE hamming(la.ahash, ra.ahash) <= 3),
+         |e AS (SELECT li AS a, ri AS b FROM idup
+         |  UNION SELECT ri, li FROM idup),
+         |reach AS (
+         |  SELECT a AS src, a AS dst
+         |    FROM (SELECT DISTINCT a FROM e)
+         |  UNION
+         |  SELECT rr.src, e2.b AS dst
+         |    FROM reach rr JOIN e e2 ON e2.a = rr.dst),
+         |cm AS (SELECT src, min(dst) AS cl FROM reach GROUP BY src),
+         |pxt AS (SELECT media_id,
+         |    CAST((16 + 8*((media_id % 4) % 3))
+         |      * (16 + 8*((media_id % 4) % 3)) AS BIGINT) AS pixels
+         |  FROM fams),
+         |base AS (SELECT p.media_id,
+         |    coalesce(cm.cl, p.media_id) AS cluster_id, p.pixels
+         |  FROM pxt p LEFT JOIN cm ON p.media_id = cm.src),
+         |rk AS (SELECT *, row_number() OVER (PARTITION BY cluster_id
+         |  ORDER BY pixels DESC, media_id) AS rnk FROM base)
+         |SELECT media_id, cluster_id, pixels, rnk = 1 AS keep
+         |FROM rk""".stripMargin,
     // Recomputes synthMp4Stts' derivation: media timescale, two stts
     // runs (n1 at d1 ticks, n2 at d2), sample k's decode ticks = k·d1
     // inside run 1, n1·d1 + (k−n1)·d2 inside run 2; t_ms floors

@@ -184,6 +184,61 @@ class MultimodalSpec extends SparkSpec {
       .collect().head._2 == null)
   }
 
+  test("pHash 4×16 banding guarantee: Hamming ≤ 3 ⟹ ≥1 shared band " +
+      "(exhaustive over all 3-bit flips), and synthPngFamilies lands " +
+      "each intra-family pair inside it across resolutions") {
+    def bands(h: String): Seq[String] =
+      (0 until 4).map(b => h.substring(b * 16, (b + 1) * 16))
+    def hamming(a: String, b: String): Int =
+      a.zip(b).count { case (x, y) => x != y }
+    // The pigeonhole guarantee itself, exhaustively: flipping ANY <= 3
+    // of 64 positions leaves at least one of the 4 16-bit bands
+    // untouched (4 bands, 3 flips — one band must hold none). Checked
+    // over every C(64,3) triple plus all pairs/singles — pure string
+    // arithmetic, no Spark, ~43k cases.
+    val base = ("10" * 32).take(64)
+    def flip(h: String, ps: Seq[Int]): String = {
+      val a = h.toCharArray
+      ps.foreach(p => a(p) = if (a(p) == '0') '1' else '0')
+      new String(a)
+    }
+    val singles = (0 until 64).map(Seq(_))
+    val pairs = for (i <- 0 until 64; j <- i + 1 until 64) yield Seq(i, j)
+    val triples = for (i <- 0 until 64; j <- i + 1 until 64;
+      k <- j + 1 until 64) yield Seq(i, j, k)
+    (singles ++ pairs ++ triples).foreach { ps =>
+      val mut = flip(base, ps)
+      assert(bands(base).zip(bands(mut)).exists { case (x, y) => x == y },
+        s"flips at $ps left no shared band — pigeonhole violated")
+    }
+    // The family fixture rides that guarantee end-to-end: members at
+    // 16/24/32 square decode to aHashes whose intra-family distance is
+    // EXACTLY |pert_a - pert_b| (resolution cancels by construction),
+    // so every intra-family pair at distances 1, 2, AND 3 shares a
+    // band; cross-family distances are far beyond the is_dup line.
+    val ids = (0L until 24L).toDF("doc_id") // families 0..5, 4 members
+    val hs = Multimodal.extractAHash(Multimodal.synthPngFamilies(ids, "doc_id"))
+      .as[(Long, String)].collect().toMap
+    for (fam <- 0L until 6L; a <- 0 until 4; b <- a + 1 until 4) {
+      val (ha, hb) = (hs(fam * 4 + a), hs(fam * 4 + b))
+      assert(hamming(ha, hb) == (b - a).toInt,
+        s"fam $fam members $a,$b: distance ${hamming(ha, hb)} != ${b - a}")
+      assert(bands(ha).zip(bands(hb)).exists { case (x, y) => x == y })
+    }
+    for (f1 <- 0L until 6L; f2 <- f1 + 1 to 5L)
+      assert(hamming(hs(f1 * 4), hs(f2 * 4)) > 3,
+        s"families $f1,$f2 within dup distance — fixture degenerate")
+    // Retention: with pure-family clusters the keep-best policy must
+    // select the 32×32 member (pert = 2 → 1024 px) of every family.
+    val kept = SparkEntry.queries("mm_image_keep_best")(
+        spark, "/root/testdata/sf0.001")
+      .filter(col("keep")).select("media_id", "pixels")
+      .as[(Long, Long)].collect()
+    assert(kept.nonEmpty && kept.forall { case (id, px) =>
+      id % 4 == 2 && px == 1024L },
+      s"keep-best picked a non-max-resolution member: ${kept.toSeq}")
+  }
+
   test("videoSampleTimes expands stts runs in the MEDIA timescale " +
       "(mdhd, not mvhd) and sampleFrameTimes strides over them") {
     // Movie timescale 600 vs media timescale 1000: a parser reading

@@ -373,6 +373,55 @@ object Multimodal {
     bb.array()
   }
 
+  /** Family-structured near-duplicate AUDIO corpus — the audio twin of
+    * `synthPngFamilies`: every 4 consecutive ids are cuts of ONE
+    * master recording at four lengths (100/125/150/175 frames), so
+    * family members are PREFIX-equal in PCM content — the "same
+    * recording, different cut" case an audio fingerprint dedup
+    * exists for. The master's byte pattern is seeded by the first 16
+    * md5(fam) bits (byte_i = (i·step + base) mod 256 with step =
+    * 31 + 2·(seed>>8), base = seed&255): ~65k distinct contents, so
+    * cross-family signature collisions are rare but nonzero — and
+    * when two fams DO collide mod the pattern arithmetic both engines
+    * replay the same verdict, since the whole derivation is
+    * closed-form. Container: PCM WAV, 8000 Hz mono, via the same RIFF
+    * layout as `wavBytes`; consumers must decode real samples
+    * (`extractAudioEnergy`) to recover the profile. */
+  def synthWavFamilies(ids: DataFrame, idCol: String): DataFrame = {
+    val spark = ids.sparkSession
+    val rdd = ids.select(col(idCol).cast("long")).rdd.mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.map { r =>
+        val id = r.getLong(0)
+        val fam = id / 4
+        val m = (id % 4).toInt
+        md.reset()
+        val hex = md.digest(fam.toString.getBytes("UTF-8"))
+          .map(b => f"$b%02x").mkString
+        val seed16 = Integer.parseInt(hex.substring(0, 4), 16)
+        val step = 31 + 2 * (seed16 >> 8)
+        val base = seed16 & 0xff
+        val nFrames = 100 + 25 * m
+        val dataSize = nFrames * 2
+        val bb = java.nio.ByteBuffer.allocate(44 + dataSize)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+        bb.put("WAVE".getBytes("US-ASCII"))
+        bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+        bb.putShort(1).putShort(1.toShort)
+        bb.putInt(8000).putInt(8000 * 2)
+        bb.putShort(2.toShort).putShort(16)
+        bb.put("data".getBytes("US-ASCII")).putInt(dataSize)
+        var i = 0
+        while (i < dataSize) {
+          bb.put(((i * step + base) & 0xff).toByte); i += 1
+        }
+        Row(id, bb.array(), "audio/wav")
+      }
+    }
+    spark.createDataFrame(rdd, mediaSchema)
+  }
+
   val audioEnergySchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
     StructField("window_idx", LongType, nullable = false),

@@ -1233,6 +1233,53 @@ object TextOps {
           Tables.documents(s, d).select(col("doc_id")), "doc_id"),
         windowFrames = 50)),
 
+    // AUDIO FINGERPRINT DEDUP (r13 VERDICT item 7 — pair generation
+    // now covers all three media types): the classic
+    // energy-profile fingerprint over the family-structured WAV
+    // corpus (synthWavFamilies: 4 cuts of one master at 100..175
+    // frames, prefix-equal PCM). Stage 1 PROPOSES: each clip's first
+    // two 50-frame windows (full for every cut length) quantize to a
+    // coarse signature (per-window abs-sum DIV 64·frames — coarse
+    // enough to bucket re-encodes, fine enough that unrelated
+    // near-uniform content rarely collides; DIV 256 was measured
+    // 16x over-proposing at sf0.01) and
+    // signature buckets pair through cappedKeyPairCounts — the same
+    // 4096 salt-cap as every pair generator (silence is the audio
+    // boilerplate hash: a real corpus floods the all-quiet signature).
+    // Stage 2 DISPOSES: exact window-sum deltas over the decoded
+    // samples; is_dup = both prefix windows byte-exact — "same
+    // master, different cut". The oracle replays container bytes →
+    // signed-16LE samples → window sums → signature → pairs from the
+    // synth arithmetic, so a decode, windowing, or quantization bug
+    // anywhere breaks the hash gate.
+    "mm_audio_dedup" -> ((s, d) => {
+      val en = graft.multimodal.Multimodal.extractAudioEnergy(
+        graft.multimodal.Multimodal.synthWavFamilies(
+          Tables.documents(s, d).select(col("doc_id")), "doc_id"),
+        windowFrames = 50)
+      val sg = en.filter(col("window_idx") < 2)
+        .groupBy("media_id")
+        .agg(
+          max(when(col("window_idx") === 0, col("abs_sum"))).as("s0"),
+          max(when(col("window_idx") === 1, col("abs_sum"))).as("s1"),
+          max(when(col("window_idx") === 0, col("n_frames"))).as("n0"),
+          max(when(col("window_idx") === 1, col("n_frames"))).as("n1"))
+        .withColumn("sig", concat_ws(":",
+          expr("s0 DIV (n0 * 64)"), expr("s1 DIV (n1 * 64)")))
+        .localCheckpoint()
+      graft.api.GraftOps.cappedKeyPairCounts(
+          sg.select(col("sig"), col("media_id")), "sig", "media_id")
+        .join(sg.select(col("media_id").as("left_id"),
+          col("s0").as("l0"), col("s1").as("l1")), Seq("left_id"))
+        .join(sg.select(col("media_id").as("right_id"),
+          col("s0").as("r0"), col("s1").as("r1")), Seq("right_id"))
+        .select(col("left_id"), col("right_id"),
+          abs(col("l0") - col("r0")).as("d0"),
+          abs(col("l1") - col("r1")).as("d1"),
+          (col("l0") === col("r0") && col("l1") === col("r1"))
+            .as("is_dup"))
+    }),
+
     // PIXEL-content perceptual hash, REAL end-to-end: synthPngPattern
     // encodes a deterministic 32×32 gray pattern through the JDK PNG
     // encoder and extractAHash must recover every pixel by DECODING
@@ -3611,6 +3658,49 @@ object TextOps {
         |  CAST(least(50, fr - w * 50) AS BIGINT) AS n_frames,
         |  CAST(sum(abs(val)) AS BIGINT) AS abs_sum
         |FROM v GROUP BY doc_id, w, fr""".stripMargin,
+    // Replays synthWavFamilies end-to-end: md5(fam) 16-bit seed →
+    // byte pattern (i·step + base) mod 256 → signed-16LE samples →
+    // the two full 50-frame window sums → quantized signature →
+    // signature-bucket pairs → exact prefix verdict.
+    "mm_audio_dedup" ->
+      """WITH p AS (SELECT doc_id AS media_id, doc_id // 4 AS fam
+        |  FROM documents),
+        |sd AS (SELECT media_id,
+        |   (strpos('0123456789abcdef',
+        |      substr(md5(CAST(fam AS VARCHAR)), 1, 1)) - 1) * 4096
+        | + (strpos('0123456789abcdef',
+        |      substr(md5(CAST(fam AS VARCHAR)), 2, 1)) - 1) * 256
+        | + (strpos('0123456789abcdef',
+        |      substr(md5(CAST(fam AS VARCHAR)), 3, 1)) - 1) * 16
+        | + (strpos('0123456789abcdef',
+        |      substr(md5(CAST(fam AS VARCHAR)), 4, 1)) - 1) AS seed16
+        |  FROM p),
+        |st AS (SELECT media_id, 31 + 2 * (seed16 // 256) AS step,
+        |    seed16 % 256 AS base FROM sd),
+        |smp AS (SELECT media_id, kk.k,
+        |    (2*kk.k*step + base) % 256
+        |      + 256 * (((2*kk.k + 1)*step + base) % 256) AS raw
+        |  FROM st, LATERAL (SELECT unnest(range(0, 100)) AS k) kk),
+        |wn AS (SELECT media_id, k // 50 AS w,
+        |    abs(CASE WHEN raw >= 32768 THEN raw - 65536 ELSE raw END)
+        |      AS a
+        |  FROM smp),
+        |sums AS (SELECT media_id,
+        |    CAST(sum(CASE WHEN w = 0 THEN a ELSE 0 END) AS BIGINT)
+        |      AS s0,
+        |    CAST(sum(CASE WHEN w = 1 THEN a ELSE 0 END) AS BIGINT)
+        |      AS s1
+        |  FROM wn GROUP BY media_id),
+        |sg AS (SELECT media_id, s0, s1,
+        |    CAST(s0 // (50*64) AS VARCHAR) || ':'
+        |      || CAST(s1 // (50*64) AS VARCHAR) AS sig
+        |  FROM sums)
+        |SELECT a.media_id AS left_id, b.media_id AS right_id,
+        |  CAST(abs(a.s0 - b.s0) AS BIGINT) AS d0,
+        |  CAST(abs(a.s1 - b.s1) AS BIGINT) AS d1,
+        |  a.s0 = b.s0 AND a.s1 = b.s1 AS is_dup
+        |FROM sg a JOIN sg b ON a.sig = b.sig
+        |  AND a.media_id < b.media_id""".stripMargin,
     // Recomputes the pixel grid (id·31 + x·7 + y·13 mod 256), the 8×8
     // block sums, and the integer-exact threshold bsum·64 > gsum.
     "mm_image_phash" ->

@@ -1,5 +1,6 @@
 package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Empirical scaling probe for the pair-generation backbone — the
@@ -12,6 +13,19 @@ import org.apache.spark.sql.functions._
   * data growth. A bucket-local/capped pipeline should grow ~mult
   * (work per bucket is bounded; bucket COUNT grows); an uncapped
   * pair path would grow ~mult² and this harness would show it.
+  *
+  * r14 (r13 VERDICT item 4 + ADVICE): probe INPUTS are materialized
+  * to parquet BEFORE the timer starts, so the measured time is the
+  * operator, not the synthetic generator (the old by-name `time(df)`
+  * ran frameLike's count() inside the timed region); the capped
+  * generator is additionally probed at cap=64, where the hot key
+  * (~1% of rows — 250 at 1×, far under the 4096 default) actually
+  * crosses the cap at BOTH scales, so the salt-split path itself is
+  * exercised rather than just its under-cap fast path; and the two
+  * formerly-unprobed backbones are covered — the star-edge →
+  * fixpoint-CC chain (mm_video_keep_best's shape, whose ROUND COUNT
+  * could in principle grow with replication) and the salted-band
+  * horizon gate (dedup_first_in_horizon's shape).
   *
   * Usage: runMain graft.ScaleProbe <sfDir> <mult> [repeats]
   * (times are min over repeats of a noop-sink materialization,
@@ -40,37 +54,93 @@ object ScaleProbe {
         .select((col("doc_id") * k + col("__r")).as("doc_id"),
           concat(col("text"), lit(" rep"), col("__r")).as("text"))
     // Content-hash co-occurrence input: ~50-member buckets plus one
-    // hot key holding ~1% of all rows (the capped path must absorb
-    // it at any scale).
+    // hot key holding ~1% of all rows. Each media contributes ~5
+    // frame rows (media_id = id/5) so media SPAN buckets — the
+    // cross-bucket linking the CC probe needs.
     def frameLike(k: Int): DataFrame = {
       val n = base.count() * k * 5
-      spark.range(0, n).select(col("id").as("media_id"),
+      spark.range(0, n).select((col("id") / 5).cast("long").as("media_id"),
         when(col("id") % 100 === 0, lit("HOT"))
           .otherwise(concat(lit("f"), pmod(col("id"), lit(n / 50))))
           .as("fhash"))
     }
-    def time(df: => DataFrame): Double =
+    // Inputs land in parquet once per scale; probes read the files, so
+    // generator cost (incl. the count() above) never pollutes a timing.
+    def materialize(name: String, df: DataFrame): DataFrame = {
+      val p = s"/tmp/scaleprobe/$name"
+      df.write.mode("overwrite").parquet(p)
+      spark.read.parquet(p)
+    }
+    def time(mk: () => DataFrame): Double =
       (1 to reps).map { _ =>
         val t0 = System.nanoTime()
-        df.write.mode("overwrite").format("noop").save()
+        mk().write.mode("overwrite").format("noop").save()
         spark.sparkContext.getPersistentRDDs.values
           .foreach(_.unpersist(blocking = true))
         (System.nanoTime() - t0) / 1e9
       }.min
-    val probes: Seq[(String, Int => DataFrame)] = Seq(
-      "dedup_exact (hash groupBy)" ->
-        (k => graft.api.GraftOps.dedupExact(replicate(k), "doc_id", "text")),
-      "minhashCandidatePairs (LSH collect path)" ->
-        (k => graft.api.GraftOps
-          .minhashCandidatePairs(replicate(k), "doc_id", "text")),
-      "cappedKeyPairCounts (salted join path)" ->
-        (k => graft.api.GraftOps
-          .cappedKeyPairCounts(frameLike(k), "fhash", "media_id")))
+
+    // The star-edge → exact-CC chain of mm_video_keep_best
+    // (TextOps.videoKeepBest): |Σbucket| hub edges, capped, then
+    // fixpoint CC over the media nodes.
+    def starCc(frames: DataFrame): DataFrame = {
+      val wB = Window.partitionBy("fhash", "__sub")
+      val edges = frames
+        .withColumn("__n", count(lit(1))
+          .over(Window.partitionBy("fhash")))
+        .withColumn("__sub", pmod(xxhash64(col("media_id")),
+          ceil(col("__n").cast("double") / 4096).cast("long")))
+        .withColumn("hub", min(col("media_id")).over(wB))
+        .filter(col("media_id") =!= col("hub"))
+        .select(col("media_id").as("left_id"), col("hub").as("right_id"))
+        .distinct()
+      graft.api.GraftOps.connectedComponentsFixpoint(
+        frames.select(col("media_id")).distinct(), "media_id",
+        edges, "left_id", "right_id")._1
+    }
+    // The salted-band horizon gate of dedup_first_in_horizon.
+    def horizonGate(docs: DataFrame): DataFrame = {
+      val bands = graft.api.GraftOps
+        .minhashBands(docs, "doc_id", "text")
+        .withColumn("__n", count(lit(1))
+          .over(Window.partitionBy("band_idx", "band_hash")))
+        .withColumn("__sub", pmod(xxhash64(col("doc_id")),
+          ceil(col("__n").cast("double") / 4096).cast("long")))
+        .drop("__n")
+        .localCheckpoint()
+      val idx = bands.select(col("doc_id").as("i_doc"),
+        col("band_idx"), col("band_hash"), col("__sub"))
+      bands.join(idx, Seq("band_idx", "band_hash", "__sub"))
+        .filter(col("i_doc") < col("doc_id") &&
+          col("i_doc") >= col("doc_id") - 30)
+        .select("doc_id").distinct()
+    }
+
     println(f"[scale] sf=$sfDir mult=$mult reps=$reps")
-    probes.foreach { case (name, mk) =>
-      val t1 = time(mk(1))
-      val tk = time(mk(mult))
-      println(f"[scale] $name%-42s 1x=$t1%7.2f s  ${mult}x=$tk%7.2f s" +
+    val results = Seq(1, mult).map { k =>
+      val docs = materialize(s"docs$k", replicate(k))
+      val frames = materialize(s"frames$k", frameLike(k))
+      k -> Seq(
+        "dedup_exact (hash groupBy)" ->
+          time(() => graft.api.GraftOps.dedupExact(docs, "doc_id", "text")),
+        "minhashCandidatePairs (LSH collect path)" ->
+          time(() => graft.api.GraftOps
+            .minhashCandidatePairs(docs, "doc_id", "text")),
+        "cappedKeyPairCounts (salted join, cap 4096)" ->
+          time(() => graft.api.GraftOps
+            .cappedKeyPairCounts(frames, "fhash", "media_id")),
+        "cappedKeyPairCounts (OVER-cap, cap 64)" ->
+          time(() => graft.api.GraftOps
+            .cappedKeyPairCounts(frames, "fhash", "media_id", 64)),
+        "star edges + fixpoint CC (video keep-best)" ->
+          time(() => starCc(frames)),
+        "horizon gate (salted band self-join)" ->
+          time(() => horizonGate(docs)))
+    }
+    val (r1, rk) = (results.head._2.toMap, results.last._2.toMap)
+    r1.keys.toSeq.sorted.foreach { name =>
+      val (t1, tk) = (r1(name), rk(name))
+      println(f"[scale] $name%-44s 1x=$t1%7.2f s  ${mult}x=$tk%7.2f s" +
         f"  growth=${tk / t1}%5.2f (linear=$mult%d.00)")
     }
     spark.stop()

@@ -162,7 +162,16 @@ object TextOps {
       |    AND a.band_val = b.band_val AND a.media_id < b.media_id
       |  GROUP BY 1, 2)""".stripMargin
 
-  private def videoKeepBest(s: SparkSession, d: String): DataFrame = {
+  /** The video keep-best core is a SHARED STAGE (r13 VERDICT item 8):
+    * mm_video_keep_best and pipeline_video_retention both consume this
+    * table, and under the one-query-one-plan registry contract each
+    * would otherwise re-derive the demux → star → CC chain. In a
+    * long-lived session the second consumer now reads the first's
+    * materialization; under the sweeping harnesses (Bench/Verify drop
+    * all persistent RDDs between queries) the liveness check rebuilds
+    * — numbers stay honest, hashes unchanged. */
+  private def videoKeepBest(s: SparkSession, d: String): DataFrame =
+    graft.operators.SharedStage(s, s"videoKeepBest:$d") {
     import org.apache.spark.sql.expressions.Window
     val frames = graft.multimodal.Multimodal.extractFrameHashes(
       graft.multimodal.Multimodal.synthMp4FramesShared(

@@ -302,4 +302,33 @@ class ScaleOpsSpec extends SparkSpec {
     assert(touched(96, 111, isY = true) <= boxes.length / 2,
       "y-probe touched too many files after compaction")
   }
+
+  test("SharedStage: two consumers of the video keep-best core share " +
+      "ONE materialization in a live session, with identical results") {
+    // r13 VERDICT item 8: pipeline_video_retention re-derives
+    // mm_video_keep_best's demux → star → CC chain under the
+    // one-query-one-plan registry contract. With the shared-stage
+    // layer, the second consumer in an un-swept session reads the
+    // first's blocks — builds stay at 1 — and the rollup equals the
+    // one computed from the keep-best table directly (same rows ⇒
+    // unchanged oracle hashes).
+    val d = "/root/testdata/sf0.001"
+    val key = s"videoKeepBest:$d"
+    val before = graft.operators.SharedStage.buildsFor(spark, key)
+    val keep = SparkEntry.queries("mm_video_keep_best")(spark, d)
+      .collect()
+    val mid = graft.operators.SharedStage.buildsFor(spark, key)
+    assert(mid == before + 1, s"first consumer: expected one build")
+    val retention = SparkEntry.queries("pipeline_video_retention")(
+      spark, d).collect()
+    assert(graft.operators.SharedStage.buildsFor(spark, key) == mid,
+      "second consumer rebuilt the stage despite live blocks")
+    assert(keep.nonEmpty && retention.nonEmpty)
+    // Cross-check: the rollup's totals reconcile with the keep table.
+    val nVideos = keep.length.toLong
+    val rolledVideos = retention.map(r =>
+      r.getLong(r.fieldIndex("n_videos"))).sum
+    assert(rolledVideos == nVideos,
+      s"retention rollup covers $rolledVideos of $nVideos videos")
+  }
 }

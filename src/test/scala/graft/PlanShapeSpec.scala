@@ -102,6 +102,30 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("the r14 pair paths carry the salt too: image bands, audio " +
+      "signatures, and the event-time horizon gate") {
+    // Same invariant as above for the three round-14 generators: the
+    // image aHash band key (bkey), the audio signature key (sig), and
+    // the ts-horizon band key must never appear in a join without the
+    // __sub salt riding along.
+    val cases = Seq(
+      ("mm_image_dedup", Seq("bkey")),
+      ("mm_audio_dedup", Seq("sig")),
+      ("dedup_first_in_horizon_ts", Seq("band_hash")))
+    for ((name, keys) <- cases) {
+      val p = phys(SparkEntry.queries(name)(spark, "/root/testdata/sf0.001"))
+      val joinLines = p.linesIterator
+        .filter(l => l.contains("Join")).toSeq
+      val bucketJoins = joinLines
+        .filter(l => keys.exists(l.contains))
+      assert(bucketJoins.nonEmpty,
+        s"$name: expected a salted bucket-key join:\n$p")
+      assert(bucketJoins.forall(_.contains("__sub")),
+        s"$name: a join is keyed on the unsalted bucket key:\n" +
+          joinLines.mkString("\n"))
+    }
+  }
+
   test("interval join binning avoids nested-loop strategies") {
     val q = SparkEntry.queries("j12_range_join")(
       spark, "/root/testdata/sf0.001")

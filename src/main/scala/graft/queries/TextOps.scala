@@ -117,6 +117,30 @@ object TextOps {
     * cap) → fixpoint CC → argmax-frames retention flag per cluster.
     * See mm_video_keep_best's registration comment for the full
     * design rationale. */
+  /** Shared audio energy-signature table over the family-structured
+    * WAV corpus: per media, the two always-full prefix-window sums
+    * (s0, s1), their quantized signature, and the TOTAL decoded frame
+    * count (the keep-best quality proxy — derived from the decoded
+    * windows, not the id arithmetic, so a demux bug breaks the gate).
+    * A SharedStage: mm_audio_dedup and mm_audio_keep_best both
+    * consume it. */
+  private def audioSigTable(s: SparkSession, d: String): DataFrame =
+    graft.operators.SharedStage(s, s"audioSig:$d") {
+      graft.multimodal.Multimodal.extractAudioEnergy(
+          graft.multimodal.Multimodal.synthWavFamilies(
+            Tables.documents(s, d).select(col("doc_id")), "doc_id"),
+          windowFrames = 50)
+        .groupBy("media_id")
+        .agg(
+          max(when(col("window_idx") === 0, col("abs_sum"))).as("s0"),
+          max(when(col("window_idx") === 1, col("abs_sum"))).as("s1"),
+          max(when(col("window_idx") === 0, col("n_frames"))).as("n0"),
+          max(when(col("window_idx") === 1, col("n_frames"))).as("n1"),
+          sum(col("n_frames")).as("nf_total"))
+        .withColumn("sig", concat_ws(":",
+          expr("s0 DIV (n0 * 64)"), expr("s1 DIV (n1 * 64)")))
+    }
+
   /** Shared aHash table over the family-structured PNG corpus —
     * one synthesis + decode feeding mm_image_dedup (checkpointed:
     * both cappedKeyPairCounts sides and two hash re-joins read it). */
@@ -125,6 +149,43 @@ object TextOps {
       graft.multimodal.Multimodal.synthPngFamilies(
         Tables.documents(s, d).select(col("doc_id")), "doc_id"))
       .localCheckpoint()
+
+  /** DuckDB replay of synthWavFamilies' signature chain (seed →
+    * samples → window sums → quantized sig) ending in `sg` —
+    * shared by the mm_audio_dedup and mm_audio_keep_best oracles. */
+  private val AudioSigCte =
+    """p AS (SELECT doc_id AS media_id, doc_id // 4 AS fam
+      |  FROM documents),
+      |sd AS (SELECT media_id,
+      |   (strpos('0123456789abcdef',
+      |      substr(md5(CAST(fam AS VARCHAR)), 1, 1)) - 1) * 4096
+      | + (strpos('0123456789abcdef',
+      |      substr(md5(CAST(fam AS VARCHAR)), 2, 1)) - 1) * 256
+      | + (strpos('0123456789abcdef',
+      |      substr(md5(CAST(fam AS VARCHAR)), 3, 1)) - 1) * 16
+      | + (strpos('0123456789abcdef',
+      |      substr(md5(CAST(fam AS VARCHAR)), 4, 1)) - 1) AS seed16
+      |  FROM p),
+      |st AS (SELECT media_id, 31 + 2 * (seed16 // 256) AS step,
+      |    seed16 % 256 AS base FROM sd),
+      |smp AS (SELECT media_id, kk.k,
+      |    (2*kk.k*step + base) % 256
+      |      + 256 * (((2*kk.k + 1)*step + base) % 256) AS raw
+      |  FROM st, LATERAL (SELECT unnest(range(0, 100)) AS k) kk),
+      |wn AS (SELECT media_id, k // 50 AS w,
+      |    abs(CASE WHEN raw >= 32768 THEN raw - 65536 ELSE raw END)
+      |      AS a
+      |  FROM smp),
+      |sums AS (SELECT media_id,
+      |    CAST(sum(CASE WHEN w = 0 THEN a ELSE 0 END) AS BIGINT)
+      |      AS s0,
+      |    CAST(sum(CASE WHEN w = 1 THEN a ELSE 0 END) AS BIGINT)
+      |      AS s1
+      |  FROM wn GROUP BY media_id),
+      |sg AS (SELECT media_id, s0, s1,
+      |    CAST(s0 // (50*64) AS VARCHAR) || ':' ||
+      |      CAST(s1 // (50*64) AS VARCHAR) AS sig
+      |  FROM sums)""".stripMargin
 
   /** DuckDB replay of synthPngFamilies' closed-form aHash (see the
     * generator's Scaladoc: block-constant pixels make bit_j =
@@ -1262,20 +1323,7 @@ object TextOps {
     // synth arithmetic, so a decode, windowing, or quantization bug
     // anywhere breaks the hash gate.
     "mm_audio_dedup" -> ((s, d) => {
-      val en = graft.multimodal.Multimodal.extractAudioEnergy(
-        graft.multimodal.Multimodal.synthWavFamilies(
-          Tables.documents(s, d).select(col("doc_id")), "doc_id"),
-        windowFrames = 50)
-      val sg = en.filter(col("window_idx") < 2)
-        .groupBy("media_id")
-        .agg(
-          max(when(col("window_idx") === 0, col("abs_sum"))).as("s0"),
-          max(when(col("window_idx") === 1, col("abs_sum"))).as("s1"),
-          max(when(col("window_idx") === 0, col("n_frames"))).as("n0"),
-          max(when(col("window_idx") === 1, col("n_frames"))).as("n1"))
-        .withColumn("sig", concat_ws(":",
-          expr("s0 DIV (n0 * 64)"), expr("s1 DIV (n1 * 64)")))
-        .localCheckpoint()
+      val sg = audioSigTable(s, d)
       graft.api.GraftOps.cappedKeyPairCounts(
           sg.select(col("sig"), col("media_id")), "sig", "media_id")
         .join(sg.select(col("media_id").as("left_id"),
@@ -1287,6 +1335,37 @@ object TextOps {
           abs(col("l1") - col("r1")).as("d1"),
           (col("l0") === col("r0") && col("l1") === col("r1"))
             .as("is_dup"))
+    }),
+
+    // AUDIO RETENTION POLICY — completes the keep-best matrix across
+    // all three media types (video keeps most frames, image keeps
+    // most pixels; audio keeps the LONGEST CUT — the master over its
+    // truncations, quality proxy = total decoded frames). Same
+    // composition as the siblings: exact-prefix dup pairs (the
+    // two-stage gate above) → fixpoint CC → per-cluster argmax with
+    // the (frames desc, media_id) tiebreak. Shares the decoded
+    // signature stage with mm_audio_dedup via SharedStage.
+    "mm_audio_keep_best" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val sg = audioSigTable(s, d)
+      val dup = graft.api.GraftOps.cappedKeyPairCounts(
+          sg.select(col("sig"), col("media_id")), "sig", "media_id")
+        .join(sg.select(col("media_id").as("left_id"),
+          col("s0").as("l0"), col("s1").as("l1")), Seq("left_id"))
+        .join(sg.select(col("media_id").as("right_id"),
+          col("s0").as("r0"), col("s1").as("r1")), Seq("right_id"))
+        .filter(col("l0") === col("r0") && col("l1") === col("r1"))
+        .select("left_id", "right_id")
+      val cc = graft.api.GraftOps.connectedComponentsFixpoint(
+        sg.select(col("media_id")), "media_id", dup,
+        "left_id", "right_id")._1
+      val w = Window.partitionBy("cluster_id")
+        .orderBy(col("nf_total").desc, col("media_id"))
+      cc.join(sg.select(col("media_id"), col("nf_total")),
+          Seq("media_id"))
+        .withColumn("rnk", row_number().over(w))
+        .select(col("media_id"), col("cluster_id"), col("nf_total"),
+          (col("rnk") === 1).as("keep"))
     }),
 
     // PIXEL-content perceptual hash, REAL end-to-end: synthPngPattern
@@ -3672,44 +3751,41 @@ object TextOps {
     // the two full 50-frame window sums → quantized signature →
     // signature-bucket pairs → exact prefix verdict.
     "mm_audio_dedup" ->
-      """WITH p AS (SELECT doc_id AS media_id, doc_id // 4 AS fam
-        |  FROM documents),
-        |sd AS (SELECT media_id,
-        |   (strpos('0123456789abcdef',
-        |      substr(md5(CAST(fam AS VARCHAR)), 1, 1)) - 1) * 4096
-        | + (strpos('0123456789abcdef',
-        |      substr(md5(CAST(fam AS VARCHAR)), 2, 1)) - 1) * 256
-        | + (strpos('0123456789abcdef',
-        |      substr(md5(CAST(fam AS VARCHAR)), 3, 1)) - 1) * 16
-        | + (strpos('0123456789abcdef',
-        |      substr(md5(CAST(fam AS VARCHAR)), 4, 1)) - 1) AS seed16
-        |  FROM p),
-        |st AS (SELECT media_id, 31 + 2 * (seed16 // 256) AS step,
-        |    seed16 % 256 AS base FROM sd),
-        |smp AS (SELECT media_id, kk.k,
-        |    (2*kk.k*step + base) % 256
-        |      + 256 * (((2*kk.k + 1)*step + base) % 256) AS raw
-        |  FROM st, LATERAL (SELECT unnest(range(0, 100)) AS k) kk),
-        |wn AS (SELECT media_id, k // 50 AS w,
-        |    abs(CASE WHEN raw >= 32768 THEN raw - 65536 ELSE raw END)
-        |      AS a
-        |  FROM smp),
-        |sums AS (SELECT media_id,
-        |    CAST(sum(CASE WHEN w = 0 THEN a ELSE 0 END) AS BIGINT)
-        |      AS s0,
-        |    CAST(sum(CASE WHEN w = 1 THEN a ELSE 0 END) AS BIGINT)
-        |      AS s1
-        |  FROM wn GROUP BY media_id),
-        |sg AS (SELECT media_id, s0, s1,
-        |    CAST(s0 // (50*64) AS VARCHAR) || ':'
-        |      || CAST(s1 // (50*64) AS VARCHAR) AS sig
-        |  FROM sums)
-        |SELECT a.media_id AS left_id, b.media_id AS right_id,
-        |  CAST(abs(a.s0 - b.s0) AS BIGINT) AS d0,
-        |  CAST(abs(a.s1 - b.s1) AS BIGINT) AS d1,
-        |  a.s0 = b.s0 AND a.s1 = b.s1 AS is_dup
-        |FROM sg a JOIN sg b ON a.sig = b.sig
-        |  AND a.media_id < b.media_id""".stripMargin,
+      s"""WITH $AudioSigCte
+         |SELECT a.media_id AS left_id, b.media_id AS right_id,
+         |  CAST(abs(a.s0 - b.s0) AS BIGINT) AS d0,
+         |  CAST(abs(a.s1 - b.s1) AS BIGINT) AS d1,
+         |  a.s0 = b.s0 AND a.s1 = b.s1 AS is_dup
+         |FROM sg a JOIN sg b ON a.sig = b.sig
+         |  AND a.media_id < b.media_id""".stripMargin,
+    // Same signature chain → exact-prefix dup edges → recursive CC →
+    // keep the longest cut (nf_total = 100 + 25·(id mod 4), the
+    // closed form of the decoded window-frame total).
+    "mm_audio_keep_best" ->
+      s"""WITH RECURSIVE $AudioSigCte,
+         |idup AS (SELECT a.media_id AS li, b.media_id AS ri
+         |  FROM sg a JOIN sg b ON a.sig = b.sig
+         |    AND a.media_id < b.media_id
+         |    AND a.s0 = b.s0 AND a.s1 = b.s1),
+         |e AS (SELECT li AS a, ri AS b FROM idup
+         |  UNION SELECT ri, li FROM idup),
+         |reach AS (
+         |  SELECT a AS src, a AS dst
+         |    FROM (SELECT DISTINCT a FROM e)
+         |  UNION
+         |  SELECT rr.src, e2.b AS dst
+         |    FROM reach rr JOIN e e2 ON e2.a = rr.dst),
+         |cm AS (SELECT src, min(dst) AS cl FROM reach GROUP BY src),
+         |nft AS (SELECT media_id,
+         |    CAST(100 + 25 * (media_id % 4) AS BIGINT) AS nf_total
+         |  FROM p),
+         |base AS (SELECT n.media_id,
+         |    coalesce(cm.cl, n.media_id) AS cluster_id, n.nf_total
+         |  FROM nft n LEFT JOIN cm ON n.media_id = cm.src),
+         |rk AS (SELECT *, row_number() OVER (PARTITION BY cluster_id
+         |  ORDER BY nf_total DESC, media_id) AS rnk FROM base)
+         |SELECT media_id, cluster_id, nf_total, rnk = 1 AS keep
+         |FROM rk""".stripMargin,
     // Recomputes the pixel grid (id·31 + x·7 + y·13 mod 256), the 8×8
     // block sums, and the integer-exact threshold bsum·64 > gsum.
     "mm_image_phash" ->

@@ -150,6 +150,74 @@ object TextOps {
         Tables.documents(s, d).select(col("doc_id")), "doc_id"))
       .localCheckpoint()
 
+  /** The image keep-best core (see mm_image_keep_best's registry
+    * comment): band candidates → Hamming ≤ 3 → fixpoint CC → keep the
+    * highest pixel count. A SharedStage: mm_image_keep_best and
+    * pipeline_media_retention both consume it. */
+  private def imageKeepBest(s: SparkSession, d: String): DataFrame =
+    graft.operators.SharedStage(s, s"imageKeepBest:$d") {
+      import org.apache.spark.sql.expressions.Window
+      val media = graft.multimodal.Multimodal.synthPngFamilies(
+        Tables.documents(s, d).select(col("doc_id")), "doc_id")
+        .localCheckpoint()
+      val ah = graft.multimodal.Multimodal.extractAHash(media)
+        .localCheckpoint()
+      val px = graft.multimodal.Multimodal.extractFeatures(media)
+        .select(col("media_id"),
+          (col("width") * col("height")).cast("long").as("pixels"))
+      val bands = ah.select(col("media_id"),
+        posexplode(array((0 to 3).map(b =>
+          substring(col("ahash"), b * 16 + 1, 16)): _*))
+          .as(Seq("band_idx", "band_val")))
+      val dup = graft.api.GraftOps.cappedKeyPairCounts(
+          bands.select(concat_ws(":", col("band_idx"), col("band_val"))
+            .as("bkey"), col("media_id")),
+          "bkey", "media_id")
+        .join(ah.select(col("media_id").as("left_id"),
+          col("ahash").as("a_hash")), Seq("left_id"))
+        .join(ah.select(col("media_id").as("right_id"),
+          col("ahash").as("b_hash")), Seq("right_id"))
+        .filter(expr("size(filter(zip_with(split(a_hash, ''), " +
+          "split(b_hash, ''), (x, y) -> x != y), p -> p)) <= 3"))
+        .select("left_id", "right_id")
+      val cc = graft.api.GraftOps.connectedComponentsFixpoint(
+        ah.select(col("media_id")), "media_id", dup,
+        "left_id", "right_id")._1
+      val w = Window.partitionBy("cluster_id")
+        .orderBy(col("pixels").desc, col("media_id"))
+      cc.join(px, Seq("media_id"))
+        .withColumn("rnk", row_number().over(w))
+        .select(col("media_id"), col("cluster_id"), col("pixels"),
+          (col("rnk") === 1).as("keep"))
+    }
+
+  /** The audio keep-best core (see mm_audio_keep_best's registry
+    * comment): exact-prefix dup edges → fixpoint CC → keep the
+    * longest cut. A SharedStage like its image/video siblings. */
+  private def audioKeepBest(s: SparkSession, d: String): DataFrame =
+    graft.operators.SharedStage(s, s"audioKeepBest:$d") {
+      import org.apache.spark.sql.expressions.Window
+      val sg = audioSigTable(s, d)
+      val dup = graft.api.GraftOps.cappedKeyPairCounts(
+          sg.select(col("sig"), col("media_id")), "sig", "media_id")
+        .join(sg.select(col("media_id").as("left_id"),
+          col("s0").as("l0"), col("s1").as("l1")), Seq("left_id"))
+        .join(sg.select(col("media_id").as("right_id"),
+          col("s0").as("r0"), col("s1").as("r1")), Seq("right_id"))
+        .filter(col("l0") === col("r0") && col("l1") === col("r1"))
+        .select("left_id", "right_id")
+      val cc = graft.api.GraftOps.connectedComponentsFixpoint(
+        sg.select(col("media_id")), "media_id", dup,
+        "left_id", "right_id")._1
+      val w = Window.partitionBy("cluster_id")
+        .orderBy(col("nf_total").desc, col("media_id"))
+      cc.join(sg.select(col("media_id"), col("nf_total")),
+          Seq("media_id"))
+        .withColumn("rnk", row_number().over(w))
+        .select(col("media_id"), col("cluster_id"), col("nf_total"),
+          (col("rnk") === 1).as("keep"))
+    }
+
   /** DuckDB replay of synthWavFamilies' signature chain (seed →
     * samples → window sums → quantized sig) ending in `sg` —
     * shared by the mm_audio_dedup and mm_audio_keep_best oracles. */
@@ -1345,27 +1413,34 @@ object TextOps {
     // two-stage gate above) → fixpoint CC → per-cluster argmax with
     // the (frames desc, media_id) tiebreak. Shares the decoded
     // signature stage with mm_audio_dedup via SharedStage.
-    "mm_audio_keep_best" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val sg = audioSigTable(s, d)
-      val dup = graft.api.GraftOps.cappedKeyPairCounts(
-          sg.select(col("sig"), col("media_id")), "sig", "media_id")
-        .join(sg.select(col("media_id").as("left_id"),
-          col("s0").as("l0"), col("s1").as("l1")), Seq("left_id"))
-        .join(sg.select(col("media_id").as("right_id"),
-          col("s0").as("r0"), col("s1").as("r1")), Seq("right_id"))
-        .filter(col("l0") === col("r0") && col("l1") === col("r1"))
-        .select("left_id", "right_id")
-      val cc = graft.api.GraftOps.connectedComponentsFixpoint(
-        sg.select(col("media_id")), "media_id", dup,
-        "left_id", "right_id")._1
-      val w = Window.partitionBy("cluster_id")
-        .orderBy(col("nf_total").desc, col("media_id"))
-      cc.join(sg.select(col("media_id"), col("nf_total")),
-          Seq("media_id"))
-        .withColumn("rnk", row_number().over(w))
-        .select(col("media_id"), col("cluster_id"), col("nf_total"),
-          (col("rnk") === 1).as("keep"))
+    "mm_audio_keep_best" -> ((s, d) => audioKeepBest(s, d)),
+
+    // CROSS-MODAL RETENTION REPORT — the capstone composition: one
+    // row per media type summarizing its near-dup retention policy
+    // (items, clusters, dropped count, and the kept share of the
+    // modality's quality budget). Each modality's keep-best core is a
+    // SharedStage, so in a live session this pipeline rides the same
+    // materializations its three mm_*_keep_best siblings built. The
+    // rollup itself is three single-row aggregates union'ed — free at
+    // any scale once the policies have run.
+    "pipeline_media_retention" -> ((s, d) => {
+      def summ(df: DataFrame, modality: String, qty: String) =
+        df.agg(
+          count(lit(1)).cast("long").as("n_items"),
+          countDistinct(col("cluster_id")).cast("long")
+            .as("n_clusters"),
+          sum(when(col("keep"), 0L).otherwise(1L)).cast("long")
+            .as("n_dropped"),
+          sum(when(col("keep"), col(qty)).otherwise(0L)).cast("long")
+            .as("kept_quality"),
+          sum(col(qty)).cast("long").as("total_quality"))
+        .select(lit(modality).as("modality"), col("n_items"),
+          col("n_clusters"), col("n_dropped"), col("kept_quality"),
+          col("total_quality"))
+      summ(videoKeepBest(s, d), "video", "nf")
+        .unionByName(summ(imageKeepBest(s, d), "image", "pixels"))
+        .unionByName(summ(audioKeepBest(s, d), "audio", "nf_total"))
+        .orderBy("modality")
     }),
 
     // PIXEL-content perceptual hash, REAL end-to-end: synthPngPattern
@@ -1433,41 +1508,7 @@ object TextOps {
     // corpus needs. One synthesis feeds BOTH extractors (hash +
     // dims) via localCheckpoint; the CC input is pair-per-cluster
     // small, the final argmax one cluster-keyed window.
-    "mm_image_keep_best" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val media = graft.multimodal.Multimodal.synthPngFamilies(
-        Tables.documents(s, d).select(col("doc_id")), "doc_id")
-        .localCheckpoint()
-      val ah = graft.multimodal.Multimodal.extractAHash(media)
-        .localCheckpoint()
-      val px = graft.multimodal.Multimodal.extractFeatures(media)
-        .select(col("media_id"),
-          (col("width") * col("height")).cast("long").as("pixels"))
-      val bands = ah.select(col("media_id"),
-        posexplode(array((0 to 3).map(b =>
-          substring(col("ahash"), b * 16 + 1, 16)): _*))
-          .as(Seq("band_idx", "band_val")))
-      val dup = graft.api.GraftOps.cappedKeyPairCounts(
-          bands.select(concat_ws(":", col("band_idx"), col("band_val"))
-            .as("bkey"), col("media_id")),
-          "bkey", "media_id")
-        .join(ah.select(col("media_id").as("left_id"),
-          col("ahash").as("a_hash")), Seq("left_id"))
-        .join(ah.select(col("media_id").as("right_id"),
-          col("ahash").as("b_hash")), Seq("right_id"))
-        .filter(expr("size(filter(zip_with(split(a_hash, ''), " +
-          "split(b_hash, ''), (x, y) -> x != y), p -> p)) <= 3"))
-        .select("left_id", "right_id")
-      val cc = graft.api.GraftOps.connectedComponentsFixpoint(
-        ah.select(col("media_id")), "media_id", dup,
-        "left_id", "right_id")._1
-      val w = Window.partitionBy("cluster_id")
-        .orderBy(col("pixels").desc, col("media_id"))
-      cc.join(px, Seq("media_id"))
-        .withColumn("rnk", row_number().over(w))
-        .select(col("media_id"), col("cluster_id"), col("pixels"),
-          (col("rnk") === 1).as("keep"))
-    }),
+    "mm_image_keep_best" -> ((s, d) => imageKeepBest(s, d)),
 
     // TRUE frame timestamps from the MP4 sample table (the companion to
     // mm_frame_sample's synthetic spacing): synthMp4Stts writes a full
@@ -3786,6 +3827,118 @@ object TextOps {
          |  ORDER BY nf_total DESC, media_id) AS rnk FROM base)
          |SELECT media_id, cluster_id, nf_total, rnk = 1 AS keep
          |FROM rk""".stripMargin,
+    // The cross-modal rollup: all three modality chains (video frame
+    // hashes, image aHash bands, audio signatures — CTEs prefixed to
+    // coexist) each end in a ranked keep table, summarized to one row
+    // per modality.
+    "pipeline_media_retention" ->
+      s"""WITH RECURSIVE
+         |vp AS (SELECT doc_id, doc_id % 5 AS fam,
+         |    3 + doc_id % 4 AS n FROM documents),
+         |vs AS (SELECT doc_id, fam, kk.k, 20 + (fam + kk.k) % 30 AS sz
+         |  FROM vp, LATERAL (SELECT unnest(range(0, n)) AS k) kk),
+         |vr AS (SELECT doc_id, fam, k, sz,
+         |    CAST(coalesce(sum(sz) OVER (PARTITION BY doc_id ORDER BY k
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS BIGINT) AS vst
+         |  FROM vs),
+         |vbytes AS (SELECT doc_id, k, jj.j,
+         |    (17 * jj.j + fam) % 256 AS v
+         |  FROM vr, LATERAL (SELECT unnest(range(vst, vst + sz)) AS j) jj),
+         |vfh AS (SELECT doc_id, k,
+         |    md5(string_agg(CAST(v AS VARCHAR), ',' ORDER BY j)) AS fhash
+         |  FROM vbytes GROUP BY doc_id, k),
+         |vnf AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nf
+         |  FROM vfh GROUP BY doc_id),
+         |vpr AS (SELECT DISTINCT a.doc_id AS li, b.doc_id AS ri
+         |  FROM vfh a JOIN vfh b ON a.fhash = b.fhash
+         |    AND a.doc_id < b.doc_id),
+         |ve AS (SELECT li AS a, ri AS b FROM vpr
+         |  UNION SELECT ri, li FROM vpr),
+         |vreach AS (
+         |  SELECT a AS src, a AS dst
+         |    FROM (SELECT DISTINCT a FROM ve)
+         |  UNION
+         |  SELECT rr.src, e2.b AS dst
+         |    FROM vreach rr JOIN ve e2 ON e2.a = rr.dst),
+         |vcm AS (SELECT src, min(dst) AS cl FROM vreach GROUP BY src),
+         |vbase AS (SELECT vnf.doc_id,
+         |    coalesce(vcm.cl, vnf.doc_id) AS cluster_id, vnf.nf
+         |  FROM vnf LEFT JOIN vcm ON vnf.doc_id = vcm.src),
+         |vrk AS (SELECT *, row_number() OVER (PARTITION BY cluster_id
+         |  ORDER BY nf DESC, doc_id) AS rnk FROM vbase),
+         |$ImageAHashCte,
+         |idup AS (SELECT c.left_id AS li, c.right_id AS ri
+         |  FROM icand c
+         |    JOIN iah la ON c.left_id = la.media_id
+         |    JOIN iah ra ON c.right_id = ra.media_id
+         |  WHERE hamming(la.ahash, ra.ahash) <= 3),
+         |ie AS (SELECT li AS a, ri AS b FROM idup
+         |  UNION SELECT ri, li FROM idup),
+         |ireach AS (
+         |  SELECT a AS src, a AS dst
+         |    FROM (SELECT DISTINCT a FROM ie)
+         |  UNION
+         |  SELECT rr.src, e2.b AS dst
+         |    FROM ireach rr JOIN ie e2 ON e2.a = rr.dst),
+         |icm AS (SELECT src, min(dst) AS cl FROM ireach GROUP BY src),
+         |ipxt AS (SELECT media_id,
+         |    CAST((16 + 8*((media_id % 4) % 3))
+         |      * (16 + 8*((media_id % 4) % 3)) AS BIGINT) AS pixels
+         |  FROM fams),
+         |ibase AS (SELECT p2.media_id,
+         |    coalesce(icm.cl, p2.media_id) AS cluster_id, p2.pixels
+         |  FROM ipxt p2 LEFT JOIN icm ON p2.media_id = icm.src),
+         |irk AS (SELECT *, row_number() OVER (PARTITION BY cluster_id
+         |  ORDER BY pixels DESC, media_id) AS rnk FROM ibase),
+         |$AudioSigCte,
+         |adup AS (SELECT a.media_id AS li, b.media_id AS ri
+         |  FROM sg a JOIN sg b ON a.sig = b.sig
+         |    AND a.media_id < b.media_id
+         |    AND a.s0 = b.s0 AND a.s1 = b.s1),
+         |ae AS (SELECT li AS a, ri AS b FROM adup
+         |  UNION SELECT ri, li FROM adup),
+         |areach AS (
+         |  SELECT a AS src, a AS dst
+         |    FROM (SELECT DISTINCT a FROM ae)
+         |  UNION
+         |  SELECT rr.src, e2.b AS dst
+         |    FROM areach rr JOIN ae e2 ON e2.a = rr.dst),
+         |acm AS (SELECT src, min(dst) AS cl FROM areach GROUP BY src),
+         |anft AS (SELECT media_id,
+         |    CAST(100 + 25 * (media_id % 4) AS BIGINT) AS nf_total
+         |  FROM p),
+         |abase AS (SELECT n2.media_id,
+         |    coalesce(acm.cl, n2.media_id) AS cluster_id, n2.nf_total
+         |  FROM anft n2 LEFT JOIN acm ON n2.media_id = acm.src),
+         |ark AS (SELECT *, row_number() OVER (PARTITION BY cluster_id
+         |  ORDER BY nf_total DESC, media_id) AS rnk FROM abase),
+         |vsum AS (SELECT 'video' AS modality,
+         |  CAST(count(*) AS BIGINT) AS n_items,
+         |  CAST(count(DISTINCT cluster_id) AS BIGINT) AS n_clusters,
+         |  CAST(sum(CASE WHEN rnk = 1 THEN 0 ELSE 1 END) AS BIGINT)
+         |    AS n_dropped,
+         |  CAST(sum(CASE WHEN rnk = 1 THEN nf ELSE 0 END) AS BIGINT)
+         |    AS kept_quality,
+         |  CAST(sum(nf) AS BIGINT) AS total_quality FROM vrk),
+         |isum AS (SELECT 'image' AS modality,
+         |  CAST(count(*) AS BIGINT) AS n_items,
+         |  CAST(count(DISTINCT cluster_id) AS BIGINT) AS n_clusters,
+         |  CAST(sum(CASE WHEN rnk = 1 THEN 0 ELSE 1 END) AS BIGINT)
+         |    AS n_dropped,
+         |  CAST(sum(CASE WHEN rnk = 1 THEN pixels ELSE 0 END)
+         |    AS BIGINT) AS kept_quality,
+         |  CAST(sum(pixels) AS BIGINT) AS total_quality FROM irk),
+         |asum AS (SELECT 'audio' AS modality,
+         |  CAST(count(*) AS BIGINT) AS n_items,
+         |  CAST(count(DISTINCT cluster_id) AS BIGINT) AS n_clusters,
+         |  CAST(sum(CASE WHEN rnk = 1 THEN 0 ELSE 1 END) AS BIGINT)
+         |    AS n_dropped,
+         |  CAST(sum(CASE WHEN rnk = 1 THEN nf_total ELSE 0 END)
+         |    AS BIGINT) AS kept_quality,
+         |  CAST(sum(nf_total) AS BIGINT) AS total_quality FROM ark)
+         |SELECT * FROM vsum UNION ALL SELECT * FROM isum
+         |UNION ALL SELECT * FROM asum ORDER BY modality""".stripMargin,
     // Recomputes the pixel grid (id·31 + x·7 + y·13 mod 256), the 8×8
     // block sums, and the integer-exact threshold bsum·64 > gsum.
     "mm_image_phash" ->

@@ -150,6 +150,33 @@ class GraftOpsCcSpec extends SparkSpec {
     assert(got2 == want)
   }
 
+  test("RoundCut bounds persisted round state: an 8-round fixpoint run " +
+      "ends with a handful of live checkpoints, not one per cut") {
+    // r13 VERDICT finding 2's root cause, asserted directly: before
+    // RoundCut every round's localCheckpoint blocks stayed persisted
+    // to query end (the 60-node chain fixpoint cuts ~2 tables per
+    // round over ~8 rounds + the static edge table ≈ 17+ live
+    // checkpoints); RoundCut releases superseded states as soon as
+    // the newest materializes, so at completion only the static edge
+    // table + the keepLast=3 window (+ the initial label table's slot)
+    // can remain. The bound is deliberately loose (other suites share
+    // this session and may hold their own blocks) — the signal is the
+    // DELTA staying far below one-per-cut.
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val nodes = (0L until 60L).toDF("id")
+    val edges = (0L until 59L).map(i => (i, i + 1)).toDF("a", "b")
+    val (lbl, rounds) = GraftOps.connectedComponentsFixpoint(
+      nodes, "id", edges, "a", "b")
+    lbl.write.mode("overwrite").format("noop").save()
+    val after = spark.sparkContext.getPersistentRDDs.size
+    val delta = after - before
+    assert(rounds >= 6, s"fixture should need several rounds, got $rounds")
+    assert(delta <= 5,
+      s"expected <= 5 net live checkpoints (static edges + keepLast " +
+        s"window), got $delta after $rounds rounds — RoundCut is not " +
+        "releasing superseded round states")
+  }
+
   test("triangles equals the brute-force triple scan on a random graph") {
     val rnd = new scala.util.Random(23)
     val n = 40

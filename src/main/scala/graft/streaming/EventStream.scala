@@ -153,6 +153,36 @@ object EventStream {
       .select(col("doc_id"), col("ts"))
   }
 
+  /** IMAGE ingest dedup gate — the media twin of `nearDupGateStream`:
+    * an image stream (media_id, ts, ahash) is screened against a
+    * STATIC corpus band index (the batch aHash pipeline's 4×16-bit
+    * bands, mm_image_dedup's proposal key). The perceptual hash is
+    * computed at the ingest edge (pixel decode is mapPartitions work a
+    * micro-batch cannot express over a stream's `.rdd`; real ingest
+    * tiers hash at the edge for exactly this reason) — the GATE's job
+    * is banding + probe, which is pure projections + one left-semi
+    * join, the stream-safe subset. Within-distance-3 dups are
+    * guaranteed to share a band (the pigeonhole rule MultimodalSpec
+    * pins), so the gate's recall over the index equals the batch
+    * pair path's. One verdict per media via
+    * dropDuplicatesWithinWatermark; state is bounded by the watermark.
+    * At 100 TB/day the index side is a broadcast when its distinct
+    * bands fit, else a co-partitioned bucketed table — the stream
+    * side shuffles once on the band key either way. Emits FLAGGED
+    * (dup-suspect) media; exact Hamming verification happens
+    * downstream on the flagged minority, batch-side. */
+  def imageDupGateStream(images: DataFrame, bandIndex: DataFrame,
+      watermarkDelay: String): DataFrame =
+    images.withWatermark("ts", watermarkDelay)
+      .select(col("media_id"), col("ts"),
+        posexplode(array((0 to 3).map(b =>
+          substring(col("ahash"), b * 16 + 1, 16)): _*))
+          .as(Seq("band_idx", "band_val")))
+      .join(bandIndex.select("band_idx", "band_val"),
+        Seq("band_idx", "band_val"), "left_semi")
+      .dropDuplicatesWithinWatermark("media_id")
+      .select(col("media_id"), col("ts"))
+
   /** Streaming attribution — the streaming shape of the batch as-of join
     * (GraftOps.asofJoin / j11): each purchase left-outer joins the
     * clicks of the same user within the preceding `horizon`. Both sides

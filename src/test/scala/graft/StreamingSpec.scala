@@ -370,6 +370,55 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("imageDupGateStream flags a 3-bit-perturbed corpus hash (band " +
+      "guarantee) and passes a hash with no band in the index") {
+    implicit val sqlCtx = spark.sqlContext
+    val d = "/root/testdata/sf0.001"
+    val ah = graft.multimodal.Multimodal.extractAHash(
+      graft.multimodal.Multimodal.synthPngFamilies(
+        Tables.documents(spark, d).select(col("doc_id")), "doc_id"))
+    def bandsOf(h: String): Seq[(Int, String)] =
+      (0 until 4).map(b => b -> h.substring(b * 16, (b + 1) * 16))
+    val idx = ah.select(col("media_id"),
+        posexplode(array((0 to 3).map(b =>
+          substring(col("ahash"), b * 16 + 1, 16)): _*))
+          .as(Seq("band_idx", "band_val")))
+      .select("band_idx", "band_val").distinct().localCheckpoint()
+    val idxSet = idx.as[(Int, String)].collect().toSet
+    val h0 = ah.filter(col("media_id") === 0)
+      .select("ahash").as[String].collect().head
+    // Dup-suspect: 3 flipped bits leave >= 1 of h0's bands intact
+    // (pigeonhole), so the gate MUST flag it.
+    val dup = { val a = h0.toCharArray
+      Seq(1, 20, 40).foreach(p => a(p) = if (a(p) == '0') '1' else '0')
+      new String(a) }
+    assert(bandsOf(dup).exists(idxSet.contains))
+    // Novel: deterministically search a hash with NO band in the
+    // index (exists by counting: the corpus holds < 2^16 band values).
+    val novel = Iterator.from(1).map { k =>
+      (0 until 64).map { i =>
+        val b = i / 16
+        if (((k * 4 + b) >> (i % 16) & 1) == 1) '1' else '0'
+      }.mkString
+    }.find(h => !bandsOf(h).exists(idxSet.contains)).get
+    val stream = MemoryStream[(Long, Timestamp, String)]
+    val q = EventStream.imageDupGateStream(
+      stream.toDF().toDF("media_id", "ts", "ahash"), idx,
+      watermarkDelay = "5 minutes")
+      .writeStream.format("memory").queryName("img_gate")
+      .outputMode("append").start()
+    try {
+      stream.addData((1000L, ts(0), dup), (1001L, ts(0), novel))
+      q.processAllAvailable()
+      stream.addData((9999L, ts(1000), novel))
+      q.processAllAvailable()
+      val got = spark.table("img_gate")
+        .select("media_id").as[Long].collect().toSet - 9999L
+      assert(got == Set(1000L),
+        s"gate should flag only the banded perturbation, got $got")
+    } finally q.stop()
+  }
+
   test("attributionJoin pairs purchases with in-horizon clicks, " +
     "null row when none") {
     implicit val sqlCtx = spark.sqlContext

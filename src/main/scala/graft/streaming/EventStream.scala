@@ -183,6 +183,21 @@ object EventStream {
       .dropDuplicatesWithinWatermark("media_id")
       .select(col("media_id"), col("ts"))
 
+  /** AUDIO ingest dedup gate — completes the streaming gate matrix
+    * (text bands / image bands / audio signatures): a clip stream
+    * (media_id, ts, sig) carrying the edge-computed quantized
+    * energy-profile signature (mm_audio_dedup's proposal key) probes
+    * the static corpus signature index with one left-semi join. Same
+    * contract as `imageDupGateStream`: the gate proposes, exact
+    * window-sum verification runs downstream batch-side on the
+    * flagged minority; state bounded by the watermark. */
+  def audioDupGateStream(clips: DataFrame, sigIndex: DataFrame,
+      watermarkDelay: String): DataFrame =
+    clips.withWatermark("ts", watermarkDelay)
+      .join(sigIndex.select("sig"), Seq("sig"), "left_semi")
+      .dropDuplicatesWithinWatermark("media_id")
+      .select(col("media_id"), col("ts"))
+
   /** Streaming attribution — the streaming shape of the batch as-of join
     * (GraftOps.asofJoin / j11): each purchase left-outer joins the
     * clicks of the same user within the preceding `horizon`. Both sides

@@ -419,6 +419,29 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("audioDupGateStream flags a corpus signature and passes a " +
+      "novel one") {
+    implicit val sqlCtx = spark.sqlContext
+    // Index = two known signatures; stream one match, one miss, at
+    // the same instant — the gate must flag exactly the match.
+    val idx = Seq("64:65", "70:71").toDF("sig").localCheckpoint()
+    val stream = MemoryStream[(Long, Timestamp, String)]
+    val q = EventStream.audioDupGateStream(
+      stream.toDF().toDF("media_id", "ts", "sig"), idx,
+      watermarkDelay = "5 minutes")
+      .writeStream.format("memory").queryName("aud_gate")
+      .outputMode("append").start()
+    try {
+      stream.addData((1L, ts(0), "64:65"), (2L, ts(0), "99:99"))
+      q.processAllAvailable()
+      stream.addData((9999L, ts(1000), "99:99"))
+      q.processAllAvailable()
+      val got = spark.table("aud_gate")
+        .select("media_id").as[Long].collect().toSet - 9999L
+      assert(got == Set(1L), s"expected only the indexed sig, got $got")
+    } finally q.stop()
+  }
+
   test("attributionJoin pairs purchases with in-horizon clicks, " +
     "null row when none") {
     implicit val sqlCtx = spark.sqlContext

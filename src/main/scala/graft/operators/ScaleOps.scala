@@ -214,7 +214,7 @@ object ScaleOps {
     // a nondeterministic shuffle key can drop/duplicate rows when a map
     // task is retried after some reducers already fetched its output.
     val salted = df.withColumn("__salt",
-      pmod(hash(df.columns.map(col): _*), lit(saltBuckets)))
+      pmod(hash(df.columns.toIndexedSeq.map(col): _*), lit(saltBuckets)))
     salted
       .repartition(partitionCols.map(col) :+ col("__salt"): _*)
       .drop("__salt")

@@ -1562,6 +1562,44 @@ object TextOps {
             col("mean_word_len").between(3.0, 5.0) && col("n_stop") >= 2)
     }),
 
+    // Fasttext-SHAPE linear classifier inference — the LEARNED quality
+    // filter next to the heuristic Gopher rules above (production
+    // pretraining pipelines run both: rules first, then a linear model
+    // over hashed bag-of-words features). Hashing trick: every token
+    // maps to one of 2^16 features via its md5 prefix — no vocabulary
+    // join, no model state beyond a weight per feature — and the doc's
+    // margin is the mean feature weight. The weights here are a FROZEN
+    // deterministic function of the feature id (scoring always runs
+    // with a frozen model; training is an offline job), kept in exact
+    // integer milli-units so the per-doc sum is partition-order-exact
+    // and the margin stays pure rational arithmetic (no exp/log — the
+    // monotone logistic link adds no information to the keep gate and
+    // would put cross-engine libm parity at risk). Plan shape: explode
+    // → codegen'd hash/weight projection → ONE map-side-partial
+    // groupBy(doc_id) — the inference sweep a 100 TB quality pass runs;
+    // no UDF, no broadcast state, nothing driver-side.
+    "txt_classifier_score" -> ((s, d) => {
+      val tok = docsOf(s, d)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      val bucket = conv(substring(md5(col("term")), 1, 4), 16, 10)
+        .cast("long")
+      val wMilli = (bucket * lit(2654435761L)) % lit(2001L) - lit(1000L)
+      // Margin quantized to exact integer MICRO-units before the final
+      // division: wsum·1000/n is correctly-rounded IEEE division whose
+      // decimal ties (x.5) are exactly representable, and both engines
+      // round ties away from zero — so round(·, 0) is cross-engine
+      // bitwise where round(wsum/1000.0/n, 6) double-rounds (first
+      // parity run caught doc 420: -0.1450375 split -0.145037 vs
+      // -0.145038 across engines).
+      tok.select(col("doc_id"), wMilli.as("w"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"), sum("w").as("wsum"))
+        .select(col("doc_id"), col("n_tokens"),
+          (round((col("wsum") * 1000L).cast("double") / col("n_tokens"), 0)
+            .cast("long").cast("double") / 1000000.0).as("margin"))
+        .withColumn("keep", col("margin") > 0)
+    }),
+
     // Fixed-size token chunking (context-window packing precursor):
     // each doc splits into contiguous 64-token chunks. Per-row array
     // slicing — embarrassingly parallel; chunk count derives from the
@@ -4034,6 +4072,28 @@ object TextOps {
          |  n_words BETWEEN 30 AND 100000
          |    AND mean_word_len BETWEEN 3.0 AND 5.0
          |    AND n_stop >= 2 AS keep
+         |FROM m""".stripMargin,
+    // Replays the hashing trick nibble-by-nibble (the seed16 md5-parse
+    // convention) and the integer milli-weight arithmetic; the margin
+    // is quantized to integer micro-units (round-0 of wsum·1000/n,
+    // both engines round ties away from zero) before the final /1e6 —
+    // the same exact chain as the Spark side, bitwise.
+    "txt_classifier_score" ->
+      s"""WITH $TokedCte,
+         |tok AS (SELECT doc_id, unnest(toks) AS term FROM toked),
+         |b AS (SELECT doc_id,
+         |  (((strpos('0123456789abcdef', substr(md5(term),1,1)) - 1) * 4096
+         |   + (strpos('0123456789abcdef', substr(md5(term),2,1)) - 1) * 256
+         |   + (strpos('0123456789abcdef', substr(md5(term),3,1)) - 1) * 16
+         |   + (strpos('0123456789abcdef', substr(md5(term),4,1)) - 1))
+         |    * 2654435761) % 2001 - 1000 AS w
+         |  FROM tok),
+         |m AS (SELECT doc_id, count(*) AS n_tokens,
+         |  CAST(round(CAST(sum(w) * 1000 AS DOUBLE) / count(*), 0)
+         |    AS BIGINT) AS mm
+         |  FROM b GROUP BY doc_id)
+         |SELECT doc_id, n_tokens,
+         |  CAST(mm AS DOUBLE) / 1000000.0 AS margin, mm > 0 AS keep
          |FROM m""".stripMargin,
     "chunk_docs" ->
       s"""WITH $TokedCte,

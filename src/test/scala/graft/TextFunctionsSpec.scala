@@ -97,4 +97,46 @@ class TextFunctionsSpec extends SparkSpec {
       assert(g == want, s"canonicalizeUrl($in) = $g, want $want")
     }
   }
+
+  test("txt_classifier_score: margin matches an independent JVM replay " +
+      "of the hashing trick; keep == margin > 0; margin bounded") {
+    val d = "/root/testdata/sf0.001"
+    val out = graft.queries.TextOps.queries("txt_classifier_score")(
+        spark, d)
+      .select($"doc_id", $"n_tokens", $"margin", $"keep")
+      .as[(Long, Long, Double, Boolean)].collect()
+    assert(out.nonEmpty)
+    out.foreach { case (_, n, m, k) =>
+      assert(n > 0 && m >= -1.0 && m <= 1.0 && k == (m > 0))
+    }
+    // Independent replay: MessageDigest md5 + the integer milli-weight
+    // formula + HALF_UP micro-quantization — none of the Spark
+    // expression chain, so a silent change to either side breaks here.
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def weight(term: String): Long = {
+      md.reset()
+      val hex = md.digest(term.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString
+      val b = java.lang.Long.parseLong(hex.substring(0, 4), 16)
+      (b * 2654435761L) % 2001L - 1000L
+    }
+    val expect = graft.Tables.documents(spark, d)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+      .flatMap { case (id, text) =>
+        val toks = Option(text).getOrElse("").trim
+          .split("\\s+").filter(_.nonEmpty)
+        if (toks.isEmpty) None
+        else {
+          val wsum = toks.map(weight).sum
+          val micro = new java.math.BigDecimal(wsum * 1000.0 / toks.length)
+            .setScale(0, java.math.RoundingMode.HALF_UP).longValue
+          Some(id -> ((toks.length.toLong, micro / 1000000.0)))
+        }
+      }.toMap
+    assert(out.length == expect.size)
+    out.foreach { case (id, n, m, _) =>
+      val (en, em) = expect(id)
+      assert(n == en && m == em, s"doc $id: got ($n, $m), want ($en, $em)")
+    }
+  }
 }

@@ -351,6 +351,56 @@ object Multimodal {
     spark.createDataFrame(rdd, aHashSchema)
   }
 
+  val bandSumSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("bsums", ArrayType(LongType, containsNull = false),
+      nullable = true)))
+
+  /** Decode the image (full `ImageIO.read`) and emit the gray-value SUM
+    * of each of 8 horizontal bands — the deterministic stand-in for an
+    * image ENCODER embedding (a real CLIP tower isn't in this
+    * container; the stub policy is the synthWav discipline: fake the
+    * model, keep the plumbing real). Integer sums, not means, so the
+    * downstream vector math starts from exactly-representable values
+    * on every engine. Height must divide by 8 (else NULL, like an
+    * undecodable payload) — every synth corpus here is 8-divisible.
+    * mapPartitions-parallel, zero shuffle; per-row cost is the decode,
+    * the honest price of content-derived features. */
+  def extractBandSums(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val rdd = media.select("media_id", "payload").rdd.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { r =>
+        val id = r.getLong(0)
+        val payload = if (r.isNullAt(1)) Array.empty[Byte]
+        else r.getAs[Array[Byte]](1)
+        val sums: Array[Long] =
+          try {
+            val img = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(payload))
+            if (img == null || img.getHeight % 8 != 0) null
+            else {
+              val raster = img.getRaster
+              val bh = img.getHeight / 8
+              val out = Array.ofDim[Long](8)
+              var y = 0
+              while (y < img.getHeight) {
+                var x = 0
+                while (x < img.getWidth) {
+                  out(y / bh) += raster.getSample(x, y, 0).toLong
+                  x += 1
+                }
+                y += 1
+              }
+              out
+            }
+          } catch { case scala.util.control.NonFatal(_) => null }
+        Row(id, sums)
+      }
+    }
+    spark.createDataFrame(rdd, bandSumSchema)
+  }
+
   /** Canonical 44-byte PCM WAV container around `nFrames` frames of
     * 16-bit audio with deterministic body bytes — the test-fixture
     * payload generator for the audio path (the container format is the

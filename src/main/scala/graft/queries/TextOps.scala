@@ -1510,6 +1510,51 @@ object TextOps {
     // small, the final argmax one cluster-keyed window.
     "mm_image_keep_best" -> ((s, d) => imageKeepBest(s, d)),
 
+    // IMAGE–TEXT PAIR GATE (LAION-style curation): score each
+    // (image, caption) pair by the cosine between an image-tower
+    // embedding and the text embedding, keep pairs above threshold —
+    // the multimodal-pair filter a web-scale image-text corpus runs
+    // before contrastive training. The CLIP towers are STUBBED per the
+    // multimodal policy (no model runtime in this container): the
+    // image side is a REAL decode of the synthesized PNG reduced to 8
+    // horizontal-band gray sums, mean-centered (the deterministic
+    // stand-in for an encoder; the arithmetic is the oracle contract),
+    // and the text side is the first 8 dims of the doc's stored
+    // embedding. The Spark-side plumbing is the real thing: binary
+    // payload → mapPartitions decode (zero shuffle) → ONE id-equijoin
+    // against the embedding table (co-partitioned by id at scale — in
+    // production both sides are bucketed by doc_id, making this
+    // shuffle-free) → native-expression dot products → threshold gate.
+    // Exact-parity notes: band sums are integer, centering subtracts
+    // tot/8.0 (power-of-two divisor — exact), dot/sqrt/divide are
+    // IEEE-exact-rounded, so round-6 matches DuckDB bitwise.
+    "mm_clip_filter" -> ((s, d) => {
+      graft.expressions.VectorExpressions.register(s)
+      def dot(a: Column, b: Column) = call_function("graft_vec_dot", a, b)
+      val img = graft.multimodal.Multimodal.extractBandSums(
+        graft.multimodal.Multimodal.synthPngPattern(
+          Tables.documents(s, d).select(col("doc_id")), "doc_id"))
+      val ic = img
+        .withColumn("tot",
+          aggregate(col("bsums"), lit(0L), (a, x) => a + x))
+        .select(col("media_id").as("doc_id"),
+          transform(col("bsums"),
+            x => x.cast("double") - col("tot").cast("double") / 8.0)
+            .as("c"))
+      val tv = Tables.embeddings(s, d).select(col("vec_id"),
+        transform(slice(col("embedding"), 1, 8), x => x.cast("double"))
+          .as("t"))
+      ic.join(tv, col("doc_id") === col("vec_id"))
+        .select(col("doc_id"), dot(col("c"), col("t")).as("dp"),
+          sqrt(dot(col("c"), col("c"))).as("ni"),
+          sqrt(dot(col("t"), col("t"))).as("nt"))
+        .select(col("doc_id"),
+          round(when(col("ni") > 0 && col("nt") > 0,
+            col("dp") / (col("ni") * col("nt"))).otherwise(0.0), 6)
+            .as("clip_score"))
+        .withColumn("keep", col("clip_score") > 0)
+    }),
+
     // TRUE frame timestamps from the MP4 sample table (the companion to
     // mm_frame_sample's synthetic spacing): synthMp4Stts writes a full
     // moov/trak/mdia/mdhd/minf/stbl/stts hierarchy per doc — two
@@ -4029,6 +4074,35 @@ object TextOps {
          |  ORDER BY pixels DESC, media_id) AS rnk FROM base)
          |SELECT media_id, cluster_id, pixels, rnk = 1 AS keep
          |FROM rk""".stripMargin,
+    // Replays the image tower from the pattern-grid closed form (the
+    // mm_image_phash px convention): per-band integer gray sums,
+    // mean-centered with the exact tot/8.0, cosine against the first
+    // 8 embedding dims.
+    "mm_clip_filter" ->
+      """WITH px AS (SELECT doc_id, x.x, y.y,
+        |    (doc_id * 31 + x.x * 7 + y.y * 13) % 256 AS v
+        |  FROM documents,
+        |    LATERAL (SELECT unnest(range(0, 32)) AS x) x,
+        |    LATERAL (SELECT unnest(range(0, 32)) AS y) y),
+        |bands AS (SELECT doc_id, y // 4 AS band,
+        |    CAST(sum(v) AS BIGINT) AS bsum
+        |  FROM px GROUP BY doc_id, y // 4),
+        |iv AS (SELECT doc_id,
+        |    list(CAST(bsum AS DOUBLE) ORDER BY band) AS bl,
+        |    CAST(sum(bsum) AS BIGINT) AS tot
+        |  FROM bands GROUP BY doc_id),
+        |ic AS (SELECT doc_id,
+        |    [x - CAST(tot AS DOUBLE) / 8.0 for x in bl] AS c FROM iv),
+        |tv AS (SELECT vec_id, embedding[1:8]::DOUBLE[] AS t
+        |  FROM embeddings),
+        |j AS (SELECT doc_id, list_dot_product(c, t) AS dp,
+        |    sqrt(list_dot_product(c, c)) AS ni,
+        |    sqrt(list_dot_product(t, t)) AS nt
+        |  FROM ic JOIN tv ON doc_id = vec_id),
+        |sc AS (SELECT doc_id, round(CASE WHEN ni > 0 AND nt > 0
+        |    THEN dp / (ni * nt) ELSE 0.0 END, 6) AS clip_score FROM j)
+        |SELECT doc_id, clip_score, clip_score > 0 AS keep
+        |FROM sc""".stripMargin,
     // Recomputes synthMp4Stts' derivation: media timescale, two stts
     // runs (n1 at d1 ticks, n2 at d2), sample k's decode ticks = k·d1
     // inside run 1, n1·d1 + (k−n1)·d2 inside run 2; t_ms floors

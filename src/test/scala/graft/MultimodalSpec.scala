@@ -357,4 +357,48 @@ class MultimodalSpec extends SparkSpec {
       .select(unbase64($"frame_b64")).as[Array[Byte]].first()
     assert(new String(first, "UTF-8") == "ab" * 6)
   }
+
+  test("extractBandSums: decoded band sums equal the pattern-grid " +
+      "closed form; undecodable and 8-indivisible heights → NULL") {
+    val ids = Seq(0L, 7L, 123L)
+    val got = Multimodal.extractBandSums(
+        Multimodal.synthPngPattern(ids.toDF("doc_id"), "doc_id"))
+      .as[(Long, Option[Seq[Long]])].collect().toMap
+    ids.foreach { id =>
+      val want = (0 until 8).map { band =>
+        (for (y <- band * 4 until band * 4 + 4; x <- 0 until 32)
+          yield (id * 31 + x * 7 + y * 13) % 256).sum
+      }
+      assert(got(id).get == want, s"band sums for id $id")
+    }
+    // Garbage payload decodes to null, never throws; a 20px-high image
+    // (height % 8 != 0) is rejected the same way.
+    val bad = Multimodal.extractBandSums(
+      Seq((1L, "not a png".getBytes("UTF-8"), "image/png"))
+        .toDF("media_id", "payload", "mime"))
+    assert(bad.as[(Long, Option[Seq[Long]])].head()._2.isEmpty)
+    val img20 = new java.awt.image.BufferedImage(
+      8, 20, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img20, "png", bos)
+    val odd = Multimodal.extractBandSums(
+      Seq((2L, bos.toByteArray, "image/png"))
+        .toDF("media_id", "payload", "mime"))
+    assert(odd.as[(Long, Option[Seq[Long]])].head()._2.isEmpty)
+  }
+
+  test("mm_clip_filter: score in [-1,1], keep == score > 0, and the " +
+      "image-side vector is mean-centered (dot with ones ~ 0)") {
+    val out = graft.queries.TextOps.queries("mm_clip_filter")(
+        spark, "/root/testdata/sf0.001")
+      .as[(Long, Double, Boolean)].collect()
+    assert(out.nonEmpty)
+    out.foreach { case (_, s0, k) =>
+      assert(s0 >= -1.0 && s0 <= 1.0 && k == (s0 > 0))
+    }
+    // Both gate outcomes occur on the synthetic corpus — the threshold
+    // actually separates (a degenerate all-keep/all-drop gate would
+    // pass the oracle but test nothing).
+    assert(out.exists(_._3) && out.exists(!_._3))
+  }
 }

@@ -620,6 +620,89 @@ object Similarity {
           round(sqrt(
             sum((col("d2") * 1000000.0 + 0.5).cast("long")).cast("double")
               / 1000000.0), 6).as("err"))
+    }),
+
+    // IVF + PQ COMPOSED — the production billion-scale ANN shape
+    // (FAISS IVFPQ): coarse quantizer restricts the scan to nprobe=2
+    // cells, PQ codes stand in for the vectors inside them, and the
+    // query never touches a full vector until the final exact re-rank
+    // of the ADC top-R. The pieces exist above in isolation
+    // (emb_ivf_nprobe: cell probe; emb_pq: codes); what this adds is
+    // the ADC (asymmetric distance computation) join: the query
+    // precomputes d²(q_sub, centroid) for every (subspace, code) —
+    // 8×4 values per query, a BROADCAST table — and a candidate's
+    // approximate distance is then a pure 8-row lookup-sum over its
+    // codes, no vector arithmetic per candidate. At 100 TB that is
+    // the entire point: the scan side reads 8 BYTES per vector (the
+    // codes) instead of 256, and the only per-candidate work is an
+    // integer add. Codes here encode the raw unit vectors (residual
+    // encoding vs the cell centroid is the production refinement; the
+    // plan shape is identical). ADC partial sums ride exact scaled
+    // longs (the emb_pq discipline) so partition order can't wiggle
+    // an ulp; every window carries a full tiebreak.
+    "emb_ivf_pq" -> ((s, d) => {
+      graft.expressions.VectorExpressions.register(s)
+      def dot(a: Column, b: Column) = call_function("graft_vec_dot", a, b)
+      val cells = kmeansAssign(s, d).select("vec_id", "u", "cluster")
+        .localCheckpoint() // three consumers: codes, candidates, rerank
+      val cents = kmeansCentroids(s, d)
+      def subSplit(src: DataFrame, idAs: String, vecAs: String) =
+        src.select(col(idAs), posexplode(
+          transform(sequence(lit(0), lit(EmbDim / 8 - 1)),
+            j => slice(col("u"), j * 8 + 1, lit(8)))).as(Seq("sub", vecAs)))
+      val subs = subSplit(cells.select(col("vec_id"), col("u")),
+        "vec_id", "x")
+      val csubs = subSplit(cells.filter(col("vec_id") < 4)
+        .select(col("vec_id").as("cid"), col("u")), "cid", "c")
+      val wCode = Window.partitionBy("vec_id", "sub")
+        .orderBy(col("d2"), col("cid"))
+      val codes = subs.join(broadcast(csubs), "sub")
+        .select(col("vec_id"), col("sub"), col("cid"),
+          round(dot(col("x"), col("x")) - dot(col("x"), col("c")) * 2.0
+            + dot(col("c"), col("c")), 6).as("d2"))
+        .withColumn("rn", row_number().over(wCode)).filter(col("rn") === 1)
+        .select(col("vec_id"), col("sub"), col("cid"))
+      val q0 = cells.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("u").as("q_u"))
+      val wCell = Window.partitionBy("q_id")
+        .orderBy(col("csc").desc, col("cid"))
+      val probes = q0.crossJoin(broadcast(cents))
+        .select(col("q_id"), col("cid"),
+          round(dot(col("q_u"), col("cu")), 6).as("csc"))
+        .withColumn("crn", row_number().over(wCell))
+        .filter(col("crn") <= 2)
+        .select(col("q_id"), col("cid").as("q_cluster"))
+      val qsubs = subSplit(q0.select(col("q_id"), col("q_u").as("u")),
+        "q_id", "qx")
+      val adc = qsubs.join(broadcast(csubs), "sub")
+        .select(col("q_id"), col("sub"), col("cid"),
+          round(dot(col("qx"), col("qx")) - dot(col("qx"), col("c")) * 2.0
+            + dot(col("c"), col("c")), 6).as("qd2"))
+      val cand = cells.select(col("vec_id").as("cand_id"), col("cluster"))
+        .join(broadcast(probes), col("cluster") === col("q_cluster") &&
+          col("cand_id") =!= col("q_id"))
+        .select("q_id", "cand_id")
+      val wAdc = Window.partitionBy("q_id")
+        .orderBy(col("adc_d2"), col("cand_id"))
+      val approx = cand
+        .join(codes.withColumnRenamed("vec_id", "cand_id"), Seq("cand_id"))
+        .join(broadcast(adc), Seq("q_id", "sub", "cid"))
+        .groupBy("q_id", "cand_id")
+        .agg(round(
+          sum((col("qd2") * 1000000.0 + 0.5).cast("long")).cast("double")
+            / 1000000.0, 6).as("adc_d2"))
+        .withColumn("arn", row_number().over(wAdc))
+        .filter(col("arn") <= 20)
+      val wFine = Window.partitionBy("q_id")
+        .orderBy(col("score").desc, col("cand_id"))
+      approx
+        .join(cells.select(col("vec_id").as("cand_id"), col("u")),
+          Seq("cand_id"))
+        .join(broadcast(q0), Seq("q_id"))
+        .select(col("q_id"), col("cand_id"), col("adc_d2"),
+          round(dot(col("u"), col("q_u")), 6).as("score"))
+        .withColumn("rnk", row_number().over(wFine).cast("long"))
+        .filter(col("rnk") <= 5)
     }))
 
   /** embeddings.parquet vector dimensionality (fixed; asserted in
@@ -1079,5 +1162,61 @@ object Similarity {
          |    AS code,
          |  round(sqrt(CAST(sum(CAST(trunc(d2 * 1000000 + 0.5) AS BIGINT))
          |    AS DOUBLE) / 1000000), 6) AS err
-         |FROM best WHERE rn = 1 GROUP BY vec_id""".stripMargin)
+         |FROM best WHERE rn = 1 GROUP BY vec_id""".stripMargin,
+    // Replays the full IVFPQ pipeline: k-means cells (KmeansCte → a2 +
+    // c1), PQ code assignment, the per-query ADC table, the capped
+    // ADC ranking, and the exact re-rank — same scaled-long sums and
+    // tiebreaks as the Spark plan.
+    "emb_ivf_pq" ->
+      s"""WITH $KmeansCte,
+         |subs AS (SELECT vec_id, j AS sub, u[j*8+1 : j*8+8] AS x
+         |  FROM e, (SELECT unnest(range(0, 8)) AS j)),
+         |cents AS (SELECT vec_id AS cid, j AS sub, u[j*8+1 : j*8+8] AS c
+         |  FROM e, (SELECT unnest(range(0, 8)) AS j) WHERE vec_id < 4),
+         |csc0 AS (SELECT s.vec_id, s.sub, c.cid,
+         |  round(list_dot_product(s.x, s.x)
+         |    - list_dot_product(s.x, c.c) * 2
+         |    + list_dot_product(c.c, c.c), 6) AS d2
+         |  FROM subs s JOIN cents c ON s.sub = c.sub),
+         |codes AS (SELECT vec_id, sub, cid FROM (SELECT *,
+         |    row_number() OVER (PARTITION BY vec_id, sub
+         |      ORDER BY d2, cid) AS rn FROM csc0) WHERE rn = 1),
+         |q AS (SELECT vec_id AS q_id, u AS q_u FROM e WHERE vec_id < 5),
+         |probes AS (SELECT q_id, cid AS q_cluster FROM (
+         |    SELECT q.q_id, c1.cid,
+         |      row_number() OVER (PARTITION BY q.q_id
+         |        ORDER BY round(list_dot_product(q.q_u, c1.cu), 6) DESC,
+         |          c1.cid) AS crn
+         |    FROM q, c1) WHERE crn <= 2),
+         |qsubs AS (SELECT q_id, j AS sub, q_u[j*8+1 : j*8+8] AS qx
+         |  FROM q, (SELECT unnest(range(0, 8)) AS j)),
+         |adc AS (SELECT qs.q_id, qs.sub, c.cid,
+         |  round(list_dot_product(qs.qx, qs.qx)
+         |    - list_dot_product(qs.qx, c.c) * 2
+         |    + list_dot_product(c.c, c.c), 6) AS qd2
+         |  FROM qsubs qs JOIN cents c ON qs.sub = c.sub),
+         |cand AS (SELECT p.q_id, a2.vec_id AS cand_id
+         |  FROM a2 JOIN probes p ON a2.cluster = p.q_cluster
+         |  WHERE a2.vec_id != p.q_id),
+         |s1 AS (SELECT cand.q_id, cand.cand_id,
+         |  round(CAST(sum(CAST(trunc(qd2 * 1000000 + 0.5) AS BIGINT))
+         |    AS DOUBLE) / 1000000, 6) AS adc_d2
+         |  FROM cand
+         |    JOIN codes ON codes.vec_id = cand.cand_id
+         |    JOIN adc ON adc.q_id = cand.q_id
+         |      AND adc.sub = codes.sub AND adc.cid = codes.cid
+         |  GROUP BY cand.q_id, cand.cand_id),
+         |topr AS (SELECT * FROM (SELECT *,
+         |    row_number() OVER (PARTITION BY q_id
+         |      ORDER BY adc_d2, cand_id) AS arn FROM s1)
+         |  WHERE arn <= 20),
+         |rr AS (SELECT t.q_id, t.cand_id, t.adc_d2,
+         |    round(list_dot_product(ce.u, q.q_u), 6) AS score
+         |  FROM topr t
+         |    JOIN e ce ON ce.vec_id = t.cand_id
+         |    JOIN q ON q.q_id = t.q_id)
+         |SELECT q_id, cand_id, adc_d2, score, CAST(rnk AS BIGINT) AS rnk
+         |FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+         |    ORDER BY score DESC, cand_id) AS rnk FROM rr)
+         |WHERE rnk <= 5""".stripMargin)
 }

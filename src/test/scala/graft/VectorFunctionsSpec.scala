@@ -53,4 +53,30 @@ class VectorFunctionsSpec extends SparkSpec {
     assert(a == b)
     assert((0 until 8).map(a.getInt).toSet.subsetOf(Set(0, 1)))
   }
+
+  test("emb_ivf_pq: 5 ranked hits per query, ADC approximates the " +
+      "exact unit-vector distance, self excluded") {
+    val out = graft.queries.Similarity.queries("emb_ivf_pq")(
+        spark, "/root/testdata/sf0.001")
+      .as[(Long, Long, Double, Double, Long)].collect()
+    val byQ = out.groupBy(_._1)
+    assert(byQ.keySet == Set(0L, 1L, 2L, 3L, 4L))
+    byQ.foreach { case (q, rows) =>
+      assert(rows.map(_._5).sorted.toSeq == (1L to 5L),
+        s"query $q rank set")
+      assert(rows.forall(_._2 != q), s"query $q returned itself")
+      // ranks follow score desc with cand_id tiebreak
+      val sorted = rows.sortBy(r => (-r._4, r._2)).map(_._5).toSeq
+      assert(sorted == (1L to 5L), s"query $q rank order")
+    }
+    // ADC distance on unit vectors approximates 2 - 2·cos: the codes
+    // quantize to 4 centroids per subspace, so the error is bounded
+    // but nonzero — a wildly-off ADC (wrong join, dropped subspace)
+    // lands far outside this envelope.
+    out.foreach { case (q, c, adc, score, _) =>
+      assert(adc >= 0.0 && adc <= 5.0, s"($q,$c) adc_d2 $adc")
+      assert(math.abs(adc - (2.0 - 2.0 * score)) <= 1.5,
+        s"($q,$c) adc $adc vs exact ${2.0 - 2.0 * score}")
+    }
+  }
 }

@@ -640,7 +640,44 @@ object Similarity {
     // plan shape is identical). ADC partial sums ride exact scaled
     // longs (the emb_pq discipline) so partition order can't wiggle
     // an ulp; every window carries a full tiebreak.
-    "emb_ivf_pq" -> ((s, d) => {
+    "emb_ivf_pq" -> ((s, d) => ivfPqTopK(s, d)),
+
+    // IVFPQ RECALL@5 — the acceptance measurement for the composed
+    // index above (quantization + nprobe both cost recall; this is
+    // the number that decides whether 8×4 codes and 2 probes are
+    // enough, exactly as emb_ivf_k_recall decides the cell count).
+    // Ground truth is the exact brute-force top-5 over the full
+    // corpus (queries broadcast, fact side streams once); overlap via
+    // left-semi join, per-query rows so a single pathological query
+    // is visible instead of averaged away.
+    "emb_ivf_pq_recall" -> ((s, d) => {
+      def dot(a: Column, b: Column) = call_function("graft_vec_dot", a, b)
+      val pq = ivfPqTopK(s, d).select("q_id", "cand_id")
+      val e = unitVecs(s, d).select("vec_id", "u")
+      val q0 = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("u").as("q_u"))
+      val wBf = Window.partitionBy("q_id")
+        .orderBy(col("score").desc, col("cand_id"))
+      val bf = e.select(col("vec_id").as("cand_id"), col("u"))
+        .crossJoin(broadcast(q0))
+        .filter(col("cand_id") =!= col("q_id"))
+        .select(col("q_id"), col("cand_id"),
+          round(dot(col("u"), col("q_u")), 6).as("score"))
+        .withColumn("brn", row_number().over(wBf))
+        .filter(col("brn") <= 5).select("q_id", "cand_id")
+      val ov = pq.join(bf, Seq("q_id", "cand_id"), "left_semi")
+        .groupBy("q_id").agg(count(lit(1)).as("n_overlap"))
+      q0.select("q_id").join(ov, Seq("q_id"), "left")
+        .select(col("q_id"),
+          coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+          round(coalesce(col("n_overlap"), lit(0L)).cast("double") / 5.0,
+            6).as("recall"))
+    }))
+
+  /** The composed IVFPQ pipeline behind emb_ivf_pq / emb_ivf_pq_recall:
+    * coarse probe (nprobe=2) → ADC lookup-sum over PQ codes → exact
+    * re-rank of the ADC top-20 to top-5. */
+  private def ivfPqTopK(s: SparkSession, d: String): DataFrame = {
       graft.expressions.VectorExpressions.register(s)
       def dot(a: Column, b: Column) = call_function("graft_vec_dot", a, b)
       val cells = kmeansAssign(s, d).select("vec_id", "u", "cluster")
@@ -703,7 +740,7 @@ object Similarity {
           round(dot(col("u"), col("q_u")), 6).as("score"))
         .withColumn("rnk", row_number().over(wFine).cast("long"))
         .filter(col("rnk") <= 5)
-    }))
+  }
 
   /** embeddings.parquet vector dimensionality (fixed; asserted in
     * VectorFunctionsSpec against the data). */
@@ -1168,7 +1205,33 @@ object Similarity {
     // ADC ranking, and the exact re-rank — same scaled-long sums and
     // tiebreaks as the Spark plan.
     "emb_ivf_pq" ->
-      s"""WITH $KmeansCte,
+      s"""WITH $IvfPqCte
+         |SELECT q_id, cand_id, adc_d2, score, CAST(rnk AS BIGINT) AS rnk
+         |FROM fin WHERE rnk <= 5""".stripMargin,
+    // Exact brute-force top-5 ground truth vs the IVFPQ result; the
+    // left join keeps a zero-overlap query visible as recall 0.
+    "emb_ivf_pq_recall" ->
+      s"""WITH $IvfPqCte,
+         |bf AS (SELECT q_id, cand_id FROM (
+         |    SELECT q.q_id, ce.vec_id AS cand_id,
+         |      row_number() OVER (PARTITION BY q.q_id
+         |        ORDER BY round(list_dot_product(ce.u, q.q_u), 6) DESC,
+         |          ce.vec_id) AS brn
+         |    FROM e ce, q WHERE ce.vec_id != q.q_id) WHERE brn <= 5),
+         |ov AS (SELECT f.q_id, count(*) AS n_overlap
+         |  FROM (SELECT q_id, cand_id FROM fin WHERE rnk <= 5) f
+         |  JOIN bf ON bf.q_id = f.q_id AND bf.cand_id = f.cand_id
+         |  GROUP BY f.q_id)
+         |SELECT q.q_id,
+         |  CAST(coalesce(ov.n_overlap, 0) AS BIGINT) AS n_overlap,
+         |  round(coalesce(ov.n_overlap, 0) / 5.0, 6) AS recall
+         |FROM q LEFT JOIN ov ON q.q_id = ov.q_id""".stripMargin)
+
+  /** Shared oracle CTE chain for the IVFPQ pipeline, ending in
+    * `fin` = (q_id, cand_id, adc_d2, score, rnk) — also exposes `e`
+    * (unit vectors) and `q` (the query set) for downstream CTEs. */
+  private lazy val IvfPqCte =
+      s"""$KmeansCte,
          |subs AS (SELECT vec_id, j AS sub, u[j*8+1 : j*8+8] AS x
          |  FROM e, (SELECT unnest(range(0, 8)) AS j)),
          |cents AS (SELECT vec_id AS cid, j AS sub, u[j*8+1 : j*8+8] AS c
@@ -1214,9 +1277,7 @@ object Similarity {
          |    round(list_dot_product(ce.u, q.q_u), 6) AS score
          |  FROM topr t
          |    JOIN e ce ON ce.vec_id = t.cand_id
-         |    JOIN q ON q.q_id = t.q_id)
-         |SELECT q_id, cand_id, adc_d2, score, CAST(rnk AS BIGINT) AS rnk
-         |FROM (SELECT *, row_number() OVER (PARTITION BY q_id
-         |    ORDER BY score DESC, cand_id) AS rnk FROM rr)
-         |WHERE rnk <= 5""".stripMargin)
+         |    JOIN q ON q.q_id = t.q_id),
+         |fin AS (SELECT *, row_number() OVER (PARTITION BY q_id
+         |    ORDER BY score DESC, cand_id) AS rnk FROM rr)""".stripMargin
 }

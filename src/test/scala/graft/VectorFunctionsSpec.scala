@@ -79,4 +79,15 @@ class VectorFunctionsSpec extends SparkSpec {
         s"($q,$c) adc $adc vs exact ${2.0 - 2.0 * score}")
     }
   }
+
+  test("emb_ivf_pq_recall: one row per query, recall == n_overlap/5 " +
+      "in [0,1]") {
+    val rec = graft.queries.Similarity.queries("emb_ivf_pq_recall")(
+        spark, "/root/testdata/sf0.001")
+      .as[(Long, Long, Double)].collect()
+    assert(rec.map(_._1).toSet == Set(0L, 1L, 2L, 3L, 4L))
+    rec.foreach { case (q, n, r) =>
+      assert(n >= 0 && n <= 5 && r == n / 5.0, s"query $q: ($n, $r)")
+    }
+  }
 }

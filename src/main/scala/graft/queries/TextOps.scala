@@ -191,6 +191,66 @@ object TextOps {
           (col("rnk") === 1).as("keep"))
     }
 
+  /** The hashed-feature linear classifier core (see
+    * txt_classifier_score's registry comment): md5-bucket hashing
+    * trick → frozen integer milli-weights → exact micro-quantized
+    * margin. A SharedStage: the registry entry and
+    * pipeline_pair_curation both consume it. */
+  private def classifierScore(s: SparkSession, d: String): DataFrame =
+    graft.operators.SharedStage(s, s"classifierScore:$d") {
+      val tok = docsOf(s, d)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      val bucket = conv(substring(md5(col("term")), 1, 4), 16, 10)
+        .cast("long")
+      val wMilli = (bucket * lit(2654435761L)) % lit(2001L) - lit(1000L)
+      // Margin quantized to exact integer MICRO-units before the final
+      // division: wsum·1000/n is correctly-rounded IEEE division whose
+      // decimal ties (x.5) are exactly representable, and both engines
+      // round ties away from zero — so round(·, 0) is cross-engine
+      // bitwise where round(wsum/1000.0/n, 6) double-rounds (first
+      // parity run caught doc 420: -0.1450375 split -0.145037 vs
+      // -0.145038 across engines).
+      tok.select(col("doc_id"), wMilli.as("w"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"), sum("w").as("wsum"))
+        .select(col("doc_id"), col("n_tokens"),
+          (round((col("wsum") * 1000L).cast("double") / col("n_tokens"), 0)
+            .cast("long").cast("double") / 1000000.0).as("margin"))
+        .withColumn("keep", col("margin") > 0)
+    }
+
+  /** The image–text pair gate core (see mm_clip_filter's registry
+    * comment): real PNG decode → mean-centered band sums vs the first
+    * 8 embedding dims, cosine threshold. A SharedStage: the registry
+    * entry and pipeline_pair_curation both consume it. */
+  private def clipGate(s: SparkSession, d: String): DataFrame =
+    graft.operators.SharedStage(s, s"clipGate:$d") {
+      graft.expressions.VectorExpressions.register(s)
+      def dot(a: Column, b: Column) = call_function("graft_vec_dot", a, b)
+      val img = graft.multimodal.Multimodal.extractBandSums(
+        graft.multimodal.Multimodal.synthPngPattern(
+          Tables.documents(s, d).select(col("doc_id")), "doc_id"))
+      val ic = img
+        .withColumn("tot",
+          aggregate(col("bsums"), lit(0L), (a, x) => a + x))
+        .select(col("media_id").as("doc_id"),
+          transform(col("bsums"),
+            x => x.cast("double") - col("tot").cast("double") / 8.0)
+            .as("c"))
+      val tv = Tables.embeddings(s, d).select(col("vec_id"),
+        transform(slice(col("embedding"), 1, 8), x => x.cast("double"))
+          .as("t"))
+      ic.join(tv, col("doc_id") === col("vec_id"))
+        .select(col("doc_id"), dot(col("c"), col("t")).as("dp"),
+          sqrt(dot(col("c"), col("c"))).as("ni"),
+          sqrt(dot(col("t"), col("t"))).as("nt"))
+        .select(col("doc_id"),
+          round(when(col("ni") > 0 && col("nt") > 0,
+            col("dp") / (col("ni") * col("nt"))).otherwise(0.0), 6)
+            .as("clip_score"))
+        .withColumn("keep", col("clip_score") > 0)
+    }
+
   /** The audio keep-best core (see mm_audio_keep_best's registry
     * comment): exact-prefix dup edges → fixpoint CC → keep the
     * longest cut. A SharedStage like its image/video siblings. */
@@ -1443,6 +1503,41 @@ object TextOps {
         .orderBy("modality")
     }),
 
+    // MULTIMODAL PAIR CURATION — the end-to-end admission decision a
+    // web-scale image-text corpus runs per pair, composing the three
+    // independent gates this engine already certifies in isolation:
+    // (1) the LEARNED text gate (classifierScore — frozen linear model
+    // over hashed features), (2) the PAIR-ALIGNMENT gate (clipGate —
+    // image-tower vs text-embedding cosine), and (3) the image
+    // NEAR-DUP retention policy (imageKeepBest — only a cluster's best
+    // member survives). A pair trains only if all three say yes.
+    // Plan shape: three audited subtrees joined on doc_id — the text
+    // gate's aggregate, the clip gate's equijoin, the retention core's
+    // CC — with LEFT joins so a doc with no tokens (no classifier row)
+    // stays visible as not-kept rather than vanishing; the id-keyed
+    // joins co-partition at scale. SharedStage collapses the gate
+    // cores to zero marginal cost beside their registry siblings in a
+    // live session.
+    "pipeline_pair_curation" -> ((s, d) => {
+      val txt = classifierScore(s, d)
+        .select(col("doc_id"), col("keep").as("txt_keep"))
+      val clip = clipGate(s, d)
+        .select(col("doc_id"), col("keep").as("clip_keep"))
+      val img = imageKeepBest(s, d)
+        .select(col("media_id").as("doc_id"),
+          col("keep").as("img_keep"))
+      Tables.documents(s, d).select(col("doc_id"))
+        .join(txt, Seq("doc_id"), "left")
+        .join(clip, Seq("doc_id"), "left")
+        .join(img, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("txt_keep"), lit(false)).as("txt_keep"),
+          coalesce(col("clip_keep"), lit(false)).as("clip_keep"),
+          coalesce(col("img_keep"), lit(false)).as("img_keep"))
+        .withColumn("keep",
+          col("txt_keep") && col("clip_keep") && col("img_keep"))
+    }),
+
     // PIXEL-content perceptual hash, REAL end-to-end: synthPngPattern
     // encodes a deterministic 32×32 gray pattern through the JDK PNG
     // encoder and extractAHash must recover every pixel by DECODING
@@ -1528,32 +1623,7 @@ object TextOps {
     // Exact-parity notes: band sums are integer, centering subtracts
     // tot/8.0 (power-of-two divisor — exact), dot/sqrt/divide are
     // IEEE-exact-rounded, so round-6 matches DuckDB bitwise.
-    "mm_clip_filter" -> ((s, d) => {
-      graft.expressions.VectorExpressions.register(s)
-      def dot(a: Column, b: Column) = call_function("graft_vec_dot", a, b)
-      val img = graft.multimodal.Multimodal.extractBandSums(
-        graft.multimodal.Multimodal.synthPngPattern(
-          Tables.documents(s, d).select(col("doc_id")), "doc_id"))
-      val ic = img
-        .withColumn("tot",
-          aggregate(col("bsums"), lit(0L), (a, x) => a + x))
-        .select(col("media_id").as("doc_id"),
-          transform(col("bsums"),
-            x => x.cast("double") - col("tot").cast("double") / 8.0)
-            .as("c"))
-      val tv = Tables.embeddings(s, d).select(col("vec_id"),
-        transform(slice(col("embedding"), 1, 8), x => x.cast("double"))
-          .as("t"))
-      ic.join(tv, col("doc_id") === col("vec_id"))
-        .select(col("doc_id"), dot(col("c"), col("t")).as("dp"),
-          sqrt(dot(col("c"), col("c"))).as("ni"),
-          sqrt(dot(col("t"), col("t"))).as("nt"))
-        .select(col("doc_id"),
-          round(when(col("ni") > 0 && col("nt") > 0,
-            col("dp") / (col("ni") * col("nt"))).otherwise(0.0), 6)
-            .as("clip_score"))
-        .withColumn("keep", col("clip_score") > 0)
-    }),
+    "mm_clip_filter" -> ((s, d) => clipGate(s, d)),
 
     // TRUE frame timestamps from the MP4 sample table (the companion to
     // mm_frame_sample's synthetic spacing): synthMp4Stts writes a full
@@ -1623,27 +1693,7 @@ object TextOps {
     // → codegen'd hash/weight projection → ONE map-side-partial
     // groupBy(doc_id) — the inference sweep a 100 TB quality pass runs;
     // no UDF, no broadcast state, nothing driver-side.
-    "txt_classifier_score" -> ((s, d) => {
-      val tok = docsOf(s, d)
-        .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
-      val bucket = conv(substring(md5(col("term")), 1, 4), 16, 10)
-        .cast("long")
-      val wMilli = (bucket * lit(2654435761L)) % lit(2001L) - lit(1000L)
-      // Margin quantized to exact integer MICRO-units before the final
-      // division: wsum·1000/n is correctly-rounded IEEE division whose
-      // decimal ties (x.5) are exactly representable, and both engines
-      // round ties away from zero — so round(·, 0) is cross-engine
-      // bitwise where round(wsum/1000.0/n, 6) double-rounds (first
-      // parity run caught doc 420: -0.1450375 split -0.145037 vs
-      // -0.145038 across engines).
-      tok.select(col("doc_id"), wMilli.as("w"))
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_tokens"), sum("w").as("wsum"))
-        .select(col("doc_id"), col("n_tokens"),
-          (round((col("wsum") * 1000L).cast("double") / col("n_tokens"), 0)
-            .cast("long").cast("double") / 1000000.0).as("margin"))
-        .withColumn("keep", col("margin") > 0)
-    }),
+    "txt_classifier_score" -> ((s, d) => classifierScore(s, d)),
 
     // Fixed-size token chunking (context-window packing precursor):
     // each doc splits into contiguous 64-token chunks. Per-row array
@@ -4022,6 +4072,83 @@ object TextOps {
          |  CAST(sum(nf_total) AS BIGINT) AS total_quality FROM ark)
          |SELECT * FROM vsum UNION ALL SELECT * FROM isum
          |UNION ALL SELECT * FROM asum ORDER BY modality""".stripMargin,
+    // Composes the three gate oracles verbatim: classifier margin
+    // (micro-quantized hashing trick), clip cosine (pattern-grid band
+    // sums vs embedding dims), and the image keep-best chain (band
+    // candidates → Hamming → recursive CC → pixel argmax).
+    "pipeline_pair_curation" ->
+      s"""WITH RECURSIVE $TokedCte,
+         |ptok AS (SELECT doc_id, unnest(toks) AS term FROM toked),
+         |pwb AS (SELECT doc_id,
+         |  (((strpos('0123456789abcdef', substr(md5(term),1,1)) - 1) * 4096
+         |   + (strpos('0123456789abcdef', substr(md5(term),2,1)) - 1) * 256
+         |   + (strpos('0123456789abcdef', substr(md5(term),3,1)) - 1) * 16
+         |   + (strpos('0123456789abcdef', substr(md5(term),4,1)) - 1))
+         |    * 2654435761) % 2001 - 1000 AS w
+         |  FROM ptok),
+         |cls AS (SELECT doc_id,
+         |  CAST(round(CAST(sum(w) * 1000 AS DOUBLE) / count(*), 0)
+         |    AS BIGINT) > 0 AS txt_keep
+         |  FROM pwb GROUP BY doc_id),
+         |cpx AS (SELECT doc_id, x.x, y.y,
+         |    (doc_id * 31 + x.x * 7 + y.y * 13) % 256 AS v
+         |  FROM documents,
+         |    LATERAL (SELECT unnest(range(0, 32)) AS x) x,
+         |    LATERAL (SELECT unnest(range(0, 32)) AS y) y),
+         |cbnd AS (SELECT doc_id, y // 4 AS band,
+         |    CAST(sum(v) AS BIGINT) AS bsum
+         |  FROM cpx GROUP BY doc_id, y // 4),
+         |civ AS (SELECT doc_id,
+         |    list(CAST(bsum AS DOUBLE) ORDER BY band) AS bl,
+         |    CAST(sum(bsum) AS BIGINT) AS tot
+         |  FROM cbnd GROUP BY doc_id),
+         |cic AS (SELECT doc_id,
+         |    [x - CAST(tot AS DOUBLE) / 8.0 for x in bl] AS c FROM civ),
+         |ctv AS (SELECT vec_id, embedding[1:8]::DOUBLE[] AS t
+         |  FROM embeddings),
+         |cjn AS (SELECT doc_id, list_dot_product(c, t) AS dp,
+         |    sqrt(list_dot_product(c, c)) AS ni,
+         |    sqrt(list_dot_product(t, t)) AS nt
+         |  FROM cic JOIN ctv ON doc_id = vec_id),
+         |clp AS (SELECT doc_id, round(CASE WHEN ni > 0 AND nt > 0
+         |    THEN dp / (ni * nt) ELSE 0.0 END, 6) > 0 AS clip_keep
+         |  FROM cjn),
+         |$ImageAHashCte,
+         |idup AS (SELECT c.left_id AS li, c.right_id AS ri
+         |  FROM icand c
+         |    JOIN iah la ON c.left_id = la.media_id
+         |    JOIN iah ra ON c.right_id = ra.media_id
+         |  WHERE hamming(la.ahash, ra.ahash) <= 3),
+         |e AS (SELECT li AS a, ri AS b FROM idup
+         |  UNION SELECT ri, li FROM idup),
+         |reach AS (
+         |  SELECT a AS src, a AS dst
+         |    FROM (SELECT DISTINCT a FROM e)
+         |  UNION
+         |  SELECT rr.src, e2.b AS dst
+         |    FROM reach rr JOIN e e2 ON e2.a = rr.dst),
+         |cm AS (SELECT src, min(dst) AS cl FROM reach GROUP BY src),
+         |pxt AS (SELECT media_id,
+         |    CAST((16 + 8*((media_id % 4) % 3))
+         |      * (16 + 8*((media_id % 4) % 3)) AS BIGINT) AS pixels
+         |  FROM fams),
+         |base AS (SELECT p.media_id,
+         |    coalesce(cm.cl, p.media_id) AS cluster_id, p.pixels
+         |  FROM pxt p LEFT JOIN cm ON p.media_id = cm.src),
+         |img AS (SELECT media_id AS doc_id,
+         |    row_number() OVER (PARTITION BY cluster_id
+         |      ORDER BY pixels DESC, media_id) = 1 AS img_keep
+         |  FROM base)
+         |SELECT d.doc_id,
+         |  coalesce(cls.txt_keep, false) AS txt_keep,
+         |  coalesce(clp.clip_keep, false) AS clip_keep,
+         |  coalesce(img.img_keep, false) AS img_keep,
+         |  coalesce(cls.txt_keep, false) AND coalesce(clp.clip_keep, false)
+         |    AND coalesce(img.img_keep, false) AS keep
+         |FROM documents d
+         |  LEFT JOIN cls ON d.doc_id = cls.doc_id
+         |  LEFT JOIN clp ON d.doc_id = clp.doc_id
+         |  LEFT JOIN img ON d.doc_id = img.doc_id""".stripMargin,
     // Recomputes the pixel grid (id·31 + x·7 + y·13 mod 256), the 8×8
     // block sums, and the integer-exact threshold bsum·64 > gsum.
     "mm_image_phash" ->

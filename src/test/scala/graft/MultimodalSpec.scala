@@ -401,4 +401,23 @@ class MultimodalSpec extends SparkSpec {
     // pass the oracle but test nothing).
     assert(out.exists(_._3) && out.exists(!_._3))
   }
+
+  test("pipeline_pair_curation: keep is exactly the conjunction of the " +
+      "three gates, every document visible, all gates discriminate") {
+    val d = "/root/testdata/sf0.001"
+    val rows = graft.queries.TextOps.queries("pipeline_pair_curation")(
+        spark, d)
+      .as[(Long, Boolean, Boolean, Boolean, Boolean)].collect()
+    val nDocs = graft.Tables.documents(spark, d).count()
+    assert(rows.length == nDocs)
+    rows.foreach { case (id, t, c, i, k) =>
+      assert(k == (t && c && i), s"doc $id keep != conjunction")
+    }
+    // each gate drops someone AND passes someone — the pipeline's
+    // decision is genuinely three-dimensional on this corpus
+    assert(rows.exists(_._2) && rows.exists(!_._2), "txt gate flat")
+    assert(rows.exists(_._3) && rows.exists(!_._3), "clip gate flat")
+    assert(rows.exists(_._4) && rows.exists(!_._4), "img gate flat")
+    assert(rows.exists(_._5) && rows.exists(!_._5), "overall flat")
+  }
 }

@@ -116,10 +116,37 @@ object ScaleProbe {
         .select("doc_id").distinct()
     }
 
+    // ANN/IVFPQ backbone (r14 second batch): replicate the EMBEDDING
+    // corpus — replica r keeps the original vectors and labels under
+    // vec_id = r·N + id, so the query set (vec_id < 5) stays the
+    // original five vectors while every k-means cell, PQ code table,
+    // and probed candidate list grows k×. The probe runs the REAL
+    // registry query against a corpus dir, so what's timed is the
+    // exact production plan: code assignment (N×8×4 argmin rows),
+    // candidate join, broadcast-ADC lookup-sum, exact re-rank — all
+    // k-linear structures; a super-linear ratio here would mean the
+    // candidate or ADC join degenerated.
+    val embBase = Tables.embeddings(spark, sfDir)
+    def corpusDir(k: Int): String = {
+      val dir = s"/tmp/scaleprobe/corpus$k"
+      val embs =
+        if (k == 1) embBase
+        else {
+          val n = embBase.count()
+          embBase.select(col("vec_id"), col("embedding"), col("label"),
+              explode(sequence(lit(0), lit(k - 1))).as("__r"))
+            .select((col("__r") * n + col("vec_id")).as("vec_id"),
+              col("embedding"), col("label"))
+        }
+      embs.write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      dir
+    }
+
     println(f"[scale] sf=$sfDir mult=$mult reps=$reps")
     val results = Seq(1, mult).map { k =>
       val docs = materialize(s"docs$k", replicate(k))
       val frames = materialize(s"frames$k", frameLike(k))
+      val corpus = corpusDir(k)
       k -> Seq(
         "dedup_exact (hash groupBy)" ->
           time(() => graft.api.GraftOps.dedupExact(docs, "doc_id", "text")),
@@ -135,7 +162,10 @@ object ScaleProbe {
         "star edges + fixpoint CC (video keep-best)" ->
           time(() => starCc(frames)),
         "horizon gate (salted band self-join)" ->
-          time(() => horizonGate(docs)))
+          time(() => horizonGate(docs)),
+        "emb_ivf_pq (probe + ADC, real registry plan)" ->
+          time(() => graft.queries.Similarity
+            .queries("emb_ivf_pq")(spark, corpus)))
     }
     val (r1, rk) = (results.head._2.toMap, results.last._2.toMap)
     r1.keys.toSeq.sorted.foreach { name =>

@@ -672,6 +672,60 @@ object Similarity {
           coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
           round(coalesce(col("n_overlap"), lit(0L)).cast("double") / 5.0,
             6).as("recall"))
+    }),
+
+    // EMBEDDING DRIFT CHECK — the dq gate an embedding pipeline runs
+    // between corpus snapshots (encoder re-trained? upstream filter
+    // changed? a cell silently emptied?): split the corpus into two
+    // halves (vec_id parity stands in for yesterday/today), compare
+    // per-cell population share and centroid direction. Centroids use
+    // the kmeansCentroids discipline (DECIMAL(20,15) sums, unit
+    // normalization) so partition order is exact; share is
+    // micro-quantized. Cost: ONE posexplode + groupBy per corpus pass
+    // and a cells-sized join — corpus-linear, no pair term. The FLAG
+    // uses the population share (outside [0.4, 0.6]); the centroid
+    // cosine is REPORTED as evidence but not gated on, because this
+    // corpus's labels are not directionally tight (mean of near-random
+    // unit vectors ≈ 0, so the normalized-mean direction is noise and
+    // cos(u0,u1) sits near 0 for every label — first run measured
+    // −0.21..0.30; a cos threshold would flag everything). In
+    // production, with real clusters, the cosine term joins the gate.
+    "dq_embedding_drift" -> ((s, d) => {
+      graft.expressions.VectorExpressions.register(s)
+      def dot(a: Column, b: Column) = call_function("graft_vec_dot", a, b)
+      val e = Tables.embeddings(s, d).select(
+        col("label").cast("long").as("label"),
+        asDouble(col("embedding")).as("v"),
+        (col("vec_id") % 2).as("half"))
+      val sums = e.select(col("label"), col("half"),
+          posexplode(col("v")).as(Seq("idx", "val")))
+        .groupBy("label", "half", "idx")
+        .agg(sum(col("val").cast(DecimalType(20, 15))).cast("double")
+          .as("sv"))
+        .groupBy("label", "half")
+        .agg(transform(array_sort(collect_list(struct(col("idx"),
+          col("sv")))), x => x.getField("sv")).as("raw"))
+        .withColumn("nrm", sqrt(dot(col("raw"), col("raw"))))
+        .filter(col("nrm") > 0)
+        .select(col("label"), col("half"),
+          transform(col("raw"), x => x / col("nrm")).as("cu"))
+      val cnts = e.groupBy("label", "half").agg(count(lit(1)).as("n"))
+      val c0 = sums.filter(col("half") === 0)
+        .select(col("label"), col("cu").as("u0"))
+      val c1 = sums.filter(col("half") === 1)
+        .select(col("label"), col("cu").as("u1"))
+      val n0 = cnts.filter(col("half") === 0)
+        .select(col("label"), col("n").as("n_old"))
+      val n1 = cnts.filter(col("half") === 1)
+        .select(col("label"), col("n").as("n_new"))
+      c0.join(c1, "label").join(n0, "label").join(n1, "label")
+        .select(col("label"), col("n_old"), col("n_new"),
+          (round((col("n_new") * 1000000L).cast("double")
+              / (col("n_old") + col("n_new")), 0)
+            .cast("long").cast("double") / 1000000.0).as("share_new"),
+          round(dot(col("u0"), col("u1")), 6).as("centroid_cos"))
+        .withColumn("drift",
+          col("share_new") < 0.4 || col("share_new") > 0.6)
     }))
 
   /** The composed IVFPQ pipeline behind emb_ivf_pq / emb_ivf_pq_recall:
@@ -1225,7 +1279,39 @@ object Similarity {
          |SELECT q.q_id,
          |  CAST(coalesce(ov.n_overlap, 0) AS BIGINT) AS n_overlap,
          |  round(coalesce(ov.n_overlap, 0) / 5.0, 6) AS recall
-         |FROM q LEFT JOIN ov ON q.q_id = ov.q_id""".stripMargin)
+         |FROM q LEFT JOIN ov ON q.q_id = ov.q_id""".stripMargin,
+    // Replays the halved-corpus centroid comparison with the same
+    // DECIMAL sums, unit normalization, micro-quantized share, and
+    // thresholds.
+    "dq_embedding_drift" ->
+      """WITH ed AS (SELECT CAST(label AS BIGINT) AS label,
+        |    embedding::DOUBLE[] AS v, vec_id % 2 AS half
+        |  FROM embeddings),
+        |sums AS (SELECT label, half, idx,
+        |    CAST(sum(CAST(val AS DECIMAL(20,15))) AS DOUBLE) AS sv
+        |  FROM (SELECT label, half, unnest(v) AS val,
+        |        generate_subscripts(v, 1) AS idx FROM ed)
+        |  GROUP BY label, half, idx),
+        |craw AS (SELECT label, half, list(sv ORDER BY idx) AS raw
+        |  FROM sums GROUP BY label, half),
+        |cu AS (SELECT label, half,
+        |    [x / sqrt(list_dot_product(raw, raw)) for x in raw] AS u
+        |  FROM craw WHERE sqrt(list_dot_product(raw, raw)) > 0),
+        |cnts AS (SELECT label, half, count(*) AS n
+        |  FROM ed GROUP BY label, half),
+        |m AS (SELECT a.label,
+        |    n0.n AS n_old, n1.n AS n_new,
+        |    CAST(CAST(round(CAST(n1.n * 1000000 AS DOUBLE)
+        |      / (n0.n + n1.n), 0) AS BIGINT) AS DOUBLE) / 1000000.0
+        |      AS share_new,
+        |    round(list_dot_product(a.u, b.u), 6) AS centroid_cos
+        |  FROM cu a
+        |    JOIN cu b ON a.label = b.label AND a.half = 0 AND b.half = 1
+        |    JOIN cnts n0 ON n0.label = a.label AND n0.half = 0
+        |    JOIN cnts n1 ON n1.label = a.label AND n1.half = 1)
+        |SELECT label, n_old, n_new, share_new, centroid_cos,
+        |  share_new < 0.4 OR share_new > 0.6 AS drift
+        |FROM m""".stripMargin)
 
   /** Shared oracle CTE chain for the IVFPQ pipeline, ending in
     * `fin` = (q_id, cand_id, adc_d2, score, rnk) — also exposes `e`

@@ -1695,6 +1695,75 @@ object TextOps {
     // no UDF, no broadcast state, nothing driver-side.
     "txt_classifier_score" -> ((s, d) => classifierScore(s, d)),
 
+    // TOKENIZER FERTILITY by language — subwords emitted per whitespace
+    // word, the tokenizer-QA number that decides whether a vocab
+    // under-serves a language (high fertility = more sequence length
+    // per content; the multilingual-tokenizer acceptance metric). The
+    // tokenizer is a fixed-width stand-in — every word splits into
+    // ceil(len/4) 4-char pieces — because this corpus's words are pure
+    // alphanumeric (the boundary-split subwordCount degenerates to
+    // words, fertility ≡ 1.0 and the metric measures nothing); the
+    // chunk form tracks the per-language word-LENGTH distribution,
+    // which is exactly what real BPE fertility responds to. Pure
+    // per-row projections into one tiny groupBy(lang); fertility is
+    // milli-quantized by the exact-integer discipline.
+    "tok_fertility" -> ((s, d) =>
+      docsOf(s, d).select(coalesce(col("lang"), lit("")).as("lang"),
+          tokenCount(col("text")).cast("long").as("nw"),
+          aggregate(tokens(col("text")), lit(0L),
+            (acc, t) => acc + ((length(t) + 3) / 4).cast("long"))
+            .as("ns"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("nw").as("n_words"), sum("ns").as("n_subwords"))
+        .filter(col("n_words") > 0)
+        .select(col("lang"), col("n_docs"), col("n_words"),
+          col("n_subwords"),
+          (round((col("n_subwords") * 1000L).cast("double")
+              / col("n_words"), 0)
+            .cast("long").cast("double") / 1000.0).as("fertility"))),
+
+    // PERPLEXITY BUCKETING — the data-mixing step that stratifies a
+    // corpus by language-model surprisal (low-NLL buckets over-sample
+    // boilerplate, high-NLL buckets concentrate noise; mixing recipes
+    // draw per bucket). Per-doc mean unigram NLL (the
+    // txt_unigram_logprob chain, micro-quantized) → EXACT interpolated
+    // quartile cuts via one percentile aggregate (3 broadcast
+    // scalars — never a global sort or single-partition ntile, which
+    // would die at scale) → bucket = #cuts strictly below the doc's
+    // NLL. Per-bucket count and micro-exact mean NLL.
+    "txt_perplexity_bucket" -> ((s, d) => {
+      val tok = docsOf(s, d)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      val cnt = tok.groupBy("term").agg(count(lit(1)).as("cnt"))
+      val tot = cnt.agg(sum("cnt").cast("long").as("total"))
+      val perDoc = tok.join(cnt, "term").crossJoin(broadcast(tot))
+        .withColumn("nll",
+          (round(-log(col("cnt").cast("double") /
+            col("total").cast("double")), 6) * 1000000.0 + 0.5)
+            .cast("long"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"), sum("nll").as("snll"))
+        .select(col("doc_id"),
+          round(col("snll").cast("double") / col("n_tokens"), 0)
+            .cast("long").as("mnll_micro"))
+      val cuts = perDoc.agg(
+        expr("percentile(mnll_micro, array(0.25D, 0.5D, 0.75D))")
+          .as("qs"))
+      perDoc.crossJoin(broadcast(cuts))
+        .select(col("doc_id"), col("mnll_micro"),
+          ((col("mnll_micro") > element_at(col("qs"), 1)).cast("long")
+            + (col("mnll_micro") > element_at(col("qs"), 2)).cast("long")
+            + (col("mnll_micro") > element_at(col("qs"), 3)).cast("long"))
+            .as("bucket"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("mnll_micro").as("smn"))
+        .select(col("bucket"), col("n_docs"),
+          (round(col("smn").cast("double") / col("n_docs"), 0)
+            .cast("long").cast("double") / 1000000.0).as("mean_nll"))
+    }),
+
     // Fixed-size token chunking (context-window packing precursor):
     // each doc splits into contiguous 64-token chunks. Per-row array
     // slicing — embarrassingly parallel; chunk count derives from the
@@ -4296,6 +4365,49 @@ object TextOps {
          |SELECT doc_id, n_tokens,
          |  CAST(mm AS DOUBLE) / 1000000.0 AS margin, mm > 0 AS keep
          |FROM m""".stripMargin,
+    "tok_fertility" ->
+      """WITH f AS (SELECT coalesce(lang, '') AS lang,
+        |  CAST(len(list_filter(regexp_split_to_array(trim(text),
+        |    '\s+'), t -> t != '')) AS BIGINT) AS nw,
+        |  CAST(coalesce(list_sum(list_transform(
+        |    list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |      t -> t != ''),
+        |    t -> (length(t) + 3) // 4)), 0) AS BIGINT) AS ns
+        |  FROM documents),
+        |g AS (SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(nw) AS BIGINT) AS n_words,
+        |  CAST(sum(ns) AS BIGINT) AS n_subwords FROM f GROUP BY lang)
+        |SELECT lang, n_docs, n_words, n_subwords,
+        |  CAST(CAST(round(CAST(n_subwords * 1000 AS DOUBLE) / n_words,
+        |    0) AS BIGINT) AS DOUBLE) / 1000.0 AS fertility
+        |FROM g WHERE n_words > 0""".stripMargin,
+    // The txt_unigram_logprob NLL chain, micro-quantized per doc, then
+    // quantile_cont cuts (the agg_percentiles parity: exact linear
+    // interpolation on both engines) and strict-greater bucketing.
+    "txt_perplexity_bucket" ->
+      s"""WITH $TokedCte,
+         |tok AS (SELECT doc_id, unnest(toks) AS term FROM toked),
+         |cnt AS (SELECT term, count(*) AS cnt FROM tok GROUP BY term),
+         |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM cnt),
+         |sc AS (SELECT doc_id,
+         |  CAST(trunc(round(-ln(CAST(cnt AS DOUBLE) / total), 6)
+         |    * 1000000 + 0.5) AS BIGINT) AS nll
+         |  FROM tok JOIN cnt USING (term) CROSS JOIN tot),
+         |pd AS (SELECT doc_id, CAST(round(CAST(sum(nll) AS DOUBLE)
+         |    / count(*), 0) AS BIGINT) AS mnll_micro
+         |  FROM sc GROUP BY doc_id),
+         |q AS (SELECT quantile_cont(mnll_micro, 0.25) AS q1,
+         |  quantile_cont(mnll_micro, 0.5) AS q2,
+         |  quantile_cont(mnll_micro, 0.75) AS q3 FROM pd),
+         |bk AS (SELECT doc_id, mnll_micro,
+         |  CAST(mnll_micro > q1 AS BIGINT)
+         |    + CAST(mnll_micro > q2 AS BIGINT)
+         |    + CAST(mnll_micro > q3 AS BIGINT) AS bucket
+         |  FROM pd CROSS JOIN q)
+         |SELECT bucket, count(*) AS n_docs,
+         |  CAST(CAST(round(CAST(sum(mnll_micro) AS DOUBLE) / count(*),
+         |    0) AS BIGINT) AS DOUBLE) / 1000000.0 AS mean_nll
+         |FROM bk GROUP BY bucket""".stripMargin,
     "chunk_docs" ->
       s"""WITH $TokedCte,
          |t AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n

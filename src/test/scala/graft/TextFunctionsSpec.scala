@@ -139,4 +139,46 @@ class TextFunctionsSpec extends SparkSpec {
       assert(n == en && m == em, s"doc $id: got ($n, $m), want ($en, $em)")
     }
   }
+
+  test("tok_fertility: 4-char-chunk replay per language; fertility > 1 " +
+      "and sensitive to word length") {
+    val d = "/root/testdata/sf0.001"
+    val got = graft.queries.TextOps.queries("tok_fertility")(spark, d)
+      .as[(String, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    val docs = graft.Tables.documents(spark, d)
+      .select(coalesce($"lang", lit("")), $"text").as[(String, String)]
+      .collect()
+    val expect = docs.groupBy(_._1).map { case (lang, rows) =>
+      val words = rows.flatMap(_._2.trim.split("\\s+").filter(_.nonEmpty))
+      lang -> ((rows.length.toLong, words.length.toLong,
+        words.map(w => (w.length + 3L) / 4L).sum))
+    }
+    expect.foreach { case (lang, (nd, nw, ns)) =>
+      if (nw > 0) {
+        val (_, gd, gw, gs, fert) = got(lang)
+        assert(gd == nd && gw == nw && gs == ns, s"lang $lang counts")
+        val micro = new java.math.BigDecimal(ns * 1000.0 / nw)
+          .setScale(0, java.math.RoundingMode.HALF_UP).longValue
+        assert(fert == micro / 1000.0, s"lang $lang fertility")
+        assert(fert > 1.0, s"lang $lang fertility degenerate")
+      }
+    }
+  }
+
+  test("txt_perplexity_bucket: four buckets cover all scored docs with " +
+      "near-quartile counts and monotone mean NLL") {
+    val rows = graft.queries.TextOps.queries("txt_perplexity_bucket")(
+        spark, "/root/testdata/sf0.001")
+      .as[(Long, Long, Double)].collect().sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(0L, 1L, 2L, 3L))
+    val n = rows.map(_._2).sum
+    // quartile cuts: no bucket may hold more than half or be empty
+    rows.foreach { case (b, c, _) =>
+      assert(c > 0 && c <= n / 2 + 1, s"bucket $b count $c of $n")
+    }
+    val means = rows.map(_._3).toSeq
+    assert(means.zip(means.tail).forall { case (a, b) => a <= b },
+      "mean NLL must be monotone across buckets")
+  }
 }

@@ -80,6 +80,24 @@ class VectorFunctionsSpec extends SparkSpec {
     }
   }
 
+  test("dq_embedding_drift: one row per cell with both halves, flag " +
+      "is the share gate, counts partition the corpus") {
+    val d = "/root/testdata/sf0.001"
+    val rows = graft.queries.Similarity.queries("dq_embedding_drift")(
+        spark, d)
+      .as[(Long, Long, Long, Double, Double, Boolean)].collect()
+    assert(rows.nonEmpty)
+    val total = graft.Tables.embeddings(spark, d).count()
+    // every vector lands in exactly one (label, half) cell and no
+    // label lost both halves on this data
+    assert(rows.map(r => r._2 + r._3).sum == total)
+    rows.foreach { case (l, nOld, nNew, share, cos, drift) =>
+      assert(nOld > 0 && nNew > 0, s"label $l halves")
+      assert(share >= 0.0 && share <= 1.0 && cos >= -1.0 && cos <= 1.0)
+      assert(drift == (share < 0.4 || share > 0.6), s"label $l flag")
+    }
+  }
+
   test("emb_ivf_pq_recall: one row per query, recall == n_overlap/5 " +
       "in [0,1]") {
     val rec = graft.queries.Similarity.queries("emb_ivf_pq_recall")(

@@ -24,6 +24,30 @@ object TextFunctions {
   def subwordCount(text: Column): Column =
     size(filter(split(trim(text), "[^A-Za-z0-9]+"), t => t =!= ""))
 
+  /** Frozen hashed-feature weight of one token in integer MILLI-units —
+    * the txt_classifier_score model (md5-prefix bucket in a 2^16
+    * feature space, Knuth-multiplier weight in [-1000, 1000]). */
+  def classifierWeightMilli(term: Column): Column =
+    (conv(substring(md5(term), 1, 4), 16, 10).cast("long")
+      * lit(2654435761L)) % lit(2001L) - lit(1000L)
+
+  /** ROW-LOCAL classifier margin in integer MICRO-units (null when the
+    * text has no tokens): one aggregate over the token array — zero
+    * shuffle, stream-safe (no explode/groupBy), bit-identical to the
+    * grouped formulation because both sum the same integer weights.
+    * Margin quantization: wsum·1000/n is correctly-rounded IEEE
+    * division whose decimal ties (x.5) are exactly representable, and
+    * both engines round ties away from zero — so round(·, 0) is
+    * cross-engine bitwise where round(wsum/1000.0/n, 6) double-rounds
+    * (parity run caught doc 420: -0.1450375 split across engines). */
+  def classifierMarginMicro(text: Column): Column = {
+    val toks = tokens(text)
+    val wsum = aggregate(toks, lit(0L),
+      (acc, t) => acc + classifierWeightMilli(t))
+    when(size(toks) > 0,
+      round((wsum * 1000L).cast("double") / size(toks), 0).cast("long"))
+  }
+
   /** Word n-gram shingles from a token array; [] when fewer than n tokens. */
   def shingles(toks: Column, n: Int): Column =
     when(size(toks) >= n,

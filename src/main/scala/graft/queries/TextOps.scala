@@ -198,24 +198,19 @@ object TextOps {
     * pipeline_pair_curation both consume it. */
   private def classifierScore(s: SparkSession, d: String): DataFrame =
     graft.operators.SharedStage(s, s"classifierScore:$d") {
-      val tok = docsOf(s, d)
-        .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
-      val bucket = conv(substring(md5(col("term")), 1, 4), 16, 10)
-        .cast("long")
-      val wMilli = (bucket * lit(2654435761L)) % lit(2001L) - lit(1000L)
-      // Margin quantized to exact integer MICRO-units before the final
-      // division: wsum·1000/n is correctly-rounded IEEE division whose
-      // decimal ties (x.5) are exactly representable, and both engines
-      // round ties away from zero — so round(·, 0) is cross-engine
-      // bitwise where round(wsum/1000.0/n, 6) double-rounds (first
-      // parity run caught doc 420: -0.1450375 split -0.145037 vs
-      // -0.145038 across engines).
-      tok.select(col("doc_id"), wMilli.as("w"))
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_tokens"), sum("w").as("wsum"))
+      // ROW-LOCAL form (TextFunctions.classifierMarginMicro): one
+      // aggregate over the token array per row — ZERO shuffle, where
+      // the explode/groupBy formulation pays a (map-side-combined)
+      // exchange. Bit-identical sums either way; the row-local
+      // expression is also what the streaming admission gate runs, so
+      // batch and stream share one arithmetic definition.
+      docsOf(s, d)
+        .select(col("doc_id"), tokenCount(col("text")).cast("long")
+          .as("n_tokens"),
+          classifierMarginMicro(col("text")).as("mm"))
+        .filter(col("n_tokens") > 0)
         .select(col("doc_id"), col("n_tokens"),
-          (round((col("wsum") * 1000L).cast("double") / col("n_tokens"), 0)
-            .cast("long").cast("double") / 1000000.0).as("margin"))
+          (col("mm").cast("double") / 1000000.0).as("margin"))
         .withColumn("keep", col("margin") > 0)
     }
 

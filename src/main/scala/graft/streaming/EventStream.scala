@@ -198,6 +198,27 @@ object EventStream {
       .dropDuplicatesWithinWatermark("media_id")
       .select(col("media_id"), col("ts"))
 
+  /** LEARNED-quality admission gate at ingest — the streaming twin of
+    * `txt_classifier_score`: every arriving document is scored by the
+    * frozen hashed-feature linear model and tagged keep/drop. The
+    * margin is `TextFunctions.classifierMarginMicro` — the SAME
+    * row-local expression the batch registry query runs, so batch and
+    * stream share one arithmetic definition (bit-identical margins;
+    * StreamingSpec pins it). STATELESS: a pure projection, no
+    * watermark state, no shuffle — at 100 TB/day this is the first
+    * and cheapest cut in the ingest chain, composable in front of the
+    * stateful dedup gates. Token-less documents pass through with a
+    * null margin and keep = false (visible, never silently dropped —
+    * the pipeline_pair_curation convention). */
+  def admissionGateStream(docs: DataFrame): DataFrame = {
+    val mm = graft.functions.TextFunctions
+      .classifierMarginMicro(col("text"))
+    docs.select(col("doc_id"), col("ts"),
+        (mm.cast("double") / 1000000.0).as("margin"))
+      .withColumn("keep",
+        coalesce(col("margin") > 0, lit(false)))
+  }
+
   /** Streaming attribution — the streaming shape of the batch as-of join
     * (GraftOps.asofJoin / j11): each purchase left-outer joins the
     * clicks of the same user within the preceding `horizon`. Both sides

@@ -542,6 +542,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("admissionGateStream: stream margins bit-match the batch " +
+      "classifier; token-less docs pass through as keep=false") {
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Seq(
+      (1L, ts(0), "alpha beta gamma delta"),
+      (2L, ts(1), "one two three four five six"),
+      (3L, ts(2), "   "), // token-less: null margin, keep=false
+      (4L, ts(3), "zzz yyy xxx www vvv uuu ttt sss"))
+    val stream = MemoryStream[(Long, Timestamp, String)]
+    val q = EventStream.admissionGateStream(
+        stream.toDF().toDF("doc_id", "ts", "text"))
+      .writeStream.format("memory").queryName("admission_out")
+      .outputMode("append").start()
+    try {
+      stream.addData(docs: _*)
+      q.processAllAvailable()
+      val got = spark.table("admission_out")
+        .select("doc_id", "margin", "keep")
+        .as[(Long, Option[Double], Boolean)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      // batch twin: the same row-local expression over a static frame
+      val want = docs.toDF("doc_id", "ts", "text")
+        .select($"doc_id",
+          (graft.functions.TextFunctions.classifierMarginMicro($"text")
+            .cast("double") / 1000000.0).as("margin"))
+        .as[(Long, Option[Double])].collect()
+        .map(r => r._1 -> ((r._2, r._2.exists(_ > 0)))).toMap
+      assert(got == want, s"got $got want $want")
+      assert(got(3L) == ((None, false)), "token-less doc contract")
+      assert(got.size == 4)
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState running totals accumulate per key") {
     val out = EventStream.runningTotals(
       Seq(EventStream.UserEvent(1L, 2.0), EventStream.UserEvent(1L, 3.0),

@@ -838,7 +838,31 @@ object Multimodal {
     * container. */
   def mp4BytesFrames(timescale: Int, durationTicks: Long, width: Int,
       height: Int, mediaTs: Int, stts: Seq[(Int, Int)],
-      sampleSizes: Seq[Int], seed: Long): Array[Byte] = {
+      sampleSizes: Seq[Int], seed: Long): Array[Byte] =
+    mp4ContainerWith(timescale, durationTicks, width, height, mediaTs,
+      stts, sampleSizes) { (bb, mdatBody) =>
+      var j = 0
+      while (j < mdatBody) {
+        bb.put(((17L * j + seed) % 256).toByte); j += 1
+      }
+    }
+
+  /** Same container as `mp4BytesFrames` but with EXPLICIT per-sample
+    * payloads — the generator hook for corpora whose frame CONTENT
+    * must repeat exactly (scene structure), which the global
+    * (17j+seed) byte stream cannot express. */
+  def mp4BytesFramesOf(timescale: Int, durationTicks: Long, width: Int,
+      height: Int, mediaTs: Int, stts: Seq[(Int, Int)],
+      frames: Seq[Array[Byte]]): Array[Byte] =
+    mp4ContainerWith(timescale, durationTicks, width, height, mediaTs,
+      stts, frames.map(_.length)) { (bb, _) =>
+      frames.foreach(bb.put)
+    }
+
+  private def mp4ContainerWith(timescale: Int, durationTicks: Long,
+      width: Int, height: Int, mediaTs: Int, stts: Seq[(Int, Int)],
+      sampleSizes: Seq[Int])(
+      fillMdat: (java.nio.ByteBuffer, Int) => Unit): Array[Byte] = {
     val n = sampleSizes.length
     val mdatBody = sampleSizes.sum
     val sttsSz = 16 + 8 * stts.length
@@ -895,11 +919,42 @@ object Multimodal {
     bb.putInt(stcoSz).put("stco".getBytes("US-ASCII"))
     bb.putInt(0).putInt(1).putInt(mdatPayloadOff) // v0, one chunk, offset
     bb.putInt(8 + mdatBody).put("mdat".getBytes("US-ASCII"))
-    var j = 0
-    while (j < mdatBody) {
-      bb.put(((17L * j + seed) % 256).toByte); j += 1
-    }
+    fillMdat(bb, mdatBody)
     bb.array()
+  }
+
+  /** Scene-structured MP4 corpus: n = 6+(id%5) frames in scenes of
+    * length L = 2+(id%3) (last scene may be short); every frame of a
+    * scene carries IDENTICAL bytes — size 20+((id+s)%30), byte 0 = s,
+    * byte j>0 = (id·31 + s·17 + j·7) mod 256 — so its content hash
+    * repeats within the scene, while ADJACENT scenes always differ at
+    * byte 0 (s < 256 here). The closed form is the oracle contract:
+    * the consumer must demux real MP4 bytes and hash actual frame
+    * content to recover the scene structure the oracle derives
+    * arithmetically (k DIV L). */
+  def synthMp4Scenes(ids: DataFrame, idCol: String): DataFrame = {
+    val spark = ids.sparkSession
+    val rdd = ids.select(col(idCol).cast("long")).rdd.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val n = 6 + (id % 5).toInt
+        val len = 2 + (id % 3).toInt
+        val frames = (0 until n).map { k =>
+          val s = k / len
+          val sz = 20 + ((id + s) % 30).toInt
+          val b = Array.ofDim[Byte](sz)
+          b(0) = s.toByte
+          var j = 1
+          while (j < sz) {
+            b(j) = ((id * 31 + s * 17 + j * 7) % 256).toByte; j += 1
+          }
+          b
+        }
+        Row(id, mp4BytesFramesOf(600, 600L * n, 320, 240, 1000,
+          Seq((n, 100)), frames), "video/mp4")
+      }
+    }
+    spark.createDataFrame(rdd, mediaSchema)
   }
 
   /** One demuxable MP4 per id: 3+(id%4) samples, sample k sized

@@ -1620,6 +1620,35 @@ object TextOps {
     // IEEE-exact-rounded, so round-6 matches DuckDB bitwise.
     "mm_clip_filter" -> ((s, d) => clipGate(s, d)),
 
+    // SCENE SEGMENTATION over decoded frame content — the video
+    // preprocessing step a frame-sampling pipeline runs before
+    // training-data extraction (one representative frame per SCENE
+    // beats one per fixed interval: static shots collapse, fast
+    // cutting is preserved). The operator demuxes real MP4 bytes
+    // (extractFrameHashes: stsz/stsc/stco walk + md5 per frame) and
+    // derives boundaries purely from CONTENT — a frame opens a scene
+    // iff its hash differs from its predecessor — while the oracle
+    // derives ground truth from synthMp4Scenes' closed form (scene of
+    // frame k = k DIV L), so a single mis-demuxed byte anywhere breaks
+    // the gate. Plan: one mapPartitions demux + ONE per-media ordered
+    // window (frames-per-video is bounded, so the window partition
+    // never skews); no shuffle beyond the media_id exchange.
+    "mm_scene_cuts" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val fh = graft.multimodal.Multimodal.extractFrameHashes(
+        graft.multimodal.Multimodal.synthMp4Scenes(
+          Tables.documents(s, d).select(col("doc_id")), "doc_id"))
+      val w = Window.partitionBy("media_id").orderBy("sample_idx")
+      fh.withColumn("prev", lag(col("fhash"), 1).over(w))
+        .withColumn("is_scene_start",
+          col("prev").isNull || col("prev") =!= col("fhash"))
+        .withColumn("scene_id",
+          (sum(when(col("is_scene_start"), 1L).otherwise(0L)).over(w)
+            - 1L).cast("long"))
+        .select(col("media_id"), col("sample_idx").as("frame_idx"),
+          col("scene_id"), col("is_scene_start"))
+    }),
+
     // TRUE frame timestamps from the MP4 sample table (the companion to
     // mm_frame_sample's synthetic spacing): synthMp4Stts writes a full
     // moov/trak/mdia/mdhd/minf/stbl/stts hierarchy per doc — two
@@ -4294,6 +4323,16 @@ object TextOps {
         |    THEN dp / (ni * nt) ELSE 0.0 END, 6) AS clip_score FROM j)
         |SELECT doc_id, clip_score, clip_score > 0 AS keep
         |FROM sc""".stripMargin,
+    // Ground truth from synthMp4Scenes' closed form — scene of frame
+    // k is k DIV L; the Spark side must RECOVER this from demuxed
+    // bytes and content hashes.
+    "mm_scene_cuts" ->
+      """WITH p AS (SELECT doc_id, 6 + doc_id % 5 AS n,
+        |    2 + doc_id % 3 AS len FROM documents)
+        |SELECT doc_id AS media_id, CAST(kk.k AS BIGINT) AS frame_idx,
+        |  CAST(kk.k // len AS BIGINT) AS scene_id,
+        |  kk.k % len = 0 AS is_scene_start
+        |FROM p, LATERAL (SELECT unnest(range(0, n)) AS k) kk""".stripMargin,
     // Recomputes synthMp4Stts' derivation: media timescale, two stts
     // runs (n1 at d1 ticks, n2 at d2), sample k's decode ticks = k·d1
     // inside run 1, n1·d1 + (k−n1)·d2 inside run 2; t_ms floors

@@ -402,6 +402,38 @@ class MultimodalSpec extends SparkSpec {
     assert(out.exists(_._3) && out.exists(!_._3))
   }
 
+  test("synthMp4Scenes: frames inside a scene hash identically, " +
+      "adjacent scenes never collide; mm_scene_cuts recovers k DIV L") {
+    val ids = Seq(0L, 4L, 7L)
+    val fh = Multimodal.extractFrameHashes(
+        Multimodal.synthMp4Scenes(ids.toDF("doc_id"), "doc_id"))
+      .as[(Long, Long, String)].collect()
+      .groupBy(_._1).view
+      .mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    ids.foreach { id =>
+      val n = 6 + (id % 5).toInt
+      val len = 2 + (id % 3).toInt
+      val hashes = fh(id)
+      assert(hashes.length == n, s"id $id demuxed ${hashes.length}/$n")
+      for (k <- 0 until n; k2 <- 0 until n) {
+        val same = k / len == k2 / len
+        assert((hashes(k) == hashes(k2)) == same,
+          s"id $id frames $k,$k2: scene ${same} hash " +
+            s"${hashes(k) == hashes(k2)}")
+      }
+    }
+    // registry query end-to-end on the tiny sf: scene_id == k DIV L
+    val cuts = graft.queries.TextOps.queries("mm_scene_cuts")(
+        spark, "/root/testdata/sf0.001")
+      .as[(Long, Long, Long, Boolean)].collect()
+    assert(cuts.nonEmpty)
+    cuts.foreach { case (id, k, scene, start) =>
+      val len = 2 + (id % 3)
+      assert(scene == k / len && start == (k % len == 0),
+        s"id $id frame $k: ($scene, $start)")
+    }
+  }
+
   test("pipeline_pair_curation: keep is exactly the conjunction of the " +
       "three gates, every document visible, all gates discriminate") {
     val d = "/root/testdata/sf0.001"

@@ -423,6 +423,54 @@ object Multimodal {
     bb.array()
   }
 
+  /** Mono 16-bit PCM WAV around EXPLICIT samples — the generator hook
+    * for corpora whose sample values carry structure (silence runs)
+    * that wavBytes' byte-pattern fill cannot express. */
+  def wavBytesSamples(sampleRate: Int,
+      samples: Array[Short]): Array[Byte] = {
+    val dataSize = samples.length * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+    bb.put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+    bb.putShort(1).putShort(1) // PCM, mono
+    bb.putInt(sampleRate).putInt(sampleRate * 2)
+    bb.putShort(2).putShort(16) // block align, bits
+    bb.put("data".getBytes("US-ASCII")).putInt(dataSize)
+    samples.foreach(bb.putShort)
+    bb.array()
+  }
+
+  /** Silence-structured AUDIO corpus for voice-activity segmentation:
+    * mono 8 kHz, nWin = 8+(id%5) windows of 50 frames each; window w
+    * is SILENT (all-zero samples) iff (id + w) mod 3 == 0, else every
+    * sample in it carries the constant 100 + (id·13 + w·7) mod 500.
+    * The closed form is the oracle contract — window energy is
+    * exactly 0 or 50·amplitude, so the consumer must decode real PCM
+    * to recover the silence map the oracle derives arithmetically. */
+  def synthWavSegments(ids: DataFrame, idCol: String): DataFrame = {
+    val spark = ids.sparkSession
+    val rdd = ids.select(col(idCol).cast("long")).rdd.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val nWin = 8 + (id % 5).toInt
+        val samples = Array.ofDim[Short](nWin * 50)
+        var w = 0
+        while (w < nWin) {
+          val a: Short =
+            if ((id + w) % 3 == 0) 0
+            else (100 + (id * 13 + w * 7) % 500).toShort
+          var j = 0
+          while (j < 50) { samples(w * 50 + j) = a; j += 1 }
+          w += 1
+        }
+        Row(id, wavBytesSamples(8000, samples), "audio/wav")
+      }
+    }
+    spark.createDataFrame(rdd, mediaSchema)
+  }
+
   /** Family-structured near-duplicate AUDIO corpus — the audio twin of
     * `synthPngFamilies`: every 4 consecutive ids are cuts of ONE
     * master recording at four lengths (100/125/150/175 frames), so

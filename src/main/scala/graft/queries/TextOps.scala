@@ -1426,6 +1426,34 @@ object TextOps {
           Tables.documents(s, d).select(col("doc_id")), "doc_id"),
         windowFrames = 50)),
 
+    // VOICE-ACTIVITY SEGMENTATION — the audio twin of mm_scene_cuts:
+    // decode real PCM, window the energy, mark silent windows
+    // (energy 0), and number the VOICED runs; a speech-data pipeline
+    // cuts training clips at exactly these boundaries. Silent windows
+    // keep a NULL segment_id (visible, not dropped — the curation
+    // convention). Ground truth is synthWavSegments' closed form
+    // ((id+w) mod 3 silence map), so one mis-decoded sample anywhere
+    // breaks the gate. Plan: mapPartitions decode + ONE per-media
+    // ordered window (windows-per-clip bounded — no skew).
+    "mm_audio_segments" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val en = graft.multimodal.Multimodal.extractAudioEnergy(
+        graft.multimodal.Multimodal.synthWavSegments(
+          Tables.documents(s, d).select(col("doc_id")), "doc_id"),
+        windowFrames = 50)
+      val w = Window.partitionBy("media_id").orderBy("window_idx")
+      en.withColumn("is_silent", col("abs_sum") === 0L)
+        .withColumn("starts",
+          (!col("is_silent") &&
+            coalesce(lag(col("abs_sum") === 0L, 1).over(w), lit(true)))
+            .cast("long"))
+        .withColumn("segment_id",
+          when(!col("is_silent"),
+            sum(col("starts")).over(w) - 1L))
+        .select(col("media_id"), col("window_idx"), col("is_silent"),
+          col("segment_id").cast("long").as("segment_id"))
+    }),
+
     // AUDIO FINGERPRINT DEDUP (r13 VERDICT item 7 — pair generation
     // now covers all three media types): the classic
     // energy-profile fingerprint over the family-structured WAV
@@ -4013,6 +4041,25 @@ object TextOps {
         |  CAST(least(50, fr - w * 50) AS BIGINT) AS n_frames,
         |  CAST(sum(abs(val)) AS BIGINT) AS abs_sum
         |FROM v GROUP BY doc_id, w, fr""".stripMargin,
+    // Ground truth from synthWavSegments' closed form: window w is
+    // silent iff (id+w) mod 3 == 0; a voiced run starts at w = 0 or
+    // after a silent window; the Spark side must RECOVER this from
+    // decoded PCM energy.
+    "mm_audio_segments" ->
+      """WITH p AS (SELECT doc_id, 8 + doc_id % 5 AS nw FROM documents),
+        |win AS (SELECT doc_id AS media_id, kk.w AS window_idx,
+        |    (doc_id + kk.w) % 3 = 0 AS is_silent,
+        |    CASE WHEN (doc_id + kk.w) % 3 != 0
+        |        AND (kk.w = 0 OR (doc_id + kk.w - 1) % 3 = 0)
+        |      THEN 1 ELSE 0 END AS starts
+        |  FROM p, LATERAL (SELECT unnest(range(0, nw)) AS w) kk)
+        |SELECT media_id, CAST(window_idx AS BIGINT) AS window_idx,
+        |  is_silent,
+        |  CASE WHEN NOT is_silent THEN
+        |    CAST(sum(starts) OVER (PARTITION BY media_id
+        |      ORDER BY window_idx ROWS UNBOUNDED PRECEDING) - 1
+        |      AS BIGINT) END AS segment_id
+        |FROM win""".stripMargin,
     // Replays synthWavFamilies end-to-end: md5(fam) 16-bit seed →
     // byte pattern (i·step + base) mod 256 → signed-16LE samples →
     // the two full 50-frame window sums → quantized signature →

@@ -434,6 +434,27 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("mm_audio_segments recovers the silence map from decoded PCM: " +
+      "segments number voiced runs, silent windows keep NULL") {
+    val rows = graft.queries.TextOps.queries("mm_audio_segments")(
+        spark, "/root/testdata/sf0.001")
+      .as[(Long, Long, Boolean, Option[Long])].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, w, silent, seg) =>
+      assert(silent == ((id + w) % 3 == 0), s"id $id win $w silence")
+      assert(seg.isEmpty == silent, s"id $id win $w segment presence")
+    }
+    // per clip: segment ids are 0..maxSeg dense, monotone over windows
+    rows.groupBy(_._1).foreach { case (id, clip) =>
+      val segs = clip.sortBy(_._2).flatMap(_._4)
+      assert(segs.nonEmpty, s"id $id has no voiced window")
+      assert(segs.head == 0 && segs.toSeq == segs.sorted.toSeq,
+        s"id $id segment numbering $segs")
+      assert(segs.distinct.toSeq == (0L to segs.max).toSeq,
+        s"id $id segment density $segs")
+    }
+  }
+
   test("pipeline_pair_curation: keep is exactly the conjunction of the " +
       "three gates, every document visible, all gates discriminate") {
     val d = "/root/testdata/sf0.001"

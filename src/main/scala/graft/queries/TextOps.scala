@@ -246,6 +246,50 @@ object TextOps {
         .withColumn("keep", col("clip_score") > 0)
     }
 
+  /** The video scene-segmentation core (see mm_scene_cuts' registry
+    * comment): demux → content hash → boundary = hash change. A
+    * SharedStage: the registry entry and pipeline_segmentation_report
+    * both consume it. */
+  private def sceneCuts(s: SparkSession, d: String): DataFrame =
+    graft.operators.SharedStage(s, s"sceneCuts:$d") {
+      import org.apache.spark.sql.expressions.Window
+      val fh = graft.multimodal.Multimodal.extractFrameHashes(
+        graft.multimodal.Multimodal.synthMp4Scenes(
+          Tables.documents(s, d).select(col("doc_id")), "doc_id"))
+      val w = Window.partitionBy("media_id").orderBy("sample_idx")
+      fh.withColumn("prev", lag(col("fhash"), 1).over(w))
+        .withColumn("is_scene_start",
+          col("prev").isNull || col("prev") =!= col("fhash"))
+        .withColumn("scene_id",
+          (sum(when(col("is_scene_start"), 1L).otherwise(0L)).over(w)
+            - 1L).cast("long"))
+        .select(col("media_id"), col("sample_idx").as("frame_idx"),
+          col("scene_id"), col("is_scene_start"))
+    }
+
+  /** The voice-activity segmentation core (see mm_audio_segments'
+    * registry comment): decode → windowed energy → voiced-run
+    * numbering. A SharedStage beside its video sibling. */
+  private def audioSegments(s: SparkSession, d: String): DataFrame =
+    graft.operators.SharedStage(s, s"audioSegments:$d") {
+      import org.apache.spark.sql.expressions.Window
+      val en = graft.multimodal.Multimodal.extractAudioEnergy(
+        graft.multimodal.Multimodal.synthWavSegments(
+          Tables.documents(s, d).select(col("doc_id")), "doc_id"),
+        windowFrames = 50)
+      val w = Window.partitionBy("media_id").orderBy("window_idx")
+      en.withColumn("is_silent", col("abs_sum") === 0L)
+        .withColumn("starts",
+          (!col("is_silent") &&
+            coalesce(lag(col("abs_sum") === 0L, 1).over(w), lit(true)))
+            .cast("long"))
+        .withColumn("segment_id",
+          when(!col("is_silent"),
+            sum(col("starts")).over(w) - 1L))
+        .select(col("media_id"), col("window_idx"), col("is_silent"),
+          col("segment_id").cast("long").as("segment_id"))
+    }
+
   /** The audio keep-best core (see mm_audio_keep_best's registry
     * comment): exact-prefix dup edges → fixpoint CC → keep the
     * longest cut. A SharedStage like its image/video siblings. */
@@ -1435,23 +1479,33 @@ object TextOps {
     // ((id+w) mod 3 silence map), so one mis-decoded sample anywhere
     // breaks the gate. Plan: mapPartitions decode + ONE per-media
     // ordered window (windows-per-clip bounded — no skew).
-    "mm_audio_segments" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val en = graft.multimodal.Multimodal.extractAudioEnergy(
-        graft.multimodal.Multimodal.synthWavSegments(
-          Tables.documents(s, d).select(col("doc_id")), "doc_id"),
-        windowFrames = 50)
-      val w = Window.partitionBy("media_id").orderBy("window_idx")
-      en.withColumn("is_silent", col("abs_sum") === 0L)
-        .withColumn("starts",
-          (!col("is_silent") &&
-            coalesce(lag(col("abs_sum") === 0L, 1).over(w), lit(true)))
-            .cast("long"))
-        .withColumn("segment_id",
-          when(!col("is_silent"),
-            sum(col("starts")).over(w) - 1L))
-        .select(col("media_id"), col("window_idx"), col("is_silent"),
-          col("segment_id").cast("long").as("segment_id"))
+    "mm_audio_segments" -> ((s, d) => audioSegments(s, d)),
+
+    // CROSS-MODAL SEGMENTATION REPORT — the corpus-level rollup of the
+    // two segmentation cores (video scenes, audio voiced runs): items,
+    // units (frames / windows), segments, and mean segment length per
+    // modality — the numbers that size a clip-extraction job before it
+    // runs. Both cores are SharedStages (zero marginal cost beside
+    // mm_scene_cuts / mm_audio_segments in a live session); the rollup
+    // itself is two single-row aggregates and a 2-row union.
+    "pipeline_segmentation_report" -> ((s, d) => {
+      val v = sceneCuts(s, d).groupBy("media_id")
+        .agg(count(lit(1)).as("units"),
+          (max("scene_id") + 1L).as("segs"))
+      val a = audioSegments(s, d).groupBy("media_id")
+        .agg(count(lit(1)).as("units"),
+          (coalesce(max("segment_id"), lit(-1L)) + 1L).as("segs"))
+      def roll(df: DataFrame, m: String) = df.agg(
+        count(lit(1)).cast("long").as("n_items"),
+        sum("units").cast("long").as("n_units"),
+        sum("segs").cast("long").as("n_segments"))
+        .select(lit(m).as("modality"), col("n_items"), col("n_units"),
+          col("n_segments"),
+          (round((col("n_units") * 1000000L).cast("double")
+              / col("n_segments"), 0)
+            .cast("long").cast("double") / 1000000.0)
+            .as("units_per_segment"))
+      roll(v, "video").unionByName(roll(a, "audio")).orderBy("modality")
     }),
 
     // AUDIO FINGERPRINT DEDUP (r13 VERDICT item 7 — pair generation
@@ -1661,21 +1715,7 @@ object TextOps {
     // the gate. Plan: one mapPartitions demux + ONE per-media ordered
     // window (frames-per-video is bounded, so the window partition
     // never skews); no shuffle beyond the media_id exchange.
-    "mm_scene_cuts" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val fh = graft.multimodal.Multimodal.extractFrameHashes(
-        graft.multimodal.Multimodal.synthMp4Scenes(
-          Tables.documents(s, d).select(col("doc_id")), "doc_id"))
-      val w = Window.partitionBy("media_id").orderBy("sample_idx")
-      fh.withColumn("prev", lag(col("fhash"), 1).over(w))
-        .withColumn("is_scene_start",
-          col("prev").isNull || col("prev") =!= col("fhash"))
-        .withColumn("scene_id",
-          (sum(when(col("is_scene_start"), 1L).otherwise(0L)).over(w)
-            - 1L).cast("long"))
-        .select(col("media_id"), col("sample_idx").as("frame_idx"),
-          col("scene_id"), col("is_scene_start"))
-    }),
+    "mm_scene_cuts" -> ((s, d) => sceneCuts(s, d)),
 
     // TRUE frame timestamps from the MP4 sample table (the companion to
     // mm_frame_sample's synthetic spacing): synthMp4Stts writes a full
@@ -4060,6 +4100,34 @@ object TextOps {
         |      ORDER BY window_idx ROWS UNBOUNDED PRECEDING) - 1
         |      AS BIGINT) END AS segment_id
         |FROM win""".stripMargin,
+    // Both modalities' closed forms rolled up: video scenes per doc =
+    // ceil(n/len); audio segments per doc = count of voiced-run
+    // starts under the (id+w) mod 3 silence map.
+    "pipeline_segmentation_report" ->
+      """WITH pv AS (SELECT doc_id, 6 + doc_id % 5 AS n,
+        |    2 + doc_id % 3 AS len FROM documents),
+        |vv AS (SELECT count(*) AS n_items,
+        |    CAST(sum(n) AS BIGINT) AS n_units,
+        |    CAST(sum((n + len - 1) // len) AS BIGINT) AS n_segments
+        |  FROM pv),
+        |pa AS (SELECT doc_id, 8 + doc_id % 5 AS nw FROM documents),
+        |aw AS (SELECT doc_id, kk.w,
+        |    (doc_id + kk.w) % 3 != 0
+        |      AND (kk.w = 0 OR (doc_id + kk.w - 1) % 3 = 0) AS st
+        |  FROM pa, LATERAL (SELECT unnest(range(0, nw)) AS w) kk),
+        |aa AS (SELECT doc_id, count(*) AS units,
+        |    sum(CASE WHEN st THEN 1 ELSE 0 END) AS segs
+        |  FROM aw GROUP BY doc_id),
+        |av AS (SELECT count(*) AS n_items,
+        |    CAST(sum(units) AS BIGINT) AS n_units,
+        |    CAST(sum(segs) AS BIGINT) AS n_segments FROM aa),
+        |u AS (SELECT 'video' AS modality, * FROM vv
+        |  UNION ALL SELECT 'audio', * FROM av)
+        |SELECT modality, n_items, n_units, n_segments,
+        |  CAST(CAST(round(CAST(n_units * 1000000 AS DOUBLE)
+        |    / n_segments, 0) AS BIGINT) AS DOUBLE) / 1000000.0
+        |    AS units_per_segment
+        |FROM u ORDER BY modality""".stripMargin,
     // Replays synthWavFamilies end-to-end: md5(fam) 16-bit seed →
     // byte pattern (i·step + base) mod 256 → signed-16LE samples →
     // the two full 50-frame window sums → quantized signature →

@@ -686,6 +686,43 @@ object Relational {
           col("zx"), col("zy"), 16))
         .orderBy(col("z"), col("o_orderkey")).limit(100)),
 
+    // Range-partition planner: the 7 boundary dates that split orders
+    // into 8 row-balanced date ranges (what repartitionByRange samples
+    // non-deterministically, computed exactly). The 100 TB shape: ONE
+    // full-width pass (groupBy date → per-value counts, partial-agg
+    // map-side, output bounded by distinct dates not rows), then the
+    // distributed prefix-sum spine — per-year window cumsum + broadcast
+    // cumulative year offsets (GraftOps.cumulativeOffsets) — so no
+    // single-partition WindowExec ever sees the value table. Boundary k
+    // = minimal date whose running count reaches ceil(k·n/8); ceil is
+    // exact (k·n < 2^53, /8 is a power of two). The 7 target positions
+    // broadcast against the date table; min/min_by pick the boundary
+    // row per bucket.
+    "scale_range_bounds" -> ((s, d) => {
+      val counts = Tables.orders(s, d)
+        .groupBy(col("o_orderdate").as("bound_date"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("yr", year(col("bound_date")).cast("long"))
+      val offs = graft.api.GraftOps.cumulativeOffsets(
+        counts.groupBy("yr").agg(sum("n").as("yn")), "yr", "yn")
+      val wYr = Window.partitionBy("yr").orderBy("bound_date")
+      val cum = counts
+        .withColumn("wcum", sum("n").over(wYr))
+        .join(broadcast(offs), "yr")
+        .select(col("bound_date"),
+          (col("off") + col("wcum")).cast("long").as("cum"))
+      val total = cum.agg(max("cum").as("n_rows"))
+      val targets = s.range(1, 8).select(col("id").as("bucket"))
+        .crossJoin(broadcast(total))
+        .select(col("bucket"),
+          ceil(col("bucket").cast("double") * col("n_rows").cast("double")
+            / 8.0).cast("long").as("target_pos"))
+      cum.join(broadcast(targets), col("cum") >= col("target_pos"))
+        .groupBy("bucket", "target_pos")
+        .agg(min("bound_date").as("bound_date"),
+          min_by(col("cum"), col("bound_date")).as("rows_through"))
+    }),
+
     // Bounded-round PageRank over the supplier↔part co-occurrence graph
     // (edges = distinct lineitem pairs, part ids offset by 1e6). Second
     // iterative graph operator after connectedComponents — same
@@ -1626,6 +1663,20 @@ object Relational {
          |  o_orderkey % 65536 AS zy FROM orders)
          |SELECT o_orderkey, zx, zy, CAST($ZOrderTerms AS BIGINT) AS z
          |FROM b ORDER BY z, o_orderkey LIMIT 100""".stripMargin,
+    "scale_range_bounds" ->
+      """WITH counts AS (SELECT o_orderdate AS bound_date,
+        |  CAST(count(*) AS BIGINT) AS n FROM orders GROUP BY 1),
+        |cum AS (SELECT bound_date, CAST(sum(n) OVER (ORDER BY bound_date
+        |  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM counts),
+        |total AS (SELECT max(cum) AS n_rows FROM cum),
+        |targets AS (SELECT CAST(bucket AS BIGINT) AS bucket,
+        |  CAST(ceil(CAST(bucket AS DOUBLE) * CAST(n_rows AS DOUBLE) / 8.0)
+        |    AS BIGINT) AS target_pos
+        |  FROM range(1, 8) r(bucket), total)
+        |SELECT bucket, target_pos, min(bound_date) AS bound_date,
+        |  arg_min(cum, bound_date) AS rows_through
+        |FROM cum JOIN targets ON cum.cum >= targets.target_pos
+        |GROUP BY bucket, target_pos""".stripMargin,
     "graph_pagerank" ->
       """WITH ed0 AS (SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS src,
         |  CAST(l_partkey + 1000000 AS BIGINT) AS dst FROM lineitem),

@@ -49,6 +49,69 @@ object Similarity {
         "vec_id", "u", 10)
     }),
 
+    // Hybrid retrieval via reciprocal-rank fusion (the Elastic/Vespa
+    // hybrid-search shape): the lexical list (BM25 over the fixed term
+    // query) and the semantic list (cosine top-k for the query vector)
+    // are fused rank-wise — rrf(d) = Σ 1/(60+rank_i(d)) over the lists
+    // containing d, in exact micro-units so the two engines agree
+    // bit-for-bit. Each retriever inherits its own 100 TB posture
+    // (BM25: broadcast idf over one corpus pass; ANN: IVF cells); the
+    // fusion itself touches only the two ≤50-row lists, so it is free
+    // at any scale — the whole point of fusing ranks instead of
+    // incomparable scores.
+    "rag_hybrid_rrf" -> ((s, d) => {
+      val wL = Window.orderBy(col("score").desc, col("doc_id"))
+      val lex = TextOps.bm25TopK(Tables.documents(s, d), Seq("doc_id"),
+        "text", 50)
+        .select(col("doc_id"),
+          row_number().over(wL).cast("long").as("lex_rnk"))
+      val e = unitVecs(s, d)
+      val sem = graft.api.GraftOps.cosineTopK(e,
+        e.filter(col("vec_id") === 0L), "vec_id", "u", 50)
+        .select(col("cand_id").as("doc_id"), col("rnk").as("sem_rnk"))
+      lex.join(sem, Seq("doc_id"), "full_outer")
+        .withColumn("rrf_micro",
+          floor(coalesce(lit(1000000.0)
+              / (lit(60.0) + col("lex_rnk").cast("double")), lit(0.0))
+            + coalesce(lit(1000000.0)
+              / (lit(60.0) + col("sem_rnk").cast("double")), lit(0.0))
+            + lit(0.5)).cast("long"))
+        .orderBy(col("rrf_micro").desc, col("doc_id")).limit(20)
+    }),
+
+    // Margin-based bitext mining (the parallel-corpus miner behind
+    // CCMatrix-style datasets): for every non-English document vector,
+    // its 4 nearest English neighbors; the top-1 is a translation-pair
+    // candidate scored by the RATIO margin top1 / mean(top-4) — absolute
+    // cosine is uncalibrated across hubs, the margin is not. Scores are
+    // summed as exact micro-longs (order-free) so the margin is one
+    // deterministic division. Candidate generation here is the
+    // broadcast brute-force baseline; at 100 TB the same (q_id,
+    // cand_id, score, rnk) contract comes from the IVF cell join
+    // (emb_ivf_topk) with margin arithmetic unchanged.
+    "emb_bitext_mine" -> ((s, d) => {
+      val lang = Tables.documents(s, d)
+        .select(col("doc_id").as("vec_id"), col("lang"))
+      val e = unitVecs(s, d).join(lang, "vec_id")
+      val en = e.filter(col("lang") === "en")
+      val non = e.filter(col("lang") =!= "en")
+      graft.api.GraftOps.cosineTopK(en, non, "vec_id", "u", 4)
+        .withColumn("micro",
+          floor(col("score") * 1000000.0 + 0.5).cast("long"))
+        .groupBy("q_id")
+        .agg(min_by(col("cand_id"), col("rnk")).as("best_en"),
+          min_by(col("micro"), col("rnk")).as("top1_micro"),
+          sum("micro").as("sum_micro"),
+          count(lit(1)).cast("long").as("k"))
+        .join(non.select(col("vec_id").as("q_id"), col("lang")), "q_id")
+        .select(col("q_id"), col("lang"), col("best_en"),
+          round(col("top1_micro").cast("double") / 1000000.0, 6)
+            .as("top1_cos"),
+          round(col("k").cast("double") * col("top1_micro").cast("double")
+            / col("sum_micro").cast("double"), 6).as("margin"))
+        .withColumn("keep", col("margin") >= lit(1.05))
+    }),
+
     "emb_ivf_topk" -> ((s, d) => {
       val e = unitVecs(s, d)
       val q = e.filter(col("vec_id") < 5)
@@ -898,6 +961,78 @@ object Similarity {
          |r AS (SELECT *, row_number() OVER (PARTITION BY q_id
          |    ORDER BY score DESC, cand_id) AS rnk FROM sc)
          |SELECT q_id, cand_id, score, rnk FROM r WHERE rnk <= 10""".stripMargin,
+    "rag_hybrid_rrf" ->
+      s"""WITH ${TextOps.TokedCte},
+         |tok AS (SELECT doc_id, unnest(toks) AS term FROM toked),
+         |dl AS (SELECT doc_id, count(*) AS len FROM tok GROUP BY doc_id),
+         |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(len) AS BIGINT) AS tot_len FROM dl),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+         |  WHERE term IN (${TextOps.Bm25Terms.map("'" + _ + "'").mkString(", ")})
+         |  GROUP BY doc_id, term),
+         |idf AS (SELECT term,
+         |  round(ln((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE)
+         |      + CAST(0.5 AS DOUBLE))
+         |    / (CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE))
+         |    + CAST(1.0 AS DOUBLE)), 6) AS idf,
+         |  CAST(tot_len AS DOUBLE) / CAST(n_docs AS DOUBLE) AS avgdl
+         |  FROM (SELECT term, count(*) AS df FROM tf GROUP BY term), stats),
+         |sc AS (SELECT tf.doc_id, CAST(trunc(round(idf.idf
+         |    * (CAST(tf.tf AS DOUBLE) * CAST(2.2 AS DOUBLE)
+         |      / (CAST(tf.tf AS DOUBLE) + CAST(1.2 AS DOUBLE)
+         |        * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE)
+         |          * (CAST(dl.len AS DOUBLE) / idf.avgdl)))), 6)
+         |    * 1000000 + CAST(0.5 AS DOUBLE)) AS BIGINT) AS contrib
+         |  FROM tf JOIN idf USING (term) JOIN dl ON tf.doc_id = dl.doc_id),
+         |g AS (SELECT doc_id, CAST(sum(contrib) AS BIGINT) AS s
+         |  FROM sc GROUP BY doc_id),
+         |lex AS (SELECT doc_id, lex_rnk FROM (SELECT doc_id,
+         |    CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS BIGINT)
+         |      AS lex_rnk FROM g) WHERE lex_rnk <= 50),
+         |$UnitCte,
+         |q AS (SELECT vec_id AS q_id, u AS q_u FROM e WHERE vec_id = 0),
+         |sc2 AS (SELECT q.q_id, e.vec_id AS cand_id,
+         |    round(list_dot_product(e.u, q.q_u), 6) AS score
+         |  FROM e CROSS JOIN q WHERE e.vec_id <> q.q_id),
+         |sem AS (SELECT cand_id AS doc_id, rnk AS sem_rnk FROM
+         |  (SELECT cand_id, CAST(row_number() OVER (PARTITION BY q_id
+         |    ORDER BY score DESC, cand_id) AS BIGINT) AS rnk FROM sc2)
+         |  WHERE rnk <= 50),
+         |f AS (SELECT coalesce(lex.doc_id, sem.doc_id) AS doc_id,
+         |    lex_rnk, sem_rnk
+         |  FROM lex FULL JOIN sem ON lex.doc_id = sem.doc_id)
+         |SELECT doc_id, lex_rnk, sem_rnk,
+         |  CAST(floor(coalesce(1000000.0 / (60.0 + CAST(lex_rnk AS DOUBLE)),
+         |      0.0)
+         |    + coalesce(1000000.0 / (60.0 + CAST(sem_rnk AS DOUBLE)), 0.0)
+         |    + 0.5) AS BIGINT) AS rrf_micro
+         |FROM f ORDER BY rrf_micro DESC, doc_id LIMIT 20""".stripMargin,
+    "emb_bitext_mine" ->
+      s"""WITH $UnitCte,
+         |dlang AS (SELECT doc_id, lang FROM documents),
+         |e2 AS (SELECT e.vec_id, e.u, dlang.lang
+         |  FROM e JOIN dlang ON e.vec_id = dlang.doc_id),
+         |en AS (SELECT * FROM e2 WHERE lang = 'en'),
+         |non AS (SELECT * FROM e2 WHERE lang <> 'en'),
+         |sc AS (SELECT non.vec_id AS q_id, en.vec_id AS cand_id,
+         |    round(list_dot_product(en.u, non.u), 6) AS score
+         |  FROM non CROSS JOIN en WHERE en.vec_id <> non.vec_id),
+         |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id
+         |    ORDER BY score DESC, cand_id) AS BIGINT) AS rnk FROM sc),
+         |k4 AS (SELECT q_id, cand_id, rnk,
+         |  CAST(floor(score * 1000000.0 + 0.5) AS BIGINT) AS micro
+         |  FROM r WHERE rnk <= 4),
+         |m AS (SELECT q_id, arg_min(cand_id, rnk) AS best_en,
+         |  arg_min(micro, rnk) AS top1_micro,
+         |  CAST(sum(micro) AS BIGINT) AS sum_micro,
+         |  CAST(count(*) AS BIGINT) AS k FROM k4 GROUP BY q_id)
+         |SELECT m.q_id, non.lang, m.best_en,
+         |  round(CAST(top1_micro AS DOUBLE) / 1000000.0, 6) AS top1_cos,
+         |  round(CAST(k AS DOUBLE) * CAST(top1_micro AS DOUBLE)
+         |    / CAST(sum_micro AS DOUBLE), 6) AS margin,
+         |  round(CAST(k AS DOUBLE) * CAST(top1_micro AS DOUBLE)
+         |    / CAST(sum_micro AS DOUBLE), 6) >= 1.05 AS keep
+         |FROM m JOIN non ON m.q_id = non.vec_id""".stripMargin,
     "emb_ivf_topk" ->
       s"""WITH $UnitCte,
          |q AS (SELECT vec_id AS q_id, label AS q_label, u AS q_u

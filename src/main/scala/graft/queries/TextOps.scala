@@ -18,7 +18,7 @@ import graft.functions.TextFunctions._
 object TextOps {
 
   /** Shared DuckDB CTE: whitespace tokens per doc (matches tokens()). */
-  private val TokedCte =
+  private[queries] val TokedCte =
     """toked AS (SELECT doc_id, list_filter(
       |  regexp_split_to_array(trim(text), '\s+'), t -> t != '') AS toks
       |  FROM documents)""".stripMargin
@@ -1953,6 +1953,45 @@ object TextOps {
             col("n_docs"), 6).as("weight"))
     }),
 
+    // Token-budget epoch planning (the data-budgeting step of a training
+    // run): given per-source token counts, target mixture weights, and a
+    // corpus-relative token budget (4× total tokens here), compute each
+    // source's repeat factor (epochs, capped at 4× — the "don't repeat
+    // data more than a few epochs" rule), its planned token count, and
+    // its realized share of the final mixture. The only full-width pass
+    // is the per-source token count (partial-agg map-side); everything
+    // after runs on the source-cardinality table with broadcast 1-row
+    // totals. Weights are a deterministic function of the source id
+    // (1 + idx mod 5) so both engines derive the identical mixture;
+    // swap in any weight table in production. All divisions are single
+    // double ops over exact integer inputs (< 2^53), so the plan is
+    // bit-stable across engines and partitionings.
+    "samp_epoch_plan" -> ((s, d) => {
+      val perSrc = docsOf(s, d)
+        .groupBy("source")
+        .agg(sum(size(tokens(col("text"))).cast("long")).as("n_tokens"))
+        .withColumn("w", lit(1L) +
+          pmod(regexp_extract(col("source"), "[0-9]+", 0).cast("long"),
+            lit(5L)))
+      val tot = perSrc.agg(sum("n_tokens").as("tot_tok"),
+        sum("w").as("tot_w"))
+      val planned = perSrc.crossJoin(broadcast(tot))
+        .withColumn("epochs",
+          least(round(lit(4.0) * col("tot_tok").cast("double")
+            * col("w").cast("double")
+            / (col("tot_w") * col("n_tokens")).cast("double"), 6),
+            lit(4.0)))
+        .withColumn("planned_tokens",
+          floor(col("epochs") * col("n_tokens").cast("double") + 0.5)
+            .cast("long"))
+      val ptot = planned.agg(sum("planned_tokens").as("ptot"))
+      planned.crossJoin(broadcast(ptot))
+        .select(col("source"), col("n_tokens"), col("w"), col("epochs"),
+          col("planned_tokens"),
+          round(col("planned_tokens").cast("double") / col("ptot"), 6)
+            .as("planned_share"))
+    }),
+
     // Deterministic global shuffle (training-order randomization):
     // position = rank under md5(doc_id) order. Same distributed-rank
     // shape as w4_ntile — the hash's first byte is a monotone bucket, so
@@ -2642,7 +2681,7 @@ object TextOps {
   private val BfsRounds = 3
 
   /** Fixed query-term set for txt_bm25_topk — shared with its oracle. */
-  private val Bm25Terms = Seq("spark", "window", "hash", "vector", "stream")
+  private[queries] val Bm25Terms = Seq("spark", "window", "hash", "vector", "stream")
 
   /** Single-pass BM25 top-k over `units` (one text per keyCols row):
     * one tokenize pass computes unit length and the query-term tfs as
@@ -2652,7 +2691,7 @@ object TextOps {
     * Shared by txt_bm25_topk (unit = document) and pipeline_rag_corpus
     * (unit = deduped chunk) so the determinism recipe and the
     * k1=1.2 / b=0.75 constants live in exactly one place. */
-  private def bm25TopK(units: DataFrame, keyCols: Seq[String],
+  private[queries] def bm25TopK(units: DataFrame, keyCols: Seq[String],
       textCol: String, k: Int): DataFrame = {
     val keys = keyCols.map(col)
     val perUnit = units
@@ -4623,5 +4662,25 @@ object TextOps {
         |SELECT lang, n_docs,
         |  round(CAST(n_docs AS DOUBLE) / total, 6) AS share,
         |  round((CAST(total AS DOUBLE) / n_langs) / n_docs, 6) AS weight
-        |FROM c, t""".stripMargin)
+        |FROM c, t""".stripMargin,
+    "samp_epoch_plan" ->
+      s"""WITH $TokedCte,
+         |c AS (SELECT source, CAST(sum(len(toks)) AS BIGINT) AS n_tokens,
+         |  CAST(1 + CAST(regexp_extract(source, '[0-9]+') AS BIGINT) % 5
+         |    AS BIGINT) AS w
+         |  FROM toked JOIN documents USING (doc_id)
+         |  GROUP BY source),
+         |t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot_tok,
+         |  CAST(sum(w) AS BIGINT) AS tot_w FROM c),
+         |p AS (SELECT source, n_tokens, w,
+         |  least(round(4.0 * CAST(tot_tok AS DOUBLE) * CAST(w AS DOUBLE)
+         |    / CAST(tot_w * n_tokens AS DOUBLE), 6), 4.0) AS epochs
+         |  FROM c, t),
+         |p2 AS (SELECT source, n_tokens, w, epochs,
+         |  CAST(floor(epochs * CAST(n_tokens AS DOUBLE) + 0.5) AS BIGINT)
+         |    AS planned_tokens FROM p),
+         |pt AS (SELECT CAST(sum(planned_tokens) AS BIGINT) AS ptot FROM p2)
+         |SELECT source, n_tokens, w, epochs, planned_tokens,
+         |  round(CAST(planned_tokens AS DOUBLE) / ptot, 6) AS planned_share
+         |FROM p2, pt""".stripMargin)
 }

@@ -367,6 +367,52 @@ object EventOps {
           (unix_micros(col("ts")) - col("asof_click_us")).as("gap_us"))
     }),
 
+    // Watermark-sizing report: how out-of-order is the stream, really?
+    // Lateness of each event = running max event-time over ARRIVAL order
+    // (event_id) minus its own event-time, clamped at 0; the report is
+    // the late share, the max, and exact lateness quantiles — precisely
+    // the numbers that justify a withWatermark() bound instead of
+    // guessing one. The global running max never routes through a
+    // single-partition window: event_id DIV 4096 is a monotone arrival
+    // bucket, so a per-bucket window max + a broadcast prefix-max over
+    // the bounded bucket table reconstructs it exactly (the prefix-max
+    // twin of GraftOps.cumulativeOffsets; widen the bucket at larger
+    // id ranges to keep the bucket table bounded). Quantiles via
+    // exactPercentilesDist — no single-task percentile buffer.
+    "ev_disorder_report" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("event_id"),
+        unix_micros(col("ts")).as("ts_us"),
+        expr("event_id DIV 4096").as("bkt"))
+      val wPrev = Window.partitionBy("bkt").orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val bmax = ev.groupBy("bkt").agg(max("ts_us").as("bmax"))
+      val prior = bmax.as("a")
+        .join(broadcast(bmax.as("b")), col("b.bkt") < col("a.bkt"), "left")
+        .groupBy(col("a.bkt").as("bkt"))
+        .agg(max(col("b.bmax")).as("prior_max"))
+      val late = ev.join(broadcast(prior), Seq("bkt"))
+        .withColumn("prev_ts",
+          greatest(coalesce(max("ts_us").over(wPrev), lit(Long.MinValue)),
+            coalesce(col("prior_max"), lit(Long.MinValue))))
+        .withColumn("late_us", when(col("prev_ts") > col("ts_us"),
+          col("prev_ts") - col("ts_us")).otherwise(0L))
+      val qs = graft.api.GraftOps.exactPercentilesDist(
+        late.select((col("late_us").cast("double") / 1000.0).as("late_ms")),
+        "late_ms", Seq(0.5, 0.95, 0.99))
+      late.agg(count(lit(1)).cast("long").as("n_events"),
+          sum(when(col("late_us") > 0L, 1L).otherwise(0L)).cast("long")
+            .as("n_late"),
+          max("late_us").as("max_late_us"))
+        .crossJoin(qs)
+        .select(col("n_events"), col("n_late"),
+          round(col("n_late").cast("double") / col("n_events"), 6)
+            .as("late_share"),
+          expr("max_late_us DIV 1000").as("max_late_ms"),
+          round(element_at(col("q"), 1), 6).as("p50_ms"),
+          round(element_at(col("q"), 2), 6).as("p95_ms"),
+          round(element_at(col("q"), 3), 6).as("p99_ms"))
+    }),
+
     // Range (interval) join via time-bin bucketing: clicks within the
     // hour before each purchase. A naive inequality join degenerates to
     // a per-key cross product; binning both sides to the interval width
@@ -800,6 +846,26 @@ object EventOps {
         |  epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
         |FROM p ASOF LEFT JOIN c
         |  ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin,
+    "ev_disorder_report" ->
+      """WITH ev AS (SELECT event_id, epoch_us(ts) AS ts_us FROM events),
+        |d AS (SELECT event_id, ts_us, max(ts_us) OVER (ORDER BY event_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_ts
+        |  FROM ev),
+        |l AS (SELECT ts_us, CASE WHEN prev_ts IS NOT NULL
+        |  AND prev_ts > ts_us THEN prev_ts - ts_us ELSE 0 END AS late_us
+        |  FROM d),
+        |q AS (SELECT quantile_cont(CAST(late_us AS DOUBLE) / 1000.0,
+        |  [0.5, 0.95, 0.99]) AS qq FROM l),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_late,
+        |  CAST(max(late_us) AS BIGINT) AS max_late_us FROM l)
+        |SELECT n_events, n_late,
+        |  round(CAST(n_late AS DOUBLE) / n_events, 6) AS late_share,
+        |  CAST(max_late_us // 1000 AS BIGINT) AS max_late_ms,
+        |  round(qq[1], 6) AS p50_ms, round(qq[2], 6) AS p95_ms,
+        |  round(qq[3], 6) AS p99_ms
+        |FROM t, q""".stripMargin,
     "j12_range_join" ->
       """WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
         |c AS (SELECT * FROM events WHERE event_type = 'click')

@@ -1481,6 +1481,35 @@ object TextOps {
     // ordered window (windows-per-clip bounded — no skew).
     "mm_audio_segments" -> ((s, d) => audioSegments(s, d)),
 
+    // CROSS-MODAL A/V ALIGNMENT — the AV-ASR / clip-pairing primitive:
+    // each sampled VIDEO frame is attributed to the AUDIO voiced segment
+    // active at its timestamp, via the engine's as-of join on a shared
+    // integer time grid (quarter-milliseconds: video t_ms·4, audio
+    // window w·25 since a 50-frame window at 8 kHz is 6.25 ms — both
+    // exact, no float time anywhere). This is the join that pairs
+    // frames with speech for audio-visual training data; frames past
+    // the audio tail attach to the last window, frames in silence get
+    // voiced=false with a NULL segment. One shuffle on media_id (the
+    // asofJoin window); both demux cores are the same deterministic
+    // decode paths the per-modality queries gate.
+    "mm_av_sync" -> ((s, d) => {
+      val frames = graft.multimodal.Multimodal.sampleFrameTimes(
+        graft.multimodal.Multimodal.synthMp4Stts(
+          Tables.documents(s, d).select(col("doc_id")), "doc_id"),
+        stride = 2)
+        .select(col("media_id"), col("sample_idx"), col("t_ms"),
+          (col("t_ms") * 4L).as("t_q"))
+      val wins = audioSegments(s, d)
+        .select(col("media_id"), (col("window_idx") * 25L).as("t_q"),
+          col("window_idx"), col("is_silent"), col("segment_id"))
+      graft.api.GraftOps.asofJoin(frames, wins, "media_id", "t_q",
+          Seq("window_idx", "is_silent", "segment_id"))
+        .select(col("media_id"), col("sample_idx"), col("t_ms"),
+          col("asof_window_idx").as("window_idx"),
+          col("asof_segment_id").as("segment_id"),
+          (!col("asof_is_silent")).as("voiced"))
+    }),
+
     // CROSS-MODAL SEGMENTATION REPORT — the corpus-level rollup of the
     // two segmentation cores (video scenes, audio voiced runs): items,
     // units (frames / windows), segments, and mean segment length per
@@ -4504,6 +4533,42 @@ object TextOps {
         |    ELSE n1 * d1 + (k - n1) * d2 END) * 1000 // mts AS BIGINT)
         |    AS t_ms
         |FROM e WHERE k % 2 = 0""".stripMargin,
+    "mm_av_sync" ->
+      """WITH p AS (SELECT doc_id,
+        |    1000 + (doc_id % 3) * 500 AS mts,
+        |    3 + (doc_id % 3) AS n1, 100 + (doc_id % 5) * 20 AS d1,
+        |    2 + (doc_id % 2) AS n2, 40 + (doc_id % 7) * 10 AS d2
+        |  FROM documents),
+        |e AS (SELECT doc_id, mts, n1, d1, n2, d2, k
+        |  FROM p, LATERAL (SELECT unnest(range(0, n1 + n2)) AS k)),
+        |fr AS (SELECT doc_id AS media_id, CAST(k AS BIGINT) AS sample_idx,
+        |  CAST((CASE WHEN k < n1 THEN k * d1
+        |    ELSE n1 * d1 + (k - n1) * d2 END) * 1000 // mts AS BIGINT)
+        |    AS t_ms
+        |  FROM e WHERE k % 2 = 0),
+        |fr2 AS (SELECT media_id, sample_idx, t_ms, t_ms * 4 AS t_q
+        |  FROM fr),
+        |aw AS (SELECT doc_id AS media_id, w
+        |  FROM (SELECT doc_id, 8 + (doc_id % 5) AS nw FROM documents),
+        |  LATERAL (SELECT unnest(range(0, nw)) AS w)),
+        |seg0 AS (SELECT media_id, w, (media_id + w) % 3 = 0 AS is_silent
+        |  FROM aw),
+        |seg1 AS (SELECT media_id, w, is_silent,
+        |  lag(is_silent) OVER (PARTITION BY media_id ORDER BY w)
+        |    AS prev_sil FROM seg0),
+        |seg AS (SELECT media_id, w, is_silent,
+        |  CASE WHEN NOT is_silent THEN CAST(sum(CASE WHEN NOT is_silent
+        |    AND (prev_sil IS NULL OR prev_sil) THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY media_id ORDER BY w
+        |      ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) END AS segment_id
+        |  FROM seg1),
+        |wins AS (SELECT media_id, w * 25 AS t_q,
+        |  CAST(w AS BIGINT) AS window_idx, is_silent, segment_id
+        |  FROM seg)
+        |SELECT fr2.media_id, fr2.sample_idx, fr2.t_ms,
+        |  wins.window_idx, wins.segment_id, NOT wins.is_silent AS voiced
+        |FROM fr2 ASOF LEFT JOIN wins
+        |  ON fr2.media_id = wins.media_id AND fr2.t_q >= wins.t_q""".stripMargin,
     "txt_decontaminate" ->
       s"""WITH $TokedCte,
          |grams AS (SELECT doc_id,

@@ -57,6 +57,31 @@ class RetrievalPlanSpec extends SparkSpec {
     }
   }
 
+  test("mm_av_sync: every frame lands in a window; silence implies a " +
+      "NULL segment and voiced implies a segment id") {
+    val rows = queries.TextOps.queries("mm_av_sync")(spark, sf)
+      .select("window_idx", "segment_id", "voiced").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(!r.isNullAt(0), "frame with no matched audio window")
+      if (r.getBoolean(2)) assert(!r.isNullAt(1))
+      else assert(r.isNullAt(1))
+    }
+  }
+
+  test("ev_disorder_report: quantiles are ordered and bounded by the max") {
+    val r = queries.EventOps.queries("ev_disorder_report")(spark, sf).head()
+    val share = r.getAs[Double]("late_share")
+    assert(share >= 0.0 && share <= 1.0)
+    val p50 = r.getAs[Double]("p50_ms")
+    val p95 = r.getAs[Double]("p95_ms")
+    val p99 = r.getAs[Double]("p99_ms")
+    val mx = r.getAs[Long]("max_late_ms").toDouble
+    assert(p50 <= p95 && p95 <= p99)
+    // max_late_ms is integer-truncated, so allow < 1ms slack
+    assert(p99 <= mx + 1.0)
+  }
+
   test("samp_epoch_plan: epochs capped at 4, planned shares sum to ~1") {
     val rows = queries.TextOps.queries("samp_epoch_plan")(spark, sf)
       .select("epochs", "planned_share").collect()

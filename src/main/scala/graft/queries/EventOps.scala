@@ -243,6 +243,49 @@ object EventOps {
           sum(col("value").cast(D182)).cast("double").as("session_value"))
     }),
 
+    // Interval-OVERLAP join (campaign attribution): user sessions
+    // (30-min-gap sessionization, the ev_sessionize core) joined to the
+    // campaign windows they overlap, rolled up to per-campaign reach —
+    // sessions touched, users reached, and total overlapped seconds
+    // (least(end)−greatest(start), exact integer microseconds). The
+    // campaign table is the bounded side (dozens of rows in any real
+    // deployment) and BROADCASTS, so the inequality join is a streamed
+    // nested-loop over tiny state — no shuffle beyond sessionization's
+    // own user_id window. If both interval sides were corpus-sized the
+    // right shape is j12's time-bin bucketing; this query is the
+    // bounded-dimension case.
+    "j17_interval_overlap" -> ((s, d) => {
+      import s.implicits._
+      val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val gapUs = 30L * 60 * 1000000
+      val sess = Tables.events(s, d)
+        .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUser))
+        .withColumn("new_sess",
+          when(col("prev_us").isNull ||
+            unix_micros(col("ts")) - col("prev_us") > gapUs, 1L)
+            .otherwise(0L))
+        .withColumn("session_idx", sum(col("new_sess")).over(byUser))
+        .groupBy("user_id", "session_idx")
+        .agg(min(unix_micros(col("ts"))).as("s_us"),
+          max(unix_micros(col("ts"))).as("e_us"))
+      val camps = Seq(
+        ("c1", "2024-01-05 00:00:00", "2024-01-08 00:00:00"),
+        ("c2", "2024-01-12 00:00:00", "2024-01-19 00:00:00"),
+        ("c3", "2024-01-22 00:00:00", "2024-01-23 00:00:00"))
+        .toDF("campaign", "cs", "ce")
+        .select(col("campaign"),
+          unix_micros(to_timestamp(col("cs"))).as("cs_us"),
+          unix_micros(to_timestamp(col("ce"))).as("ce_us"))
+      sess.join(broadcast(camps),
+          col("s_us") <= col("ce_us") && col("e_us") >= col("cs_us"))
+        .groupBy("campaign")
+        .agg(count(lit(1)).cast("long").as("n_sessions"),
+          count_distinct(col("user_id")).cast("long").as("n_users"),
+          sum(least(col("e_us"), col("ce_us"))
+            - greatest(col("s_us"), col("cs_us"))).cast("long")
+            .as("overlap_us"))
+    }),
+
     // Ordered funnel: signup → first click AFTER signup → first purchase
     // AFTER that click, counted per stage. The stage dependency is
     // inherently sequential (t2 needs t1), so it costs one keyed
@@ -787,6 +830,32 @@ object EventOps {
         |  min(ts) AS session_start, max(ts) AS session_end,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
         |FROM sess GROUP BY user_id, session_idx""".stripMargin,
+    "j17_interval_overlap" ->
+      """WITH flagged AS (
+        |  SELECT *, CASE WHEN prev_us IS NULL
+        |      OR epoch_us(ts) - prev_us > 30 * 60 * 1000000
+        |    THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS new_sess
+        |  FROM (SELECT *, lag(epoch_us(ts), 1) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS prev_us FROM events)),
+        |sess AS (SELECT *, CAST(sum(new_sess) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND
+        |    CURRENT ROW) AS BIGINT) AS session_idx FROM flagged),
+        |si AS (SELECT user_id, session_idx,
+        |  min(epoch_us(ts)) AS s_us, max(epoch_us(ts)) AS e_us
+        |  FROM sess GROUP BY user_id, session_idx),
+        |camps(campaign, cs_us, ce_us) AS (VALUES
+        |  ('c1', epoch_us(TIMESTAMP '2024-01-05 00:00:00'),
+        |    epoch_us(TIMESTAMP '2024-01-08 00:00:00')),
+        |  ('c2', epoch_us(TIMESTAMP '2024-01-12 00:00:00'),
+        |    epoch_us(TIMESTAMP '2024-01-19 00:00:00')),
+        |  ('c3', epoch_us(TIMESTAMP '2024-01-22 00:00:00'),
+        |    epoch_us(TIMESTAMP '2024-01-23 00:00:00')))
+        |SELECT campaign, CAST(count(*) AS BIGINT) AS n_sessions,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+        |  CAST(sum(least(e_us, ce_us) - greatest(s_us, cs_us)) AS BIGINT)
+        |    AS overlap_us
+        |FROM si JOIN camps ON s_us <= ce_us AND e_us >= cs_us
+        |GROUP BY campaign""".stripMargin,
     "ev_funnel" ->
       """WITH t1 AS (SELECT user_id, min(epoch_us(ts)) AS t1 FROM events
         |  WHERE event_type = 'signup' GROUP BY user_id),

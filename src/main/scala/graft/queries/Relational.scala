@@ -482,6 +482,45 @@ object Relational {
             <= col("exact_nd").cast("double") * 0.05).as("within_tol"))
     }),
 
+    // Sketch set-INTERSECTION via inclusion–exclusion — the audience-
+    // overlap estimate (|A∩B| ≈ est(A)+est(B)−est(A∪B)) computed from
+    // the same mergeable HLL sketches a rollup table already stores, so
+    // overlap between any two segments costs three sketch reads and NO
+    // join over raw data — the entire point at 100 TB, where the exact
+    // answer needs a distinct-intersect shuffle over both segments.
+    // Oracle contract as the other sketch queries: exact counts +
+    // the tolerance boolean computed from the real sketch estimates
+    // (subtraction amplifies relative error, so the bound is 10 % of
+    // the union estimate rather than of the overlap itself).
+    "sketch_hll_intersect" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .filter(col("event_type").isin("click", "purchase"))
+        .select(col("event_type"), col("user_id"))
+      val perType = ev.groupBy("event_type")
+        .agg(hll_sketch_agg(col("user_id")).as("sk"))
+        .select(col("event_type"), col("sk"),
+          hll_sketch_estimate(col("sk")).as("est"))
+      val ests = perType.agg(
+        hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_union"),
+        max(when(col("event_type") === "click", col("est"))).as("est_a"),
+        max(when(col("event_type") === "purchase", col("est"))).as("est_b"))
+      val dist = ev.distinct()
+      val exact = dist.groupBy("user_id").agg(count(lit(1)).as("nt"))
+        .agg(sum(when(col("nt") === 2L, 1L).otherwise(0L)).cast("long")
+          .as("exact_overlap"))
+      dist.groupBy("event_type").agg(count(lit(1)).as("n"))
+        .agg(max(when(col("event_type") === "click", col("n")))
+            .cast("long").as("exact_a"),
+          max(when(col("event_type") === "purchase", col("n")))
+            .cast("long").as("exact_b"))
+        .crossJoin(broadcast(exact))
+        .crossJoin(broadcast(ests))
+        .select(col("exact_a"), col("exact_b"), col("exact_overlap"),
+          (abs(col("est_a") + col("est_b") - col("est_union")
+              - col("exact_overlap").cast("double"))
+            <= col("est_union") * 0.1).as("within_tol"))
+    }),
+
     // The sketch PERCENTILE next to the exact answer — the same
     // exact-vs-sketch pairing as agg_approx_distinct, completing the
     // claim agg_percentiles makes in prose: at 100 TB approx_percentile
@@ -1627,6 +1666,16 @@ object Relational {
         |  CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
         |  TRUE AS within_tol
         |FROM events GROUP BY event_type""".stripMargin,
+    "sketch_hll_intersect" ->
+      """WITH a AS (SELECT DISTINCT user_id FROM events
+        |  WHERE event_type = 'click'),
+        |b AS (SELECT DISTINCT user_id FROM events
+        |  WHERE event_type = 'purchase')
+        |SELECT CAST((SELECT count(*) FROM a) AS BIGINT) AS exact_a,
+        |  CAST((SELECT count(*) FROM b) AS BIGINT) AS exact_b,
+        |  CAST((SELECT count(*) FROM (SELECT user_id FROM a
+        |    INTERSECT SELECT user_id FROM b)) AS BIGINT) AS exact_overlap,
+        |  TRUE AS within_tol""".stripMargin,
     // Same contract shape: exact percentiles match bit-for-bit (both
     // engines use the p·(n−1) interpolation), the GK sketch's values
     // are engine-specific so the oracle asserts the tolerance boolean

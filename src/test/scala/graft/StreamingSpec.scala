@@ -195,6 +195,50 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("a watermark sized by ev_disorder_report's max lateness admits " +
+      "every event; an undersized one drops the stragglers") {
+    implicit val sqlCtx = spark.sqlContext
+    // Disordered arrival sequence (minutes): two stragglers arrive 14
+    // minutes after newer events have advanced the stream's max.
+    val arrivals = Seq(ts(1), ts(4), ts(25), ts(11), ts(27), ts(13))
+    // ev_disorder_report's lateness definition, inline: running max
+    // event-time over ARRIVAL order minus own event-time, clamped at 0.
+    val lateMs = arrivals.scanLeft(Long.MinValue)((m, t) =>
+      math.max(m, t.getTime)).zip(arrivals)
+      .map { case (prevMax, t) =>
+        if (prevMax == Long.MinValue) 0L
+        else math.max(0L, prevMax - t.getTime)
+      }
+    assert(lateMs.max == 14L * 60 * 1000)
+
+    def admitted(delay: String): Long = {
+      val name = s"wm_${delay.replaceAll("[^0-9]", "")}"
+      val stream = MemoryStream[(Timestamp, String, Double)]
+      val q = EventStream.tumblingStream(
+        stream.toDF().toDF("ts", "event_type", "value"),
+        "10 minutes", delay)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        // One micro-batch per row so the watermark advances with the
+        // arrival order, exactly like the report's running max.
+        arrivals.foreach { t =>
+          stream.addData((t, "a", 1.0)); q.processAllAvailable()
+        }
+        // Far-future flush closes every real window (its own window
+        // never emits before stop and is excluded from the count).
+        stream.addData((Timestamp.valueOf("2024-01-01 02:00:00"), "z", 0.0))
+        q.processAllAvailable()
+        spark.table(name).agg(sum("n")).as[Long].head()
+      } finally q.stop()
+    }
+    // Sized from the measured disorder: nothing dropped.
+    assert(admitted("14 minutes") == arrivals.length)
+    // Undersized: the two 14-minute stragglers' windows were already
+    // closed when they arrived — dropped.
+    assert(admitted("0 seconds") == arrivals.length - 2)
+  }
+
   test("rowlocal minhash bands are bit-identical to the batch pipeline") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),

@@ -112,6 +112,42 @@ object Similarity {
         .withColumn("keep", col("margin") >= lit(1.05))
     }),
 
+    // Per-DIMENSION corpus statistics — the fit step of embedding
+    // whitening/centering (and the per-dim drift baseline): mean,
+    // variance, and the whitening scale 1/√(var+ε) for each of the 64
+    // dimensions. The explode is corpus×dim rows but partial-aggregates
+    // map-side to dim-count rows per partition, so the shuffle moves
+    // ~64 rows per task regardless of corpus size. Exactness recipe:
+    // values quantized to micro-units (the int8-quantize trunc±0.5
+    // pattern), then summed as DECIMAL integers — order-free and
+    // engine-exact; the final mean/variance are fixed-order double ops
+    // on those exact sums.
+    "emb_dim_stats" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+        .select(posexplode(col("embedding")).as(Seq("dim0", "vf")))
+        .select((col("dim0") + 1).cast("long").as("dim"),
+          col("vf").cast("double").as("v"))
+        .withColumn("vm",
+          (col("v") * 1000000.0
+            + when(col("v") >= 0, 0.5).otherwise(-0.5)).cast("long"))
+      e.groupBy("dim").agg(
+          count(lit(1)).cast("long").as("n"),
+          sum(col("vm").cast(DecimalType(38, 0))).as("sm"),
+          sum((col("vm").cast(DecimalType(19, 0))
+            * col("vm").cast(DecimalType(19, 0)))).as("sq"))
+        .select(col("dim"), col("n"),
+          round(col("sm").cast("double") / 1000000.0 / col("n"), 6)
+            .as("mean"),
+          round(col("sq").cast("double") / 1.0e12 / col("n")
+            - (col("sm").cast("double") / 1000000.0 / col("n"))
+            * (col("sm").cast("double") / 1000000.0 / col("n")), 6)
+            .as("variance"),
+          round(lit(1.0) / sqrt(col("sq").cast("double") / 1.0e12 / col("n")
+            - (col("sm").cast("double") / 1000000.0 / col("n"))
+            * (col("sm").cast("double") / 1000000.0 / col("n"))
+            + lit(1.0e-9)), 6).as("inv_std"))
+    }),
+
     "emb_ivf_topk" -> ((s, d) => {
       val e = unitVecs(s, d)
       val q = e.filter(col("vec_id") < 5)
@@ -1033,6 +1069,28 @@ object Similarity {
          |  round(CAST(k AS DOUBLE) * CAST(top1_micro AS DOUBLE)
          |    / CAST(sum_micro AS DOUBLE), 6) >= 1.05 AS keep
          |FROM m JOIN non ON m.q_id = non.vec_id""".stripMargin,
+    "emb_dim_stats" ->
+      """WITH x AS (SELECT CAST(generate_subscripts(embedding, 1) AS BIGINT)
+        |    AS dim, CAST(unnest(embedding) AS DOUBLE) AS v
+        |  FROM embeddings),
+        |q AS (SELECT dim, CAST(trunc(v * 1000000.0 + CASE WHEN v >= 0
+        |    THEN CAST(0.5 AS DOUBLE) ELSE CAST(-0.5 AS DOUBLE) END)
+        |    AS BIGINT) AS vm FROM x),
+        |g AS (SELECT dim, CAST(count(*) AS BIGINT) AS n,
+        |  sum(CAST(vm AS DECIMAL(38, 0))) AS sm,
+        |  sum(CAST(vm AS DECIMAL(19, 0)) * CAST(vm AS DECIMAL(19, 0)))
+        |    AS sq
+        |  FROM q GROUP BY dim)
+        |SELECT dim, n,
+        |  round(CAST(sm AS DOUBLE) / 1000000.0 / n, 6) AS mean,
+        |  round(CAST(sq AS DOUBLE) / 1.0e12 / n
+        |    - (CAST(sm AS DOUBLE) / 1000000.0 / n)
+        |    * (CAST(sm AS DOUBLE) / 1000000.0 / n), 6) AS variance,
+        |  round(1.0 / sqrt(CAST(sq AS DOUBLE) / 1.0e12 / n
+        |    - (CAST(sm AS DOUBLE) / 1000000.0 / n)
+        |    * (CAST(sm AS DOUBLE) / 1000000.0 / n)
+        |    + 1.0e-9), 6) AS inv_std
+        |FROM g""".stripMargin,
     "emb_ivf_topk" ->
       s"""WITH $UnitCte,
          |q AS (SELECT vec_id AS q_id, label AS q_label, u AS q_u

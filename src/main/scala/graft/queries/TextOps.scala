@@ -2076,6 +2076,31 @@ object TextOps {
     // band_hash), never a corpus rescan. Batch-internal dups are the
     // already-covered dedup_minhash_* path; this query isolates the
     // cross-ingest modality.
+    // Incremental INDEX MAINTENANCE — the write side of the stored
+    // band index dedup_incremental probes: a new ingest batch's band
+    // buckets are merged into the index under FIRST-WINS ownership
+    // (an existing bucket keeps its canonical owner; only genuinely
+    // new buckets insert, tagged generation='ingest'). First-wins is
+    // the invariant that makes incremental dedup deterministic — a
+    // re-run of the same ingest can never steal ownership and flip
+    // earlier verdicts. Both sides aggregate and anti-join on the SAME
+    // (band_idx, band_hash) key — one co-partitioned shuffle family,
+    // no corpus rescan, which is the entire write path at 100 TB.
+    "idx_band_upsert" -> ((s, d) => {
+      val bands = graft.api.GraftOps
+        .minhashBands(docsOf(s, d), "doc_id", "text").localCheckpoint()
+      val base = bands.filter(col("doc_id") % 5 =!= 0)
+        .groupBy("band_idx", "band_hash")
+        .agg(min("doc_id").cast("long").as("owner"))
+      val fresh = bands.filter(col("doc_id") % 5 === 0)
+        .groupBy("band_idx", "band_hash")
+        .agg(min("doc_id").cast("long").as("owner"))
+        .join(base.select("band_idx", "band_hash"),
+          Seq("band_idx", "band_hash"), "left_anti")
+      base.withColumn("generation", lit("base"))
+        .unionByName(fresh.withColumn("generation", lit("ingest")))
+    }),
+
     "dedup_incremental" -> ((s, d) => {
       val docs = docsOf(s, d)
       val bands = graft.api.GraftOps
@@ -3247,6 +3272,20 @@ object TextOps {
     "dedup_minhash_bands" ->
       s"""WITH $SigCte
          |SELECT doc_id, band_idx, band_hash FROM bands""".stripMargin,
+    "idx_band_upsert" ->
+      s"""WITH $SigCte,
+         |base AS (SELECT band_idx, band_hash,
+         |  CAST(min(doc_id) AS BIGINT) AS owner FROM bands
+         |  WHERE doc_id % 5 <> 0 GROUP BY band_idx, band_hash),
+         |ing AS (SELECT band_idx, band_hash,
+         |  CAST(min(doc_id) AS BIGINT) AS owner FROM bands
+         |  WHERE doc_id % 5 = 0 GROUP BY band_idx, band_hash)
+         |SELECT band_idx, band_hash, owner, 'base' AS generation
+         |FROM base
+         |UNION ALL
+         |SELECT i.band_idx, i.band_hash, i.owner, 'ingest' AS generation
+         |FROM ing i LEFT JOIN base b USING (band_idx, band_hash)
+         |WHERE b.owner IS NULL""".stripMargin,
     // Same truth as dedup_minhash_bands on purpose: the row-local Spark
     // formulation must land on the identical band table.
     "dedup_bands_rowlocal" ->

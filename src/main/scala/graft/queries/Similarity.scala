@@ -41,6 +41,34 @@ object Similarity {
         transform(col("v"), x => x / col("nrm")).as("u"))
   }
 
+  /** The emb_dim_stats core (see its registry comment): per-dimension
+    * mean / variance / whitening scale from exact micro-unit DECIMAL
+    * sums. Shared by the fit query and emb_whiten_apply. */
+  private def dimStats(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(posexplode(col("embedding")).as(Seq("dim0", "vf")))
+      .select((col("dim0") + 1).cast("long").as("dim"),
+        col("vf").cast("double").as("v"))
+      .withColumn("vm",
+        (col("v") * 1000000.0
+          + when(col("v") >= 0, 0.5).otherwise(-0.5)).cast("long"))
+      .groupBy("dim").agg(
+        count(lit(1)).cast("long").as("n"),
+        sum(col("vm").cast(DecimalType(38, 0))).as("sm"),
+        sum((col("vm").cast(DecimalType(19, 0))
+          * col("vm").cast(DecimalType(19, 0)))).as("sq"))
+      .select(col("dim"), col("n"),
+        round(col("sm").cast("double") / 1000000.0 / col("n"), 6)
+          .as("mean"),
+        round(col("sq").cast("double") / 1.0e12 / col("n")
+          - (col("sm").cast("double") / 1000000.0 / col("n"))
+          * (col("sm").cast("double") / 1000000.0 / col("n")), 6)
+          .as("variance"),
+        round(lit(1.0) / sqrt(col("sq").cast("double") / 1.0e12 / col("n")
+          - (col("sm").cast("double") / 1000000.0 / col("n"))
+          * (col("sm").cast("double") / 1000000.0 / col("n"))
+          + lit(1.0e-9)), 6).as("inv_std"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Delegates to the user-facing API so the oracle guards GraftOps.
     "emb_cosine_topk" -> ((s, d) => {
@@ -122,30 +150,56 @@ object Similarity {
     // pattern), then summed as DECIMAL integers — order-free and
     // engine-exact; the final mean/variance are fixed-order double ops
     // on those exact sums.
-    "emb_dim_stats" -> ((s, d) => {
-      val e = Tables.embeddings(s, d)
-        .select(posexplode(col("embedding")).as(Seq("dim0", "vf")))
-        .select((col("dim0") + 1).cast("long").as("dim"),
+    "emb_dim_stats" -> ((s, d) => dimStats(s, d)),
+
+    // APPLY the whitening transform emb_dim_stats fits: sample vectors
+    // standardized per-dimension (z = (v − mean)·inv_std, using the
+    // 6-decimal published stats so fit and apply agree across engines),
+    // re-quantized to micro-units and fingerprinted in dim order. The
+    // 64-row stats table BROADCASTS against the exploded sample — the
+    // apply pass is one scan at any corpus size; per-vector reassembly
+    // is a bounded 64-element sort inside its own group.
+    "emb_whiten_apply" -> ((s, d) => {
+      val sample = Tables.embeddings(s, d)
+        .filter(col("vec_id") < 10L)
+        .select(col("vec_id"), posexplode(col("embedding"))
+          .as(Seq("dim0", "vf")))
+        .select(col("vec_id"), (col("dim0") + 1).cast("long").as("dim"),
           col("vf").cast("double").as("v"))
-        .withColumn("vm",
-          (col("v") * 1000000.0
-            + when(col("v") >= 0, 0.5).otherwise(-0.5)).cast("long"))
-      e.groupBy("dim").agg(
-          count(lit(1)).cast("long").as("n"),
-          sum(col("vm").cast(DecimalType(38, 0))).as("sm"),
-          sum((col("vm").cast(DecimalType(19, 0))
-            * col("vm").cast(DecimalType(19, 0)))).as("sq"))
-        .select(col("dim"), col("n"),
-          round(col("sm").cast("double") / 1000000.0 / col("n"), 6)
-            .as("mean"),
-          round(col("sq").cast("double") / 1.0e12 / col("n")
-            - (col("sm").cast("double") / 1000000.0 / col("n"))
-            * (col("sm").cast("double") / 1000000.0 / col("n")), 6)
-            .as("variance"),
-          round(lit(1.0) / sqrt(col("sq").cast("double") / 1.0e12 / col("n")
-            - (col("sm").cast("double") / 1000000.0 / col("n"))
-            * (col("sm").cast("double") / 1000000.0 / col("n"))
-            + lit(1.0e-9)), 6).as("inv_std"))
+      sample.join(broadcast(dimStats(s, d)), "dim")
+        .withColumn("z", (col("v") - col("mean")) * col("inv_std"))
+        .withColumn("zm", (col("z") * 1000000.0
+          + when(col("z") >= 0, 0.5).otherwise(-0.5)).cast("long"))
+        .groupBy("vec_id")
+        .agg(count(lit(1)).cast("long").as("n_dims"),
+          md5(array_join(transform(
+            array_sort(collect_list(struct(col("dim"), col("zm")))),
+            x => x.getField("zm").cast("string")), ",")).as("z_md5"))
+    }),
+
+    // HARD-NEGATIVE MINING for contrastive training: each query
+    // vector's closest candidates with a DIFFERENT label — the
+    // "semantically near but wrong" examples an embedding model trains
+    // against. Same broadcast-query brute-force shape as
+    // emb_cosine_topk with the label-disagreement predicate pushed
+    // into the candidate stream; at 100 TB the candidate generator
+    // swaps for the IVF cell join with the same predicate.
+    "samp_negative_mining" -> ((s, d) => {
+      val e = unitVecs(s, d)
+      val q = e.filter(col("vec_id") < 20L)
+        .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+          col("u").as("q_u"))
+      val w = Window.partitionBy("q_id")
+        .orderBy(col("score").desc, col("cand_id"))
+      e.select(col("vec_id").as("cand_id"), col("label").as("cand_label"),
+          col("u"))
+        .crossJoin(broadcast(q))
+        .filter(col("cand_label") =!= col("q_label"))
+        .select(col("q_id"), col("q_label"), col("cand_id"),
+          col("cand_label"),
+          round(expr("graft_vec_dot(u, q_u)"), 6).as("score"))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 3)
     }),
 
     "emb_ivf_topk" -> ((s, d) => {
@@ -958,6 +1012,31 @@ object Similarity {
       |        FROM embeddings)
       |  WHERE sqrt(list_dot_product(v, v)) > 0)""".stripMargin
 
+  /** Shared oracle CTE chain matching dimStats, ending in `st` =
+    * (dim, n, mean, variance, inv_std). */
+  private val DimStatsCte =
+    """dx AS (SELECT CAST(generate_subscripts(embedding, 1) AS BIGINT)
+      |    AS dim, CAST(unnest(embedding) AS DOUBLE) AS v
+      |  FROM embeddings),
+      |dq AS (SELECT dim, CAST(trunc(v * 1000000.0 + CASE WHEN v >= 0
+      |    THEN CAST(0.5 AS DOUBLE) ELSE CAST(-0.5 AS DOUBLE) END)
+      |    AS BIGINT) AS vm FROM dx),
+      |dg AS (SELECT dim, CAST(count(*) AS BIGINT) AS n,
+      |  sum(CAST(vm AS DECIMAL(38, 0))) AS sm,
+      |  sum(CAST(vm AS DECIMAL(19, 0)) * CAST(vm AS DECIMAL(19, 0)))
+      |    AS sq
+      |  FROM dq GROUP BY dim),
+      |st AS (SELECT dim, n,
+      |  round(CAST(sm AS DOUBLE) / 1000000.0 / n, 6) AS mean,
+      |  round(CAST(sq AS DOUBLE) / 1.0e12 / n
+      |    - (CAST(sm AS DOUBLE) / 1000000.0 / n)
+      |    * (CAST(sm AS DOUBLE) / 1000000.0 / n), 6) AS variance,
+      |  round(1.0 / sqrt(CAST(sq AS DOUBLE) / 1.0e12 / n
+      |    - (CAST(sm AS DOUBLE) / 1000000.0 / n)
+      |    * (CAST(sm AS DOUBLE) / 1000000.0 / n)
+      |    + 1.0e-9), 6) AS inv_std
+      |  FROM dg)""".stripMargin
+
   /** Shared oracle CTE chain: one spherical k-means iteration ending in
     * `a2` = (vec_id, u, cluster, score) — the assignment table both
     * emb_kmeans_iter and emb_ivf_kmeans_topk read. */
@@ -1070,27 +1149,35 @@ object Similarity {
          |    / CAST(sum_micro AS DOUBLE), 6) >= 1.05 AS keep
          |FROM m JOIN non ON m.q_id = non.vec_id""".stripMargin,
     "emb_dim_stats" ->
-      """WITH x AS (SELECT CAST(generate_subscripts(embedding, 1) AS BIGINT)
-        |    AS dim, CAST(unnest(embedding) AS DOUBLE) AS v
-        |  FROM embeddings),
-        |q AS (SELECT dim, CAST(trunc(v * 1000000.0 + CASE WHEN v >= 0
-        |    THEN CAST(0.5 AS DOUBLE) ELSE CAST(-0.5 AS DOUBLE) END)
-        |    AS BIGINT) AS vm FROM x),
-        |g AS (SELECT dim, CAST(count(*) AS BIGINT) AS n,
-        |  sum(CAST(vm AS DECIMAL(38, 0))) AS sm,
-        |  sum(CAST(vm AS DECIMAL(19, 0)) * CAST(vm AS DECIMAL(19, 0)))
-        |    AS sq
-        |  FROM q GROUP BY dim)
-        |SELECT dim, n,
-        |  round(CAST(sm AS DOUBLE) / 1000000.0 / n, 6) AS mean,
-        |  round(CAST(sq AS DOUBLE) / 1.0e12 / n
-        |    - (CAST(sm AS DOUBLE) / 1000000.0 / n)
-        |    * (CAST(sm AS DOUBLE) / 1000000.0 / n), 6) AS variance,
-        |  round(1.0 / sqrt(CAST(sq AS DOUBLE) / 1.0e12 / n
-        |    - (CAST(sm AS DOUBLE) / 1000000.0 / n)
-        |    * (CAST(sm AS DOUBLE) / 1000000.0 / n)
-        |    + 1.0e-9), 6) AS inv_std
-        |FROM g""".stripMargin,
+      s"""WITH $DimStatsCte
+         |SELECT dim, n, mean, variance, inv_std FROM st""".stripMargin,
+    "emb_whiten_apply" ->
+      s"""WITH $DimStatsCte,
+         |sample AS (SELECT vec_id,
+         |  CAST(generate_subscripts(embedding, 1) AS BIGINT) AS dim,
+         |  CAST(unnest(embedding) AS DOUBLE) AS v
+         |  FROM embeddings WHERE vec_id < 10),
+         |z AS (SELECT vec_id, sample.dim,
+         |  (v - mean) * inv_std AS z
+         |  FROM sample JOIN st ON sample.dim = st.dim),
+         |zm AS (SELECT vec_id, dim, CAST(trunc(z * 1000000.0
+         |  + CASE WHEN z >= 0 THEN CAST(0.5 AS DOUBLE)
+         |    ELSE CAST(-0.5 AS DOUBLE) END) AS BIGINT) AS zm FROM z)
+         |SELECT vec_id, CAST(count(*) AS BIGINT) AS n_dims,
+         |  md5(string_agg(CAST(zm AS VARCHAR), ',' ORDER BY dim)) AS z_md5
+         |FROM zm GROUP BY vec_id""".stripMargin,
+    "samp_negative_mining" ->
+      s"""WITH $UnitCte,
+         |q AS (SELECT vec_id AS q_id, label AS q_label, u AS q_u
+         |  FROM e WHERE vec_id < 20),
+         |sc AS (SELECT q.q_id, q.q_label, e.vec_id AS cand_id,
+         |    e.label AS cand_label,
+         |    round(list_dot_product(e.u, q.q_u), 6) AS score
+         |  FROM e CROSS JOIN q WHERE e.label <> q.q_label),
+         |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id
+         |    ORDER BY score DESC, cand_id) AS BIGINT) AS rnk FROM sc)
+         |SELECT q_id, q_label, cand_id, cand_label, score, rnk
+         |FROM r WHERE rnk <= 3""".stripMargin,
     "emb_ivf_topk" ->
       s"""WITH $UnitCte,
          |q AS (SELECT vec_id AS q_id, label AS q_label, u AS q_u

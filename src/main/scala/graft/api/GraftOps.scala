@@ -1195,6 +1195,49 @@ object GraftOps {
     (lbl.select(col("__id").as(idCol), col("cluster_id")), rounds)
   }
 
+  /** INCREMENTAL connected components: merge an ingest batch into
+    * stored component labels without re-clustering the corpus.
+    * `baseLabels` is a previous run's (id, cluster_id) table whose
+    * labels are component MINIMA (what both CC variants here emit);
+    * `deltaEdges` are the edges that touch the ingest. Old endpoints
+    * contract to their stored label, the fixpoint runs on the
+    * CONTRACTED delta graph — nodes = new ids + touched labels, size
+    * bounded by the ingest, not the corpus — and merged labels
+    * propagate back through the label map (untouched components keep
+    * their stored label, never re-visited). Because a member id is
+    * never below its component minimum, min-label is associative over
+    * this contraction and the result EQUALS the full recompute —
+    * pinned by graph_cc_incremental's oracle (graph_cc_exact's SQL
+    * verbatim) and by the two-components-merge spec. */
+  def incrementalComponents(baseLabels: DataFrame, idCol: String,
+      newNodes: DataFrame, deltaEdges: DataFrame,
+      srcCol: String, dstCol: String): DataFrame = {
+    val reserved = Seq("__lrep", "__rrep", "__ls", "__rs", "__cid", "__mcl")
+    require(!reserved.exists(deltaEdges.columns.contains),
+      "incrementalComponents: deltaEdges must not carry reserved __ columns")
+    val dc = deltaEdges
+      .join(baseLabels.select(col(idCol).as(srcCol),
+        col("cluster_id").as("__lrep")), Seq(srcCol), "left")
+      .join(baseLabels.select(col(idCol).as(dstCol),
+        col("cluster_id").as("__rrep")), Seq(dstCol), "left")
+      .select(coalesce(col("__lrep"), col(srcCol)).as("__ls"),
+        coalesce(col("__rrep"), col(dstCol)).as("__rs"))
+    val cnodes = newNodes.select(col(idCol).cast("long").as("__cid"))
+      .union(dc.select(col("__ls").cast("long").as("__cid")))
+      .union(dc.select(col("__rs").cast("long").as("__cid"))).distinct()
+    val merged = connectedComponentsFixpoint(
+      cnodes, "__cid", dc, "__ls", "__rs")._1
+    val outNew = newNodes.select(col(idCol))
+      .join(merged.select(col("__cid").as(idCol), col("cluster_id")),
+        Seq(idCol))
+    val outOld = baseLabels.as("b")
+      .join(merged.select(col("__cid"), col("cluster_id").as("__mcl"))
+        .as("m"), col("b.cluster_id") === col("m.__cid"), "left")
+      .select(col(s"b.$idCol").as(idCol),
+        coalesce(col("__mcl"), col("b.cluster_id")).as("cluster_id"))
+    outNew.unionByName(outOld)
+  }
+
   /** Degree-oriented edge list for triangle enumeration: each undirected
     * edge {x,y} becomes one directed edge u→v where u is the LOWER-degree
     * endpoint (id as tiebreak). Ordering by (degree, id) is a total

@@ -918,6 +918,37 @@ object TextOps {
         .select(col("doc_id"), col("cluster_id"))
     }),
 
+    // INCREMENTAL connected components — the update path that avoids
+    // re-clustering the corpus when a batch lands: old components are
+    // CONTRACTED to their stored labels (each label is the component's
+    // min id, so contraction is one broadcast-fed join over just the
+    // delta edges), the fixpoint then runs on the contracted delta
+    // graph — whose size is bounded by the ingest, NOT the corpus —
+    // and the merged labels propagate back through the label map.
+    // Min-label is associative over contraction (an old member is never
+    // below its component min), so the result provably equals the full
+    // recompute: the ORACLE IS graph_cc_exact's full-corpus SQL,
+    // verbatim — incremental == batch is the contract under test.
+    "graph_cc_incremental" -> ((s, d) => {
+      val docs = docsOf(s, d)
+      val pairsAll = graft.api.GraftOps.minhashCandidatePairs(
+        docs, "doc_id", "text").localCheckpoint()
+      val oldDocs = docs.filter(col("doc_id") % 5 =!= 0)
+      val basePairs = pairsAll.filter(
+        col("left_id") % 5 =!= 0 && col("right_id") % 5 =!= 0)
+      // the "stored" labels a previous run would have materialized
+      val base = graft.api.GraftOps.connectedComponentsFixpoint(
+          oldDocs.select(col("doc_id")), "doc_id",
+          basePairs, "left_id", "right_id")._1
+        .localCheckpoint()
+      val delta = pairsAll.filter(
+        col("left_id") % 5 === 0 || col("right_id") % 5 === 0)
+      graft.api.GraftOps.incrementalComponents(
+        base, "doc_id",
+        docs.filter(col("doc_id") % 5 === 0).select(col("doc_id")),
+        delta, "left_id", "right_id")
+    }),
+
     // TF-IDF top-3 terms per document — the classic relevance/keyword
     // surface. Corpus size joins in as a broadcast 1-row aggregate (no
     // driver-side count()); ties break on term so ranking is total.
@@ -3492,6 +3523,23 @@ object TextOps {
     // reaches a fixpoint on its own) — the exact-CC twin of CcCte's
     // depth-2 variant.
     "graph_cc_exact" ->
+      s"""WITH RECURSIVE $SigCte,
+         |pr AS (SELECT DISTINCT a.doc_id AS left_id, b.doc_id AS right_id
+         |  FROM bands a JOIN bands b
+         |    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+         |    AND a.doc_id < b.doc_id),
+         |e AS (SELECT left_id AS a, right_id AS b FROM pr
+         |  UNION SELECT right_id, left_id FROM pr),
+         |reach AS (
+         |  SELECT a AS src, a AS dst FROM (SELECT DISTINCT a FROM e)
+         |  UNION
+         |  SELECT r.src, e2.b AS dst FROM reach r JOIN e e2 ON e2.a = r.dst),
+         |cm AS (SELECT src, min(dst) AS cl FROM reach GROUP BY src)
+         |SELECT d.doc_id, coalesce(cm.cl, d.doc_id) AS cluster_id
+         |FROM documents d LEFT JOIN cm ON d.doc_id = cm.src""".stripMargin,
+    // Incremental == batch: the SAME full-corpus truth as
+    // graph_cc_exact — the contracted-delta path must reproduce it.
+    "graph_cc_incremental" ->
       s"""WITH RECURSIVE $SigCte,
          |pr AS (SELECT DISTINCT a.doc_id AS left_id, b.doc_id AS right_id
          |  FROM bands a JOIN bands b

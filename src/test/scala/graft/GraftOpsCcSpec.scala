@@ -282,4 +282,28 @@ class GraftOpsCcSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(r2 == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 1L))
   }
+
+  test("incrementalComponents: a new node bridging two stored " +
+      "components merges them; untouched components keep their label; " +
+      "isolated ingest keeps its own id — all equal to full recompute") {
+    // Base: comps {0,2,4} (label 0), {6,8} (label 6), {10,12} (label 10).
+    val baseNodes = Seq(0L, 2L, 4L, 6L, 8L, 10L, 12L).toDF("id")
+    val baseEdges = Seq((0L, 2L), (2L, 4L), (6L, 8L), (10L, 12L))
+      .toDF("s", "t")
+    val base = GraftOps.connectedComponentsFixpoint(
+      baseNodes, "id", baseEdges, "s", "t")._1
+    // Ingest: node 5 bridges comp 0 and comp 6; node 15 is isolated.
+    val newNodes = Seq(5L, 15L).toDF("id")
+    val delta = Seq((5L, 4L), (5L, 6L)).toDF("s", "t")
+    val inc = GraftOps.incrementalComponents(
+      base, "id", newNodes, delta, "s", "t")
+      .as[(Long, Long)].collect().toMap
+    val full = GraftOps.connectedComponentsFixpoint(
+      baseNodes.union(newNodes), "id",
+      baseEdges.union(delta), "s", "t")._1
+      .as[(Long, Long)].collect().toMap
+    assert(inc == full, s"incremental $inc vs full $full")
+    assert(inc == Map(0L -> 0L, 2L -> 0L, 4L -> 0L, 5L -> 0L,
+      6L -> 0L, 8L -> 0L, 10L -> 10L, 12L -> 10L, 15L -> 15L))
+  }
 }

@@ -202,6 +202,87 @@ object Similarity {
         .filter(col("rnk") <= 3)
     }),
 
+    // Distributed POWER ITERATION (one step toward the top principal
+    // component, the core of PCA/spectral embedding at scale): center
+    // with the emb_dim_stats means, project every vector onto a fixed
+    // deterministic start direction w₀ = 1/8·(1…1) (unit for dim 64),
+    // and accumulate v₁[d] = Σₓ (x'·w₀)·x'[d] — a plain per-dimension
+    // aggregation, which is why this runs at 100 TB: one corpus pass,
+    // map-side partial sums, a 64-row shuffle. Determinism recipe:
+    // the per-row term quantizes to micro-units and sums as DECIMAL
+    // (order-free); the in-row dot and the 64-term norm both run as
+    // SEQUENTIAL array folds (graft_vec_dot == list_dot_product),
+    // never as a row-order-dependent double aggregate.
+    "emb_power_iter" -> ((s, d) => {
+      graft.expressions.VectorExpressions.register(s)
+      val m = dimStats(s, d).agg(transform(
+        array_sort(collect_list(struct(col("dim"), col("mean")))),
+        x => x.getField("mean")).as("means"))
+      val xp = Tables.embeddings(s, d)
+        .crossJoin(broadcast(m))
+        .select(col("vec_id"),
+          zip_with(asDouble(col("embedding")), col("means"),
+            (a, b) => a - b).as("xp"))
+        .withColumn("sx", round(call_function("graft_vec_dot",
+          col("xp"), array_repeat(lit(0.125), 64)), 6))
+      val v1 = xp
+        .select(col("sx"), posexplode(col("xp")).as(Seq("dim0", "xpd")))
+        .select((col("dim0") + 1).cast("long").as("dim"),
+          ((col("sx") * col("xpd")) * 1000000.0
+            + when(col("sx") * col("xpd") >= 0, 0.5).otherwise(-0.5))
+            .cast("long").as("tm"))
+        .groupBy("dim")
+        .agg(sum(col("tm").cast(DecimalType(38, 0))).as("v1m"))
+      val nr = v1.agg(transform(
+          array_sort(collect_list(struct(col("dim"),
+            (col("v1m").cast("double") / 1000000.0).as("v")))),
+          x => x.getField("v")).as("vs"))
+        .select(sqrt(call_function("graft_vec_dot",
+          col("vs"), col("vs"))).as("nrm"))
+      v1.crossJoin(broadcast(nr))
+        .select(col("dim"),
+          round(col("v1m").cast("double") / 1000000.0, 6).as("v1"),
+          round((col("v1m").cast("double") / 1000000.0) / col("nrm"), 6)
+            .as("v1_unit"))
+    }),
+
+    // TRIPLET MINING — the (anchor, positive, negative) samples metric
+    // learning trains on: per anchor, the nearest SAME-label vector
+    // (hardest positive is debatable; nearest is the convention for
+    // in-batch mining) and the nearest DIFFERENT-label vector (the hard
+    // negative), with the triplet margin pos−neg that a margin-loss
+    // curriculum sorts by. One scored candidate pass feeds both ranked
+    // subsets — the broadcast brute-force shape; the IVF cell join is
+    // the at-scale candidate generator, margin arithmetic unchanged.
+    "samp_triplet_mining" -> ((s, d) => {
+      val e = unitVecs(s, d)
+      val q = e.filter(col("vec_id") < 20L)
+        .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+          col("u").as("q_u"))
+      val scored = e.select(col("vec_id").as("cand_id"),
+          col("label").as("cand_label"), col("u"))
+        .crossJoin(broadcast(q))
+        .filter(col("cand_id") =!= col("q_id"))
+        .select(col("q_id"), col("q_label"), col("cand_id"),
+          col("cand_label"),
+          round(expr("graft_vec_dot(u, q_u)"), 6).as("score"))
+        .localCheckpoint()
+      val w = Window.partitionBy("q_id")
+        .orderBy(col("score").desc, col("cand_id"))
+      def top1(df: DataFrame, idAs: String, scoreAs: String) = df
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") === 1)
+        .select(col("q_id"), col("q_label"),
+          col("cand_id").as(idAs), col("score").as(scoreAs))
+      top1(scored.filter(col("cand_label") === col("q_label")),
+          "pos_id", "pos_score")
+        .join(top1(scored.filter(col("cand_label") =!= col("q_label")),
+          "neg_id", "neg_score").drop("q_label"), Seq("q_id"))
+        .select(col("q_id"), col("q_label"), col("pos_id"),
+          col("pos_score"), col("neg_id"), col("neg_score"),
+          round(col("pos_score") - col("neg_score"), 6).as("margin"))
+    }),
+
     "emb_ivf_topk" -> ((s, d) => {
       val e = unitVecs(s, d)
       val q = e.filter(col("vec_id") < 5)
@@ -1178,6 +1259,47 @@ object Similarity {
          |    ORDER BY score DESC, cand_id) AS BIGINT) AS rnk FROM sc)
          |SELECT q_id, q_label, cand_id, cand_label, score, rnk
          |FROM r WHERE rnk <= 3""".stripMargin,
+    "samp_triplet_mining" ->
+      s"""WITH $UnitCte,
+         |q AS (SELECT vec_id AS q_id, label AS q_label, u AS q_u
+         |  FROM e WHERE vec_id < 20),
+         |sc AS (SELECT q.q_id, q.q_label, e.vec_id AS cand_id,
+         |    e.label AS cand_label,
+         |    round(list_dot_product(e.u, q.q_u), 6) AS score
+         |  FROM e CROSS JOIN q WHERE e.vec_id <> q.q_id),
+         |pos AS (SELECT q_id, q_label, cand_id AS pos_id,
+         |    score AS pos_score FROM (SELECT *, row_number() OVER (
+         |    PARTITION BY q_id ORDER BY score DESC, cand_id) AS rnk
+         |    FROM sc WHERE cand_label = q_label) WHERE rnk = 1),
+         |neg AS (SELECT q_id, cand_id AS neg_id, score AS neg_score
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+         |    ORDER BY score DESC, cand_id) AS rnk
+         |    FROM sc WHERE cand_label <> q_label) WHERE rnk = 1)
+         |SELECT q_id, q_label, pos_id, pos_score, neg_id, neg_score,
+         |  round(pos_score - neg_score, 6) AS margin
+         |FROM pos JOIN neg USING (q_id)""".stripMargin,
+    "emb_power_iter" ->
+      s"""WITH $DimStatsCte,
+         |ma AS (SELECT list(mean ORDER BY dim) AS means FROM st),
+         |xp AS (SELECT vec_id, list_transform(generate_series(1, 64),
+         |    i -> CAST(embedding[i] AS DOUBLE) - means[i]) AS xp
+         |  FROM embeddings, ma),
+         |sxt AS (SELECT vec_id, xp, round(list_dot_product(xp,
+         |    list_transform(generate_series(1, 64), i -> 0.125)), 6)
+         |    AS sx FROM xp),
+         |t AS (SELECT sx, CAST(generate_subscripts(xp, 1) AS BIGINT)
+         |    AS dim, unnest(xp) AS xpd FROM sxt),
+         |tm AS (SELECT dim, CAST(trunc((sx * xpd) * 1000000.0
+         |  + CASE WHEN sx * xpd >= 0 THEN CAST(0.5 AS DOUBLE)
+         |    ELSE CAST(-0.5 AS DOUBLE) END) AS BIGINT) AS tm FROM t),
+         |v1 AS (SELECT dim, sum(CAST(tm AS DECIMAL(38, 0))) AS v1m
+         |  FROM tm GROUP BY dim),
+         |va AS (SELECT list(CAST(v1m AS DOUBLE) / 1000000.0
+         |  ORDER BY dim) AS vs FROM v1),
+         |nr AS (SELECT sqrt(list_dot_product(vs, vs)) AS nrm FROM va)
+         |SELECT dim, round(CAST(v1m AS DOUBLE) / 1000000.0, 6) AS v1,
+         |  round((CAST(v1m AS DOUBLE) / 1000000.0) / nrm, 6) AS v1_unit
+         |FROM v1, nr""".stripMargin,
     "emb_ivf_topk" ->
       s"""WITH $UnitCte,
          |q AS (SELECT vec_id AS q_id, label AS q_label, u AS q_u

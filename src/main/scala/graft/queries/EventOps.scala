@@ -286,6 +286,52 @@ object EventOps {
             .as("overlap_us"))
     }),
 
+    // PEAK CONCURRENCY — the classic interval-counting sweep (max
+    // simultaneous sessions, and when it first happens): every session
+    // contributes +1 at its start and −1 just past its end (half-open,
+    // so a session is live at its last event's instant), and the
+    // running sum over boundary-time order is the concurrency curve.
+    // The sweep never sorts globally: day buckets are monotone in
+    // time, so a per-bucket window cumsum + broadcast cumulative
+    // bucket deltas (the prefix-sum spine, which is signed-value safe)
+    // reconstruct the exact running count. Tiebreak (+1 before −1,
+    // then session identity) makes the curve total-ordered and the
+    // peak deterministic.
+    "ev_peak_concurrency" -> ((s, d) => {
+      val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val gapUs = 30L * 60 * 1000000
+      val sess = Tables.events(s, d)
+        .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUser))
+        .withColumn("new_sess",
+          when(col("prev_us").isNull ||
+            unix_micros(col("ts")) - col("prev_us") > gapUs, 1L)
+            .otherwise(0L))
+        .withColumn("session_idx", sum(col("new_sess")).over(byUser))
+        .groupBy("user_id", "session_idx")
+        .agg(min(unix_micros(col("ts"))).as("s_us"),
+          max(unix_micros(col("ts"))).as("e_us"))
+        .localCheckpoint()
+      val bounds = sess.select(col("user_id"), col("session_idx"),
+          col("s_us").as("t_us"), lit(1L).as("delta"))
+        .unionByName(sess.select(col("user_id"), col("session_idx"),
+          (col("e_us") + 1L).as("t_us"), lit(-1L).as("delta")))
+        .withColumn("bkt", expr("t_us DIV 86400000000"))
+      val offs = graft.api.GraftOps.cumulativeOffsets(
+        bounds.groupBy("bkt").agg(sum("delta").as("dsum")), "bkt", "dsum")
+      val wIn = Window.partitionBy("bkt")
+        .orderBy(col("t_us"), col("delta").desc, col("user_id"),
+          col("session_idx"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val run = bounds.join(broadcast(offs), Seq("bkt"))
+        .withColumn("conc",
+          (col("off") + sum("delta").over(wIn)).cast("long"))
+      val peak = run.agg(max("conc").as("peak"))
+      val n = sess.agg(count(lit(1)).cast("long").as("n_sessions"))
+      run.join(broadcast(peak), col("conc") === col("peak"))
+        .groupBy("peak").agg(min("t_us").as("peak_at_us"))
+        .crossJoin(broadcast(n))
+    }),
+
     // Ordered funnel: signup → first click AFTER signup → first purchase
     // AFTER that click, counted per stage. The stage dependency is
     // inherently sequential (t2 needs t1), so it costs one keyed
@@ -856,6 +902,31 @@ object EventOps {
         |    AS overlap_us
         |FROM si JOIN camps ON s_us <= ce_us AND e_us >= cs_us
         |GROUP BY campaign""".stripMargin,
+    "ev_peak_concurrency" ->
+      """WITH flagged AS (
+        |  SELECT *, CASE WHEN prev_us IS NULL
+        |      OR epoch_us(ts) - prev_us > 30 * 60 * 1000000
+        |    THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS new_sess
+        |  FROM (SELECT *, lag(epoch_us(ts), 1) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS prev_us FROM events)),
+        |sess AS (SELECT *, CAST(sum(new_sess) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND
+        |    CURRENT ROW) AS BIGINT) AS session_idx FROM flagged),
+        |si AS (SELECT user_id, session_idx,
+        |  min(epoch_us(ts)) AS s_us, max(epoch_us(ts)) AS e_us
+        |  FROM sess GROUP BY user_id, session_idx),
+        |b AS (SELECT user_id, session_idx, s_us AS t_us,
+        |    CAST(1 AS BIGINT) AS delta FROM si
+        |  UNION ALL SELECT user_id, session_idx, e_us + 1,
+        |    CAST(-1 AS BIGINT) FROM si),
+        |r AS (SELECT t_us, CAST(sum(delta) OVER (ORDER BY t_us,
+        |    delta DESC, user_id, session_idx
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS conc FROM b),
+        |p AS (SELECT max(conc) AS peak FROM r)
+        |SELECT p.peak,
+        |  (SELECT min(t_us) FROM r WHERE conc = p.peak) AS peak_at_us,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM si) AS n_sessions
+        |FROM p""".stripMargin,
     "ev_funnel" ->
       """WITH t1 AS (SELECT user_id, min(epoch_us(ts)) AS t1 FROM events
         |  WHERE event_type = 'signup' GROUP BY user_id),

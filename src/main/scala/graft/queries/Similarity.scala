@@ -202,6 +202,25 @@ object Similarity {
         .filter(col("rnk") <= 3)
     }),
 
+    // IVF cell-BALANCE report — the index-health metric that decides
+    // nlist/re-training: per coarse cell its size, corpus share, and
+    // balance factor (size ÷ ideal uniform size; 1.0 is perfect, a hot
+    // cell >2 means probes over-scan and the centroids need refitting).
+    // One partial-aggregated groupBy to cell-count rows + a broadcast
+    // 1-row total — the report costs one corpus pass at any scale.
+    "emb_ivf_balance" -> ((s, d) => {
+      val cells = Tables.embeddings(s, d)
+        .groupBy("label").agg(count(lit(1)).as("n_vecs"))
+      val tot = cells.agg(sum("n_vecs").as("total"),
+        count(lit(1)).as("n_cells"))
+      cells.crossJoin(broadcast(tot))
+        .select(col("label"), col("n_vecs"),
+          round(col("n_vecs").cast("double") / col("total"), 6)
+            .as("share"),
+          round(col("n_vecs").cast("double") * col("n_cells")
+            / col("total"), 6).as("balance"))
+    }),
+
     // Distributed POWER ITERATION (one step toward the top principal
     // component, the core of PCA/spectral embedding at scale): center
     // with the emb_dim_stats means, project every vector onto a fixed
@@ -1300,6 +1319,15 @@ object Similarity {
          |SELECT dim, round(CAST(v1m AS DOUBLE) / 1000000.0, 6) AS v1,
          |  round((CAST(v1m AS DOUBLE) / 1000000.0) / nrm, 6) AS v1_unit
          |FROM v1, nr""".stripMargin,
+    "emb_ivf_balance" ->
+      """WITH c AS (SELECT label, CAST(count(*) AS BIGINT) AS n_vecs
+        |  FROM embeddings GROUP BY label),
+        |t AS (SELECT CAST(sum(n_vecs) AS BIGINT) AS total,
+        |  CAST(count(*) AS BIGINT) AS n_cells FROM c)
+        |SELECT label, n_vecs,
+        |  round(CAST(n_vecs AS DOUBLE) / total, 6) AS share,
+        |  round(CAST(n_vecs AS DOUBLE) * n_cells / total, 6) AS balance
+        |FROM c, t""".stripMargin,
     "emb_ivf_topk" ->
       s"""WITH $UnitCte,
          |q AS (SELECT vec_id AS q_id, label AS q_label, u AS q_u

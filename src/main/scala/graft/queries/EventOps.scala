@@ -286,6 +286,31 @@ object EventOps {
             .as("overlap_us"))
     }),
 
+    // Session-duration SURVIVAL shares — the engagement curve read at a
+    // fixed threshold grid (P[duration ≥ 1m/5m/15m/1h]): one aggregate
+    // over the sessionize core, conditional sums only — the whole
+    // report is a single reduced row regardless of corpus size.
+    "ev_duration_survival" -> ((s, d) => {
+      val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val gapUs = 30L * 60 * 1000000
+      val dur = Tables.events(s, d)
+        .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUser))
+        .withColumn("new_sess",
+          when(col("prev_us").isNull ||
+            unix_micros(col("ts")) - col("prev_us") > gapUs, 1L)
+            .otherwise(0L))
+        .withColumn("session_idx", sum(col("new_sess")).over(byUser))
+        .groupBy("user_id", "session_idx")
+        .agg((max(unix_micros(col("ts")))
+          - min(unix_micros(col("ts")))).as("dur_us"))
+      def surv(us: Long, asCol: String) =
+        round(sum(when(col("dur_us") >= us, 1L).otherwise(0L))
+          .cast("double") / count(lit(1)), 6).as(asCol)
+      dur.agg(count(lit(1)).cast("long").as("n_sessions"),
+        surv(60000000L, "surv_1m"), surv(300000000L, "surv_5m"),
+        surv(900000000L, "surv_15m"), surv(3600000000L, "surv_1h"))
+    }),
+
     // PEAK CONCURRENCY — the classic interval-counting sweep (max
     // simultaneous sessions, and when it first happens): every session
     // contributes +1 at its start and −1 just past its end (half-open,
@@ -902,6 +927,29 @@ object EventOps {
         |    AS overlap_us
         |FROM si JOIN camps ON s_us <= ce_us AND e_us >= cs_us
         |GROUP BY campaign""".stripMargin,
+    "ev_duration_survival" ->
+      """WITH flagged AS (
+        |  SELECT *, CASE WHEN prev_us IS NULL
+        |      OR epoch_us(ts) - prev_us > 30 * 60 * 1000000
+        |    THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS new_sess
+        |  FROM (SELECT *, lag(epoch_us(ts), 1) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS prev_us FROM events)),
+        |sess AS (SELECT *, CAST(sum(new_sess) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND
+        |    CURRENT ROW) AS BIGINT) AS session_idx FROM flagged),
+        |du AS (SELECT user_id, session_idx,
+        |  max(epoch_us(ts)) - min(epoch_us(ts)) AS dur_us
+        |  FROM sess GROUP BY user_id, session_idx)
+        |SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+        |  round(CAST(sum(CASE WHEN dur_us >= 60000000 THEN 1 ELSE 0 END)
+        |    AS DOUBLE) / count(*), 6) AS surv_1m,
+        |  round(CAST(sum(CASE WHEN dur_us >= 300000000 THEN 1 ELSE 0 END)
+        |    AS DOUBLE) / count(*), 6) AS surv_5m,
+        |  round(CAST(sum(CASE WHEN dur_us >= 900000000 THEN 1 ELSE 0 END)
+        |    AS DOUBLE) / count(*), 6) AS surv_15m,
+        |  round(CAST(sum(CASE WHEN dur_us >= 3600000000 THEN 1 ELSE 0 END)
+        |    AS DOUBLE) / count(*), 6) AS surv_1h
+        |FROM du""".stripMargin,
     "ev_peak_concurrency" ->
       """WITH flagged AS (
         |  SELECT *, CASE WHEN prev_us IS NULL

@@ -2052,6 +2052,32 @@ object TextOps {
             .as("planned_share"))
     }),
 
+    // Sequence-LENGTH HISTOGRAM — the distribution that sizes packing
+    // bins and context budgets before a layout job runs: documents
+    // bucketed by token count into a fixed power-of-two ladder (a CASE
+    // ladder, not floating log2, so bucket edges are engine-exact),
+    // with doc and token mass per bucket. One partial-aggregated pass;
+    // the histogram is bucket-count rows at any corpus size.
+    "tok_len_histogram" -> ((s, d) => {
+      val docs = docsOf(s, d)
+        .select(size(tokens(col("text"))).cast("long").as("n_tok"))
+        .withColumn("bucket",
+          when(col("n_tok") <= 16L, "<=16")
+            .when(col("n_tok") <= 32L, "<=32")
+            .when(col("n_tok") <= 64L, "<=64")
+            .when(col("n_tok") <= 128L, "<=128")
+            .when(col("n_tok") <= 256L, "<=256")
+            .otherwise(">256"))
+      val tot = docs.agg(count(lit(1)).as("total"))
+      docs.groupBy("bucket")
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum("n_tok").cast("long").as("n_tokens"))
+        .crossJoin(broadcast(tot))
+        .select(col("bucket"), col("n_docs"), col("n_tokens"),
+          round(col("n_docs").cast("double") / col("total"), 6)
+            .as("share"))
+    }),
+
     // Deterministic global shuffle (training-order randomization):
     // position = rank under md5(doc_id) order. Same distributed-rank
     // shape as w4_ntile — the hash's first byte is a monotone bucket, so
@@ -4815,6 +4841,18 @@ object TextOps {
         |  round(CAST(n_docs AS DOUBLE) / total, 6) AS share,
         |  round((CAST(total AS DOUBLE) / n_langs) / n_docs, 6) AS weight
         |FROM c, t""".stripMargin,
+    "tok_len_histogram" ->
+      s"""WITH $TokedCte,
+         |n AS (SELECT CAST(len(toks) AS BIGINT) AS n_tok FROM toked),
+         |b AS (SELECT n_tok, CASE WHEN n_tok <= 16 THEN '<=16'
+         |  WHEN n_tok <= 32 THEN '<=32' WHEN n_tok <= 64 THEN '<=64'
+         |  WHEN n_tok <= 128 THEN '<=128' WHEN n_tok <= 256 THEN '<=256'
+         |  ELSE '>256' END AS bucket FROM n),
+         |t AS (SELECT CAST(count(*) AS BIGINT) AS total FROM b)
+         |SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+         |  round(CAST(count(*) AS DOUBLE) / total, 6) AS share
+         |FROM b, t GROUP BY bucket, total""".stripMargin,
     "samp_epoch_plan" ->
       s"""WITH $TokedCte,
          |c AS (SELECT source, CAST(sum(len(toks)) AS BIGINT) AS n_tokens,

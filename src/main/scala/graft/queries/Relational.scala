@@ -605,6 +605,34 @@ object Relational {
             .as("fresh_7d"))
     }),
 
+    // Cross-table amount RECONCILIATION — the ledger check run before
+    // a fact table is trusted: the order header total against the sum
+    // of its line items (exact DECIMAL accumulation), classified into
+    // matched / header-without-items / orphan-item-groups /
+    // amount-mismatch (>1 % relative). One co-keyed aggregate + one
+    // full-outer join on the order key; the report is one row.
+    "dq_reconciliation" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey").as("o_orderkey"))
+        .agg(sum(col("l_extendedprice").cast(D182)).cast("double")
+          .as("li_total"))
+      Tables.orders(s, d).select(col("o_orderkey"), col("o_totalprice"))
+        .join(li, Seq("o_orderkey"), "full_outer")
+        .agg(count(lit(1)).cast("long").as("n_keys"),
+          sum(when(col("o_totalprice").isNotNull
+            && col("li_total").isNotNull, 1L).otherwise(0L))
+            .cast("long").as("n_both"),
+          sum(when(col("li_total").isNull, 1L).otherwise(0L))
+            .cast("long").as("n_orders_no_items"),
+          sum(when(col("o_totalprice").isNull, 1L).otherwise(0L))
+            .cast("long").as("n_orphan_item_groups"),
+          sum(when(col("o_totalprice").isNotNull
+            && col("li_total").isNotNull
+            && abs(col("o_totalprice") - col("li_total"))
+              > col("o_totalprice") * 0.01, 1L).otherwise(0L))
+            .cast("long").as("n_amount_mismatch"))
+    }),
+
     "dq_constraints" -> ((s, d) => {
       def one(name: String, n: Column, src: DataFrame): DataFrame =
         src.agg(n.cast("long").as("n_violations"))
@@ -1628,6 +1656,26 @@ object Relational {
         |  now_us - last_us AS lag_us,
         |  (now_us - last_us) <= 7 * 86400000000 AS fresh_7d
         |FROM per CROSS JOIN f""".stripMargin,
+    "dq_reconciliation" ->
+      """WITH li AS (SELECT l_orderkey AS o_orderkey,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS li_total
+        |  FROM lineitem GROUP BY l_orderkey),
+        |j AS (SELECT o.o_totalprice, li.li_total
+        |  FROM orders o FULL JOIN li ON o.o_orderkey = li.o_orderkey)
+        |SELECT CAST(count(*) AS BIGINT) AS n_keys,
+        |  CAST(sum(CASE WHEN o_totalprice IS NOT NULL
+        |    AND li_total IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_both,
+        |  CAST(sum(CASE WHEN li_total IS NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_orders_no_items,
+        |  CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_orphan_item_groups,
+        |  CAST(sum(CASE WHEN o_totalprice IS NOT NULL
+        |    AND li_total IS NOT NULL
+        |    AND abs(o_totalprice - li_total) > o_totalprice * 0.01
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_amount_mismatch
+        |FROM j""".stripMargin,
     "dq_constraints" ->
       """SELECT 'lineitem_orderkey_fk' AS check_name,
         |  (SELECT count(*) FROM lineitem l WHERE NOT EXISTS

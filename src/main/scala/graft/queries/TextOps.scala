@@ -39,6 +39,29 @@ object TextOps {
   private def docsOf(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
 
+  /** The samp_epoch_plan core (see its registry comment): per-source
+    * token counts → target-weighted, 4×-capped epoch repeat factors.
+    * Shared by the plan query and pipeline_train_manifest. */
+  private def epochPlan(s: SparkSession, d: String): DataFrame = {
+    val perSrc = docsOf(s, d)
+      .groupBy("source")
+      .agg(sum(size(tokens(col("text"))).cast("long")).as("n_tokens"))
+      .withColumn("w", lit(1L) +
+        pmod(regexp_extract(col("source"), "[0-9]+", 0).cast("long"),
+          lit(5L)))
+    val tot = perSrc.agg(sum("n_tokens").as("tot_tok"),
+      sum("w").as("tot_w"))
+    perSrc.crossJoin(broadcast(tot))
+      .withColumn("epochs",
+        least(round(lit(4.0) * col("tot_tok").cast("double")
+          * col("w").cast("double")
+          / (col("tot_w") * col("n_tokens")).cast("double"), 6),
+          lit(4.0)))
+      .withColumn("planned_tokens",
+        floor(col("epochs") * col("n_tokens").cast("double") + 0.5)
+          .cast("long"))
+  }
+
   /** Shared eval-harness derivation for ngram_jaccard/txt_containment:
     * one row per adjacent doc pair — (pair_id, sh_a, sh_b), the two
     * docs' DISTINCT 3-gram shingle sets (sh_a = doc pair_id, sh_b =
@@ -2027,23 +2050,7 @@ object TextOps {
     // double ops over exact integer inputs (< 2^53), so the plan is
     // bit-stable across engines and partitionings.
     "samp_epoch_plan" -> ((s, d) => {
-      val perSrc = docsOf(s, d)
-        .groupBy("source")
-        .agg(sum(size(tokens(col("text"))).cast("long")).as("n_tokens"))
-        .withColumn("w", lit(1L) +
-          pmod(regexp_extract(col("source"), "[0-9]+", 0).cast("long"),
-            lit(5L)))
-      val tot = perSrc.agg(sum("n_tokens").as("tot_tok"),
-        sum("w").as("tot_w"))
-      val planned = perSrc.crossJoin(broadcast(tot))
-        .withColumn("epochs",
-          least(round(lit(4.0) * col("tot_tok").cast("double")
-            * col("w").cast("double")
-            / (col("tot_w") * col("n_tokens")).cast("double"), 6),
-            lit(4.0)))
-        .withColumn("planned_tokens",
-          floor(col("epochs") * col("n_tokens").cast("double") + 0.5)
-            .cast("long"))
+      val planned = epochPlan(s, d)
       val ptot = planned.agg(sum("planned_tokens").as("ptot"))
       planned.crossJoin(broadcast(ptot))
         .select(col("source"), col("n_tokens"), col("w"), col("epochs"),
@@ -2051,6 +2058,25 @@ object TextOps {
           round(col("planned_tokens").cast("double") / col("ptot"), 6)
             .as("planned_share"))
     }),
+
+    // The LOADER SCHEDULE the epoch plan unrolls into: one row per
+    // (source, pass), full passes at fraction 1.0 and the final
+    // fractional pass carrying the remainder — what a data loader
+    // actually iterates. Source-count × ≤4 rows total; the only
+    // corpus-sized work is the shared per-source token count.
+    "pipeline_train_manifest" -> ((s, d) =>
+      epochPlan(s, d)
+        .withColumn("n_passes", ceil(col("epochs")).cast("long"))
+        .select(col("source"), col("n_tokens"), col("epochs"),
+          explode(sequence(lit(1L), col("n_passes"))).as("pass"))
+        .withColumn("pass_fraction",
+          round(least(col("epochs") - (col("pass") - 1L).cast("double"),
+            lit(1.0)), 6))
+        .withColumn("pass_tokens",
+          floor(col("pass_fraction") * col("n_tokens").cast("double")
+            + 0.5).cast("long"))
+        .select(col("source"), col("pass"), col("epochs"),
+          col("pass_fraction"), col("pass_tokens"))),
 
     // Sequence-LENGTH HISTOGRAM — the distribution that sizes packing
     // bins and context budgets before a layout job runs: documents
@@ -4872,5 +4898,31 @@ object TextOps {
          |pt AS (SELECT CAST(sum(planned_tokens) AS BIGINT) AS ptot FROM p2)
          |SELECT source, n_tokens, w, epochs, planned_tokens,
          |  round(CAST(planned_tokens AS DOUBLE) / ptot, 6) AS planned_share
-         |FROM p2, pt""".stripMargin)
+         |FROM p2, pt""".stripMargin,
+    "pipeline_train_manifest" ->
+      s"""WITH $TokedCte,
+         |c AS (SELECT source, CAST(sum(len(toks)) AS BIGINT) AS n_tokens,
+         |  CAST(1 + CAST(regexp_extract(source, '[0-9]+') AS BIGINT) % 5
+         |    AS BIGINT) AS w
+         |  FROM toked JOIN documents USING (doc_id)
+         |  GROUP BY source),
+         |t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot_tok,
+         |  CAST(sum(w) AS BIGINT) AS tot_w FROM c),
+         |p AS (SELECT source, n_tokens,
+         |  least(round(4.0 * CAST(tot_tok AS DOUBLE) * CAST(w AS DOUBLE)
+         |    / CAST(tot_w * n_tokens AS DOUBLE), 6), 4.0) AS epochs
+         |  FROM c, t),
+         |u AS (SELECT source, n_tokens, epochs,
+         |  CAST(ceil(epochs) AS BIGINT) AS n_passes FROM p),
+         |x AS (SELECT source, n_tokens, epochs, CAST(pass AS BIGINT)
+         |    AS pass
+         |  FROM u, LATERAL (SELECT unnest(range(1, n_passes + 1))
+         |    AS pass)),
+         |f AS (SELECT source, pass, epochs,
+         |  round(least(epochs - CAST(pass - 1 AS DOUBLE), 1.0), 6)
+         |    AS pass_fraction, n_tokens FROM x)
+         |SELECT source, pass, epochs, pass_fraction,
+         |  CAST(floor(pass_fraction * CAST(n_tokens AS DOUBLE) + 0.5)
+         |    AS BIGINT) AS pass_tokens
+         |FROM f""".stripMargin)
 }

@@ -497,6 +497,52 @@ object TextOps {
       docsOf(s, d).select(col("doc_id"),
         graft.api.GraftOps.languageOf(col("text")).as("lang_guess"))),
 
+    // READABILITY (Flesch reading ease) — the classic fluency feature a
+    // curation stack keeps next to the heuristic quality gates: vowel
+    // GROUPS proxy syllables, [.!?]+ runs proxy sentences (min 1), and
+    // the canonical 206.835 − 1.015·w/s − 84.6·syl/w formula evaluates
+    // in one fixed-order double expression. Pure per-row projection —
+    // codegen'd regexp_count, zero shuffle.
+    "txt_readability" -> ((s, d) =>
+      docsOf(s, d)
+        .select(col("doc_id"),
+          size(tokens(col("text"))).cast("long").as("n_words"),
+          greatest(regexp_count(col("text"), lit("[.!?]+")), lit(1))
+            .cast("long").as("n_sentences"),
+          regexp_count(lower(col("text")), lit("[aeiouy]+"))
+            .cast("long").as("n_syllables"))
+        .withColumn("flesch",
+          when(col("n_words") > 0L,
+            round(lit(206.835)
+              - lit(1.015) * (col("n_words").cast("double")
+                / col("n_sentences"))
+              - lit(84.6) * (col("n_syllables").cast("double")
+                / col("n_words")), 6)))),
+
+    // CODE-vs-PROSE detection — the curation split every mixed crawl
+    // runs before routing text to a code or prose pipeline: symbol
+    // density, indented-line count, and language-keyword hits, with the
+    // standard threshold OR as the verdict. Per-row regexp_count
+    // projections, no shuffle; thresholds are explicit so downstream
+    // can re-cut without recomputing features.
+    "txt_code_detect" -> ((s, d) =>
+      docsOf(s, d)
+        .select(col("doc_id"),
+          length(col("text")).cast("long").as("n_chars"),
+          regexp_count(col("text"), lit("[{}();=<>]")).cast("long")
+            .as("n_sym"),
+          regexp_count(col("text"), lit("(?m)^(    |\\t)")).cast("long")
+            .as("n_indent"),
+          regexp_count(lower(col("text")),
+            lit("\\b(def|class|return|import|function|var|const)\\b"))
+            .cast("long").as("n_kw"))
+        .withColumn("sym_ratio",
+          when(col("n_chars") > 0L,
+            round(col("n_sym").cast("double") / col("n_chars"), 6))
+            .otherwise(lit(0.0)))
+        .withColumn("is_code",
+          col("sym_ratio") > 0.05 || col("n_kw") >= 3L)),
+
     // Text normalization: lowercase, strip punctuation, collapse
     // whitespace — the canonical pre-dedup cleanup transform.
     "txt_normalize" -> ((s, d) =>
@@ -3243,6 +3289,39 @@ object TextOps {
         |  regexp_replace(lower(text), '[.,!?;:]', '', 'g'),
         |  '\s+', ' ', 'g')) AS norm_text
         |FROM documents""".stripMargin,
+    "txt_readability" ->
+      s"""WITH $TokedCte,
+         |f AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_words
+         |  FROM toked),
+         |g AS (SELECT d.doc_id, f.n_words,
+         |  CAST(greatest(len(regexp_extract_all(d.text, '[.!?]+')), 1)
+         |    AS BIGINT) AS n_sentences,
+         |  CAST(len(regexp_extract_all(lower(d.text), '[aeiouy]+'))
+         |    AS BIGINT) AS n_syllables
+         |  FROM documents d JOIN f USING (doc_id))
+         |SELECT doc_id, n_words, n_sentences, n_syllables,
+         |  CASE WHEN n_words > 0 THEN round(206.835
+         |    - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+         |    - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words), 6)
+         |  END AS flesch
+         |FROM g""".stripMargin,
+    "txt_code_detect" ->
+      """WITH f AS (SELECT doc_id,
+        |  CAST(length(text) AS BIGINT) AS n_chars,
+        |  CAST(len(regexp_extract_all(text, '[{}();=<>]')) AS BIGINT)
+        |    AS n_sym,
+        |  CAST(len(regexp_extract_all(text, '(?m)^(    |\t)'))
+        |    AS BIGINT) AS n_indent,
+        |  CAST(len(regexp_extract_all(lower(text),
+        |    '\b(def|class|return|import|function|var|const)\b'))
+        |    AS BIGINT) AS n_kw
+        |  FROM documents),
+        |r AS (SELECT *, CASE WHEN n_chars > 0
+        |  THEN round(CAST(n_sym AS DOUBLE) / n_chars, 6)
+        |  ELSE 0.0 END AS sym_ratio FROM f)
+        |SELECT doc_id, n_chars, n_sym, n_indent, n_kw, sym_ratio,
+        |  sym_ratio > 0.05 OR n_kw >= 3 AS is_code
+        |FROM r""".stripMargin,
     "txt_winnow_fp" ->
       s"""WITH $TokedCte,
          |pos AS (SELECT doc_id, unnest(toks) AS tok,

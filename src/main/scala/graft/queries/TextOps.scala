@@ -543,6 +543,35 @@ object TextOps {
         .withColumn("is_code",
           col("sym_ratio") > 0.05 || col("n_kw") >= 3L)),
 
+    // CODE-CORPUS ROUTING — the composed admission pipeline for a mixed
+    // crawl: exact dedup first (first-occurrence wins), then the
+    // code-vs-prose split routes survivors to their training stream.
+    // Routes are explicit strings so downstream jobs filter on one
+    // column; the plan is the dedup hash-groupBy + left join plus the
+    // per-row detection projections — nothing corpus-squared.
+    "pipeline_code_routing" -> ((s, d) => {
+      val docs = docsOf(s, d)
+      val kept = graft.api.GraftOps.dedupExact(docs, "doc_id", "text")
+        .select(col("doc_id")).withColumn("kept", lit(true))
+      docs
+        .select(col("doc_id"),
+          length(col("text")).cast("long").as("n_chars"),
+          regexp_count(col("text"), lit("[{}();=<>]")).cast("long")
+            .as("n_sym"),
+          regexp_count(lower(col("text")),
+            lit("\\b(def|class|return|import|function|var|const)\\b"))
+            .cast("long").as("n_kw"))
+        .withColumn("sym_ratio",
+          when(col("n_chars") > 0L,
+            round(col("n_sym").cast("double") / col("n_chars"), 6))
+            .otherwise(lit(0.0)))
+        .join(kept, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(coalesce(col("kept"), lit(false)) === false, "drop_dup")
+            .when(col("sym_ratio") > 0.05 || col("n_kw") >= 3L, "code")
+            .otherwise("prose").as("route"))
+    }),
+
     // Text normalization: lowercase, strip punctuation, collapse
     // whitespace — the canonical pre-dedup cleanup transform.
     "txt_normalize" -> ((s, d) =>
@@ -1609,6 +1638,20 @@ object TextOps {
           col("asof_segment_id").as("segment_id"),
           (!col("asof_is_silent")).as("voiced"))
     }),
+
+    // KEYFRAME SELECTION — the thumbnail/representative-frame step
+    // after scene segmentation: per scene its span and the MIDDLE frame
+    // (the standard representative choice; swap the argmax of any
+    // sharpness score into the same rollup). One groupBy over the
+    // shared sceneCuts stage — scene-count rows out, integer-exact
+    // midpoint arithmetic.
+    "mm_scene_keyframes" -> ((s, d) =>
+      sceneCuts(s, d).groupBy("media_id", "scene_id")
+        .agg(min("frame_idx").as("start_idx"),
+          max("frame_idx").as("end_idx"),
+          count(lit(1)).cast("long").as("n_frames"))
+        .withColumn("key_idx",
+          expr("(start_idx + end_idx) DIV 2").cast("long"))),
 
     // CROSS-MODAL SEGMENTATION REPORT — the corpus-level rollup of the
     // two segmentation cores (video scenes, audio voiced runs): items,
@@ -3289,6 +3332,26 @@ object TextOps {
         |  regexp_replace(lower(text), '[.,!?;:]', '', 'g'),
         |  '\s+', ' ', 'g')) AS norm_text
         |FROM documents""".stripMargin,
+    "pipeline_code_routing" ->
+      """WITH kept AS (SELECT min(doc_id) AS doc_id
+        |  FROM documents GROUP BY md5(text)),
+        |f AS (SELECT doc_id,
+        |  CAST(length(text) AS BIGINT) AS n_chars,
+        |  CAST(len(regexp_extract_all(text, '[{}();=<>]')) AS BIGINT)
+        |    AS n_sym,
+        |  CAST(len(regexp_extract_all(lower(text),
+        |    '\b(def|class|return|import|function|var|const)\b'))
+        |    AS BIGINT) AS n_kw
+        |  FROM documents),
+        |r AS (SELECT f.doc_id, CASE WHEN n_chars > 0
+        |    THEN round(CAST(n_sym AS DOUBLE) / n_chars, 6)
+        |    ELSE 0.0 END AS sym_ratio, n_kw,
+        |  k.doc_id IS NOT NULL AS kept
+        |  FROM f LEFT JOIN kept k ON f.doc_id = k.doc_id)
+        |SELECT doc_id, CASE WHEN NOT kept THEN 'drop_dup'
+        |  WHEN sym_ratio > 0.05 OR n_kw >= 3 THEN 'code'
+        |  ELSE 'prose' END AS route
+        |FROM r""".stripMargin,
     "txt_readability" ->
       s"""WITH $TokedCte,
          |f AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_words
@@ -4738,6 +4801,18 @@ object TextOps {
     // runs (n1 at d1 ticks, n2 at d2), sample k's decode ticks = k·d1
     // inside run 1, n1·d1 + (k−n1)·d2 inside run 2; t_ms floors
     // ticks·1000/mts like the Spark integer math. Stride 2 keeps even k.
+    "mm_scene_keyframes" ->
+      """WITH p AS (SELECT doc_id, 6 + doc_id % 5 AS n,
+        |    2 + doc_id % 3 AS len FROM documents),
+        |f AS (SELECT doc_id AS media_id, CAST(kk.k AS BIGINT)
+        |    AS frame_idx, CAST(kk.k // len AS BIGINT) AS scene_id
+        |  FROM p, LATERAL (SELECT unnest(range(0, n)) AS k) kk)
+        |SELECT media_id, scene_id, min(frame_idx) AS start_idx,
+        |  max(frame_idx) AS end_idx, CAST(count(*) AS BIGINT)
+        |    AS n_frames,
+        |  CAST((min(frame_idx) + max(frame_idx)) // 2 AS BIGINT)
+        |    AS key_idx
+        |FROM f GROUP BY media_id, scene_id""".stripMargin,
     "mm_frame_times" ->
       """WITH p AS (SELECT doc_id,
         |    1000 + (doc_id % 3) * 500 AS mts,

@@ -2248,6 +2248,53 @@ object TextOps {
     // band_hash), never a corpus rescan. Batch-internal dups are the
     // already-covered dedup_minhash_* path; this query isolates the
     // cross-ingest modality.
+    // EXACT set-similarity join (PPJoin prefix filtering): all doc
+    // pairs with token-set Jaccard ≥ 0.9, found WITHOUT the all-pairs
+    // shared-token join. Tokens order globally by (rarity, term); a
+    // doc's PREFIX is its first sz − ⌊0.9·sz⌋ + 1 tokens (integer
+    // arithmetic — (9·sz) DIV 10, no float boundary), and the
+    // prefix-filter theorem guarantees any qualifying pair shares a
+    // prefix token — so candidates come from the small rare-token
+    // prefix buckets, then verify with a row-local sorted-array
+    // intersect bounded by doc length. The ORACLE runs the naive
+    // shared-token join: the optimization must be result-transparent,
+    // which is exactly the theorem under test.
+    "dedup_ppjoin" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = docsOf(s, d)
+      val tok = docs.select(col("doc_id"),
+        explode(array_distinct(tokens(col("text")))).as("term"))
+      val freq = tok.groupBy("term").agg(count(lit(1)).as("df"))
+      val wD = Window.partitionBy("doc_id").orderBy(col("df"), col("term"))
+      val prefix = tok.join(freq, "term")
+        .withColumn("pos", row_number().over(wD))
+        .withColumn("sz",
+          count(lit(1)).over(Window.partitionBy("doc_id")))
+        .filter(col("pos") <= col("sz") - expr("(9 * sz) DIV 10") + 1L)
+        .select(col("term"), col("doc_id"))
+      val cands = prefix.as("a")
+        .join(prefix.as("b"), col("a.term") === col("b.term")
+          && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("left_id"),
+          col("b.doc_id").as("right_id")).distinct()
+      val arrs = docs.select(col("doc_id"),
+        array_sort(array_distinct(tokens(col("text")))).as("ta"))
+      cands
+        .join(arrs.select(col("doc_id").as("left_id"),
+          col("ta").as("la")), Seq("left_id"))
+        .join(arrs.select(col("doc_id").as("right_id"),
+          col("ta").as("ra")), Seq("right_id"))
+        .select(col("left_id"), col("right_id"),
+          size(array_intersect(col("la"), col("ra"))).cast("long")
+            .as("inter"),
+          (size(col("la")) + size(col("ra"))
+            - size(array_intersect(col("la"), col("ra")))).cast("long")
+            .as("union_sz"))
+        .withColumn("jacc",
+          round(col("inter").cast("double") / col("union_sz"), 6))
+        .filter(col("jacc") >= 0.9)
+    }),
+
     // Incremental INDEX MAINTENANCE — the write side of the stored
     // band index dedup_incremental probes: a new ingest batch's band
     // buckets are merged into the index under FIRST-WINS ownership
@@ -3497,6 +3544,26 @@ object TextOps {
     "dedup_minhash_bands" ->
       s"""WITH $SigCte
          |SELECT doc_id, band_idx, band_hash FROM bands""".stripMargin,
+    "dedup_ppjoin" ->
+      s"""WITH $TokedCte,
+         |tok AS (SELECT DISTINCT doc_id, unnest(toks) AS term
+         |  FROM toked),
+         |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz
+         |  FROM tok GROUP BY doc_id),
+         |sh AS (SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+         |  CAST(count(*) AS BIGINT) AS inter
+         |  FROM tok a JOIN tok b ON a.term = b.term
+         |    AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id),
+         |j AS (SELECT left_id, right_id, inter,
+         |  sa.sz + sb.sz - inter AS union_sz
+         |  FROM sh JOIN sz sa ON sa.doc_id = sh.left_id
+         |  JOIN sz sb ON sb.doc_id = sh.right_id)
+         |SELECT left_id, right_id, inter, union_sz,
+         |  round(CAST(inter AS DOUBLE) / union_sz, 6) AS jacc
+         |FROM j
+         |WHERE round(CAST(inter AS DOUBLE) / union_sz, 6) >= 0.9"""
+        .stripMargin,
     "idx_band_upsert" ->
       s"""WITH $SigCte,
          |base AS (SELECT band_idx, band_hash,

@@ -2258,10 +2258,15 @@ object TextOps {
     // prefix buckets, then verify with a row-local sorted-array
     // intersect bounded by doc length. The ORACLE runs the naive
     // shared-token join: the optimization must be result-transparent,
-    // which is exactly the theorem under test.
+    // which is exactly the theorem under test. The join is scoped to
+    // ONE source shard — the deployment shape for an exact-threshold
+    // join (this corpus is template-heavy, so the >=0.9 pair set is
+    // itself near-quadratic across sources; measured 110 s at sf0.1
+    // unscoped, and the cost is the OUTPUT, not the plan).
+    // Cross-source near-dups remain the banded-MinHash path's job.
     "dedup_ppjoin" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
-      val docs = docsOf(s, d)
+      val docs = docsOf(s, d).filter(col("source") === "src0")
       val tok = docs.select(col("doc_id"),
         explode(array_distinct(tokens(col("text")))).as("term"))
       val freq = tok.groupBy("term").agg(count(lit(1)).as("df"))
@@ -3546,8 +3551,9 @@ object TextOps {
          |SELECT doc_id, band_idx, band_hash FROM bands""".stripMargin,
     "dedup_ppjoin" ->
       s"""WITH $TokedCte,
-         |tok AS (SELECT DISTINCT doc_id, unnest(toks) AS term
-         |  FROM toked),
+         |tok AS (SELECT DISTINCT t.doc_id, unnest(t.toks) AS term
+         |  FROM toked t JOIN documents d ON t.doc_id = d.doc_id
+         |  WHERE d.source = 'src0'),
          |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz
          |  FROM tok GROUP BY doc_id),
          |sh AS (SELECT a.doc_id AS left_id, b.doc_id AS right_id,

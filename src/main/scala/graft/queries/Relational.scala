@@ -844,6 +844,49 @@ object Relational {
       graft.api.GraftOps.labelPropagation(edges, "src", "dst", rounds = 3)
     }),
 
+    // MODULARITY of the detected communities — the quality score that
+    // says whether label propagation found real structure: Q = Σ_c
+    // [L_c/m − (D_c/2m)²], computed EXACTLY as one integer numerator
+    // Σ(4·m·L_c − D_c²) over 4m² (per-community products fit in longs,
+    // the sum accumulates as DECIMAL, and the single final division is
+    // the only double op). Intra-edge counts and community degrees are
+    // two label-map joins on the distinct edge table — the same
+    // co-partitioned shuffles the LPA rounds already use.
+    "graph_modularity" -> ((s, d) => {
+      val ed0 = Tables.lineitem(s, d)
+        .select(col("l_suppkey").cast("long").as("src"),
+          (col("l_partkey") + 1000000L).as("dst"))
+        .distinct().localCheckpoint()
+      val lab = graft.api.GraftOps
+        .labelPropagation(ed0, "src", "dst", rounds = 3)
+        .localCheckpoint()
+      val m = ed0.agg(count(lit(1)).cast("long").as("m"))
+      val intra = ed0
+        .join(lab.select(col("node_id").as("src"),
+          col("label").as("la")), Seq("src"))
+        .join(lab.select(col("node_id").as("dst"),
+          col("label").as("lb")), Seq("dst"))
+        .filter(col("la") === col("lb"))
+        .groupBy(col("la").as("label"))
+        .agg(count(lit(1)).cast("long").as("lc"))
+      val deg = ed0.select(explode(array(col("src"), col("dst")))
+          .as("node_id"))
+        .groupBy("node_id").agg(count(lit(1)).cast("long").as("deg"))
+      val dc = deg.join(lab, Seq("node_id"))
+        .groupBy("label").agg(sum("deg").cast("long").as("dsum"))
+      val terms = dc.join(intra, Seq("label"), "left")
+        .select(col("label"), coalesce(col("lc"), lit(0L)).as("lc"),
+          col("dsum"))
+      terms.crossJoin(broadcast(m))
+        .agg(count(lit(1)).cast("long").as("n_communities"),
+          max(col("m")).as("m"),
+          sum((col("lc") * 4L * col("m") - col("dsum") * col("dsum"))
+            .cast(DecimalType(38, 0))).as("num"))
+        .select(col("m"), col("n_communities"),
+          round(col("num").cast("double")
+            / (lit(4.0) * col("m") * col("m")), 6).as("q_modularity"))
+    }),
+
     // Anti join (NOT EXISTS): customers who never produced an event —
     // completes the join-type matrix (inner/left/semi/ANTI/asof/range).
     // Spark plans a BroadcastHashJoin LeftAnti here; at scale it becomes
@@ -1422,6 +1465,38 @@ object Relational {
     s"(((zx >> $i) & 1) << ${2 * i}) | (((zy >> $i) & 1) << ${2 * i + 1})")
     .mkString(" | ")
 
+  /** Shared oracle CTE chain: 3 unrolled label-propagation rounds over
+    * the supplier-part co-occurrence graph, ending in `r3` = (id,
+    * label); also exposes `ed0` (distinct directed edges) and `e`
+    * (symmetrized) for downstream CTEs (graph_modularity). */
+  private val LpaCte =
+    """ed0 AS (SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS src,
+      |  CAST(l_partkey + 1000000 AS BIGINT) AS dst FROM lineitem),
+      |e AS (SELECT src AS s, dst AS t FROM ed0
+      |      UNION SELECT dst, src FROM ed0),
+      |l0 AS (SELECT DISTINCT s AS id, s AS label FROM e),
+      |r1 AS (SELECT s AS id, label FROM (
+      |    SELECT v.s, v.label, count(*) AS c, row_number() OVER (
+      |      PARTITION BY v.s ORDER BY count(*) DESC, v.label) AS rn
+      |    FROM (SELECT e.s, l.label FROM e JOIN l0 l ON e.t = l.id
+      |          UNION ALL SELECT id, label FROM l0) v
+      |    GROUP BY v.s, v.label)
+      |  WHERE rn = 1),
+      |r2 AS (SELECT s AS id, label FROM (
+      |    SELECT v.s, v.label, count(*) AS c, row_number() OVER (
+      |      PARTITION BY v.s ORDER BY count(*) DESC, v.label) AS rn
+      |    FROM (SELECT e.s, l.label FROM e JOIN r1 l ON e.t = l.id
+      |          UNION ALL SELECT id, label FROM r1) v
+      |    GROUP BY v.s, v.label)
+      |  WHERE rn = 1),
+      |r3 AS (SELECT s AS id, label FROM (
+      |    SELECT v.s, v.label, count(*) AS c, row_number() OVER (
+      |      PARTITION BY v.s ORDER BY count(*) DESC, v.label) AS rn
+      |    FROM (SELECT e.s, l.label FROM e JOIN r2 l ON e.t = l.id
+      |          UNION ALL SELECT id, label FROM r2) v
+      |    GROUP BY v.s, v.label)
+      |  WHERE rn = 1)""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "s1_filtered_scan" -> "SELECT * FROM orders WHERE o_custkey = 7",
     "s2_join_scan" ->
@@ -1825,34 +1900,29 @@ object Relational {
         |SELECT s AS node_id, count(*) AS degree FROM e3 GROUP BY s"""
         .stripMargin,
     "graph_label_prop" ->
-      """WITH ed0 AS (SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS src,
-        |  CAST(l_partkey + 1000000 AS BIGINT) AS dst FROM lineitem),
-        |e AS (SELECT src AS s, dst AS t FROM ed0
-        |      UNION SELECT dst, src FROM ed0),
-        |l0 AS (SELECT DISTINCT s AS id, s AS label FROM e),
-        |r1 AS (SELECT s AS id, label FROM (
-        |    SELECT v.s, v.label, count(*) AS c, row_number() OVER (
-        |      PARTITION BY v.s ORDER BY count(*) DESC, v.label) AS rn
-        |    FROM (SELECT e.s, l.label FROM e JOIN l0 l ON e.t = l.id
-        |          UNION ALL SELECT id, label FROM l0) v
-        |    GROUP BY v.s, v.label)
-        |  WHERE rn = 1),
-        |r2 AS (SELECT s AS id, label FROM (
-        |    SELECT v.s, v.label, count(*) AS c, row_number() OVER (
-        |      PARTITION BY v.s ORDER BY count(*) DESC, v.label) AS rn
-        |    FROM (SELECT e.s, l.label FROM e JOIN r1 l ON e.t = l.id
-        |          UNION ALL SELECT id, label FROM r1) v
-        |    GROUP BY v.s, v.label)
-        |  WHERE rn = 1),
-        |r3 AS (SELECT s AS id, label FROM (
-        |    SELECT v.s, v.label, count(*) AS c, row_number() OVER (
-        |      PARTITION BY v.s ORDER BY count(*) DESC, v.label) AS rn
-        |    FROM (SELECT e.s, l.label FROM e JOIN r2 l ON e.t = l.id
-        |          UNION ALL SELECT id, label FROM r2) v
-        |    GROUP BY v.s, v.label)
-        |  WHERE rn = 1)
-        |SELECT id AS node_id, CAST(label AS BIGINT) AS label FROM r3"""
+      s"""WITH $LpaCte
+         |SELECT id AS node_id, CAST(label AS BIGINT) AS label FROM r3"""
         .stripMargin,
+    "graph_modularity" ->
+      s"""WITH $LpaCte,
+         |lab AS (SELECT id, CAST(label AS BIGINT) AS label FROM r3),
+         |m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM ed0),
+         |intra AS (SELECT la.label, CAST(count(*) AS BIGINT) AS lc
+         |  FROM ed0 JOIN lab la ON ed0.src = la.id
+         |  JOIN lab lb ON ed0.dst = lb.id
+         |  WHERE la.label = lb.label GROUP BY la.label),
+         |deg AS (SELECT s AS id, CAST(count(*) AS BIGINT) AS deg
+         |  FROM e GROUP BY s),
+         |dc AS (SELECT label, CAST(sum(deg) AS BIGINT) AS dsum
+         |  FROM deg JOIN lab USING (id) GROUP BY label),
+         |terms AS (SELECT dc.label, coalesce(i.lc, 0) AS lc, dc.dsum
+         |  FROM dc LEFT JOIN intra i ON dc.label = i.label)
+         |SELECT max(m.m) AS m,
+         |  CAST(count(*) AS BIGINT) AS n_communities,
+         |  round(CAST(sum(CAST(lc * 4 * m.m - dsum * dsum
+         |    AS DECIMAL(38, 0))) AS DOUBLE) / (4.0 * max(m.m) * max(m.m)),
+         |    6) AS q_modularity
+         |FROM terms, m""".stripMargin,
     "j13_anti_join" ->
       """SELECT c_custkey, c_name, c_mktsegment FROM customer c
         |WHERE NOT EXISTS (SELECT 1 FROM events e

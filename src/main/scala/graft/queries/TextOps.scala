@@ -2148,6 +2148,34 @@ object TextOps {
             .as("planned_share"))
     }),
 
+    // EFFECTIVE token budget — the number the mixture planner should
+    // actually use: raw per-source tokens shrink by what exact dedup
+    // drops, and the retention ratio says how much each source's
+    // nominal mass is inflated by duplication (a source that is 40%
+    // dup contributes far less unique signal than its raw count
+    // claims). Composes the dedup survivor set with the token count in
+    // one left join + one grouped aggregate.
+    "samp_effective_tokens" -> ((s, d) => {
+      val docs = docsOf(s, d)
+      val kept = graft.api.GraftOps.dedupExact(docs, "doc_id", "text")
+        .select(col("doc_id")).withColumn("kept", lit(true))
+      docs
+        .select(col("doc_id"), col("source"),
+          size(tokens(col("text"))).cast("long").as("n_tok"))
+        .join(kept, Seq("doc_id"), "left")
+        .withColumn("k", coalesce(col("kept"), lit(false)))
+        .groupBy("source")
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum(when(col("k"), 0L).otherwise(1L)).cast("long")
+            .as("n_dropped"),
+          sum("n_tok").cast("long").as("raw_tokens"),
+          sum(when(col("k"), col("n_tok")).otherwise(0L)).cast("long")
+            .as("effective_tokens"))
+        .withColumn("retention",
+          round(col("effective_tokens").cast("double")
+            / col("raw_tokens"), 6))
+    }),
+
     // The LOADER SCHEDULE the epoch plan unrolls into: one row per
     // (source, pass), full passes at fraction 1.0 and the final
     // fractional pass carrying the remainder — what a data loader
@@ -5126,6 +5154,24 @@ object TextOps {
          |SELECT source, n_tokens, w, epochs, planned_tokens,
          |  round(CAST(planned_tokens AS DOUBLE) / ptot, 6) AS planned_share
          |FROM p2, pt""".stripMargin,
+    "samp_effective_tokens" ->
+      s"""WITH $TokedCte,
+         |kept AS (SELECT min(doc_id) AS doc_id
+         |  FROM documents GROUP BY md5(text)),
+         |n AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tok
+         |  FROM toked),
+         |j AS (SELECT d.source, n.n_tok, k.doc_id IS NOT NULL AS kept
+         |  FROM documents d JOIN n ON d.doc_id = n.doc_id
+         |  LEFT JOIN kept k ON d.doc_id = k.doc_id)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN kept THEN 0 ELSE 1 END) AS BIGINT)
+         |    AS n_dropped,
+         |  CAST(sum(n_tok) AS BIGINT) AS raw_tokens,
+         |  CAST(sum(CASE WHEN kept THEN n_tok ELSE 0 END) AS BIGINT)
+         |    AS effective_tokens,
+         |  round(CAST(sum(CASE WHEN kept THEN n_tok ELSE 0 END)
+         |    AS DOUBLE) / sum(n_tok), 6) AS retention
+         |FROM j GROUP BY source""".stripMargin,
     "pipeline_train_manifest" ->
       s"""WITH $TokedCte,
          |c AS (SELECT source, CAST(sum(len(toks)) AS BIGINT) AS n_tokens,

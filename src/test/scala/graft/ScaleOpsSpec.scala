@@ -318,7 +318,13 @@ class ScaleOpsSpec extends SparkSpec {
     val keep = SparkEntry.queries("mm_video_keep_best")(spark, d)
       .collect()
     val mid = graft.operators.SharedStage.buildsFor(spark, key)
-    assert(mid == before + 1, s"first consumer: expected one build")
+    // Another suite may have pre-warmed the stage in this shared
+    // session (RegistryPlanSpec constructs every registry query) — the
+    // first consumer then REUSES the live blocks, which is the
+    // behavior under test, not a failure. Either way: at most one new
+    // build, and a fresh session builds exactly once.
+    assert(mid == before + 1 || (before > 0 && mid == before),
+      s"first consumer: builds went $before -> $mid")
     val retention = SparkEntry.queries("pipeline_video_retention")(
       spark, d).collect()
     assert(graft.operators.SharedStage.buildsFor(spark, key) == mid,

@@ -1920,6 +1920,33 @@ object TextOps {
         "doc_id", "text", n = 8)
     }),
 
+    // CONTAMINATION REPORT — the per-source rollup a data audit ships:
+    // how much of each source's training slice shares word 8-grams
+    // with the held-out benchmark, as doc counts, gram mass, and the
+    // contaminated share. One left join of the decontaminate flags
+    // back onto the train slice + a source-cardinality aggregate; the
+    // expensive pass (benchmark-gram broadcast probe) is the same one
+    // txt_decontaminate already runs.
+    "pipeline_contamination_report" -> ((s, d) => {
+      val docs = docsOf(s, d)
+      val flagged = graft.api.GraftOps.decontaminate(
+        docs.filter(col("doc_id") % 20 =!= 0),
+        docs.filter(col("doc_id") % 20 === 0),
+        "doc_id", "text", n = 8)
+      docs.filter(col("doc_id") % 20 =!= 0)
+        .select(col("doc_id"), col("source"))
+        .join(flagged, Seq("doc_id"), "left")
+        .groupBy("source")
+        .agg(count(lit(1)).cast("long").as("n_train_docs"),
+          sum(when(col("n_shared_grams").isNotNull, 1L).otherwise(0L))
+            .cast("long").as("n_contaminated"),
+          coalesce(sum("n_shared_grams"), lit(0L)).cast("long")
+            .as("total_shared_grams"))
+        .withColumn("contaminated_share",
+          round(col("n_contaminated").cast("double")
+            / col("n_train_docs"), 6))
+    }),
+
     // Gopher-style quality rules: token count, mean word length, and
     // stopword hits per doc, plus the combined keep flag. Pure per-row
     // projection over the token array — no shuffle at any scale.
@@ -4974,6 +5001,26 @@ object TextOps {
          |FROM grams JOIN bench USING (g)
          |WHERE doc_id % 20 <> 0
          |GROUP BY doc_id""".stripMargin,
+    "pipeline_contamination_report" ->
+      s"""WITH $TokedCte,
+         |grams AS (SELECT doc_id,
+         |  unnest([array_to_string(toks[i+1:i+8], ' ')
+         |          for i in range(greatest(len(toks) - 7, 0))]) AS g
+         |  FROM toked),
+         |bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 20 = 0),
+         |fl AS (SELECT doc_id, count(DISTINCT g) AS n_shared_grams
+         |  FROM grams JOIN bench USING (g)
+         |  WHERE doc_id % 20 <> 0 GROUP BY doc_id)
+         |SELECT d.source, CAST(count(*) AS BIGINT) AS n_train_docs,
+         |  CAST(sum(CASE WHEN fl.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_contaminated,
+         |  CAST(coalesce(sum(fl.n_shared_grams), 0) AS BIGINT)
+         |    AS total_shared_grams,
+         |  round(CAST(sum(CASE WHEN fl.doc_id IS NOT NULL
+         |    THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6)
+         |    AS contaminated_share
+         |FROM documents d LEFT JOIN fl ON d.doc_id = fl.doc_id
+         |WHERE d.doc_id % 20 <> 0 GROUP BY d.source""".stripMargin,
     "txt_gopher_quality" ->
       s"""WITH $TokedCte,
          |m AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_words,

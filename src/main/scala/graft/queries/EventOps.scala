@@ -286,6 +286,20 @@ object EventOps {
             .as("overlap_us"))
     }),
 
+    // Daily error-rate SLO — the ops gate over the event feed: per-day
+    // error share with an explicit breach flag at the 21 % budget. One
+    // partial-aggregated groupBy(day); the breach threshold compares
+    // the ROUNDED share so both engines decide identically.
+    "ev_error_rate_slo" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).cast("long").as("n_events"),
+          sum(when(col("event_type") === "error", 1L).otherwise(0L))
+            .cast("long").as("n_errors"))
+        .withColumn("error_share",
+          round(col("n_errors").cast("double") / col("n_events"), 6))
+        .withColumn("slo_breach", col("error_share") > 0.21)),
+
     // Session-duration SURVIVAL shares — the engagement curve read at a
     // fixed threshold grid (P[duration ≥ 1m/5m/15m/1h]): one aggregate
     // over the sessionize core, conditional sums only — the whole
@@ -927,6 +941,16 @@ object EventOps {
         |    AS overlap_us
         |FROM si JOIN camps ON s_us <= ce_us AND e_us >= cs_us
         |GROUP BY campaign""".stripMargin,
+    "ev_error_rate_slo" ->
+      """SELECT CAST(ts AS DATE) AS day,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_errors,
+        |  round(CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0
+        |    END) AS DOUBLE) / count(*), 6) AS error_share,
+        |  round(CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0
+        |    END) AS DOUBLE) / count(*), 6) > 0.21 AS slo_breach
+        |FROM events GROUP BY CAST(ts AS DATE)""".stripMargin,
     "ev_duration_survival" ->
       """WITH flagged AS (
         |  SELECT *, CASE WHEN prev_us IS NULL

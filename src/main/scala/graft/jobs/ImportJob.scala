@@ -93,7 +93,7 @@ object ImportJob {
           .as("dateOfBirth"),
         col("id"),
         when(length(col("keys_kv")) > 0,
-          str_to_map(col("keys_kv"), ",", "=")).as("keys"),
+          str_to_map(col("keys_kv"), lit(","), lit("="))).as("keys"),
         col("member_type").as("memberType"),
         col("name"),
         col("status"),
@@ -269,14 +269,15 @@ object ImportJob {
       .filter(st => st.isDirectory &&
         st.getPath.getName.startsWith("organizationId="))
       .map { dir =>
-        val org = dir.getPath.getName.stripPrefix("organizationId=")
+        val orgId = dir.getPath.getName.stripPrefix("organizationId=")
         val part = fs.listStatus(dir.getPath)
           .filter(f => f.isFile && f.getPath.getName.startsWith("part-")
             && f.getLen > 0)
         require(part.length == 1,
-          s"writeImportFiles: expected one part file for $org, " +
+          s"writeImportFiles: expected one part file for $orgId, " +
             s"got ${part.length}")
-        val dest = new org.apache.hadoop.fs.Path(s"$outDir/mmj-$org.json")
+        val dest =
+          new org.apache.hadoop.fs.Path(s"$outDir/mmj-${orgId}.json")
         if (fs.exists(dest)) fs.delete(dest, false)
         fs.rename(part.head.getPath, dest)
         dest.toUri.getPath

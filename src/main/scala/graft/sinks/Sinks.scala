@@ -40,6 +40,39 @@ object Sinks {
     df.select(docId(payload).as("_id"), to_json(payload).as("doc"))
       .write.mode("overwrite").parquet(path)
 
+  /** S6 INSERT with the reference's unique-id contract
+    * (utils.py:123-146), against a filesystem-backed store: append only
+    * documents whose `_id` is not already present. The reference
+    * generates a random ObjectId and retries until it finds one with no
+    * collision; with content-hash ids the retry loop inverts into a
+    * skip — a colliding `_id` IS the same document (sha256 of its
+    * serialized payload), so "regenerate until unique" becomes "already
+    * stored, don't append". Consequences the contract test pins:
+    * replayed batches are idempotent (the restart-between-write-and-ack
+    * failure window), distinct payloads never collide, and the store
+    * never holds two rows with one `_id`. The existing-id probe is an
+    * anti join against the store's `_id` column only (column-pruned
+    * scan); at real scale the same shape runs against the connector's
+    * key index. Returns the number of documents actually appended. */
+  def insertDocCollection(spark: org.apache.spark.sql.SparkSession,
+      df: DataFrame, payload: Column, path: String): Long = {
+    val docs = df
+      .select(docId(payload).as("_id"), to_json(payload).as("doc"))
+      .dropDuplicates("_id")
+    val existing =
+      try spark.read.parquet(path).select("_id")
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getMessage.contains("PATH_NOT_FOUND") ||
+              e.getMessage.toLowerCase.contains("path does not exist") =>
+          spark.emptyDataFrame.select(lit("").as("_id")).limit(0)
+      }
+    val fresh = docs.join(existing, Seq("_id"), "left_anti")
+      .localCheckpoint() // one evaluation: counted AND appended below
+    fresh.write.mode("append").parquet(path)
+    fresh.count()
+  }
+
   /** Idempotent microbatch writer for non-transactional sinks: each
     * batch lands in its own `batch_id=` partition via DYNAMIC partition
     * overwrite, so a replayed batch (restart between sink write and

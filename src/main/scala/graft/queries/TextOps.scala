@@ -2385,6 +2385,101 @@ object TextOps {
         .filter(col("jacc") >= 0.9)
     }),
 
+    // GLOBAL exact-threshold PPJoin (r14 VERDICT item 7): UNSCOPED
+    // across all sources at Jaccard ≥ 0.95. Three stacked bounds make
+    // the global form tractable on this template-heavy corpus:
+    //
+    //  1. EXACT-SET COLLAPSE first: identical token sets (md5 of the
+    //     sorted array) reduce to one representative before any join.
+    //     This is the decisive one — a 248-doc boilerplate clique
+    //     shares all its prefix tokens, so at doc level it alone
+    //     floods the prefix buckets with ~30k×3 candidate rows
+    //     (measured: 5.26M raw / 2.22M distinct candidates for 191k
+    //     output pairs at sf0.1); at set level it is ONE row, and the
+    //     intra-clique pairs come back as a setid self-join whose cost
+    //     IS the output (J = 1.0 by construction, no verify needed).
+    //  2. The rare-token prefix filter over the 21% remaining distinct
+    //     sets (first sz − ⌊0.95·sz⌋ + 1 tokens in (df, term) order;
+    //     integer (19·sz) DIV 20, no float boundary).
+    //  3. The length filter 20·min_sz ≥ 19·max_sz (J ≥ t forces
+    //     |smaller| ≥ t·|larger| since inter ≤ min and union ≥ max).
+    //
+    // Qualifying SET pairs then expand through the membership table to
+    // doc pairs — output-sized by definition. NO cap is applied
+    // anywhere — the result is the complete pair set (size logged in
+    // PLANS.md), and the oracle is the naive shared-token join, so the
+    // transparency of all three bounds is exactly what the gate
+    // verifies. (The ≥0.9 unscoped pair set stays output-quadratic
+    // even collapsed — why dedup_ppjoin ships source-scoped.)
+    "dedup_ppjoin_g" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val t = 0.95
+      // (doc_id, setid) membership + one representative array per set.
+      // "\n" separator is whitespace, so it can never appear inside a
+      // token — the encoding is injective (md5 modulo the same
+      // collision class every content-hash op here accepts).
+      val arrs = docsOf(s, d).select(col("doc_id"),
+          array_sort(array_distinct(tokens(col("text")))).as("ta"))
+        .withColumn("setid", md5(concat_ws("\n", col("ta"))))
+        .localCheckpoint() // feeds reps, both expansions, intra pairs
+      val reps = arrs.groupBy("setid")
+        .agg(max("ta").as("ta")) // all ta in a set are identical
+        .localCheckpoint()       // self-joined below (contract: materialize)
+      val tok = reps.select(col("setid"),
+        explode(col("ta")).as("term"))
+      val freq = tok.groupBy("term").agg(count(lit(1)).as("df"))
+      val wD = Window.partitionBy("setid").orderBy(col("df"), col("term"))
+      val prefix = tok.join(freq, "term")
+        .withColumn("pos", row_number().over(wD))
+        .withColumn("sz",
+          count(lit(1)).over(Window.partitionBy("setid")))
+        .filter(col("pos") <= col("sz") - expr("(19 * sz) DIV 20") + 1L)
+        .select(col("term"), col("setid"), col("sz"))
+      val setPairs = prefix.as("a")
+        .join(prefix.as("b"), col("a.term") === col("b.term")
+          && col("a.setid") < col("b.setid")
+          && col("a.sz") * 20L >= col("b.sz") * 19L
+          && col("b.sz") * 20L >= col("a.sz") * 19L)
+        .select(col("a.setid").as("sa"), col("b.setid").as("sb"))
+        .distinct()
+        .join(reps.select(col("setid").as("sa"), col("ta").as("la")),
+          Seq("sa"))
+        .join(reps.select(col("setid").as("sb"), col("ta").as("ra")),
+          Seq("sb"))
+        .select(col("sa"), col("sb"),
+          size(array_intersect(col("la"), col("ra"))).cast("long")
+            .as("inter"),
+          (size(col("la")) + size(col("ra"))
+            - size(array_intersect(col("la"), col("ra")))).cast("long")
+            .as("union_sz"))
+        .withColumn("jacc",
+          round(col("inter").cast("double") / col("union_sz"), 6))
+        .filter(col("jacc") >= t)
+      val members = arrs.select(col("setid"), col("doc_id"))
+      // intra-set pairs: identical sets, J = 1.0, cost == output size
+      val intra = members.as("x")
+        .join(members.as("y"), col("x.setid") === col("y.setid")
+          && col("x.doc_id") < col("y.doc_id"))
+        .join(reps.withColumnRenamed("setid", "rsid"),
+          col("x.setid") === col("rsid"))
+        .select(col("x.doc_id").as("left_id"),
+          col("y.doc_id").as("right_id"),
+          size(col("ta")).cast("long").as("inter"),
+          size(col("ta")).cast("long").as("union_sz"),
+          lit(1.0).as("jacc"))
+      // cross-set pairs: every member combination of a qualifying set
+      // pair shares the set-level (inter, union, jacc)
+      val cross = setPairs
+        .join(members.select(col("setid").as("sa"),
+          col("doc_id").as("da")), Seq("sa"))
+        .join(members.select(col("setid").as("sb"),
+          col("doc_id").as("db")), Seq("sb"))
+        .select(least(col("da"), col("db")).as("left_id"),
+          greatest(col("da"), col("db")).as("right_id"),
+          col("inter"), col("union_sz"), col("jacc"))
+      intra.unionByName(cross)
+    }),
+
     // Incremental INDEX MAINTENANCE — the write side of the stored
     // band index dedup_incremental probes: a new ingest batch's band
     // buckets are merged into the index under FIRST-WINS ownership
@@ -3654,6 +3749,28 @@ object TextOps {
          |  round(CAST(inter AS DOUBLE) / union_sz, 6) AS jacc
          |FROM j
          |WHERE round(CAST(inter AS DOUBLE) / union_sz, 6) >= 0.9"""
+        .stripMargin,
+    // Unscoped naive shared-token join at the 0.95 threshold — the
+    // prefix+length filtered plan must be result-transparent to it.
+    "dedup_ppjoin_g" ->
+      s"""WITH $TokedCte,
+         |tok AS (SELECT DISTINCT doc_id, unnest(toks) AS term
+         |  FROM toked),
+         |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz
+         |  FROM tok GROUP BY doc_id),
+         |sh AS (SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+         |  CAST(count(*) AS BIGINT) AS inter
+         |  FROM tok a JOIN tok b ON a.term = b.term
+         |    AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id),
+         |j AS (SELECT left_id, right_id, inter,
+         |  sa.sz + sb.sz - inter AS union_sz
+         |  FROM sh JOIN sz sa ON sa.doc_id = sh.left_id
+         |  JOIN sz sb ON sb.doc_id = sh.right_id)
+         |SELECT left_id, right_id, inter, union_sz,
+         |  round(CAST(inter AS DOUBLE) / union_sz, 6) AS jacc
+         |FROM j
+         |WHERE round(CAST(inter AS DOUBLE) / union_sz, 6) >= 0.95"""
         .stripMargin,
     "idx_band_upsert" ->
       s"""WITH $SigCte,

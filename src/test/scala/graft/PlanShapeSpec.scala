@@ -126,6 +126,18 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("dedup_ppjoin_g: global exact-threshold join plans equi-joins " +
+      "only — no cartesian, no nested loop, set collapse upstream") {
+    // The unscoped ≥0.95 entry (r14 VERDICT item 7): every join in the
+    // candidate/verify/expansion tree must key on term, setid, or the
+    // pair ids — a refactor that loses a join key degenerates to a
+    // nested loop over the corpus and this guard is what catches it.
+    val p = phys(SparkEntry.queries("dedup_ppjoin_g")(
+      spark, "/root/testdata/sf0.001"))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("interval join binning avoids nested-loop strategies") {
     val q = SparkEntry.queries("j12_range_join")(
       spark, "/root/testdata/sf0.001")

@@ -173,6 +173,21 @@ object Bench {
         while (repeatBase > 1 && extra < 2 && spreadTooWide) {
           runs = runs :+ oneRun(); extra += 1
         }
+        // Reference escalation (r14 VERDICT item 1): internal spread
+        // cannot catch a query whose EVERY repeat ran contended — the
+        // repeats agree with each other and still sit far above the
+        // committed known-good pin. When the running min is >1.5x the
+        // reference, spend up to 2 more repeats: a co-tenant blip
+        // settles back toward the pin and the artifact stays clean; a
+        // real regression survives all repeats and flags honestly.
+        def minVsRefTooHigh: Boolean = {
+          val ok = runs.filter(_._2).map(_._1)
+          ok.nonEmpty && refMins.get(name)
+            .exists(r => r > 0.05 && ok.min / r > 1.5)
+        }
+        while (repeatBase > 1 && extra < 4 && minVsRefTooHigh) {
+          runs = runs :+ oneRun(); extra += 1
+        }
         name -> QStat(runs.map(_._1), runs.filter(_._2).map(_._1),
           execIdx, lPre, mPre, extra)
     }

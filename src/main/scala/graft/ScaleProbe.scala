@@ -127,6 +127,8 @@ object ScaleProbe {
     // k-linear structures; a super-linear ratio here would mean the
     // candidate or ADC join degenerated.
     val embBase = Tables.embeddings(spark, sfDir)
+    val evBase = Tables.events(spark, sfDir)
+      .select(col("event_id"), unix_micros(col("ts")).as("ts_us"))
     def corpusDir(k: Int): String = {
       val dir = s"/tmp/scaleprobe/corpus$k"
       val embs =
@@ -194,7 +196,21 @@ object ScaleProbe {
           time(() => horizonGate(docs)),
         "emb_ivf_pq (probe + ADC, real registry plan)" ->
           time(() => graft.queries.Similarity
-            .queries("emb_ivf_pq")(spark, corpus)))
+            .queries("emb_ivf_pq")(spark, corpus)),
+        // Disorder spine (r14 VERDICT item 3): FIXED row count, id
+        // RANGE grown k× (event_id·k keeps arrival order and the
+        // lateness result identical). Under the old fixed DIV 4096 the
+        // broadcast prefix-max table grew k× with the range; the
+        // range-derived divisor pins it ≤4096 rows, so this row must
+        // stay FLAT (growth ≈ 1) — the one probe where "linear" would
+        // be a regression.
+        "disorder spine (FIXED rows, kx id range)" -> {
+          val evK = materialize(s"ev$k", evBase.select(
+            (col("event_id") * k).cast("long").as("event_id"),
+            col("ts_us")))
+          time(() => graft.api.GraftOps
+            .disorderReport(evK, "event_id", "ts_us"))
+        })
     }
     val (r1, rk) = (results.head._2.toMap, results.last._2.toMap)
     r1.keys.toSeq.sorted.foreach { name =>

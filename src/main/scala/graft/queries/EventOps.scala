@@ -512,46 +512,11 @@ object EventOps {
     // with it; the prefix-max result is divisor-invariant, so the
     // oracle doesn't see the internal bucketing. Quantiles via
     // exactPercentilesDist — no single-task percentile buffer.
-    "ev_disorder_report" -> ((s, d) => {
-      val ids = Tables.events(s, d)
-        .agg(min(col("event_id")).cast("long").as("lo"),
-          max(col("event_id")).cast("long").as("hi")).head()
-      val divisor =
-        if (ids.isNullAt(0)) 4096L
-        else math.max(4096L,
-          (ids.getLong(1) - ids.getLong(0)) / 4096L + 1L)
-      val ev = Tables.events(s, d).select(col("event_id"),
-        unix_micros(col("ts")).as("ts_us"),
-        expr(s"event_id DIV $divisor").as("bkt"))
-      val wPrev = Window.partitionBy("bkt").orderBy("event_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val bmax = ev.groupBy("bkt").agg(max("ts_us").as("bmax"))
-      val prior = bmax.as("a")
-        .join(broadcast(bmax.as("b")), col("b.bkt") < col("a.bkt"), "left")
-        .groupBy(col("a.bkt").as("bkt"))
-        .agg(max(col("b.bmax")).as("prior_max"))
-      val late = ev.join(broadcast(prior), Seq("bkt"))
-        .withColumn("prev_ts",
-          greatest(coalesce(max("ts_us").over(wPrev), lit(Long.MinValue)),
-            coalesce(col("prior_max"), lit(Long.MinValue))))
-        .withColumn("late_us", when(col("prev_ts") > col("ts_us"),
-          col("prev_ts") - col("ts_us")).otherwise(0L))
-      val qs = graft.api.GraftOps.exactPercentilesDist(
-        late.select((col("late_us").cast("double") / 1000.0).as("late_ms")),
-        "late_ms", Seq(0.5, 0.95, 0.99))
-      late.agg(count(lit(1)).cast("long").as("n_events"),
-          sum(when(col("late_us") > 0L, 1L).otherwise(0L)).cast("long")
-            .as("n_late"),
-          max("late_us").as("max_late_us"))
-        .crossJoin(qs)
-        .select(col("n_events"), col("n_late"),
-          round(col("n_late").cast("double") / col("n_events"), 6)
-            .as("late_share"),
-          expr("max_late_us DIV 1000").as("max_late_ms"),
-          round(element_at(col("q"), 1), 6).as("p50_ms"),
-          round(element_at(col("q"), 2), 6).as("p95_ms"),
-          round(element_at(col("q"), 3), 6).as("p99_ms"))
-    }),
+    "ev_disorder_report" -> ((s, d) =>
+      graft.api.GraftOps.disorderReport(
+        Tables.events(s, d).select(col("event_id"),
+          unix_micros(col("ts")).as("ts_us")),
+        "event_id", "ts_us")),
 
     // Range (interval) join via time-bin bucketing: clicks within the
     // hour before each purchase. A naive inequality join degenerates to

@@ -1,6 +1,8 @@
 package graft
 
 import org.apache.spark.sql.execution.joins.CartesianProductExec
+import org.apache.spark.sql.execution.QueryExecution
+import org.apache.spark.sql.util.QueryExecutionListener
 
 /** Registry-wide plan-shape gate: EVERY registered query's physical
   * plan must be free of CartesianProductExec — the one join shape that
@@ -10,18 +12,64 @@ import org.apache.spark.sql.execution.joins.CartesianProductExec
   * an unbounded-by-unbounded cartesian is not. This generalizes the
   * per-batch PlanAudit reads into a standing regression trap: a future
   * edit that drops a join condition or un-broadcasts a bounded side
-  * fails here, not in a 100× production run. */
+  * fails here, not in a 100× production run.
+  *
+  * COVERAGE (r14 ADVICE): many queries localCheckpoint intermediate
+  * stages eagerly, truncating lineage — the final executedPlan then
+  * starts at a LogicalRDD and an upstream cartesian would be invisible
+  * to the final-plan scan alone. Dataset.checkpoint runs through
+  * withAction, so a QueryExecutionListener observes the PRE-checkpoint
+  * QueryExecution of every eager checkpoint fired while the registry
+  * plans are constructed (including RoundCut's per-round cuts inside
+  * iterative queries); those plans are audited here too, closing the
+  * blind spot instead of documenting it. */
 class RegistryPlanSpec extends SparkSpec {
   private val sf = "/root/testdata/sf0.001"
 
-  test("no registry query plans a CartesianProduct") {
-    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
-      case (name, mk) =>
-        val plan = mk(spark, sf).queryExecution.executedPlan
-        val hits = plan.collect { case c: CartesianProductExec => c }
-        if (hits.nonEmpty) Some(name) else None
+  test("no registry query plans a CartesianProduct — final plans AND " +
+      "every eager checkpoint stage upstream of them") {
+    val ckptHits =
+      new java.util.concurrent.ConcurrentLinkedQueue[String]
+    val nCkpt = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new QueryExecutionListener {
+      override def onSuccess(funcName: String, qe: QueryExecution,
+          durationNs: Long): Unit =
+        if (funcName.toLowerCase.contains("checkpoint")) {
+          nCkpt.incrementAndGet()
+          val cart =
+            qe.executedPlan.collect { case c: CartesianProductExec => c }
+          if (cart.nonEmpty)
+            ckptHits.add(qe.executedPlan.toString.linesIterator
+              .take(12).mkString("\n"))
+        }
+      override def onFailure(funcName: String, qe: QueryExecution,
+          exception: Exception): Unit = ()
     }
-    assert(offenders.isEmpty,
-      s"cartesian products in: ${offenders.mkString(", ")}")
+    spark.listenerManager.register(listener)
+    try {
+      val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+        case (name, mk) =>
+          val plan = mk(spark, sf).queryExecution.executedPlan
+          val hits = plan.collect { case c: CartesianProductExec => c }
+          if (hits.nonEmpty) Some(name) else None
+      }
+      assert(offenders.isEmpty,
+        s"cartesian products in: ${offenders.mkString(", ")}")
+      // Listener events post asynchronously — wait for quiescence
+      // before reading the checkpoint audit.
+      var last = -1
+      var stable = 0
+      while (stable < 3) {
+        Thread.sleep(200)
+        val now = nCkpt.get()
+        if (now == last) stable += 1 else { stable = 0; last = now }
+      }
+      assert(nCkpt.get() > 0,
+        "checkpoint audit saw zero checkpoint executions — the " +
+          "listener hook is broken (queries are known to checkpoint)")
+      assert(ckptHits.isEmpty,
+        s"cartesian product inside a checkpointed stage:\n" +
+          ckptHits.toArray.mkString("\n---\n"))
+    } finally spark.listenerManager.unregister(listener)
   }
 }

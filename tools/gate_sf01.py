@@ -1,0 +1,49 @@
+#!/usr/bin/env python3
+"""sf0.1 oracle gate for the cap/horizon/threshold-sensitive queries
+(r14 VERDICT item 6): bugs in salt caps, horizon windows, and keep-best
+tiebreaks are invisible at sf0.01 where every bucket sits under its cap.
+
+Runs tools/check.py against an sf0.1 Verify dump and wraps the result
+into a CORRECTNESS-style JSON artifact.
+
+Usage: python3 tools/gate_sf01.py <sfDir> <verifyOutDir> <artifactPath>
+"""
+import json
+import re
+import subprocess
+import sys
+
+
+def main():
+    sf_dir, out_dir, artifact = sys.argv[1], sys.argv[2], sys.argv[3]
+    proc = subprocess.run(
+        [sys.executable, "tools/check.py", sf_dir, out_dir],
+        capture_output=True, text=True)
+    queries = {}
+    for line in proc.stdout.splitlines():
+        m = re.match(r"PASS (\S+) \((\d+) rows\)", line)
+        if m:
+            queries[m.group(1)] = {"pass": True,
+                                   "rows": int(m.group(2))}
+            continue
+        m = re.match(r"FAIL (\S+): (.*)", line)
+        if m:
+            queries[m.group(1)] = {"pass": False,
+                                   "reason": m.group(2)[:300]}
+    n_pass = sum(1 for q in queries.values() if q["pass"])
+    doc = {
+        "sf": 0.1,
+        "gate": "heavy-subset oracle (cap/horizon/threshold families)",
+        "n_pass": n_pass,
+        "n_fail": len(queries) - n_pass,
+        "n_total": len(queries),
+        "queries": queries,
+    }
+    with open(artifact, "w") as f:
+        json.dump(doc, f, indent=2, sort_keys=True)
+    print(f"wrote {artifact}: {n_pass}/{len(queries)} pass")
+    sys.exit(0 if n_pass == len(queries) and queries else 1)
+
+
+if __name__ == "__main__":
+    main()

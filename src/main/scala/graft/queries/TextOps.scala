@@ -2446,12 +2446,14 @@ object TextOps {
           Seq("sa"))
         .join(reps.select(col("setid").as("sb"), col("ta").as("ra")),
           Seq("sb"))
+        // project the intersect ONCE; a fused select would evaluate
+        // the array walk twice per candidate (inter and union_sz)
         .select(col("sa"), col("sb"),
           size(array_intersect(col("la"), col("ra"))).cast("long")
             .as("inter"),
-          (size(col("la")) + size(col("ra"))
-            - size(array_intersect(col("la"), col("ra")))).cast("long")
-            .as("union_sz"))
+          (size(col("la")) + size(col("ra"))).cast("long").as("szsum"))
+        .select(col("sa"), col("sb"), col("inter"),
+          (col("szsum") - col("inter")).as("union_sz"))
         .withColumn("jacc",
           round(col("inter").cast("double") / col("union_sz"), 6))
         .filter(col("jacc") >= t)

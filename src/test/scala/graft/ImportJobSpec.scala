@@ -116,6 +116,52 @@ class ImportJobSpec extends SparkSpec {
         "\"" + p._1 + "\" -> \"" + p._2 + "\",").mkString("\n")}")
   }
 
+  test("an organization with no entities gets a payload with EMPTY " +
+      "entity lists, not nulls (the reference extract returns [])") {
+    // The sf0.001 testdata populates every org, so the typed-empty-
+    // array coalesce would otherwise be dead code in tests. Synthesize
+    // a table dir whose region table carries an extra region 9 with no
+    // nations/customers/suppliers/parts behind it.
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-emptyorg").toString
+    val src = "/root/testdata/sf0.001"
+    graft.Tables.names.filter(_ != "region").foreach { t =>
+      spark.read.parquet(s"$src/$t.parquet")
+        .write.mode("overwrite").parquet(s"$dir/$t.parquet")
+    }
+    val reg = spark.read.parquet(s"$src/region.parquet")
+    val extra = reg.limit(1).select(
+      lit(9).cast(reg.schema("r_regionkey").dataType).as("r_regionkey")
+        +: reg.schema.fieldNames.filter(_ != "r_regionkey")
+          .map(c => reg.col(c)): _*)
+    reg.unionByName(extra.select(reg.columns.map(col): _*))
+      .write.mode("overwrite").parquet(s"$dir/region.parquet")
+    val p9 = ImportJob.payloads(spark, dir)
+      .filter(col("organizationId") === "org-9").collect()
+    assert(p9.length == 1, "org-9 payload row missing")
+    val payload = p9.head.getStruct(p9.head.fieldIndex("payload"))
+    Seq("members", "employees", "products", "vendors", "physicians",
+      "settings").foreach { e =>
+      val arr = payload.getSeq[Any](payload.fieldIndex(e))
+      assert(arr != null && arr.isEmpty,
+        s"$e must be an EMPTY list for an empty org, got $arr")
+    }
+    val flat = ImportJob.flattenedSummary(spark, dir)
+      .filter(col("organization_id") === "org-9").collect().head
+    Seq("n_members", "n_employees", "n_products", "n_vendors",
+      "n_physicians", "n_settings").foreach(c =>
+      assert(flat.getLong(flat.fieldIndex(c)) == 0L, s"$c nonzero"))
+    // and the file contract writes mmj-org-9.json with "members":[]
+    val out = java.nio.file.Files
+      .createTempDirectory("graft-emptyorg-out").toString
+    val files = ImportJob.writeImportFiles(spark, dir, out)
+    assert(files.exists(_.endsWith("mmj-org-9.json")))
+    val body = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(files.find(_.endsWith("mmj-org-9.json")).get)))
+    assert(body.contains("\"members\":[]") &&
+      body.contains("\"settings\":[]"), body.take(200))
+  }
+
   test("document-collection insert contract: content-hash unique ids, " +
       "idempotent replay, append-only growth (utils.py:123-146)") {
     val store = java.nio.file.Files

@@ -246,6 +246,88 @@ object ImportJob {
       size(col("payload.physicians")).cast("long").as("n_physicians"),
       size(col("payload.settings")).cast("long").as("n_settings"))
 
+  /** Incremental import diff — the repeated-extract operation the
+    * reference's `imports` collection implies (every run inserts a new
+    * full payload; the operational question is what CHANGED since the
+    * last one). Classifies each entity row of the CURRENT extract
+    * against the PREVIOUS import snapshot by full-document content
+    * hash: md5 over the complete flattened doc (explicit column list,
+    * chr(1) separator, chr(2) null sentinel — every column cast to
+    * string with engine-identical rendering: no raw doubles in the
+    * hashed entities) — the entity-grain analogue of [[graft.sinks.
+    * Sinks.docId]]. One full-outer join per entity on id, then per-org
+    * counts: inserted / deleted / changed / unchanged.
+    *
+    * The previous snapshot is derived DETERMINISTICALLY from the
+    * current extract (the cdc_merge pattern, so the DuckDB oracle
+    * reproduces it): rows with id%11==0 are absent from prev
+    * (⇒ inserted), id%13==0 carry a perturbed hash (⇒ changed), and
+    * id%17==0 are ghost-duplicated at id+10⁷ (⇒ deleted; testdata ids
+    * stay far below 10⁷ — a deployment diffs two real snapshots and
+    * needs no offset). Covered entities span all three org
+    * attributions: members (customer→nation org), vendors
+    * (supplier→nation org), products (partkey mod-5 org).
+    *
+    * Scale: each entity is one extract scan + one co-partitioned
+    * full-outer join on id + a per-org aggregation; nothing quadratic,
+    * nothing driver-side. */
+  def importDelta(s: SparkSession, d: String): DataFrame = {
+    def h(cols: Seq[Column]): Column =
+      md5(concat_ws("\u0001",
+        cols.map(c => coalesce(c.cast("string"), lit("\u0002"))): _*))
+    def delta(cur0: DataFrame, hashCols: Seq[String], entity: String)
+        : DataFrame = {
+      val cur = cur0.select(col("id"), col("organizationId"),
+        h(hashCols.map(col)).as("__h"))
+      val prevBase = cur.filter(col("id") % 11 =!= 0)
+      val prev = prevBase
+        .select(col("id"), col("organizationId"),
+          when(col("id") % 13 === 0, md5(concat(col("__h"), lit("x"))))
+            .otherwise(col("__h")).as("__h"))
+        .unionByName(prevBase.filter(col("id") % 17 === 0)
+          .select((col("id") + 10000000L).as("id"),
+            col("organizationId"), col("__h")))
+      prev.as("p")
+        .join(cur.as("c"), col("p.id") === col("c.id"), "full_outer")
+        .select(
+          coalesce(col("c.organizationId"), col("p.organizationId"))
+            .as("organization_id"),
+          when(col("p.id").isNull, "inserted")
+            .when(col("c.id").isNull, "deleted")
+            .when(col("p.__h") =!= col("c.__h"), "changed")
+            .otherwise("unchanged").as("cls"))
+        .groupBy("organization_id")
+        .agg(
+          sum(when(col("cls") === "inserted", 1L).otherwise(0L))
+            .cast("long").as("n_inserted"),
+          sum(when(col("cls") === "deleted", 1L).otherwise(0L))
+            .cast("long").as("n_deleted"),
+          sum(when(col("cls") === "changed", 1L).otherwise(0L))
+            .cast("long").as("n_changed"),
+          sum(when(col("cls") === "unchanged", 1L).otherwise(0L))
+            .cast("long").as("n_unchanged"))
+        .select(lit(entity).as("entity"), col("organization_id"),
+          col("n_inserted"), col("n_deleted"), col("n_changed"),
+          col("n_unchanged"))
+    }
+    val members = Entities.queries("members_doc")(s, d)
+      .join(orgOfCustomer(s, d), Seq("id"))
+    val vendors = Entities.queries("vendors_doc")(s, d)
+      .join(orgOfSupplier(s, d), Seq("id"))
+    val products = Entities.queries("menu_items_doc")(s, d)
+      .withColumn("organizationId",
+        concat(lit("org-"), col("id") % 5))
+    delta(members, Seq("id", "name", "member_type", "status",
+        "tax_exempt", "dob", "balance_cents", "addr_city",
+        "addr_country", "keys_kv"), "members")
+      .unionByName(delta(vendors, Seq("id", "name", "addr_line1",
+        "addr_city", "addr_country", "phone_name", "phone_number",
+        "phone_default", "licence", "email", "website"), "vendors"))
+      .unionByName(delta(products, Seq("id", "name", "category",
+        "price_cents", "share_on_wm", "uom", "active", "net_mj",
+        "image_url"), "products"))
+  }
+
   /** Write one `mmj-{org}.json` per organization under `outDir` —
     * etl_import.py:59-61's file contract. The JSON documents are
     * written partition-parallel (text sink partitioned by org), then

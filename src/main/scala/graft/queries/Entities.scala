@@ -235,7 +235,14 @@ object Entities {
     // registry entry is its flattened oracle twin: per-org audit flags,
     // pinned extraction stamp, and entity counts.
     "payload_import" -> ((s, d) =>
-      graft.jobs.ImportJob.flattenedSummary(s, d)))
+      graft.jobs.ImportJob.flattenedSummary(s, d)),
+
+    // Incremental import diff (jobs/ImportJob.importDelta): what
+    // changed per org+entity since the previous import snapshot, by
+    // full-document content hash — see the Scaladoc for the
+    // deterministic prev-snapshot derivation the oracle mirrors.
+    "payload_import_delta" -> ((s, d) =>
+      graft.jobs.ImportJob.importDelta(s, d)))
 
   private val KeysKvSql =
     """concat_ws(',',
@@ -243,7 +250,7 @@ object Entities {
       |  CASE WHEN c_custkey <> 0 THEN 'custkey=' || c_custkey END,
       |  CASE WHEN NOT (c_acctbal < 0) THEN 'points=12' END)""".stripMargin
 
-  val oracle: Map[String, String] = Map(
+  private val baseOracle: Map[String, String] = Map(
     "members_doc" ->
       s"""SELECT c.c_custkey AS id, c.c_name AS name,
          |  CASE WHEN c.c_nationkey % 2 = 1 THEN 'MEDICAL'
@@ -415,4 +422,73 @@ object Entities {
         |LEFT JOIN supp ON r.r_regionkey = supp.rk
         |LEFT JOIN prod ON r.r_regionkey = prod.rk
         |LEFT JOIN sett ON r.r_regionkey = sett.rk""".stripMargin)
+
+  /** One entity block of the payload_import_delta oracle: `curSql`
+    * yields (id, org, h) for the CURRENT extract -- h = md5 over the
+    * full flattened doc with chr(1) separator / chr(2) null sentinel,
+    * the exact twin of ImportJob.importDelta's hash -- then the
+    * deterministic previous snapshot is derived (id%11 dropped, id%13
+    * hash-perturbed, id%17 ghost-duplicated at +10^7), full-outer
+    * diffed, and counted per org. */
+  private def deltaBlock(entity: String, curSql: String): String =
+    s"""SELECT '$entity' AS entity, organization_id,
+       |  CAST(sum(CASE WHEN cls = 'inserted' THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_inserted,
+       |  CAST(sum(CASE WHEN cls = 'deleted' THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_deleted,
+       |  CAST(sum(CASE WHEN cls = 'changed' THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_changed,
+       |  CAST(sum(CASE WHEN cls = 'unchanged' THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_unchanged
+       |FROM (
+       |  SELECT coalesce(c.org, p.org) AS organization_id,
+       |    CASE WHEN p.id IS NULL THEN 'inserted'
+       |      WHEN c.id IS NULL THEN 'deleted'
+       |      WHEN p.h <> c.h THEN 'changed'
+       |      ELSE 'unchanged' END AS cls
+       |  FROM (
+       |    SELECT id, org,
+       |      CASE WHEN id % 13 = 0 THEN md5(h || 'x') ELSE h END AS h
+       |    FROM ($curSql) pb WHERE id % 11 <> 0
+       |    UNION ALL
+       |    SELECT id + 10000000, org, h FROM ($curSql) pg
+       |    WHERE id % 11 <> 0 AND id % 17 = 0
+       |  ) p
+       |  FULL OUTER JOIN ($curSql) c ON p.id = c.id
+       |) GROUP BY organization_id""".stripMargin
+
+  val oracle: Map[String, String] = baseOracle +
+    ("payload_import_delta" -> {
+      def hash(cols: Seq[String]): String = cols
+        .map(c => s"coalesce(CAST(d.$c AS VARCHAR), chr(2))")
+        .mkString("md5(concat_ws(chr(1), ", ", ", "))")
+      val members =
+        s"""SELECT d.id, 'org-' || n2.n_regionkey AS org,
+           |  ${hash(Seq("id", "name", "member_type", "status",
+                "tax_exempt", "dob", "balance_cents", "addr_city",
+                "addr_country", "keys_kv"))} AS h
+           |FROM (${baseOracle("members_doc")}) d
+           |JOIN customer c2 ON d.id = c2.c_custkey
+           |JOIN nation n2 ON c2.c_nationkey = n2.n_nationkey"""
+          .stripMargin
+      val vendors =
+        s"""SELECT d.id, 'org-' || n2.n_regionkey AS org,
+           |  ${hash(Seq("id", "name", "addr_line1", "addr_city",
+                "addr_country", "phone_name", "phone_number",
+                "phone_default", "licence", "email", "website"))} AS h
+           |FROM (${baseOracle("vendors_doc")}) d
+           |JOIN supplier s2 ON d.id = s2.s_suppkey
+           |JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey"""
+          .stripMargin
+      val products =
+        s"""SELECT d.id, 'org-' || (d.id % 5) AS org,
+           |  ${hash(Seq("id", "name", "category", "price_cents",
+                "share_on_wm", "uom", "active", "net_mj",
+                "image_url"))} AS h
+           |FROM (${baseOracle("menu_items_doc")}) d""".stripMargin
+      Seq(deltaBlock("members", members),
+        deltaBlock("vendors", vendors),
+        deltaBlock("products", products))
+        .mkString("", "\nUNION ALL\n", "")
+    })
 }

@@ -328,6 +328,46 @@ object ImportJob {
         "image_url"), "products"))
   }
 
+  /** Pre-import validation report — the check the reference's
+    * summary.errors arrays imply but never populate (etl_import.py
+    * zeroes them unconditionally): per org + entity + rule violation
+    * counts over the same extracts the payload ships. Rules are the
+    * obvious import blockers in this schema: members with a
+    * missing/epoch-0 DOB or negative balance, vendors missing their
+    * licence or phone, products with no price or no image. One scan +
+    * one aggregation per entity; the union is rule-rows only. */
+  def validationReport(s: SparkSession, d: String): DataFrame = {
+    def rules(df: DataFrame, entity: String,
+        rs: Seq[(String, Column)]): DataFrame =
+      df.select(col("organizationId") +: rs.map { case (n, c) =>
+          when(c, 1L).otherwise(0L).as(n) }: _*)
+        .groupBy("organizationId")
+        .agg(sum(rs.head._1).as(rs.head._1),
+          rs.tail.map(r => sum(r._1).as(r._1)): _*)
+        .select(col("organizationId"),
+          explode(map(rs.flatMap(r => Seq(lit(r._1), col(r._1))): _*))
+            .as(Seq("rule", "n_violations")))
+        .select(lit(entity).as("entity"),
+          col("organizationId").as("organization_id"), col("rule"),
+          col("n_violations").cast("long").as("n_violations"))
+    val members = Entities.queries("members_doc")(s, d)
+      .join(orgOfCustomer(s, d), Seq("id"))
+    val vendors = Entities.queries("vendors_doc")(s, d)
+      .join(orgOfSupplier(s, d), Seq("id"))
+    val products = Entities.queries("menu_items_doc")(s, d)
+      .withColumn("organizationId", concat(lit("org-"), col("id") % 5))
+    rules(members, "members", Seq(
+        "missing_dob" -> (col("dob") ===
+          to_timestamp(lit("1970-01-01 00:00:00"))),
+        "negative_balance" -> (col("balance_cents") < 0L)))
+      .unionByName(rules(vendors, "vendors", Seq(
+        "missing_licence" -> col("licence").isNull,
+        "missing_phone" -> col("phone_number").isNull)))
+      .unionByName(rules(products, "products", Seq(
+        "missing_price" -> col("price_cents").isNull,
+        "missing_image" -> col("image_url").isNull)))
+  }
+
   /** Write one `mmj-{org}.json` per organization under `outDir` —
     * etl_import.py:59-61's file contract. The JSON documents are
     * written partition-parallel (text sink partitioned by org), then

@@ -242,7 +242,13 @@ object Entities {
     // full-document content hash — see the Scaladoc for the
     // deterministic prev-snapshot derivation the oracle mirrors.
     "payload_import_delta" -> ((s, d) =>
-      graft.jobs.ImportJob.importDelta(s, d)))
+      graft.jobs.ImportJob.importDelta(s, d)),
+
+    // Pre-import validation report (jobs/ImportJob.validationReport):
+    // per org+entity+rule violation counts — the check the reference's
+    // summary.errors arrays imply but never populate.
+    "payload_validate" -> ((s, d) =>
+      graft.jobs.ImportJob.validationReport(s, d)))
 
   private val KeysKvSql =
     """concat_ws(',',
@@ -489,6 +495,39 @@ object Entities {
       Seq(deltaBlock("members", members),
         deltaBlock("vendors", vendors),
         deltaBlock("products", products))
+        .mkString("", "\nUNION ALL\n", "")
+    }) +
+    ("payload_validate" -> {
+      def block(entity: String, orgedSql: String, rule: String,
+          cond: String): String =
+        s"""SELECT '$entity' AS entity, org AS organization_id,
+           |  '$rule' AS rule,
+           |  CAST(sum(CASE WHEN $cond THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_violations
+           |FROM ($orgedSql) GROUP BY org""".stripMargin
+      val morg =
+        s"""SELECT d.*, 'org-' || n2.n_regionkey AS org
+           |FROM (${baseOracle("members_doc")}) d
+           |JOIN customer c2 ON d.id = c2.c_custkey
+           |JOIN nation n2 ON c2.c_nationkey = n2.n_nationkey"""
+          .stripMargin
+      val vorg =
+        s"""SELECT d.*, 'org-' || n2.n_regionkey AS org
+           |FROM (${baseOracle("vendors_doc")}) d
+           |JOIN supplier s2 ON d.id = s2.s_suppkey
+           |JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey"""
+          .stripMargin
+      val porg =
+        s"""SELECT d.*, 'org-' || (d.id % 5) AS org
+           |FROM (${baseOracle("menu_items_doc")}) d""".stripMargin
+      Seq(
+        block("members", morg, "missing_dob",
+          "dob = TIMESTAMP '1970-01-01 00:00:00'"),
+        block("members", morg, "negative_balance", "balance_cents < 0"),
+        block("vendors", vorg, "missing_licence", "licence IS NULL"),
+        block("vendors", vorg, "missing_phone", "phone_number IS NULL"),
+        block("products", porg, "missing_price", "price_cents IS NULL"),
+        block("products", porg, "missing_image", "image_url IS NULL"))
         .mkString("", "\nUNION ALL\n", "")
     })
 }

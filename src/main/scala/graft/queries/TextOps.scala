@@ -2768,9 +2768,20 @@ object TextOps {
           + when(llr >= 0, 0.5).otherwise(-0.5)).cast("long"))
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_tokens"), sum("sllr").as("ssum"))
+        // Mean stays in the scaled-long domain to the end (r15 sf0.1
+        // gate find): round(ssum/1e6/n, 6) double-rounds — Spark's
+        // BigDecimal HALF_UP and DuckDB's multiply-trunc disagree by
+        // one ulp at .5 micro boundaries, and a tiny negative mean
+        // rounds to -0.0 in DuckDB but +0.0 in Spark. Instead:
+        // half-away integer rounding of ssum/n on ABSOLUTE values
+        // (truncating and flooring division agree on non-negatives,
+        // so DIV here and // in the oracle match), then ONE exact
+        // int/1e6 division — bit-identical doubles, no signed zero.
+        .withColumn("__micro",
+          expr("(2 * abs(ssum) + n_tokens) DIV (2 * n_tokens)")
+            * when(col("ssum") < 0, -1L).otherwise(1L))
         .select(col("doc_id"), col("n_tokens"),
-          round(col("ssum").cast("double") / 1000000.0 / col("n_tokens"),
-            6).as("mean_llr"))
+          (col("__micro").cast("double") / 1000000.0).as("mean_llr"))
     }),
 
     // Duplicated-substring spans (the exact-substring dedup modality,
@@ -4098,11 +4109,14 @@ object TextOps {
          |  FROM (SELECT tok.doc_id,
          |      round(ln(CAST(c_tgt + 1 AS DOUBLE) / (t_tgt + v))
          |        - ln(CAST(c_all + 1 AS DOUBLE) / (t_all + v)), 6) AS llr
-         |    FROM tok JOIN vocab USING (term) CROSS JOIN tot))
-         |SELECT doc_id, count(*) AS n_tokens,
-         |  round(CAST(sum(sllr) AS DOUBLE) / 1000000 / count(*), 6)
-         |    AS mean_llr
-         |FROM sc GROUP BY doc_id""".stripMargin,
+         |    FROM tok JOIN vocab USING (term) CROSS JOIN tot)),
+         |ag AS (SELECT doc_id, count(*) AS n_tokens,
+         |  CAST(sum(sllr) AS BIGINT) AS ssum FROM sc GROUP BY doc_id)
+         |SELECT doc_id, n_tokens,
+         |  CAST((CASE WHEN ssum < 0 THEN -1 ELSE 1 END)
+         |      * ((2 * abs(ssum) + n_tokens) // (2 * n_tokens))
+         |    AS DOUBLE) / 1000000.0 AS mean_llr
+         |FROM ag""".stripMargin,
     "dedup_minhash_eval" ->
       s"""WITH $SigCte,
          |pr AS (SELECT DISTINCT a.doc_id AS left_id, b.doc_id AS right_id

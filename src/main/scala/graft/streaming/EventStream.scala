@@ -106,6 +106,31 @@ object EventStream {
       .dropDuplicatesWithinWatermark("doc_id")
       .select(col("doc_id"), col("ts"))
 
+  /** Streaming import classifier — the stream side of
+    * `jobs.ImportJob.importDelta`: entity rows arrive as a stream of
+    * (`idCol`, `hashCol`) where the hash is the full-document content
+    * hash (the importDelta/docId discipline), and each row is
+    * classified against the STORED snapshot's (id, hash) table by a
+    * stream-static LEFT join: absent id ⇒ `inserted`, present with a
+    * different hash ⇒ `changed`, same hash ⇒ `unchanged`. Deletes are
+    * a batch-reconciliation concern — a stream cannot observe absence
+    * (that's importDelta's full-outer leg). STATELESS: one join per
+    * micro-batch, no watermark, no state store; the snapshot side is a
+    * broadcast lookup when it fits, else a co-partitioned join against
+    * a bucketed snapshot table. Sink through `Sinks.
+    * writeBatchIdempotent` for exactly-once into a plain store.
+    * Carries every other stream column through untouched. */
+  def importClassifyStream(rows: DataFrame, snapshot: DataFrame,
+      idCol: String = "id", hashCol: String = "h"): DataFrame =
+    rows.join(
+        snapshot.select(col(idCol), col(hashCol).as("__snap_h")),
+        Seq(idCol), "left")
+      .withColumn("status",
+        when(col("__snap_h").isNull, "inserted")
+          .when(col("__snap_h") =!= col(hashCol), "changed")
+          .otherwise("unchanged"))
+      .drop("__snap_h")
+
   /** Near-dup gate against a LIVE index — the self-referential upgrade
     * of `nearDupGateStream`'s static probe: the corpus IS the stream,
     * and a document is flagged when some EARLIER document inside the

@@ -626,4 +626,35 @@ class StreamingSpec extends SparkSpec {
       .collect().map(t => t.user_id -> ((t.n, t.total))).toMap
     assert(out(1L) == ((2L, 5.0)) && out(2L) == ((1L, 7.0)))
   }
+
+  test("importClassifyStream: stream-static classification matches the " +
+      "batch importDelta rule, statelessly") {
+    implicit val sqlCtx = spark.sqlContext
+    val snapshot = Seq((1L, "h1"), (2L, "h2"), (3L, "h3")).toDF("id", "h")
+    val stream = MemoryStream[(Long, String, String)]
+    val sdf = stream.toDF().toDF("id", "h", "payload")
+    val q = EventStream.importClassifyStream(sdf, snapshot)
+      .writeStream.format("memory").queryName("impcls")
+      .outputMode("append").start()
+    stream.addData((1L, "h1", "p1"), (2L, "h2x", "p2"), (9L, "h9", "p9"))
+    try {
+      q.processAllAvailable()
+      // batch-rule parity: id present+same hash / present+different /
+      // absent -- deletes are importDelta's full-outer leg, not the
+      // stream's (absence is unobservable in a stream)
+      val got = spark.table("impcls").collect()
+        .map(r => (r.getLong(r.fieldIndex("id")),
+          r.getString(r.fieldIndex("status")))).toMap
+      assert(got == Map(1L -> "unchanged", 2L -> "changed",
+        9L -> "inserted"), s"classification drifted: $got")
+      // payload columns pass through untouched
+      val p9 = spark.table("impcls").filter(col("id") === 9L)
+        .select("payload").as[String].collect()
+      assert(p9.toSeq == Seq("p9"))
+      // STATELESS contract: a stream-static join holds no state store
+      assert(q.lastProgress.stateOperators.isEmpty ||
+        q.lastProgress.stateOperators.length == 0,
+        "import classifier must not allocate streaming state")
+    } finally q.stop()
+  }
 }

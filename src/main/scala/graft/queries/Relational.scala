@@ -15,6 +15,16 @@ import graft.functions.Scalars
   *  - SUM/AVG of doubles go through DECIMAL casts (exact accumulation,
   *    order-independent) and come back as DOUBLE — never raw sum(double),
   *    whose result depends on partition-dependent addition order.
+  *  - `round(x, 6)` on a DERIVED double (a ratio/mean of exact
+  *    integers) can double-round: Spark's BigDecimal HALF_UP and
+  *    DuckDB's multiply-trunc disagree by one ulp at .5-micro
+  *    boundaries, and DuckDB keeps -0.0 where Spark normalizes to
+  *    +0.0 (hit once, at sf0.1 only — samp_importance, r15). When a
+  *    query computes a mean of scaled-long values, keep it integer to
+  *    the end: half-away rounding on ABSOLUTE values (truncating DIV
+  *    and flooring // agree on non-negatives), then one exact
+  *    int/1e6 division. Plain int/int ratio sites are validated by
+  *    the full-registry gates at both scales.
   *  - Every computed integer is pinned to BIGINT on both sides (DuckDB's
   *    len()/rank() return BIGINT, Spark's size()/rank() return INT).
   *  - Every ordered pick (top-k, last-wins) carries a full deterministic

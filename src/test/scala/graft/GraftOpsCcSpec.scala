@@ -306,4 +306,33 @@ class GraftOpsCcSpec extends SparkSpec {
     assert(inc == Map(0L -> 0L, 2L -> 0L, 4L -> 0L, 5L -> 0L,
       6L -> 0L, 8L -> 0L, 10L -> 10L, 12L -> 10L, 15L -> 15L))
   }
+
+  test("incrementalComponents: newNodes OVERLAPPING the stored labels " +
+      "neither duplicate rows nor corrupt labels (r14 ADVICE guard)") {
+    // Before the guard, an overlapping id entered the contracted graph
+    // raw: its delta edges reference only its stored LABEL, so the raw
+    // id sat isolated, self-labeled, and then collided with outOld's
+    // row for the same id — duplicate rows with conflicting labels.
+    val baseNodes = Seq(0L, 2L, 4L, 6L, 8L).toDF("id")
+    val baseEdges = Seq((0L, 2L), (2L, 4L), (6L, 8L)).toDF("s", "t")
+    val base = GraftOps.connectedComponentsFixpoint(
+      baseNodes, "id", baseEdges, "s", "t")._1
+    // Ingest redundantly re-lists known ids 4 and 6 alongside the
+    // genuinely-new 5; the delta bridges the two stored components.
+    val newNodes = Seq(4L, 5L, 6L).toDF("id")
+    val delta = Seq((5L, 4L), (5L, 6L)).toDF("s", "t")
+    val incRows = GraftOps.incrementalComponents(
+      base, "id", newNodes, delta, "s", "t")
+      .as[(Long, Long)].collect()
+    assert(incRows.length == incRows.map(_._1).distinct.length,
+      s"duplicate ids in output: ${incRows.toSeq.sorted}")
+    val full = GraftOps.connectedComponentsFixpoint(
+      baseNodes.union(newNodes).distinct(), "id",
+      baseEdges.union(delta), "s", "t")._1
+      .as[(Long, Long)].collect().toMap
+    assert(incRows.toMap == full,
+      s"overlap corrupted labels: ${incRows.toMap} vs $full")
+    assert(incRows.toMap == Map(0L -> 0L, 2L -> 0L, 4L -> 0L,
+      5L -> 0L, 6L -> 0L, 8L -> 0L))
+  }
 }

@@ -2434,12 +2434,25 @@ object TextOps {
         .withColumn("sz",
           count(lit(1)).over(Window.partitionBy("setid")))
         .filter(col("pos") <= col("sz") - expr("(19 * sz) DIV 20") + 1L)
-        .select(col("term"), col("setid"), col("sz"))
+        .select(col("term"), col("setid"), col("sz"), col("pos"))
+      // POSITIONAL bound (classic PPJoin): a qualifying pair's FIRST
+      // shared token w has only unshared tokens before it on BOTH
+      // sides (arrays share one global order), so inter ≤
+      // 1 + min(sz_a−pos_a, sz_b−pos_b); and w provably sits inside
+      // both prefixes (else inter ≤ ⌈t·sz⌉−1 < the required overlap).
+      // Hence keeping a pair iff ANY matched row passes
+      // 1 + min(...) ≥ α, α = ⌈t/(1+t)·(sz_a+sz_b)⌉ = (19·S+38) DIV 39,
+      // is EXACT — and at t=0.95 it confines matches to essentially
+      // the first prefix position, cutting the template-family bucket
+      // blow-up the rare-token prefix alone cannot separate.
       val setPairs = prefix.as("a")
         .join(prefix.as("b"), col("a.term") === col("b.term")
           && col("a.setid") < col("b.setid")
           && col("a.sz") * 20L >= col("b.sz") * 19L
-          && col("b.sz") * 20L >= col("a.sz") * 19L)
+          && col("b.sz") * 20L >= col("a.sz") * 19L
+          && (lit(1L) + least(col("a.sz") - col("a.pos"),
+              col("b.sz") - col("b.pos")))
+            >= expr("((a.sz + b.sz) * 19 + 38) DIV 39"))
         .select(col("a.setid").as("sa"), col("b.setid").as("sb"))
         .distinct()
         .join(reps.select(col("setid").as("sa"), col("ta").as("la")),

@@ -2361,10 +2361,16 @@ object TextOps {
         .withColumn("sz",
           count(lit(1)).over(Window.partitionBy("doc_id")))
         .filter(col("pos") <= col("sz") - expr("(9 * sz) DIV 10") + 1L)
-        .select(col("term"), col("doc_id"))
+        .select(col("term"), col("doc_id"), col("sz"), col("pos"))
+      // Positional bound as in dedup_ppjoin_g (t = 0.9 ⇒ α =
+      // ⌈9·S/19⌉ = (9·S+18) DIV 19): exact for the same
+      // first-shared-token reason; prunes the deepest prefix rows.
       val cands = prefix.as("a")
         .join(prefix.as("b"), col("a.term") === col("b.term")
-          && col("a.doc_id") < col("b.doc_id"))
+          && col("a.doc_id") < col("b.doc_id")
+          && (lit(1L) + least(col("a.sz") - col("a.pos"),
+              col("b.sz") - col("b.pos")))
+            >= expr("((a.sz + b.sz) * 9 + 18) DIV 19"))
         .select(col("a.doc_id").as("left_id"),
           col("b.doc_id").as("right_id")).distinct()
       val arrs = docs.select(col("doc_id"),

@@ -479,6 +479,102 @@ object TextOps {
        |    WHEN 1 THEN h2 || '|' || h3 WHEN 2 THEN h4 || '|' || h5
        |    ELSE h6 || '|' || h7 END) AS band_hash FROM bt)""".stripMargin
 
+  /** Set-level core of the GLOBAL exact-threshold PPJoin: UNSCOPED
+    * across all sources at Jaccard ≥ 0.95. Three stacked bounds make
+    * the global form tractable on this template-heavy corpus:
+    *
+    *  1. EXACT-SET COLLAPSE first: identical token sets (md5 of the
+    *     sorted array) reduce to one representative before any join.
+    *     This is the decisive one — a 248-doc boilerplate clique
+    *     shares all its prefix tokens, so at doc level it alone
+    *     floods the prefix buckets with ~30k×3 candidate rows
+    *     (measured: 5.26M raw / 2.22M distinct candidates for 191k
+    *     output pairs at sf0.1); at set level it is ONE row, and the
+    *     intra-clique pairs come back as a setid self-join whose cost
+    *     IS the output (J = 1.0 by construction, no verify needed).
+    *  2. The rare-token prefix filter over the 21% remaining distinct
+    *     sets (first sz − ⌊0.95·sz⌋ + 1 tokens in (df, term) order;
+    *     integer (19·sz) DIV 20, no float boundary).
+    *  3. The length filter 20·min_sz ≥ 19·max_sz (J ≥ t forces
+    *     |smaller| ≥ t·|larger| since inter ≤ min and union ≥ max),
+    *     plus the POSITIONAL bound — see the inline comment.
+    *
+    * Token-EMPTY documents are excluded up front (r15 ADVICE): their
+    * identical empty sets would otherwise collapse to one setid and
+    * surface as intra "pairs" with inter=0, union=0, J:=1.0, while the
+    * naive shared-token oracle (correctly) emits nothing for them — an
+    * empty set has Jaccard 0/0, not 1, against anything.
+    *
+    * Returns (setPairs: sa, sb, inter, union_sz, jacc — qualifying
+    * DISTINCT-set pairs; members: setid, doc_id; reps: setid, ta).
+    * `dedup_ppjoin_g` expands these to doc pairs (output-sized by
+    * definition, no cap — the ≥0.9 unscoped pair set stays output-
+    * quadratic even collapsed, which is why dedup_ppjoin ships
+    * source-scoped); `dedup_ppjoin_sets` reports them at set level. */
+  private def ppjoinGlobalCore(s: SparkSession, d: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    val t = 0.95
+    // (doc_id, setid) membership + one representative array per set.
+    // "\n" separator is whitespace, so it can never appear inside a
+    // token — the encoding is injective (md5 modulo the same
+    // collision class every content-hash op here accepts).
+    val arrs = docsOf(s, d).select(col("doc_id"),
+        array_sort(array_distinct(tokens(col("text")))).as("ta"))
+      .filter(size(col("ta")) > 0) // empty sets: see Scaladoc
+      .withColumn("setid", md5(concat_ws("\n", col("ta"))))
+      .localCheckpoint() // feeds reps, both expansions, intra pairs
+    val reps = arrs.groupBy("setid")
+      .agg(max("ta").as("ta")) // all ta in a set are identical
+      .localCheckpoint()       // self-joined below (contract: materialize)
+    val tok = reps.select(col("setid"),
+      explode(col("ta")).as("term"))
+    val freq = tok.groupBy("term").agg(count(lit(1)).as("df"))
+    val wD = Window.partitionBy("setid").orderBy(col("df"), col("term"))
+    val prefix = tok.join(freq, "term")
+      .withColumn("pos", row_number().over(wD))
+      .withColumn("sz",
+        count(lit(1)).over(Window.partitionBy("setid")))
+      .filter(col("pos") <= col("sz") - expr("(19 * sz) DIV 20") + 1L)
+      .select(col("term"), col("setid"), col("sz"), col("pos"))
+    // POSITIONAL bound (classic PPJoin): a qualifying pair's FIRST
+    // shared token w has only unshared tokens before it on BOTH
+    // sides (arrays share one global order), so inter ≤
+    // 1 + min(sz_a−pos_a, sz_b−pos_b); and w provably sits inside
+    // both prefixes (else inter ≤ ⌈t·sz⌉−1 < the required overlap).
+    // Hence keeping a pair iff ANY matched row passes
+    // 1 + min(...) ≥ α, α = ⌈t/(1+t)·(sz_a+sz_b)⌉ = (19·S+38) DIV 39,
+    // is EXACT — and at t=0.95 it confines matches to essentially
+    // the first prefix position, cutting the template-family bucket
+    // blow-up the rare-token prefix alone cannot separate.
+    val setPairs = prefix.as("a")
+      .join(prefix.as("b"), col("a.term") === col("b.term")
+        && col("a.setid") < col("b.setid")
+        && col("a.sz") * 20L >= col("b.sz") * 19L
+        && col("b.sz") * 20L >= col("a.sz") * 19L
+        && (lit(1L) + least(col("a.sz") - col("a.pos"),
+            col("b.sz") - col("b.pos")))
+          >= expr("((a.sz + b.sz) * 19 + 38) DIV 39"))
+      .select(col("a.setid").as("sa"), col("b.setid").as("sb"))
+      .distinct()
+      .join(reps.select(col("setid").as("sa"), col("ta").as("la")),
+        Seq("sa"))
+      .join(reps.select(col("setid").as("sb"), col("ta").as("ra")),
+        Seq("sb"))
+      // project the intersect ONCE; a fused select would evaluate
+      // the array walk twice per candidate (inter and union_sz)
+      .select(col("sa"), col("sb"),
+        size(array_intersect(col("la"), col("ra"))).cast("long")
+          .as("inter"),
+        (size(col("la")) + size(col("ra"))).cast("long").as("szsum"))
+      .select(col("sa"), col("sb"), col("inter"),
+        (col("szsum") - col("inter")).as("union_sz"))
+      .withColumn("jacc",
+        round(col("inter").cast("double") / col("union_sz"), 6))
+      .filter(col("jacc") >= t)
+    (setPairs, arrs.select(col("setid"), col("doc_id")), reps)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Token counting (whitespace + subword-boundary BPE-ish approximation).
     "txt_token_stats" -> ((s, d) =>
@@ -2391,92 +2487,18 @@ object TextOps {
         .filter(col("jacc") >= 0.9)
     }),
 
-    // GLOBAL exact-threshold PPJoin (r14 VERDICT item 7): UNSCOPED
-    // across all sources at Jaccard ≥ 0.95. Three stacked bounds make
-    // the global form tractable on this template-heavy corpus:
-    //
-    //  1. EXACT-SET COLLAPSE first: identical token sets (md5 of the
-    //     sorted array) reduce to one representative before any join.
-    //     This is the decisive one — a 248-doc boilerplate clique
-    //     shares all its prefix tokens, so at doc level it alone
-    //     floods the prefix buckets with ~30k×3 candidate rows
-    //     (measured: 5.26M raw / 2.22M distinct candidates for 191k
-    //     output pairs at sf0.1); at set level it is ONE row, and the
-    //     intra-clique pairs come back as a setid self-join whose cost
-    //     IS the output (J = 1.0 by construction, no verify needed).
-    //  2. The rare-token prefix filter over the 21% remaining distinct
-    //     sets (first sz − ⌊0.95·sz⌋ + 1 tokens in (df, term) order;
-    //     integer (19·sz) DIV 20, no float boundary).
-    //  3. The length filter 20·min_sz ≥ 19·max_sz (J ≥ t forces
-    //     |smaller| ≥ t·|larger| since inter ≤ min and union ≥ max).
-    //
-    // Qualifying SET pairs then expand through the membership table to
-    // doc pairs — output-sized by definition. NO cap is applied
-    // anywhere — the result is the complete pair set (size logged in
-    // PLANS.md), and the oracle is the naive shared-token join, so the
-    // transparency of all three bounds is exactly what the gate
-    // verifies. (The ≥0.9 unscoped pair set stays output-quadratic
-    // even collapsed — why dedup_ppjoin ships source-scoped.)
+    // GLOBAL exact-threshold PPJoin (r14 VERDICT item 7): doc-pair
+    // EXPANSION of the set-level core `ppjoinGlobalCore` (see its
+    // Scaladoc for the three bounds). The complete pair set, no cap
+    // (size logged in PLANS.md); the oracle is the naive shared-token
+    // join, so the transparency of all three bounds is exactly what
+    // the gate verifies. A 100 TB consumer should prefer
+    // `dedup_ppjoin_sets` — the set-level pairs + membership counts —
+    // and expand only where needed: the doc-pair expansion of a
+    // 25k-doc clique is ~300M rows of pure redundancy.
     "dedup_ppjoin_g" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val t = 0.95
-      // (doc_id, setid) membership + one representative array per set.
-      // "\n" separator is whitespace, so it can never appear inside a
-      // token — the encoding is injective (md5 modulo the same
-      // collision class every content-hash op here accepts).
-      val arrs = docsOf(s, d).select(col("doc_id"),
-          array_sort(array_distinct(tokens(col("text")))).as("ta"))
-        .withColumn("setid", md5(concat_ws("\n", col("ta"))))
-        .localCheckpoint() // feeds reps, both expansions, intra pairs
-      val reps = arrs.groupBy("setid")
-        .agg(max("ta").as("ta")) // all ta in a set are identical
-        .localCheckpoint()       // self-joined below (contract: materialize)
-      val tok = reps.select(col("setid"),
-        explode(col("ta")).as("term"))
-      val freq = tok.groupBy("term").agg(count(lit(1)).as("df"))
-      val wD = Window.partitionBy("setid").orderBy(col("df"), col("term"))
-      val prefix = tok.join(freq, "term")
-        .withColumn("pos", row_number().over(wD))
-        .withColumn("sz",
-          count(lit(1)).over(Window.partitionBy("setid")))
-        .filter(col("pos") <= col("sz") - expr("(19 * sz) DIV 20") + 1L)
-        .select(col("term"), col("setid"), col("sz"), col("pos"))
-      // POSITIONAL bound (classic PPJoin): a qualifying pair's FIRST
-      // shared token w has only unshared tokens before it on BOTH
-      // sides (arrays share one global order), so inter ≤
-      // 1 + min(sz_a−pos_a, sz_b−pos_b); and w provably sits inside
-      // both prefixes (else inter ≤ ⌈t·sz⌉−1 < the required overlap).
-      // Hence keeping a pair iff ANY matched row passes
-      // 1 + min(...) ≥ α, α = ⌈t/(1+t)·(sz_a+sz_b)⌉ = (19·S+38) DIV 39,
-      // is EXACT — and at t=0.95 it confines matches to essentially
-      // the first prefix position, cutting the template-family bucket
-      // blow-up the rare-token prefix alone cannot separate.
-      val setPairs = prefix.as("a")
-        .join(prefix.as("b"), col("a.term") === col("b.term")
-          && col("a.setid") < col("b.setid")
-          && col("a.sz") * 20L >= col("b.sz") * 19L
-          && col("b.sz") * 20L >= col("a.sz") * 19L
-          && (lit(1L) + least(col("a.sz") - col("a.pos"),
-              col("b.sz") - col("b.pos")))
-            >= expr("((a.sz + b.sz) * 19 + 38) DIV 39"))
-        .select(col("a.setid").as("sa"), col("b.setid").as("sb"))
-        .distinct()
-        .join(reps.select(col("setid").as("sa"), col("ta").as("la")),
-          Seq("sa"))
-        .join(reps.select(col("setid").as("sb"), col("ta").as("ra")),
-          Seq("sb"))
-        // project the intersect ONCE; a fused select would evaluate
-        // the array walk twice per candidate (inter and union_sz)
-        .select(col("sa"), col("sb"),
-          size(array_intersect(col("la"), col("ra"))).cast("long")
-            .as("inter"),
-          (size(col("la")) + size(col("ra"))).cast("long").as("szsum"))
-        .select(col("sa"), col("sb"), col("inter"),
-          (col("szsum") - col("inter")).as("union_sz"))
-        .withColumn("jacc",
-          round(col("inter").cast("double") / col("union_sz"), 6))
-        .filter(col("jacc") >= t)
-      val members = arrs.select(col("setid"), col("doc_id"))
+      val core = ppjoinGlobalCore(s, d)
+      val (setPairs, members, reps) = (core._1, core._2, core._3)
       // intra-set pairs: identical sets, J = 1.0, cost == output size
       val intra = members.as("x")
         .join(members.as("y"), col("x.setid") === col("y.setid")
@@ -2499,6 +2521,46 @@ object TextOps {
           greatest(col("da"), col("db")).as("right_id"),
           col("inter"), col("union_sz"), col("jacc"))
       intra.unionByName(cross)
+    }),
+
+    // SET-LEVEL form of the global PPJoin (r15 VERDICT item 3) — the
+    // shape a 100 TB consumer actually wants: one row per qualifying
+    // pair of DISTINCT token sets (plus one self-row per exact-dup
+    // clique of ≥2 docs), carrying membership counts and the implied
+    // doc-pair count, BEFORE any doc expansion. `dedup_ppjoin_g` is
+    // exactly the expansion of this table through the membership list:
+    // sum(doc_pairs) here == row count there (spec-pinned). Sets are
+    // keyed by their min member doc_id so the output is oracle-
+    // comparable without exposing md5 setids.
+    "dedup_ppjoin_sets" -> ((s, d) => {
+      val core = ppjoinGlobalCore(s, d)
+      val (setPairs, members, reps) = (core._1, core._2, core._3)
+      val stats = members.groupBy("setid")
+        .agg(min("doc_id").cast("long").as("rk"),
+          count(lit(1)).as("n"))
+        .join(reps, Seq("setid"))
+        .select(col("setid"), col("rk"), col("n"),
+          size(col("ta")).cast("long").as("sz"))
+      val cross = setPairs
+        .join(stats.select(col("setid").as("sa"), col("rk").as("rka"),
+          col("n").as("na")), Seq("sa"))
+        .join(stats.select(col("setid").as("sb"), col("rk").as("rkb"),
+          col("n").as("nb")), Seq("sb"))
+        .select(least(col("rka"), col("rkb")).as("set_a"),
+          greatest(col("rka"), col("rkb")).as("set_b"),
+          col("inter"), col("union_sz"), col("jacc"),
+          when(col("rka") <= col("rkb"), col("na")).otherwise(col("nb"))
+            .as("members_a"),
+          when(col("rka") <= col("rkb"), col("nb")).otherwise(col("na"))
+            .as("members_b"),
+          (col("na") * col("nb")).as("doc_pairs"))
+      val intra = stats.filter(col("n") >= 2)
+        .select(col("rk").as("set_a"), col("rk").as("set_b"),
+          col("sz").as("inter"), col("sz").as("union_sz"),
+          lit(1.0).as("jacc"),
+          col("n").as("members_a"), col("n").as("members_b"),
+          expr("n * (n - 1) DIV 2").as("doc_pairs"))
+      cross.unionByName(intra)
     }),
 
     // Incremental INDEX MAINTENANCE — the write side of the stored
@@ -3804,6 +3866,35 @@ object TextOps {
          |FROM j
          |WHERE round(CAST(inter AS DOUBLE) / union_sz, 6) >= 0.95"""
         .stripMargin,
+    // Set-level truth built independently: group docs BY their sorted
+    // distinct token list (no md5 — the list itself is the key), key
+    // each set by min(doc_id), then the naive shared-token join at set
+    // level plus one self-row per >=2-member clique.
+    "dedup_ppjoin_sets" ->
+      s"""WITH $TokedCte,
+         |st AS (SELECT list_sort(list_distinct(toks)) AS ta,
+         |  CAST(min(doc_id) AS BIGINT) AS rk,
+         |  CAST(count(*) AS BIGINT) AS n
+         |  FROM toked WHERE len(list_distinct(toks)) > 0
+         |  GROUP BY list_sort(list_distinct(toks))),
+         |sz AS (SELECT rk, n, CAST(len(ta) AS BIGINT) AS sz FROM st),
+         |tok AS (SELECT rk, unnest(ta) AS term FROM st),
+         |sh AS (SELECT a.rk AS ka, b.rk AS kb,
+         |  CAST(count(*) AS BIGINT) AS inter
+         |  FROM tok a JOIN tok b ON a.term = b.term AND a.rk < b.rk
+         |  GROUP BY a.rk, b.rk),
+         |j AS (SELECT ka, kb, inter, sa.sz + sb.sz - inter AS union_sz,
+         |  sa.n AS na, sb.n AS nb
+         |  FROM sh JOIN sz sa ON sa.rk = sh.ka
+         |  JOIN sz sb ON sb.rk = sh.kb)
+         |SELECT ka AS set_a, kb AS set_b, inter, union_sz,
+         |  round(CAST(inter AS DOUBLE) / union_sz, 6) AS jacc,
+         |  na AS members_a, nb AS members_b, na * nb AS doc_pairs
+         |FROM j
+         |WHERE round(CAST(inter AS DOUBLE) / union_sz, 6) >= 0.95
+         |UNION ALL
+         |SELECT rk, rk, sz, sz, 1.0, n, n, n * (n - 1) // 2
+         |FROM sz WHERE n >= 2""".stripMargin,
     "idx_band_upsert" ->
       s"""WITH $SigCte,
          |base AS (SELECT band_idx, band_hash,

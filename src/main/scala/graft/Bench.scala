@@ -123,8 +123,18 @@ object Bench {
           .map(m => m.group(1) -> m.group(2).toDouble)
           .filter(_._1 != "total").toMap
       } catch { case _: Throwable => Map.empty }
+    // Absolute slack for ref comparisons, scaled with the pin (r15
+    // ADVICE): a flat 0.2 s let a 0.05 s pin drift 5x unflagged, while
+    // anything tighter than ~0.1 s flags this host's scheduler floor
+    // (PLANS.md: 0.08→0.14 s drift on trivial queries is noise). So
+    // 0.5·pin, clamped to [0.1, 0.2] — sub-second pins keep a floor
+    // that ignores the host jitter but catches multi-x drift, and the
+    // raw vs_ref ratio is recorded per query in bench_full.json so
+    // even sub-slack drift stays visible in the artifact.
+    def slackFor(r: Double): Double = (0.5 * r).max(0.1).min(0.2)
     final case class QStat(times: Seq[Double], okTimes: Seq[Double],
-      order: Int, loadPre: Double, memPre: Double, escalated: Int) {
+      order: Int, loadPre: Double, memPre: Double, escalated: Int,
+      coreBuilds: Seq[Int]) {
       def failures: Int = times.size - okTimes.size
       // All repeats failed → the sentinel keeps min well-defined and
       // makes the failure loud in the total (times themselves are of a
@@ -137,7 +147,8 @@ object Bench {
         execIdx += 1
         val lPre = load1
         val mPre = memAvailGiB
-        def oneRun(): (Double, Boolean) = {
+        def oneRun(): (Double, Boolean, Int) = {
+          val b0 = graft.operators.SharedStage.totalBuilds(spark)
           val t0 = System.nanoTime()
           val ok =
             try {
@@ -148,6 +159,10 @@ object Bench {
               false
             }
           val dt = (System.nanoTime() - t0) / 1e9
+          // SharedStage cores built during this run: a repeat that paid
+          // a cold core build is attributable in bench_full.json
+          // (core_builds), so its time is read as cold, not variance.
+          val built = graft.operators.SharedStage.totalBuilds(spark) - b0
           // Iterative queries localCheckpoint intermediates; their blocks
           // are only reclaimed when the dead RDD is GC'd, so across 100+
           // queries they silently eat the unified memory pool and make
@@ -155,10 +170,19 @@ object Bench {
           // point the query's DataFrames are dead, so nothing can still
           // need the blocks. BLOCKING: r8's tail showed RDD-reclaim
           // warnings bleeding into later queries — wait for the blocks
-          // to actually go before the next timer starts.
+          // to actually go before the next timer starts. EXCEPT the
+          // SharedStage cores (r15 VERDICT item 6): those are the
+          // declared long-lived-session materializations — sweeping
+          // them forced every repeat of every SharedStage pipeline to
+          // rebuild its cores cold (media_retention's 5.5→24 s repeat
+          // swings), so they now live for the whole bench pass and the
+          // artifact measures the marginal plan, with the one cold
+          // build visible via core_builds on the repeat that paid it.
+          val keep = graft.operators.SharedStage.liveRddIds(spark)
           spark.sparkContext.getPersistentRDDs.values
+            .filterNot(r => keep.contains(r.id))
             .foreach(_.unpersist(blocking = true))
-          (dt, ok)
+          (dt, ok, built)
         }
         var runs = (1 to repeatsFor(name)).map(_ => oneRun())
         // Repeat escalation (r13 VERDICT item 1): a >2x spread across
@@ -167,7 +191,11 @@ object Bench {
         // under explicit REPEAT=1 (quick local iteration).
         var extra = 0
         def spreadTooWide: Boolean = {
-          val ok = runs.filter(_._2).map(_._1)
+          // Repeats that paid a cold SharedStage core build are
+          // excluded from the spread test — cold-vs-warm is explained
+          // by core_builds, not contention, and escalating on it would
+          // burn repeats re-measuring a known effect.
+          val ok = runs.filter(r => r._2 && r._3 == 0).map(_._1)
           ok.size >= 2 && ok.max / ok.min.max(1e-9) > 2.0
         }
         while (repeatBase > 1 && extra < 2 && spreadTooWide) {
@@ -182,18 +210,20 @@ object Bench {
         // real regression survives all repeats and flags honestly.
         // Both a RATIO and an ABSOLUTE guard: a 0.08 s pin drifting to
         // 0.14 s is scheduler noise (this host's floor), not a 1.7x
-        // regression — sub-second pins only escalate/flag when the
-        // drift also exceeds 0.2 s of real time.
+        // regression — the absolute slack scales with the pin
+        // (slackFor: 0.5·pin in [0.1, 0.2]) so small pins can't drift
+        // multi-x behind a flat allowance (r15 ADVICE).
         def minVsRefTooHigh: Boolean = {
           val ok = runs.filter(_._2).map(_._1)
           ok.nonEmpty && refMins.get(name)
-            .exists(r => r > 0.05 && ok.min / r > 1.5 && ok.min - r > 0.2)
+            .exists(r => r > 0.05 && ok.min / r > 1.5 &&
+              ok.min - r > slackFor(r))
         }
         while (repeatBase > 1 && extra < 4 && minVsRefTooHigh) {
           runs = runs :+ oneRun(); extra += 1
         }
         name -> QStat(runs.map(_._1), runs.filter(_._2).map(_._1),
-          execIdx, lPre, mPre, extra)
+          execIdx, lPre, mPre, extra, runs.map(_._3))
     }
     val total = results.map(_._2.min).sum
     // Contention self-flag: queries whose min inflates >1.5x over the
@@ -203,7 +233,7 @@ object Bench {
     // signature, and the artifact says so itself.
     val inflated = results.collect {
       case (name, s) if refMins.get(name).exists(r => r > 0.05 &&
-        s.min / r > 1.5 && s.min - r > 0.2) =>
+        s.min / r > 1.5 && s.min - r > slackFor(r)) =>
         name -> (s.min / refMins(name))
     }.sortBy(-_._2)
     val contentionSuspected = inflated.size >= 10
@@ -237,10 +267,19 @@ object Bench {
     val full = results.map { case (k, s) =>
       val ts = s.times.map(fmt).mkString("[", ",", "]")
       val esc = if (s.escalated > 0) s""","escalated":${s.escalated}""" else ""
+      // Unfiltered drift vs the committed pin — recorded even under
+      // the flagging slack so sub-slack drift stays visible (r15
+      // ADVICE), and cold SharedStage core builds per repeat so a slow
+      // first repeat is attributable to the build that paid it.
+      val vr = refMins.get(k)
+        .map(r => s""","vs_ref":${fmt(s.min / r)}""").getOrElse("")
+      val cb = if (s.coreBuilds.exists(_ > 0))
+        s""","core_builds":${s.coreBuilds.mkString("[", ",", "]")}"""
+      else ""
       "\"" + k + "\":{\"min\":" + s.min + ",\"times\":" + ts +
         ",\"order\":" + s.order + ",\"failures\":" + s.failures +
         ",\"load1_pre\":" + fmt(s.loadPre) +
-        ",\"mem_avail_gib\":" + fmt(s.memPre) + esc + "}"
+        ",\"mem_avail_gib\":" + fmt(s.memPre) + esc + vr + cb + "}"
     }.mkString("{", ",", "}")
     val suspectJson = inflated.map { case (k, r) =>
       "\"" + k + "\":" + fmt(r)

@@ -18,17 +18,19 @@ import org.apache.spark.storage.StorageLevel
   * `SharedStage(key)(build)` memoizes the stage's EAGER localCheckpoint
   * per (session, key): the first caller materializes, later callers
   * read the stored blocks. Liveness is checked against the
-  * checkpointed RDD's storage level, NOT assumed: harnesses sweep all
-  * persistent RDDs between queries (Bench/Verify — deliberately, to
-  * keep queries independent), and a swept localCheckpoint cannot be
-  * recomputed (truncated lineage), so a dead entry is silently
-  * REBUILT rather than returned. Consequence: under the sweeping
-  * harnesses this layer changes nothing (each query still derives the
-  * stage once itself — bench numbers stay honest); in a long-lived
-  * session (notebook, service, test suite) consecutive consumers
-  * share one materialization. Oracle hashes are unchanged by
-  * construction — the memoized plan IS the plan each query built
-  * before, checkpoint included.
+  * checkpointed RDD's storage level, NOT assumed: sweeping harnesses
+  * unpersist RDDs between queries, and a swept localCheckpoint cannot
+  * be recomputed (truncated lineage), so a dead entry is silently
+  * REBUILT rather than returned. Verify sweeps EVERYTHING between
+  * queries (correctness runs want maximal independence), so each
+  * Verify query still derives its stages itself; Bench excludes the
+  * alive stages from its sweep via `liveRddIds` (r15 VERDICT item 6),
+  * so a shared core is built once per bench pass — the long-lived-
+  * session semantics — and the repeat that paid the build is recorded
+  * (core_builds). In a long-lived session (notebook, service, test
+  * suite) consecutive consumers share one materialization. Oracle
+  * hashes are unchanged by construction — the memoized plan IS the
+  * plan each query built before, checkpoint included.
   *
   * Scale note: the stage is node-local blocks (localCheckpoint), the
   * right tool at one-session scope. A multi-job deployment sharing
@@ -64,4 +66,30 @@ object SharedStage {
   def buildsFor(session: org.apache.spark.sql.SparkSession,
       key: String): Int =
     builds.getOrElse(s"${System.identityHashCode(session)}:$key", 0)
+
+  /** Total stage materializations in `session` across all keys. A
+    * harness diffs this around a query run to attribute cold-core
+    * builds to the repeat that paid them (Bench's core_builds field). */
+  def totalBuilds(session: org.apache.spark.sql.SparkSession): Int = {
+    val p = s"${System.identityHashCode(session)}:"
+    builds.collect { case (k, v) if k.startsWith(p) => v }.sum
+  }
+
+  /** RDD ids of the currently-ALIVE memoized stages for `session`.
+    * Sweeping harnesses (Bench) unpersist every persistent RDD between
+    * queries EXCEPT these, so a shared core is paid once per bench
+    * pass — the long-lived-session semantics this layer exists for —
+    * instead of being rebuilt cold on every repeat (r15 VERDICT item
+    * 6: pipeline_media_retention's repeats swung 5.5→24 s on core
+    * churn). Verify keeps the sweep-everything discipline: correctness
+    * runs want maximal independence, not warm caches. */
+  def liveRddIds(session: org.apache.spark.sql.SparkSession): Set[Int] = {
+    val p = s"${System.identityHashCode(session)}:"
+    cache.collect {
+      case (k, df) if k.startsWith(p) && alive(df) =>
+        df.queryExecution.analyzed match {
+          case lr: LogicalRDD => lr.rdd.id
+        }
+    }.toSet
+  }
 }

@@ -49,11 +49,20 @@ object Sinks {
     * serialized payload), so "regenerate until unique" becomes "already
     * stored, don't append". Consequences the contract test pins:
     * replayed batches are idempotent (the restart-between-write-and-ack
-    * failure window), distinct payloads never collide, and the store
-    * never holds two rows with one `_id`. The existing-id probe is an
-    * anti join against the store's `_id` column only (column-pruned
-    * scan); at real scale the same shape runs against the connector's
-    * key index. Returns the number of documents actually appended. */
+    * failure window), distinct payloads never collide, and — under a
+    * SINGLE writer — the store never holds two rows with one `_id`.
+    * Single-writer is load-bearing (r15 ADVICE): the read-existing →
+    * anti-join → append sequence is not atomic, so two concurrent
+    * inserts of the same payload can both pass the anti-join and both
+    * append. A deployment needing the uniqueness guarantee under
+    * concurrent writers must target a keyed/transactional store that
+    * enforces it — `insertDocCollectionJdbc` below is that shape: the
+    * STORE's primary key rejects the duplicate and the conflict
+    * handler treats it as already-stored. The existing-id probe here
+    * is an anti join against the store's `_id` column only
+    * (column-pruned scan); at real scale the same shape runs against
+    * the connector's key index. Returns the number of documents
+    * actually appended. */
   def insertDocCollection(spark: org.apache.spark.sql.SparkSession,
       df: DataFrame, payload: Column, path: String): Long = {
     val docs = df
@@ -71,6 +80,54 @@ object Sinks {
       .localCheckpoint() // one evaluation: counted AND appended below
     fresh.write.mode("append").parquet(path)
     fresh.count()
+  }
+
+  /** S6 insert against a store that ENFORCES uniqueness (r15 VERDICT
+    * item 5 — the reference's MongoDB insert loop, utils.py:123-146,
+    * against a real unique index instead of an emulated one): one row
+    * per document into a JDBC table whose `_id` column carries a
+    * PRIMARY KEY constraint. Unlike `insertDocCollection` there is NO
+    * read-existing/anti-join prefilter — every row is attempted and
+    * the STORE adjudicates. A duplicate-key rejection means the
+    * document is already present (content-hash ids: same `_id` IS the
+    * same payload), so the reference's "regenerate id and retry" loop
+    * inverts into "verified stored, continue" — and because the
+    * decision is the store's own constraint, the uniqueness guarantee
+    * holds under CONCURRENT writers, which the filesystem-backed
+    * variant cannot promise (see its Scaladoc). Partition-parallel:
+    * each partition opens one connection and streams single-row
+    * INSERTs; at real scale the same shape batches inserts against
+    * the connector's keyed store. Returns the number of rows actually
+    * inserted (attempted − duplicate-key skips). */
+  def insertDocCollectionJdbc(df: DataFrame, payload: Column,
+      url: String, table: String): Long = {
+    val docs = df
+      .select(docId(payload).as("_id"), to_json(payload).as("doc"))
+      .dropDuplicates("_id")
+    val inserted = docs.mapPartitions { it =>
+      if (!it.hasNext) Iterator.single(0L)
+      else {
+        val conn = java.sql.DriverManager.getConnection(url)
+        try {
+          val ps = conn.prepareStatement(
+            s"""INSERT INTO $table ("_id", "doc") VALUES (?, ?)""")
+          var n = 0L
+          it.foreach { r =>
+            ps.setString(1, r.getString(0))
+            ps.setString(2, r.getString(1))
+            try { ps.executeUpdate(); n += 1 }
+            catch {
+              case _: java.sql.SQLIntegrityConstraintViolationException =>
+                () // the store says it's already there — contract met
+            }
+          }
+          Iterator.single(n)
+        } finally conn.close()
+      }
+    }(org.apache.spark.sql.Encoders.scalaLong)
+    inserted.toDF("n")
+      .agg(coalesce(sum("n"), lit(0L)).as("n"))
+      .head().getLong(0)
   }
 
   /** Idempotent microbatch writer for non-transactional sinks: each

@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.sinks.Sinks
+
+/** S6 unique-id contract against a store that actually ENFORCES
+  * uniqueness (r15 VERDICT item 5): embedded Derby with a PRIMARY KEY
+  * on `_id` stands in for the reference's MongoDB unique index
+  * (utils.py:123-146). The point of these tests is that the conflict
+  * path runs against REAL key rejections — `insertDocCollectionJdbc`
+  * has no anti-join prefilter, so every replayed row is attempted and
+  * Derby's SQLIntegrityConstraintViolation is what routes it to the
+  * already-stored skip — unlike the filesystem-backed variant, whose
+  * uniqueness argument assumes a single writer (see its Scaladoc). */
+class SinksJdbcSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val url: String = {
+    System.setProperty("derby.stream.error.file",
+      System.getProperty("java.io.tmpdir") + "/derby.log")
+    val u = "jdbc:derby:memory:graftsinkpk;create=true"
+    val conn = java.sql.DriverManager.getConnection(u)
+    try {
+      val st = conn.createStatement()
+      try st.execute("DROP TABLE docstore") catch { case _: Exception => () }
+      st.execute("""CREATE TABLE docstore (
+        "_id" VARCHAR(64) PRIMARY KEY, "doc" VARCHAR(4096))""")
+      st.close()
+    } finally conn.close()
+    u
+  }
+
+  private def payloads(ids: Long*) =
+    ids.toDF("id").select(col("id"),
+      concat(lit("name-"), col("id")).as("name"))
+
+  private def pay = struct(col("id"), col("name"))
+
+  private def stored(): Seq[(String, Int)] = {
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val rs = conn.createStatement().executeQuery(
+        """SELECT "_id", count(*) FROM docstore GROUP BY "_id"""")
+      val b = Seq.newBuilder[(String, Int)]
+      while (rs.next()) b += ((rs.getString(1), rs.getInt(2)))
+      b.result()
+    } finally conn.close()
+  }
+
+  test("replay lands every row exactly once through real PK conflicts") {
+    assert(Sinks.insertDocCollectionJdbc(
+      payloads(1L, 2L, 3L), pay, url, "docstore") == 3L)
+    // Replay all three plus one new doc: the three dups are ATTEMPTED
+    // (no prefilter) and rejected by Derby's primary key — three real
+    // key conflicts — while the new doc inserts. attempted − inserted
+    // == 3 is the observable that proves the conflict path executed.
+    assert(Sinks.insertDocCollectionJdbc(
+      payloads(1L, 2L, 3L, 4L), pay, url, "docstore") == 1L)
+    val rows = stored()
+    assert(rows.size == 4, s"expected 4 distinct _ids, got $rows")
+    assert(rows.forall(_._2 == 1),
+      s"a PK store can never hold a duplicate _id: $rows")
+  }
+
+  test("intra-batch duplicate payloads collapse to one stored row") {
+    // Same payload twice in one batch (distinct source rows, identical
+    // content hash): dropDuplicates collapses them before the insert,
+    // and the store's constraint would reject the second regardless.
+    val dupBatch = Seq(10L, 10L).toDF("id")
+      .select(col("id"), lit("name-10").as("name"))
+    assert(Sinks.insertDocCollectionJdbc(
+      dupBatch, pay, url, "docstore") == 1L)
+    assert(stored().count(_._2 > 1) == 0)
+  }
+
+  test("a row pre-inserted by a FOREIGN writer is skipped, not doubled") {
+    // Simulates the concurrent-writer race the filesystem variant
+    // cannot win: another writer stored doc 20 between our batch
+    // construction and execution. The PK rejects our insert; the
+    // batch's other row still lands.
+    val id20 = payloads(20L).select(Sinks.docId(pay)).as[String].head()
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val ps = conn.prepareStatement(
+        """INSERT INTO docstore ("_id", "doc") VALUES (?, ?)""")
+      ps.setString(1, id20); ps.setString(2, "{\"foreign\":true}")
+      ps.executeUpdate(); ps.close()
+    } finally conn.close()
+    assert(Sinks.insertDocCollectionJdbc(
+      payloads(20L, 21L), pay, url, "docstore") == 1L)
+    assert(stored().forall(_._2 == 1))
+  }
+}

@@ -16,8 +16,11 @@ import sys
 
 def main():
     sf_dir, out_dir, artifact = sys.argv[1], sys.argv[2], sys.argv[3]
+    # --fast (r15 VERDICT item 7): the in-DuckDB EXCEPT ALL compare keeps
+    # this full-registry gate minutes-scale at sf0.1 instead of ~35 min
+    # of Python tuple compares; the driver's sf0.01 gate stays strict.
     proc = subprocess.run(
-        [sys.executable, "tools/check.py", sf_dir, out_dir],
+        [sys.executable, "tools/check.py", "--fast", sf_dir, out_dir],
         capture_output=True, text=True)
     queries = {}
     for line in proc.stdout.splitlines():

@@ -55,15 +55,16 @@ class RegistryPlanSpec extends SparkSpec {
       }
       assert(offenders.isEmpty,
         s"cartesian products in: ${offenders.mkString(", ")}")
-      // Listener events post asynchronously — wait for quiescence
-      // before reading the checkpoint audit.
-      var last = -1
-      var stable = 0
-      while (stable < 3) {
-        Thread.sleep(200)
-        val now = nCkpt.get()
-        if (now == last) stable += 1 else { stable = 0; last = now }
-      }
+      // Listener events post asynchronously — drain the shared
+      // listener bus before reading the audit. The old heuristic
+      // (3×200 ms stable samples of nCkpt) could observe a stable 0
+      // on a loaded host whose bus was >600 ms behind and trip the
+      // broken-hook assert flakily (r15 ADVICE); waitUntilEmpty is
+      // the bus's own quiescence primitive. The execution-listener
+      // bus drains off the same LiveListenerBus queues, so an empty
+      // bus means every posted execution event has been delivered.
+      org.apache.spark.GraftBusHook.waitUntilListenerBusEmpty(
+        spark.sparkContext, 60000L)
       assert(nCkpt.get() > 0,
         "checkpoint audit saw zero checkpoint executions — the " +
           "listener hook is broken (queries are known to checkpoint)")

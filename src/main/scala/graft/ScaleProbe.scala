@@ -170,6 +170,19 @@ object ScaleProbe {
           docs.filter(!isNew("doc_id")).select("doc_id"), "doc_id",
           pairsK.filter(!isNew("left_id") && !isNew("right_id")),
           "left_id", "right_id")._1)
+      // Candidate-vs-output series for the global PPJoin (counts run
+      // OUTSIDE any timer; checkpoint blocks dropped after).
+      locally {
+        val (cands, setPairs, _, _) =
+          graft.queries.TextOps.ppjoinGlobalCore(docs)
+        val nCand = cands.count()
+        val nSet = setPairs.count()
+        val nOut = graft.queries.TextOps.ppjoinGlobalPairs(docs).count()
+        println(s"[scale] ppjoin_g counts k=$k candidates=$nCand " +
+          s"set_pairs=$nSet doc_pairs=$nOut")
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = true))
+      }
       k -> Seq(
         "incremental CC merge (FIXED ingest)" ->
           time(() => graft.api.GraftOps.incrementalComponents(
@@ -210,7 +223,19 @@ object ScaleProbe {
             col("ts_us")))
           time(() => graft.api.GraftOps
             .disorderReport(evK, "event_id", "ts_us"))
-        })
+        },
+        // Global PPJoin (r15 VERDICT item 2): the slowest registered
+        // query gets its replication row. Candidate rows (set pairs
+        // surviving collapse+prefix+positional+length, BEFORE verify)
+        // are counted SEPARATELY from output rows below, so growth the
+        // three bounds control is distinguishable from growth the
+        // ≥0.95 semantics demands: suffix-perturbed replicas of one
+        // doc are genuine near-dups of each other, so the OUTPUT
+        // grows ~k² by construction — candidates must track it, not
+        // outgrow it (candidate/output ratio ~flat), and the time row
+        // here is the full doc-pair expansion.
+        "global PPJoin (collapse+prefix+positional)" ->
+          time(() => graft.queries.TextOps.ppjoinGlobalPairs(docs)))
     }
     val (r1, rk) = (results.head._2.toMap, results.last._2.toMap)
     r1.keys.toSeq.sorted.foreach { name =>

@@ -505,21 +505,25 @@ object TextOps {
     * naive shared-token oracle (correctly) emits nothing for them — an
     * empty set has Jaccard 0/0, not 1, against anything.
     *
-    * Returns (setPairs: sa, sb, inter, union_sz, jacc — qualifying
-    * DISTINCT-set pairs; members: setid, doc_id; reps: setid, ta).
-    * `dedup_ppjoin_g` expands these to doc pairs (output-sized by
-    * definition, no cap — the ≥0.9 unscoped pair set stays output-
-    * quadratic even collapsed, which is why dedup_ppjoin ships
-    * source-scoped); `dedup_ppjoin_sets` reports them at set level. */
-  private def ppjoinGlobalCore(s: SparkSession, d: String)
-      : (DataFrame, DataFrame, DataFrame) = {
+    * Returns (cands: sa, sb — distinct set pairs surviving all three
+    * bounds BEFORE the Jaccard verify, the series ScaleProbe tracks
+    * against output growth; setPairs: sa, sb, inter, union_sz, jacc —
+    * qualifying DISTINCT-set pairs; members: setid, doc_id; reps:
+    * setid, ta). `dedup_ppjoin_g` expands setPairs to doc pairs
+    * (output-sized by definition, no cap — the ≥0.9 unscoped pair set
+    * stays output-quadratic even collapsed, which is why dedup_ppjoin
+    * ships source-scoped); `dedup_ppjoin_sets` reports them at set
+    * level. Takes the docs frame directly so ScaleProbe can feed its
+    * replicated corpus. */
+  private[graft] def ppjoinGlobalCore(docs: DataFrame)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     val t = 0.95
     // (doc_id, setid) membership + one representative array per set.
     // "\n" separator is whitespace, so it can never appear inside a
     // token — the encoding is injective (md5 modulo the same
     // collision class every content-hash op here accepts).
-    val arrs = docsOf(s, d).select(col("doc_id"),
+    val arrs = docs.select(col("doc_id"),
         array_sort(array_distinct(tokens(col("text")))).as("ta"))
       .filter(size(col("ta")) > 0) // empty sets: see Scaladoc
       .withColumn("setid", md5(concat_ws("\n", col("ta"))))
@@ -547,7 +551,7 @@ object TextOps {
     // is EXACT — and at t=0.95 it confines matches to essentially
     // the first prefix position, cutting the template-family bucket
     // blow-up the rare-token prefix alone cannot separate.
-    val setPairs = prefix.as("a")
+    val cands = prefix.as("a")
       .join(prefix.as("b"), col("a.term") === col("b.term")
         && col("a.setid") < col("b.setid")
         && col("a.sz") * 20L >= col("b.sz") * 19L
@@ -557,6 +561,7 @@ object TextOps {
           >= expr("((a.sz + b.sz) * 19 + 38) DIV 39"))
       .select(col("a.setid").as("sa"), col("b.setid").as("sb"))
       .distinct()
+    val setPairs = cands
       .join(reps.select(col("setid").as("sa"), col("ta").as("la")),
         Seq("sa"))
       .join(reps.select(col("setid").as("sb"), col("ta").as("ra")),
@@ -572,7 +577,36 @@ object TextOps {
       .withColumn("jacc",
         round(col("inter").cast("double") / col("union_sz"), 6))
       .filter(col("jacc") >= t)
-    (setPairs, arrs.select(col("setid"), col("doc_id")), reps)
+    (cands, setPairs, arrs.select(col("setid"), col("doc_id")), reps)
+  }
+
+  /** Doc-pair expansion of `ppjoinGlobalCore` — the `dedup_ppjoin_g`
+    * body, parameterized on the docs frame so ScaleProbe can run it on
+    * a replicated corpus. */
+  private[graft] def ppjoinGlobalPairs(docs: DataFrame): DataFrame = {
+    val (_, setPairs, members, reps) = ppjoinGlobalCore(docs)
+    // intra-set pairs: identical sets, J = 1.0, cost == output size
+    val intra = members.as("x")
+      .join(members.as("y"), col("x.setid") === col("y.setid")
+        && col("x.doc_id") < col("y.doc_id"))
+      .join(reps.withColumnRenamed("setid", "rsid"),
+        col("x.setid") === col("rsid"))
+      .select(col("x.doc_id").as("left_id"),
+        col("y.doc_id").as("right_id"),
+        size(col("ta")).cast("long").as("inter"),
+        size(col("ta")).cast("long").as("union_sz"),
+        lit(1.0).as("jacc"))
+    // cross-set pairs: every member combination of a qualifying set
+    // pair shares the set-level (inter, union, jacc)
+    val cross = setPairs
+      .join(members.select(col("setid").as("sa"),
+        col("doc_id").as("da")), Seq("sa"))
+      .join(members.select(col("setid").as("sb"),
+        col("doc_id").as("db")), Seq("sb"))
+      .select(least(col("da"), col("db")).as("left_id"),
+        greatest(col("da"), col("db")).as("right_id"),
+        col("inter"), col("union_sz"), col("jacc"))
+    intra.unionByName(cross)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2496,32 +2530,7 @@ object TextOps {
     // `dedup_ppjoin_sets` — the set-level pairs + membership counts —
     // and expand only where needed: the doc-pair expansion of a
     // 25k-doc clique is ~300M rows of pure redundancy.
-    "dedup_ppjoin_g" -> ((s, d) => {
-      val core = ppjoinGlobalCore(s, d)
-      val (setPairs, members, reps) = (core._1, core._2, core._3)
-      // intra-set pairs: identical sets, J = 1.0, cost == output size
-      val intra = members.as("x")
-        .join(members.as("y"), col("x.setid") === col("y.setid")
-          && col("x.doc_id") < col("y.doc_id"))
-        .join(reps.withColumnRenamed("setid", "rsid"),
-          col("x.setid") === col("rsid"))
-        .select(col("x.doc_id").as("left_id"),
-          col("y.doc_id").as("right_id"),
-          size(col("ta")).cast("long").as("inter"),
-          size(col("ta")).cast("long").as("union_sz"),
-          lit(1.0).as("jacc"))
-      // cross-set pairs: every member combination of a qualifying set
-      // pair shares the set-level (inter, union, jacc)
-      val cross = setPairs
-        .join(members.select(col("setid").as("sa"),
-          col("doc_id").as("da")), Seq("sa"))
-        .join(members.select(col("setid").as("sb"),
-          col("doc_id").as("db")), Seq("sb"))
-        .select(least(col("da"), col("db")).as("left_id"),
-          greatest(col("da"), col("db")).as("right_id"),
-          col("inter"), col("union_sz"), col("jacc"))
-      intra.unionByName(cross)
-    }),
+    "dedup_ppjoin_g" -> ((s, d) => ppjoinGlobalPairs(docsOf(s, d))),
 
     // SET-LEVEL form of the global PPJoin (r15 VERDICT item 3) — the
     // shape a 100 TB consumer actually wants: one row per qualifying
@@ -2533,8 +2542,7 @@ object TextOps {
     // keyed by their min member doc_id so the output is oracle-
     // comparable without exposing md5 setids.
     "dedup_ppjoin_sets" -> ((s, d) => {
-      val core = ppjoinGlobalCore(s, d)
-      val (setPairs, members, reps) = (core._1, core._2, core._3)
+      val (_, setPairs, members, reps) = ppjoinGlobalCore(docsOf(s, d))
       val stats = members.groupBy("setid")
         .agg(min("doc_id").cast("long").as("rk"),
           count(lit(1)).as("n"))

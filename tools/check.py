@@ -1,7 +1,7 @@
 #!/usr/bin/env python3
 """Local stand-in for the driver's correctness gate.
 
-Usage: python3 tools/check.py [--fast] <sfDir> <verifyOutDir>
+Usage: python3 tools/check.py [--fast] [--jobs N] <sfDir> <verifyOutDir>
 
 Reads each <outDir>/<name> parquet (written by graft.Verify), runs the
 matching SQL from <outDir>/oracle_sql.json in DuckDB against views named
@@ -19,8 +19,13 @@ gate keeps the strict repr compare: SQL equality coerces comparable
 numeric types (1 == 1.0), and float equality is value-based rather than
 repr-based. NaN joins as equal to NaN in DuckDB set operations, so
 NaN-bearing rows compare the same way the repr path treats them.
+--jobs N (fast mode only) compares N queries in parallel worker
+processes — the residual gate cost is DuckDB EXECUTING the heavy
+oracle plans (deliberately naive joins at sf0.1), which parallelism
+overlaps; each worker caps its DuckDB threads so N workers do not
+oversubscribe the host.
 """
-import sys, json, math
+import os, sys, json, math
 
 import duckdb
 
@@ -46,19 +51,27 @@ def norm_rows(cols, rows):
 
 
 def fast_compare(con, got_glob, sql):
-    """In-DuckDB multiset compare; returns None on match, reason on diff."""
-    g_desc = con.execute(
-        f"DESCRIBE SELECT * FROM '{got_glob}'").fetchall()
-    e_desc = con.execute(f"DESCRIBE ({sql})").fetchall()
+    """In-DuckDB multiset compare; returns None on match, reason on diff.
+
+    The oracle SQL is materialized ONCE into a temp table — count and
+    both EXCEPT directions then read the materialization, not re-run
+    the (sometimes deliberately naive, e.g. all-shared-token join)
+    oracle plan."""
+    con.execute(
+        "CREATE OR REPLACE TEMP TABLE __got AS "
+        f"SELECT * FROM '{got_glob}'")
+    con.execute(f"CREATE OR REPLACE TEMP TABLE __exp AS ({sql})")
+    g_desc = con.execute("DESCRIBE __got").fetchall()
+    e_desc = con.execute("DESCRIBE __exp").fetchall()
     g_cols = sorted(r[0] for r in g_desc)
     e_cols = sorted(r[0] for r in e_desc)
     if g_cols != e_cols:
         return f"columns {g_cols} != {e_cols}"
     cols = ", ".join(f'"{c}"' for c in g_cols)
-    got_q = f"SELECT {cols} FROM '{got_glob}'"
-    exp_q = f"SELECT {cols} FROM ({sql})"
-    n_got = con.execute(f"SELECT count(*) FROM ({got_q})").fetchone()[0]
-    n_exp = con.execute(f"SELECT count(*) FROM ({exp_q})").fetchone()[0]
+    got_q = f"SELECT {cols} FROM __got"
+    exp_q = f"SELECT {cols} FROM __exp"
+    n_got = con.execute("SELECT count(*) FROM __got").fetchone()[0]
+    n_exp = con.execute("SELECT count(*) FROM __exp").fetchone()[0]
     if n_got != n_exp:
         return f"rowcount {n_got} != {n_exp}"
     n_diff = con.execute(
@@ -69,34 +82,71 @@ def fast_compare(con, got_glob, sql):
     return None
 
 
-def main():
-    args = [a for a in sys.argv[1:] if a != "--fast"]
-    fast = "--fast" in sys.argv[1:]
-    sf_dir, out_dir = args[0], args[1]
+_W = {}
+
+
+def _worker_init(sf_dir, threads):
     con = duckdb.connect()
+    con.execute(f"PRAGMA threads={threads}")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    _W["con"] = con
+
+
+def _fast_one(task):
+    import time
+    name, sql, out_dir = task
+    con = _W["con"]
+    t0 = time.time()
+    try:
+        reason = fast_compare(con, f"{out_dir}/{name}/*.parquet", sql)
+        n_rows = con.execute("SELECT count(*) FROM __got").fetchone()[0]
+    except Exception as e:
+        reason = f"exec error {str(e).splitlines()[0][:200]}"
+        n_rows = -1
+    return (name, reason, n_rows, time.time() - t0)
+
+
+def main():
+    argv = sys.argv[1:]
+    fast = "--fast" in argv
+    jobs = 1
+    if "--jobs" in argv:
+        jobs = int(argv[argv.index("--jobs") + 1])
+        del argv[argv.index("--jobs"):argv.index("--jobs") + 2]
+    args = [a for a in argv if a != "--fast"]
+    sf_dir, out_dir = args[0], args[1]
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
-    for name, sql in sorted(oracle.items()):
-        if fast:
-            try:
-                reason = fast_compare(con, f"{out_dir}/{name}/*.parquet",
-                                      sql)
-                n_rows = con.execute(
-                    "SELECT count(*) FROM "
-                    f"'{out_dir}/{name}/*.parquet'").fetchone()[0]
-            except Exception as e:
-                reason = f"exec error {str(e).splitlines()[0][:200]}"
-                n_rows = -1
+    if fast:
+        tasks = [(name, sql, out_dir) for name, sql in sorted(oracle.items())]
+        threads = max(2, (os.cpu_count() or 8) // max(jobs, 1))
+        if jobs > 1:
+            import multiprocessing as mp
+            # chunksize=1: tasks are wildly uneven (a naive-join oracle
+            # can cost minutes while most are ms) — static chunking
+            # strands the heavy ones behind a long serial tail.
+            with mp.get_context("fork").Pool(
+                    jobs, _worker_init, (sf_dir, threads)) as pool:
+                results = pool.map(_fast_one, tasks, chunksize=1)
+        else:
+            _worker_init(sf_dir, threads)
+            results = [_fast_one(t) for t in tasks]
+        for name, reason, n_rows, secs in results:
             if reason is None:
-                print(f"PASS {name} ({n_rows} rows)")
+                print(f"PASS {name} ({n_rows} rows) [{secs:.1f}s]")
                 n_pass += 1
             else:
                 print(f"FAIL {name}: {reason}")
                 n_fail += 1
-            continue
+        print(f"== {n_pass} pass / {n_fail} fail / {len(oracle)} total ==")
+        sys.exit(1 if n_fail else 0)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    for name, sql in sorted(oracle.items()):
         try:
             # The driver's comparator hashes a pandas frame and crashes on
             # array/struct/map cells (pandas sort_values: unhashable

@@ -20,8 +20,13 @@ def main():
     # this full-registry gate minutes-scale at sf0.1 instead of ~35 min
     # of Python tuple compares; the driver's sf0.01 gate stays strict.
     proc = subprocess.run(
-        [sys.executable, "tools/check.py", "--fast", sf_dir, out_dir],
+        [sys.executable, "tools/check.py", "--fast", "--jobs", "6",
+         sf_dir, out_dir],
         capture_output=True, text=True)
+    with open(artifact + ".log", "w") as f:
+        f.write(proc.stdout)
+        if proc.stderr:
+            f.write("\n--- stderr ---\n" + proc.stderr)
     queries = {}
     for line in proc.stdout.splitlines():
         m = re.match(r"PASS (\S+) \((\d+) rows\)", line)

@@ -514,23 +514,42 @@ object TextOps {
     * stays output-quadratic even collapsed, which is why dedup_ppjoin
     * ships source-scoped); `dedup_ppjoin_sets` reports them at set
     * level. Takes the docs frame directly so ScaleProbe can feed its
-    * replicated corpus. */
-  private[graft] def ppjoinGlobalCore(docs: DataFrame)
+    * replicated corpus.
+    *
+    * `stageKey` (registry callers pass the sf dir): the membership,
+    * representative, and qualifying-pair frames go through
+    * SharedStage, so the two registered consumers — the doc-pair
+    * expansion and the set-level report — derive ONE core per
+    * session instead of each paying the ~10 s prefix+verify at sf0.1
+    * (same declared-shared-upstream discipline as the LPA core;
+    * Verify still sweeps between queries, so correctness runs stay
+    * independent, and Bench attributes the cold build via
+    * core_builds). None (ScaleProbe) keeps plain localCheckpoints. */
+  private[graft] def ppjoinGlobalCore(docs: DataFrame,
+      stageKey: Option[String] = None)
       : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
+    def stage(part: String)(build: => DataFrame): DataFrame =
+      stageKey match {
+        case Some(k) => graft.operators.SharedStage(
+          docs.sparkSession, s"ppjoinG:$k:$part")(build)
+        case None => build.localCheckpoint()
+      }
     val t = 0.95
     // (doc_id, setid) membership + one representative array per set.
     // "\n" separator is whitespace, so it can never appear inside a
     // token — the encoding is injective (md5 modulo the same
     // collision class every content-hash op here accepts).
-    val arrs = docs.select(col("doc_id"),
-        array_sort(array_distinct(tokens(col("text")))).as("ta"))
-      .filter(size(col("ta")) > 0) // empty sets: see Scaladoc
-      .withColumn("setid", md5(concat_ws("\n", col("ta"))))
-      .localCheckpoint() // feeds reps, both expansions, intra pairs
-    val reps = arrs.groupBy("setid")
-      .agg(max("ta").as("ta")) // all ta in a set are identical
-      .localCheckpoint()       // self-joined below (contract: materialize)
+    val arrs = stage("arrs") { // feeds reps, both expansions, intra
+      docs.select(col("doc_id"),
+          array_sort(array_distinct(tokens(col("text")))).as("ta"))
+        .filter(size(col("ta")) > 0) // empty sets: see Scaladoc
+        .withColumn("setid", md5(concat_ws("\n", col("ta"))))
+    }
+    val reps = stage("reps") { // self-joined below (must materialize)
+      arrs.groupBy("setid")
+        .agg(max("ta").as("ta")) // all ta in a set are identical
+    }
     val tok = reps.select(col("setid"),
       explode(col("ta")).as("term"))
     val freq = tok.groupBy("term").agg(count(lit(1)).as("df"))
@@ -561,7 +580,7 @@ object TextOps {
           >= expr("((a.sz + b.sz) * 19 + 38) DIV 39"))
       .select(col("a.setid").as("sa"), col("b.setid").as("sb"))
       .distinct()
-    val setPairs = cands
+    val setPairsRaw = cands
       .join(reps.select(col("setid").as("sa"), col("ta").as("la")),
         Seq("sa"))
       .join(reps.select(col("setid").as("sb"), col("ta").as("ra")),
@@ -577,14 +596,21 @@ object TextOps {
       .withColumn("jacc",
         round(col("inter").cast("double") / col("union_sz"), 6))
       .filter(col("jacc") >= t)
+    // The expensive stage (prefix join + verify); output is set-pair-
+    // sized, so sharing its materialization is ~free storage. Only
+    // staged for registry callers — ScaleProbe wants it lazy so the
+    // candidate count and the timed expansion stay separable.
+    val setPairs = stageKey.fold(setPairsRaw)(_ =>
+      stage("pairs")(setPairsRaw))
     (cands, setPairs, arrs.select(col("setid"), col("doc_id")), reps)
   }
 
   /** Doc-pair expansion of `ppjoinGlobalCore` — the `dedup_ppjoin_g`
     * body, parameterized on the docs frame so ScaleProbe can run it on
     * a replicated corpus. */
-  private[graft] def ppjoinGlobalPairs(docs: DataFrame): DataFrame = {
-    val (_, setPairs, members, reps) = ppjoinGlobalCore(docs)
+  private[graft] def ppjoinGlobalPairs(docs: DataFrame,
+      stageKey: Option[String] = None): DataFrame = {
+    val (_, setPairs, members, reps) = ppjoinGlobalCore(docs, stageKey)
     // intra-set pairs: identical sets, J = 1.0, cost == output size
     val intra = members.as("x")
       .join(members.as("y"), col("x.setid") === col("y.setid")
@@ -2530,7 +2556,8 @@ object TextOps {
     // `dedup_ppjoin_sets` — the set-level pairs + membership counts —
     // and expand only where needed: the doc-pair expansion of a
     // 25k-doc clique is ~300M rows of pure redundancy.
-    "dedup_ppjoin_g" -> ((s, d) => ppjoinGlobalPairs(docsOf(s, d))),
+    "dedup_ppjoin_g" -> ((s, d) =>
+      ppjoinGlobalPairs(docsOf(s, d), Some(d))),
 
     // SET-LEVEL form of the global PPJoin (r15 VERDICT item 3) — the
     // shape a 100 TB consumer actually wants: one row per qualifying
@@ -2542,7 +2569,8 @@ object TextOps {
     // keyed by their min member doc_id so the output is oracle-
     // comparable without exposing md5 setids.
     "dedup_ppjoin_sets" -> ((s, d) => {
-      val (_, setPairs, members, reps) = ppjoinGlobalCore(docsOf(s, d))
+      val (_, setPairs, members, reps) =
+        ppjoinGlobalCore(docsOf(s, d), Some(d))
       val stats = members.groupBy("setid")
         .agg(min("doc_id").cast("long").as("rk"),
           count(lit(1)).as("n"))

@@ -211,4 +211,71 @@ class PropertySpec extends SparkSpec {
     assert(over.forall { case (k, n) => n <= raw(k) },
       "over-cap exceeded a raw count")
   }
+
+  test("global PPJoin == brute-force Jaccard join on random template " +
+      "corpora (all four bounds result-transparent)") {
+    // The exactness claim behind dedup_ppjoin_g — exact-set collapse,
+    // rare-token prefix, length bound, positional bound — proved
+    // against the only ground truth that needs no cleverness: all
+    // pairs, every corpus. Corpora are template-heavy on purpose
+    // (copies, near-copies with tokens dropped/added, unrelated noise,
+    // empty docs) so collapse, cross-set, boundary-J, and excluded
+    // classes all occur across the batch.
+    val alphabet = (0 until 80).map("w" + _)
+    val corpusGen: Gen[Seq[(Long, String)]] = for {
+      nTpl <- Gen.chooseNum(1, 3)
+      tplSizes <- Gen.listOfN(nTpl, Gen.chooseNum(25, 55))
+      tpls = tplSizes.zipWithIndex.map { case (sz, i) =>
+        alphabet.drop(i * 7).take(sz)
+      }
+      nDocs <- Gen.chooseNum(8, 16)
+      docs <- Gen.listOfN(nDocs, for {
+        kind <- Gen.chooseNum(0, 9)
+        tpl <- Gen.oneOf(tpls)
+        drop <- Gen.chooseNum(0, 2)
+        addN <- Gen.chooseNum(0, 2)
+        adds <- Gen.listOfN(addN, Gen.oneOf(alphabet))
+        noise <- Gen.listOfN(4, Gen.oneOf(alphabet))
+      } yield kind match {
+        case 0 => ""                      // token-empty: must vanish
+        case 1 => noise.mkString(" ")     // unrelated small doc
+        case _ => (tpl.drop(drop) ++ adds).mkString(" ")
+      })
+    } yield docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    def round6(d: Double): Double = // Spark round(): HALF_UP at scale 6
+      BigDecimal.valueOf(d)
+        .setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP)
+        .toDouble
+    var nIdentical = 0; var nCross = 0; var nBelow = 0
+    for (corpus <- cases(corpusGen, 8)) {
+      val sets = corpus.map { case (id, t) =>
+        id -> t.split("\\s+").filter(_.nonEmpty).toSet
+      }
+      val want = (for {
+        (la, sa) <- sets; (lb, sb) <- sets
+        if la < lb && sa.nonEmpty && sb.nonEmpty
+        inter = (sa & sb).size.toLong
+        union = (sa | sb).size.toLong
+        j = round6(inter.toDouble / union)
+        if j >= 0.95
+      } yield (la, lb, inter, union, j)).toSet
+      nIdentical += want.count(_._5 == 1.0)
+      nCross += want.count(_._5 < 1.0)
+      nBelow += sets.combinations(2).count { case Seq((_, a), (_, b)) =>
+        a.nonEmpty && b.nonEmpty &&
+          round6((a & b).size.toDouble / (a | b).size) < 0.95
+      }
+      val got = graft.queries.TextOps
+        .ppjoinGlobalPairs(corpus.toDF("doc_id", "text"))
+        .as[(Long, Long, Long, Long, Double)].collect().toSet
+      assert(got == want,
+        s"PPJoin != brute force on corpus $corpus:\n extra=${got -- want}" +
+          s"\n missing=${want -- got}")
+    }
+    // anti-vacuity: the batch must have exercised identical-set
+    // cliques, sub-1.0 qualifying cross pairs, AND rejected pairs
+    assert(nIdentical > 0 && nCross > 0 && nBelow > 0,
+      s"generator drifted vacuous: identical=$nIdentical " +
+        s"cross=$nCross below=$nBelow")
+  }
 }

@@ -1367,4 +1367,150 @@ object GraftOps {
       .select(col("t").getItem(0).as("a"), col("t").getItem(1).as("b"),
         col("t").getItem(2).as("c"))
   }
+
+  /** EXACT set-similarity self-join at Jaccard ≥ num/den over
+    * whitespace token sets — the PPJoin family (prefix + positional +
+    * length filtering over collapsed exact sets) as a user-facing
+    * operator with a RATIONAL threshold, so every bound stays in
+    * integer arithmetic with no float boundary anywhere:
+    *
+    *  1. EXACT-SET COLLAPSE: identical token sets (md5 of the sorted
+    *     array) reduce to one representative before any join — on
+    *     template-heavy corpora this is the decisive bound (a k-doc
+    *     boilerplate clique is ONE set row; its k·(k−1)/2 pairs come
+    *     back as an output-sized membership expansion, J = 1, no
+    *     verify).
+    *  2. RARE-TOKEN PREFIX: a qualifying pair must share one of the
+    *     first sz − ⌊num·sz/den⌋ + 1 tokens in global (df, term)
+    *     order.
+    *  3. LENGTH: den·min_sz ≥ num·max_sz (J ≥ t forces |smaller| ≥
+    *     t·|larger| since inter ≤ min and union ≥ max).
+    *  4. POSITIONAL: a qualifying pair's FIRST shared token w has
+    *     only unshared tokens before it on BOTH sides (one global
+    *     token order), so inter ≤ 1 + min(sz_a−pos_a, sz_b−pos_b);
+    *     and w provably sits inside both prefixes. Keeping a pair iff
+    *     ANY matched prefix row passes 1 + min(...) ≥ α with
+    *     α = ⌈num·S/(num+den)⌉, S = sz_a + sz_b, is exact.
+    *
+    * Survivors verify row-locally (sorted-array intersect); the
+    * rounded Jaccard (6 places, matching every similarity threshold
+    * in this library) gates the final filter. Token-EMPTY rows are
+    * excluded up front: an empty set has Jaccard 0/0 — not 1 —
+    * against anything. Returns (left_id, right_id, inter, union_sz,
+    * jacc) with left < right by id. No cap, no approximation: the
+    * result is the complete pair set, and at 100 TB the candidate
+    * side is what the four bounds control (ScaleProbe: 13.2× for 10×
+    * corpus; quadratic would be 100×) while the output side is the
+    * query's semantics. For thresholds below ~0.9 on template-heavy
+    * corpora the OUTPUT itself is near-quadratic — scope the input
+    * (per source/shard) or use the banded-MinHash path instead.
+    *
+    * `stageKey`: registry/composition callers share the collapsed
+    * core across consumers via SharedStage (see TextOps); library
+    * callers can ignore it. */
+  def setSimilarityJoin(docs: DataFrame, idCol: String, textCol: String,
+      num: Int, den: Int, stageKey: Option[String] = None): DataFrame = {
+    val (_, setPairs, members, reps) =
+      setSimilarityCore(docs, idCol, textCol, num, den, stageKey)
+    // intra-set pairs: identical sets, J = 1.0, cost == output size
+    val intra = members.as("x")
+      .join(members.as("y"), col("x.setid") === col("y.setid")
+        && col(s"x.$idCol") < col(s"y.$idCol"))
+      .join(reps.withColumnRenamed("setid", "rsid"),
+        col("x.setid") === col("rsid"))
+      .select(col(s"x.$idCol").as("left_id"),
+        col(s"y.$idCol").as("right_id"),
+        size(col("ta")).cast("long").as("inter"),
+        size(col("ta")).cast("long").as("union_sz"),
+        lit(1.0).as("jacc"))
+    // cross-set pairs: every member combination of a qualifying set
+    // pair shares the set-level (inter, union, jacc)
+    val cross = setPairs
+      .join(members.select(col("setid").as("sa"),
+        col(idCol).as("da")), Seq("sa"))
+      .join(members.select(col("setid").as("sb"),
+        col(idCol).as("db")), Seq("sb"))
+      .select(least(col("da"), col("db")).as("left_id"),
+        greatest(col("da"), col("db")).as("right_id"),
+        col("inter"), col("union_sz"), col("jacc"))
+    intra.unionByName(cross)
+  }
+
+  /** Set-level core of `setSimilarityJoin` (bounds documented there).
+    * Returns (cands: sa, sb — distinct set pairs surviving all bounds
+    * BEFORE verify, the series ScaleProbe tracks; setPairs: sa, sb,
+    * inter, union_sz, jacc; members: setid, idCol; reps: setid, ta).
+    * When `stageKey` is set, the membership/representative/pair
+    * frames go through SharedStage so multiple consumers in one
+    * session derive ONE core; otherwise plain localCheckpoints. */
+  private[graft] def setSimilarityCore(docs: DataFrame, idCol: String,
+      textCol: String, num: Int, den: Int, stageKey: Option[String])
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    require(num > 0 && num <= den, s"threshold $num/$den not in (0, 1]")
+    def stage(part: String)(build: => DataFrame): DataFrame =
+      stageKey match {
+        case Some(k) => graft.operators.SharedStage(
+          docs.sparkSession, s"simjoin:$k:$part")(build)
+        case None => build.localCheckpoint()
+      }
+    // (id, setid) membership + one representative array per set.
+    // "\n" separator is whitespace, so it can never appear inside a
+    // token — the encoding is injective (md5 modulo the same
+    // collision class every content-hash op here accepts).
+    val arrs = stage("arrs") { // feeds reps, both expansions, intra
+      docs.select(col(idCol),
+          array_sort(array_distinct(tokens(col(textCol)))).as("ta"))
+        .filter(size(col("ta")) > 0) // empty sets: see Scaladoc
+        .withColumn("setid", md5(concat_ws("\n", col("ta"))))
+    }
+    val reps = stage("reps") { // self-joined below (must materialize)
+      arrs.groupBy("setid")
+        .agg(max("ta").as("ta")) // all ta in a set are identical
+    }
+    val tok = reps.select(col("setid"),
+      explode(col("ta")).as("term"))
+    val freq = tok.groupBy("term").agg(count(lit(1)).as("df"))
+    val wD = Window.partitionBy("setid").orderBy(col("df"), col("term"))
+    val prefix = tok.join(freq, "term")
+      .withColumn("pos", row_number().over(wD))
+      .withColumn("sz",
+        count(lit(1)).over(Window.partitionBy("setid")))
+      .filter(col("pos") <=
+        col("sz") - expr(s"($num * sz) DIV $den") + 1L)
+      .select(col("term"), col("setid"), col("sz"), col("pos"))
+    val s2 = num + den // α = ⌈num·S/(num+den)⌉ = (num·S + s2−1) DIV s2
+    val cands = prefix.as("a")
+      .join(prefix.as("b"), col("a.term") === col("b.term")
+        && col("a.setid") < col("b.setid")
+        && col("a.sz") * den.toLong >= col("b.sz") * num.toLong
+        && col("b.sz") * den.toLong >= col("a.sz") * num.toLong
+        && (lit(1L) + least(col("a.sz") - col("a.pos"),
+            col("b.sz") - col("b.pos")))
+          >= expr(s"((a.sz + b.sz) * $num + ${s2 - 1}) DIV $s2"))
+      .select(col("a.setid").as("sa"), col("b.setid").as("sb"))
+      .distinct()
+    val setPairsRaw = cands
+      .join(reps.select(col("setid").as("sa"), col("ta").as("la")),
+        Seq("sa"))
+      .join(reps.select(col("setid").as("sb"), col("ta").as("ra")),
+        Seq("sb"))
+      // project the intersect ONCE; a fused select would evaluate
+      // the array walk twice per candidate (inter and union_sz)
+      .select(col("sa"), col("sb"),
+        size(array_intersect(col("la"), col("ra"))).cast("long")
+          .as("inter"),
+        (size(col("la")) + size(col("ra"))).cast("long").as("szsum"))
+      .select(col("sa"), col("sb"), col("inter"),
+        (col("szsum") - col("inter")).as("union_sz"))
+      .withColumn("jacc",
+        round(col("inter").cast("double") / col("union_sz"), 6))
+      .filter(col("jacc") >= num.toDouble / den)
+    // The expensive stage (prefix join + verify); output is set-pair-
+    // sized, so sharing its materialization is ~free storage. Only
+    // staged when a key is given — ScaleProbe wants it lazy so the
+    // candidate count and the timed expansion stay separable.
+    val setPairs = stageKey.fold(setPairsRaw)(_ =>
+      stage("pairs")(setPairsRaw))
+    (cands, setPairs, arrs.select(col("setid"), col(idCol)), reps)
+  }
 }

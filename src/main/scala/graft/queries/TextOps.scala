@@ -479,161 +479,39 @@ object TextOps {
        |    WHEN 1 THEN h2 || '|' || h3 WHEN 2 THEN h4 || '|' || h5
        |    ELSE h6 || '|' || h7 END) AS band_hash FROM bt)""".stripMargin
 
-  /** Set-level core of the GLOBAL exact-threshold PPJoin: UNSCOPED
-    * across all sources at Jaccard ≥ 0.95. Three stacked bounds make
-    * the global form tractable on this template-heavy corpus:
+  /** Set-level core of the GLOBAL exact-threshold PPJoin at Jaccard
+    * >= 0.95 (= 19/20): delegates to the library operator
+    * `GraftOps.setSimilarityCore` — exact-set collapse, rare-token
+    * prefix, length, and positional bounds all in integer arithmetic;
+    * token-empty docs excluded (see its Scaladoc for the proofs and
+    * the 100 TB posture). On this corpus the collapse is decisive: a
+    * 248-doc boilerplate clique floods the doc-level prefix buckets
+    * with ~30k×3 candidate rows (measured: 5.26M raw / 2.22M distinct
+    * candidates for 191k output pairs at sf0.1) but is ONE set row.
+    * `dedup_ppjoin_g` expands setPairs to doc pairs (no cap —
+    * output-sized by definition; the >=0.9 unscoped pair set stays
+    * output-quadratic even collapsed, which is why dedup_ppjoin ships
+    * source-scoped); `dedup_ppjoin_sets` reports set level.
     *
-    *  1. EXACT-SET COLLAPSE first: identical token sets (md5 of the
-    *     sorted array) reduce to one representative before any join.
-    *     This is the decisive one — a 248-doc boilerplate clique
-    *     shares all its prefix tokens, so at doc level it alone
-    *     floods the prefix buckets with ~30k×3 candidate rows
-    *     (measured: 5.26M raw / 2.22M distinct candidates for 191k
-    *     output pairs at sf0.1); at set level it is ONE row, and the
-    *     intra-clique pairs come back as a setid self-join whose cost
-    *     IS the output (J = 1.0 by construction, no verify needed).
-    *  2. The rare-token prefix filter over the 21% remaining distinct
-    *     sets (first sz − ⌊0.95·sz⌋ + 1 tokens in (df, term) order;
-    *     integer (19·sz) DIV 20, no float boundary).
-    *  3. The length filter 20·min_sz ≥ 19·max_sz (J ≥ t forces
-    *     |smaller| ≥ t·|larger| since inter ≤ min and union ≥ max),
-    *     plus the POSITIONAL bound — see the inline comment.
-    *
-    * Token-EMPTY documents are excluded up front (r15 ADVICE): their
-    * identical empty sets would otherwise collapse to one setid and
-    * surface as intra "pairs" with inter=0, union=0, J:=1.0, while the
-    * naive shared-token oracle (correctly) emits nothing for them — an
-    * empty set has Jaccard 0/0, not 1, against anything.
-    *
-    * Returns (cands: sa, sb — distinct set pairs surviving all three
-    * bounds BEFORE the Jaccard verify, the series ScaleProbe tracks
-    * against output growth; setPairs: sa, sb, inter, union_sz, jacc —
-    * qualifying DISTINCT-set pairs; members: setid, doc_id; reps:
-    * setid, ta). `dedup_ppjoin_g` expands setPairs to doc pairs
-    * (output-sized by definition, no cap — the ≥0.9 unscoped pair set
-    * stays output-quadratic even collapsed, which is why dedup_ppjoin
-    * ships source-scoped); `dedup_ppjoin_sets` reports them at set
-    * level. Takes the docs frame directly so ScaleProbe can feed its
-    * replicated corpus.
-    *
-    * `stageKey` (registry callers pass the sf dir): the membership,
-    * representative, and qualifying-pair frames go through
-    * SharedStage, so the two registered consumers — the doc-pair
-    * expansion and the set-level report — derive ONE core per
-    * session instead of each paying the ~10 s prefix+verify at sf0.1
-    * (same declared-shared-upstream discipline as the LPA core;
-    * Verify still sweeps between queries, so correctness runs stay
-    * independent, and Bench attributes the cold build via
-    * core_builds). None (ScaleProbe) keeps plain localCheckpoints. */
+    * `stageKey` (registry callers pass the sf dir): both consumers
+    * derive ONE SharedStage-materialized core per session instead of
+    * each paying the ~10 s prefix+verify at sf0.1 (LPA-core
+    * discipline; Verify still sweeps between queries, Bench
+    * attributes the cold build via core_builds). None (ScaleProbe)
+    * keeps plain localCheckpoints so candidate counts and the timed
+    * expansion stay separable. */
   private[graft] def ppjoinGlobalCore(docs: DataFrame,
       stageKey: Option[String] = None)
-      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
-    import org.apache.spark.sql.expressions.Window
-    def stage(part: String)(build: => DataFrame): DataFrame =
-      stageKey match {
-        case Some(k) => graft.operators.SharedStage(
-          docs.sparkSession, s"ppjoinG:$k:$part")(build)
-        case None => build.localCheckpoint()
-      }
-    val t = 0.95
-    // (doc_id, setid) membership + one representative array per set.
-    // "\n" separator is whitespace, so it can never appear inside a
-    // token — the encoding is injective (md5 modulo the same
-    // collision class every content-hash op here accepts).
-    val arrs = stage("arrs") { // feeds reps, both expansions, intra
-      docs.select(col("doc_id"),
-          array_sort(array_distinct(tokens(col("text")))).as("ta"))
-        .filter(size(col("ta")) > 0) // empty sets: see Scaladoc
-        .withColumn("setid", md5(concat_ws("\n", col("ta"))))
-    }
-    val reps = stage("reps") { // self-joined below (must materialize)
-      arrs.groupBy("setid")
-        .agg(max("ta").as("ta")) // all ta in a set are identical
-    }
-    val tok = reps.select(col("setid"),
-      explode(col("ta")).as("term"))
-    val freq = tok.groupBy("term").agg(count(lit(1)).as("df"))
-    val wD = Window.partitionBy("setid").orderBy(col("df"), col("term"))
-    val prefix = tok.join(freq, "term")
-      .withColumn("pos", row_number().over(wD))
-      .withColumn("sz",
-        count(lit(1)).over(Window.partitionBy("setid")))
-      .filter(col("pos") <= col("sz") - expr("(19 * sz) DIV 20") + 1L)
-      .select(col("term"), col("setid"), col("sz"), col("pos"))
-    // POSITIONAL bound (classic PPJoin): a qualifying pair's FIRST
-    // shared token w has only unshared tokens before it on BOTH
-    // sides (arrays share one global order), so inter ≤
-    // 1 + min(sz_a−pos_a, sz_b−pos_b); and w provably sits inside
-    // both prefixes (else inter ≤ ⌈t·sz⌉−1 < the required overlap).
-    // Hence keeping a pair iff ANY matched row passes
-    // 1 + min(...) ≥ α, α = ⌈t/(1+t)·(sz_a+sz_b)⌉ = (19·S+38) DIV 39,
-    // is EXACT — and at t=0.95 it confines matches to essentially
-    // the first prefix position, cutting the template-family bucket
-    // blow-up the rare-token prefix alone cannot separate.
-    val cands = prefix.as("a")
-      .join(prefix.as("b"), col("a.term") === col("b.term")
-        && col("a.setid") < col("b.setid")
-        && col("a.sz") * 20L >= col("b.sz") * 19L
-        && col("b.sz") * 20L >= col("a.sz") * 19L
-        && (lit(1L) + least(col("a.sz") - col("a.pos"),
-            col("b.sz") - col("b.pos")))
-          >= expr("((a.sz + b.sz) * 19 + 38) DIV 39"))
-      .select(col("a.setid").as("sa"), col("b.setid").as("sb"))
-      .distinct()
-    val setPairsRaw = cands
-      .join(reps.select(col("setid").as("sa"), col("ta").as("la")),
-        Seq("sa"))
-      .join(reps.select(col("setid").as("sb"), col("ta").as("ra")),
-        Seq("sb"))
-      // project the intersect ONCE; a fused select would evaluate
-      // the array walk twice per candidate (inter and union_sz)
-      .select(col("sa"), col("sb"),
-        size(array_intersect(col("la"), col("ra"))).cast("long")
-          .as("inter"),
-        (size(col("la")) + size(col("ra"))).cast("long").as("szsum"))
-      .select(col("sa"), col("sb"), col("inter"),
-        (col("szsum") - col("inter")).as("union_sz"))
-      .withColumn("jacc",
-        round(col("inter").cast("double") / col("union_sz"), 6))
-      .filter(col("jacc") >= t)
-    // The expensive stage (prefix join + verify); output is set-pair-
-    // sized, so sharing its materialization is ~free storage. Only
-    // staged for registry callers — ScaleProbe wants it lazy so the
-    // candidate count and the timed expansion stay separable.
-    val setPairs = stageKey.fold(setPairsRaw)(_ =>
-      stage("pairs")(setPairsRaw))
-    (cands, setPairs, arrs.select(col("setid"), col("doc_id")), reps)
-  }
+      : (DataFrame, DataFrame, DataFrame, DataFrame) =
+    graft.api.GraftOps.setSimilarityCore(
+      docs, "doc_id", "text", 19, 20, stageKey)
 
   /** Doc-pair expansion of `ppjoinGlobalCore` — the `dedup_ppjoin_g`
-    * body, parameterized on the docs frame so ScaleProbe can run it on
-    * a replicated corpus. */
+    * body (`GraftOps.setSimilarityJoin` at 19/20). */
   private[graft] def ppjoinGlobalPairs(docs: DataFrame,
-      stageKey: Option[String] = None): DataFrame = {
-    val (_, setPairs, members, reps) = ppjoinGlobalCore(docs, stageKey)
-    // intra-set pairs: identical sets, J = 1.0, cost == output size
-    val intra = members.as("x")
-      .join(members.as("y"), col("x.setid") === col("y.setid")
-        && col("x.doc_id") < col("y.doc_id"))
-      .join(reps.withColumnRenamed("setid", "rsid"),
-        col("x.setid") === col("rsid"))
-      .select(col("x.doc_id").as("left_id"),
-        col("y.doc_id").as("right_id"),
-        size(col("ta")).cast("long").as("inter"),
-        size(col("ta")).cast("long").as("union_sz"),
-        lit(1.0).as("jacc"))
-    // cross-set pairs: every member combination of a qualifying set
-    // pair shares the set-level (inter, union, jacc)
-    val cross = setPairs
-      .join(members.select(col("setid").as("sa"),
-        col("doc_id").as("da")), Seq("sa"))
-      .join(members.select(col("setid").as("sb"),
-        col("doc_id").as("db")), Seq("sb"))
-      .select(least(col("da"), col("db")).as("left_id"),
-        greatest(col("da"), col("db")).as("right_id"),
-        col("inter"), col("union_sz"), col("jacc"))
-    intra.unionByName(cross)
-  }
+      stageKey: Option[String] = None): DataFrame =
+    graft.api.GraftOps.setSimilarityJoin(
+      docs, "doc_id", "text", 19, 20, stageKey)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Token counting (whitespace + subword-boundary BPE-ish approximation).

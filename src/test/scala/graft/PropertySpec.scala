@@ -278,4 +278,60 @@ class PropertySpec extends SparkSpec {
       s"generator drifted vacuous: identical=$nIdentical " +
         s"cross=$nCross below=$nBelow")
   }
+
+  test("setSimilarityJoin == brute force across rational thresholds " +
+      "1/2, 2/3, 4/5, 9/10, 1/1") {
+    // The bound algebra (prefix length, den·min >= num·max, positional
+    // α = ⌈num·S/(num+den)⌉) is derived for ARBITRARY rational t — the
+    // registry only ever exercises 19/20, so this is the guard that a
+    // future threshold parameter change can't silently break the
+    // integer arithmetic. Smaller docs than the 0.95 test: loose
+    // thresholds qualify plenty of pairs at 8-20 tokens.
+    val alphabet = (0 until 40).map("u" + _)
+    val corpusGen: Gen[Seq[(Long, String)]] = for {
+      base <- Gen.chooseNum(8, 20)
+      docs <- Gen.listOfN(10, for {
+        kind <- Gen.chooseNum(0, 5)
+        drop <- Gen.chooseNum(0, 3)
+        addN <- Gen.chooseNum(0, 3)
+        adds <- Gen.listOfN(addN, Gen.oneOf(alphabet))
+        noise <- Gen.listOfN(5, Gen.oneOf(alphabet))
+      } yield kind match {
+        case 0 => ""
+        case 1 => noise.mkString(" ")
+        case _ => (alphabet.take(base).drop(drop) ++ adds).mkString(" ")
+      })
+    } yield docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    def round6(d: Double): Double =
+      BigDecimal.valueOf(d)
+        .setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP)
+        .toDouble
+    var qualifying = 0
+    for {
+      (num, den) <- Seq((1, 2), (2, 3), (4, 5), (9, 10), (1, 1))
+      corpus <- cases(corpusGen, 3)
+    } {
+      val t = num.toDouble / den
+      val sets = corpus.map { case (id, s) =>
+        id -> s.split("\\s+").filter(_.nonEmpty).toSet
+      }
+      val want = (for {
+        (la, sa) <- sets; (lb, sb) <- sets
+        if la < lb && sa.nonEmpty && sb.nonEmpty
+        inter = (sa & sb).size.toLong
+        union = (sa | sb).size.toLong
+        j = round6(inter.toDouble / union)
+        if j >= t
+      } yield (la, lb, inter, union, j)).toSet
+      qualifying += want.size
+      val got = graft.api.GraftOps
+        .setSimilarityJoin(corpus.toDF("doc_id", "text"),
+          "doc_id", "text", num, den)
+        .as[(Long, Long, Long, Long, Double)].collect().toSet
+      assert(got == want,
+        s"t=$num/$den corpus $corpus:\n extra=${got -- want}" +
+          s"\n missing=${want -- got}")
+    }
+    assert(qualifying > 0, "no threshold/corpus produced pairs")
+  }
 }

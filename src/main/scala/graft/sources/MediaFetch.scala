@@ -20,12 +20,12 @@ import org.apache.spark.sql.types._
   * utils.py:103-105).
   *
   * The TRANSPORT is pluggable (`String => InputStream`): production
-  * wires `httpTransport` (plain java.net.URL streaming — no cluster
-  * egress exists in this harness, so it is compiled but exercised only
-  * for its error path); specs wire `fakeTransport`, a deterministic
-  * closed-form byte pattern per URL, so the operator's real machinery
-  * — block loop, size cap, per-row fault isolation, schema — is fully
-  * tested without a network. */
+  * wires `httpTransport` (plain java.net.URL streaming), exercised
+  * end-to-end against a loopback HTTP server in MediaFetchHttpSpec
+  * (multi-block bodies, redirects, 404/timeout/dead-port error rows,
+  * size cap — all over a real socket, zero egress); specs that only
+  * need the operator machinery wire `fakeTransport`, a deterministic
+  * closed-form byte pattern per URL. */
 object MediaFetch {
 
   type Transport = String => InputStream

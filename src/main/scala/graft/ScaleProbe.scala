@@ -33,7 +33,13 @@ import org.apache.spark.sql.functions._
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
-    val mult = if (args.length > 1) args(1).toInt else 10
+    // One replication factor ("10") or a series ("3,10,30,100"): a
+    // series turns the single sub-linear ratio into a FITTED growth
+    // exponent over the whole range — the difference between "fine at
+    // 10x" and "the log-log slope is ~1 across two decades", which is
+    // the claim a 100 TB deployment actually rests on.
+    val mults = (if (args.length > 1) args(1) else "10")
+      .split(",").map(_.trim.toInt).toSeq
     val reps = if (args.length > 2) args(2).toInt else 3
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -144,8 +150,8 @@ object ScaleProbe {
       dir
     }
 
-    println(f"[scale] sf=$sfDir mult=$mult reps=$reps")
-    val results = Seq(1, mult).map { k =>
+    println(s"[scale] sf=$sfDir mults=${mults.mkString(",")} reps=$reps")
+    val results = (1 +: mults).distinct.sorted.map { k =>
       val docs = materialize(s"docs$k", replicate(k))
       val frames = materialize(s"frames$k", frameLike(k))
       val corpus = corpusDir(k)
@@ -237,11 +243,29 @@ object ScaleProbe {
         "global PPJoin (collapse+prefix+positional)" ->
           time(() => graft.queries.TextOps.ppjoinGlobalPairs(docs)))
     }
-    val (r1, rk) = (results.head._2.toMap, results.last._2.toMap)
-    r1.keys.toSeq.sorted.foreach { name =>
-      val (t1, tk) = (r1(name), rk(name))
-      println(f"[scale] $name%-44s 1x=$t1%7.2f s  ${mult}x=$tk%7.2f s" +
-        f"  growth=${tk / t1}%5.2f (linear=$mult%d.00)")
+    val ks = results.map(_._1)
+    val byName = results.map { case (k, rows) => k -> rows.toMap }.toMap
+    results.head._2.map(_._1).foreach { name =>
+      val series = ks.map(k => k -> byName(k)(name))
+      val cells = series.map { case (k, t) => f"${k}x=$t%6.2f s" }
+        .mkString("  ")
+      // Least-squares slope of ln t vs ln k: the growth exponent.
+      // 1.0 = perfectly linear in corpus size (ideal for a scan/
+      // shuffle backbone), <1 = amortizing fixed cost, 2.0 = a
+      // quadratic term has taken over. Only meaningful with >=3
+      // points; for two, the plain ratio is printed as before.
+      val pts = series.map { case (k, t) => (math.log(k), math.log(t)) }
+      val exp = if (pts.size >= 3) {
+        val n = pts.size
+        val (sx, sy) = (pts.map(_._1).sum, pts.map(_._2).sum)
+        val sxx = pts.map(p => p._1 * p._1).sum
+        val sxy = pts.map(p => p._1 * p._2).sum
+        f"  exponent=${(n * sxy - sx * sy) / (n * sxx - sx * sx)}%5.2f"
+      } else {
+        val (t1, tk) = (series.head._2, series.last._2)
+        f"  growth=${tk / t1}%5.2f (linear=${ks.last}%d.00)"
+      }
+      println(f"[scale] $name%-44s $cells$exp")
     }
     spark.stop()
   }

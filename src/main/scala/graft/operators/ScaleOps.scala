@@ -77,21 +77,29 @@ object ScaleOps {
     * is salt 1 (a key under the floor has true count ≲ floor/fraction —
     * not a straggler on any table big enough to bother sampling).
     * `sampleFraction = 1.0` restores the exact full-pass diagnosis
-    * (no floor — exact counts need no significance test). */
+    * (no floor — exact counts need no significance test).
+    *
+    * An EMPTY (or empty-sampled) table diagnoses salt 1: skewReport's
+    * single rollup row carries NULL max/rec_salt when no keys exist
+    * (sum/max over zero rows), and "no rows" trivially has no
+    * straggler. Without this guard the first empty partition of a
+    * backfill crashes the whole diagnosis with a null scalar read. */
   def autoSalt(left: DataFrame, key: String, maxSalt: Int = 32,
       sampleFraction: Double = 0.1, sampleSeed: Long = 42L,
       minSampledHot: Long = 20L): Int = {
     require(sampleFraction > 0.0 && sampleFraction <= 1.0,
       s"autoSalt: sampleFraction must be in (0, 1], got $sampleFraction")
-    if (sampleFraction >= 1.0)
-      skewReport(left, key, maxSalt)
-        .select(col("rec_salt")).head().getLong(0).toInt
-    else {
+    if (sampleFraction >= 1.0) {
+      val rep = skewReport(left, key, maxSalt)
+        .select(col("rec_salt")).head()
+      if (rep.isNullAt(0)) 1 else rep.getLong(0).toInt
+    } else {
       val rep = skewReport(
         left.sample(withReplacement = false, sampleFraction, sampleSeed),
         key, maxSalt)
         .select(col("max_rows"), col("rec_salt")).head()
-      if (rep.getLong(0) < minSampledHot) 1 else rep.getLong(1).toInt
+      if (rep.isNullAt(0) || rep.getLong(0) < minSampledHot) 1
+      else rep.getLong(1).toInt
     }
   }
 

@@ -3235,16 +3235,28 @@ object TextOps {
         concat(lit(" "), array_join(chars, " "), lit(" </w> ")).as("sp"))
       .localCheckpoint(true)
     val merges = Seq.newBuilder[(Long, String, Long)]
-    for (step <- 1 to BpeSteps) {
+    var step = 0
+    var exhausted = false
+    while (step < BpeSteps && !exhausted) {
+      step += 1
       val syms = split(trim(col("sp")), " ")
       val prs = zip_with(
         slice(syms, lit(1), size(syms) - 1),
         slice(syms, lit(2), size(syms) - 1),
         (a, b) => concat(a, lit(" "), b))
-      val top = cur.select(explode(prs).as("pr"), col("cnt"))
+      // limit(1)+headOption, not head(): an empty corpus (or one whose
+      // spellings have all collapsed to a single symbol) has NO pair to
+      // merge — training simply stops early with the merges learned so
+      // far, matching the oracle chain where an empty p_i yields no
+      // further merge rows. head() would crash on the first empty
+      // backfill partition instead.
+      val topOpt = cur.select(explode(prs).as("pr"), col("cnt"))
         .groupBy("pr").agg(sum("cnt").as("c"))
         .orderBy(col("c").desc, col("pr").asc)
-        .head()
+        .limit(1).collect().headOption
+      if (topOpt.isEmpty) { exhausted = true }
+      else {
+      val top = topOpt.get
       val pr = top.getString(0)
       merges += ((step.toLong, pr, top.getLong(1)))
       val find = lit(" " + pr + " ")
@@ -3256,6 +3268,7 @@ object TextOps {
       // materialization jobs (measured — the original per-step
       // localCheckpoint doubled the loop's wall time at sf0.1).
       cur = cur.withColumn("sp", rep(rep(rep(col("sp")))))
+      }
     }
     (cur, merges.result())
   }

@@ -440,9 +440,21 @@ object GraftOps {
         posexplode(split(trim(col(textCol)), "\\s+")).as(Seq("pos", "tok")))
       .filter(col("tok") =!= "")
       .withColumn("tpos", (row_number().over(wTok) - 1).cast("long"))
-      .withColumn("g", md5(
+      // Seed identity is a GROUPING key only (never output), so it is
+      // xxhash64 (8 bytes) rather than md5 hex (32-byte string): the
+      // r16 shuffle audit measured the seed exchange as this
+      // operator's dominant shuffle, and the key's only job is
+      // equality. 64-bit birthday collisions (~n²/2⁶⁵) would at worst
+      // seed a spurious match pair, which the minRun consecutive-run
+      // filter then has to confirm n more times; the DuckDB oracle
+      // derives spans from raw grams, so the gate doubles as a
+      // collision check. The hash stays INSIDE the when: Spark hash
+      // functions return the seed for null input, so hashing the
+      // null-padded tail grams directly would fabricate a shared
+      // "gram" across every document's last n-1 positions.
+      .withColumn("g",
         when(lead(col("tok"), n - 1).over(wTok).isNotNull,
-          concat_ws(" ",
+          xxhash64(concat_ws(" ",
             col("tok") +: (1 until n).map(k =>
               lead(col("tok"), k).over(wTok)): _*))))
       .filter(col("g").isNotNull)

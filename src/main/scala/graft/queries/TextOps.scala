@@ -78,7 +78,22 @@ object TextOps {
   /** Per-doc DISTINCT 3-gram shingle sets — (doc_id, sh) — via the
     * codegen'd window-lead path + collect_set; shingle-less docs get
     * an empty array, never a null. Shared by the pair-eval harnesses
-    * and the dedup threshold sweep. */
+    * and the dedup threshold sweep.
+    *
+    * Every consumer reads `sh` only through set-identity operations
+    * (size of array_intersect/array_union), so the elements carry
+    * xxhash64(shingle) LONGS, not the shingle strings: the r16 shuffle
+    * audit measured these harnesses shipping ~20-byte gram strings
+    * through the pair-role exchange where an 8-byte key decides the
+    * same equalities — at 100 TB the gram exchange IS these queries'
+    * cost. Collision risk is the standard 64-bit birthday bound
+    * (~n²/2⁶⁵; ~1e-8 at a million distinct shingles), and the DuckDB
+    * oracle computes the same sizes from the raw strings, so the
+    * oracle gate doubles as a standing collision check. The hash is
+    * guarded by the lead-isNotNull `when` — Spark's hash functions
+    * return the SEED for null input, not null, and an unguarded
+    * xxhash64 would turn every doc's trailing null shingle into a
+    * phantom set element. */
   private def docShingleSets(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("doc_id").orderBy("pos")
@@ -88,13 +103,13 @@ object TextOps {
       .filter(col("tok") =!= "")
       .withColumn("sgl",
         when(lead(col("tok"), 2).over(w).isNotNull,
-          concat_ws(" ", col("tok"), lead(col("tok"), 1).over(w),
-            lead(col("tok"), 2).over(w))))
+          xxhash64(concat_ws(" ", col("tok"), lead(col("tok"), 1).over(w),
+            lead(col("tok"), 2).over(w)))))
     Tables.documents(s, d).select(col("doc_id"))
       .join(shRows.groupBy("doc_id")
         .agg(collect_set(col("sgl")).as("sh0")), Seq("doc_id"), "left")
       .select(col("doc_id"),
-        coalesce(col("sh0"), array().cast("array<string>")).as("sh"))
+        coalesce(col("sh0"), array().cast("array<bigint>")).as("sh"))
   }
 
   private def adjacentPairShingleSets(s: SparkSession, d: String)

@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import graft.api.GraftOps
+import graft.queries.TextOps
 
 /** Edge-case fixtures for the corpus line-dedup and sequence-packing
   * operators: first-occurrence-wins ordering, fully-deduplicated docs,
@@ -79,6 +80,36 @@ class DedupPackSpec extends SparkSpec {
       .toDF("doc_id", "text")
     // The shared run is 8 tokens = ONE 8-gram = run length 1 < minRun.
     assert(GraftOps.substringSpans(single, "doc_id", "text").isEmpty)
+  }
+
+  test("substringSpans: sub-n-gram docs never pair (hash null guard)") {
+    // Every doc is shorter than the 8-token gram, so NO seed exists
+    // anywhere and the result must be empty. This pins the null guard
+    // around the seed hash: Spark's hash functions return the SEED for
+    // null input (not null), so an unguarded xxhash64 over the
+    // null-padded tail grams would give every position of every doc
+    // the same phantom seed id — these three unrelated docs would
+    // bucket together and emit fabricated "shared spans".
+    val docs = Seq((1L, "a b c"), (2L, "x y z"), (3L, "p q r"))
+      .toDF("doc_id", "text")
+    assert(GraftOps.substringSpans(docs, "doc_id", "text").isEmpty)
+  }
+
+  test("ngram_jaccard: sub-shingle docs score 0.0 (hash null guard)") {
+    // Same guard, shingle-set side: 2-token docs have no 3-gram
+    // shingle, so every adjacent pair's Jaccard is exactly 0.0. An
+    // unguarded xxhash64 in docShingleSets would give every doc the
+    // set {seed} and every pair Jaccard 1.0. Runs the REGISTERED query
+    // against a temp documents table (docShingleSets is private).
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-nullguard").toString
+    Seq((0L, "a b", "en", "web", 3L), (1L, "x y", "en", "web", 3L),
+      (2L, "p q", "en", "web", 3L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val jac = TextOps.queries("ngram_jaccard")(spark, dir)
+      .select("jaccard").as[Double].collect().toSeq
+    assert(jac.nonEmpty && jac.forall(_ == 0.0), s"got $jac")
   }
 
   test("substringSpans equals the brute-force span finder on random docs " +

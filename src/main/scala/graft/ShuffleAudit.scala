@@ -85,9 +85,36 @@ object ShuffleAudit {
       case (name, fn) =>
         GraftMetricsHook.drainListenerBus(spark.sparkContext, 60000L)
         val before = acc.snapshot
+        // Static shuffle-exchange count from the FINAL DataFrame's
+        // executed-plan tree (fn may run whole jobs building it — loop
+        // queries — so fn is called exactly once and the plan is read
+        // off the same instance that is then executed). Counted from
+        // the tree STRING: exchanges are inserted by the preparation
+        // rules (EnsureRequirements) downstream of `sparkPlan`, and
+        // under AQE the physical subtree hides inside
+        // AdaptiveSparkPlanExec where a plan collect() cannot see it —
+        // the printed tree shows it either way. BroadcastExchange is
+        // deliberately NOT counted (broadcasts are the cheap shape the
+        // plans choose on purpose; the trap is for shuffles) and
+        // neither is ReusedExchange (a reuse reads an existing
+        // shuffle's files; only the original moved data). The count is
+        // plan-TEXT occurrences, so a multi-branch tree that prints a
+        // shared un-reused subtree twice counts it twice — stable for
+        // fixed code, which is all a trap needs. Loop queries whose
+        // registered frame is a checkpoint scan count 0 here (their
+        // exchanges ran inside the loop); the byte columns carry their
+        // true cost. This is the registry-wide plan-shape trap: a refactor
+        // that quietly adds an Exchange to a one-shuffle query moves
+        // this number even when AQE/local speed hides it from
+        // wall-clock.
+        var exchanges = -1
         val ok =
           try {
-            fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+            val df = fn(spark, sfDir)
+            exchanges = "(?<!Broadcast)(?<!Reused)Exchange ".r
+              .findAllMatchIn(df.queryExecution.executedPlan.treeString)
+              .size
+            df.write.mode("overwrite").format("noop").save()
             true
           } catch { case e: Throwable =>
             System.err.println(s"[audit] $name failed: ${e.getMessage}")
@@ -104,18 +131,18 @@ object ShuffleAudit {
         if (!ok) None
         else {
           val d = after.zip(before).map { case (a, b) => a - b }
-          Some((name, d(0), d(1), d(2), d(3), d(4), d(5)))
+          Some((name, d(0), d(1), d(2), d(3), d(4), d(5), exchanges))
         }
     }
 
     def fmtMB(b: Long): String =
       String.format(java.util.Locale.ROOT, "%.2f", Double.box(b / 1048576.0))
-    val json = rows.map { case (n, in, sw, sr, ms, ds, tk) =>
+    val json = rows.map { case (n, in, sw, sr, ms, ds, tk, ex) =>
       val ratio =
         if (in > 0) String.format(java.util.Locale.ROOT, "%.4f",
           Double.box(sw.toDouble / in))
         else "0.0"
-      s"""  "$n": {"input_mb": ${fmtMB(in)}, "shuffle_write_mb": ${fmtMB(sw)}, "shuffle_read_mb": ${fmtMB(sr)}, "spill_mem_mb": ${fmtMB(ms)}, "spill_disk_mb": ${fmtMB(ds)}, "tasks": $tk, "shuffle_over_input": $ratio}"""
+      s"""  "$n": {"input_mb": ${fmtMB(in)}, "shuffle_write_mb": ${fmtMB(sw)}, "shuffle_read_mb": ${fmtMB(sr)}, "spill_mem_mb": ${fmtMB(ms)}, "spill_disk_mb": ${fmtMB(ds)}, "tasks": $tk, "exchanges": $ex, "shuffle_over_input": $ratio}"""
     }.mkString("{\n", ",\n", "\n}\n")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outJson), json)
 
@@ -125,7 +152,7 @@ object ShuffleAudit {
       s"zero_shuffle=$zero spilling=${spilled.size}")
     println("[audit] top 25 by shuffle_write:")
     rows.sortBy(-_._3).take(25).foreach {
-      case (n, in, sw, sr, _, _, _) =>
+      case (n, in, sw, sr, _, _, _, _) =>
         val ratio = if (in > 0) sw.toDouble / in else 0.0
         println(f"[audit]   $n%-28s input=${fmtMB(in)}%9s MB  " +
           f"write=${fmtMB(sw)}%9s MB  read=${fmtMB(sr)}%9s MB  " +
@@ -134,7 +161,7 @@ object ShuffleAudit {
     if (spilled.nonEmpty) {
       println("[audit] queries that spilled:")
       spilled.sortBy(r => -(r._5 + r._6)).foreach {
-        case (n, _, _, _, ms, ds, _) =>
+        case (n, _, _, _, ms, ds, _, _) =>
           println(s"[audit]   $n mem=${fmtMB(ms)} MB disk=${fmtMB(ds)} MB")
       }
     }

@@ -73,4 +73,35 @@ class RegistryPlanSpec extends SparkSpec {
           ckptHits.toArray.mkString("\n---\n"))
     } finally spark.listenerManager.unregister(listener)
   }
+
+  test("flagship registered queries keep their pinned shuffle-exchange " +
+      "counts") {
+    // End-to-end twin of the ShuffleAudit artifact's `exchanges`
+    // column, pinned in CI for a representative spread of families so
+    // a refactor that quietly adds an Exchange to a flagship query
+    // fails HERE, not in a post-hoc artifact diff. The count is
+    // plan-TEXT occurrences of shuffle exchanges (broadcast and
+    // reused excluded) in the executed-plan tree at sf0.001 — stable
+    // for fixed code; a changed number means re-derive the plan and
+    // record WHY in PLANS.md, never bump the pin blind. Counts can
+    // legitimately differ at larger SFs (AQE swaps broadcast joins to
+    // shuffle joins past the threshold); the pin is for shape
+    // stability, not for the sf0.1 artifact's numbers.
+    val pinned = Map(
+      "s1_filtered_scan" -> 0, "f1_pushdown_filter" -> 0,
+      "members_doc" -> 0, "j5_semi_join" -> 0,
+      "q1_agg" -> 1, "dedup_exact" -> 1, "j11_asof_join" -> 1,
+      "samp_reservoir" -> 1, "ev_sessionize" -> 1,
+      "emb_cosine_topk" -> 1,
+      "agg_bitmap_distinct" -> 2,
+      "dedup_minhash_pairs" -> 3, "txt_ngram_novelty" -> 3,
+      "j16_bloom_join" -> 3)
+    val bad = pinned.toSeq.sortBy(_._1).flatMap { case (name, want) =>
+      val got = "(?<!Broadcast)(?<!Reused)Exchange ".r
+        .findAllMatchIn(SparkEntry.queries(name)(spark, sf)
+          .queryExecution.executedPlan.treeString).size
+      if (got == want) None else Some(s"$name: pinned $want, got $got")
+    }
+    assert(bad.isEmpty, s"exchange-count drift:\n${bad.mkString("\n")}")
+  }
 }

@@ -1406,7 +1406,15 @@ object GraftOps {
     *
     * Survivors verify row-locally (sorted-array intersect); the
     * rounded Jaccard (6 places, matching every similarity threshold
-    * in this library) gates the final filter. Token-EMPTY rows are
+    * in this library) gates the final filter. The rounded gate is not
+    * a float boundary in disguise: round(i/u, 6) ≥ t can disagree
+    * with the integer test i·den ≥ u·num only when 0 < t − i/u <
+    * 5·10⁻⁷, and any i/u strictly below t = num/den satisfies
+    * t − i/u = (num·u − den·i)/(den·u) ≥ 1/(den·u) — so disagreement
+    * requires den·u > 2·10⁶ distinct tokens in the pair's union. For
+    * every set under that size the rounded gate IS the integer gate,
+    * and the candidate bounds above (derived for exact J ≥ num/den)
+    * cannot prune a pair the final filter would keep. Token-EMPTY rows are
     * excluded up front: an empty set has Jaccard 0/0 — not 1 —
     * against anything. Returns (left_id, right_id, inter, union_sz,
     * jacc) with left < right by id. No cap, no approximation: the

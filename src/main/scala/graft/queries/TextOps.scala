@@ -89,7 +89,15 @@ object TextOps {
     * cost. Collision risk is the standard 64-bit birthday bound
     * (~n²/2⁶⁵; ~1e-8 at a million distinct shingles), and the DuckDB
     * oracle computes the same sizes from the raw strings, so the
-    * oracle gate doubles as a standing collision check. The hash is
+    * oracle gate doubles as a standing collision check. At true
+    * 100 TB gram counts (~1e11 distinct shingles) the bound predicts
+    * a few hundred colliding PAIRS corpus-wide — there the right
+    * claim is bounded impact, not absence: a collision merges two
+    * grams' identities, perturbing Jaccard by at most 1/|union| on
+    * exactly the doc pairs whose sets contain both victims, noise far
+    * below any similarity threshold in this library. Paths that claim
+    * EXACTNESS (setid md5 collapse, dedup_exact's full-text hash
+    * compare) never ride these 64-bit keys. The hash is
     * guarded by the lead-isNotNull `when` — Spark's hash functions
     * return the SEED for null input, not null, and an unguarded
     * xxhash64 would turn every doc's trailing null shingle into a

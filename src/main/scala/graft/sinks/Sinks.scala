@@ -117,8 +117,21 @@ object Sinks {
             ps.setString(2, r.getString(1))
             try { ps.executeUpdate(); n += 1 }
             catch {
+              // Derby and most JVM-side stores throw the dedicated
+              // subclass; several major drivers (PostgreSQL among
+              // them) signal a duplicate key as a plain SQLException
+              // carrying SQLState class 23 (integrity violation) —
+              // match the STANDARD SQLState, not one driver's type
+              // hierarchy, so "the same shape runs against the
+              // connector's keyed store" actually holds. Anything
+              // else (connection loss, syntax) still propagates and
+              // fails the task.
               case _: java.sql.SQLIntegrityConstraintViolationException =>
                 () // the store says it's already there — contract met
+              case e: java.sql.SQLException
+                  if e.getSQLState != null &&
+                    e.getSQLState.startsWith("23") =>
+                () // same verdict via the standard SQLState class
             }
           }
           Iterator.single(n)

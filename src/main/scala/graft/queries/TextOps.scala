@@ -158,6 +158,23 @@ object TextOps {
   private def bandTable(s: SparkSession, d: String): DataFrame =
     graft.api.GraftOps.minhashBands(docsOf(s, d), "doc_id", "text")
 
+  /** The STORED MinHash band index — the stored-state emulation shared
+    * by `idx_band_upsert` (the index WRITE path) and
+    * `dedup_incremental` (the index READ path). Both registrations
+    * declare the same bands table a stored artifact their query
+    * probes/maintains, and both previously materialized it privately
+    * (identical builds, one localCheckpoint each); in a live session
+    * the index is one materialization (LPA-core discipline — r14
+    * VERDICT item 4's shape). Verify still sweeps between queries, so
+    * correctness runs derive it per query; Bench attributes the one
+    * cold build via core_builds. Queries that DECORATE the band table
+    * before materializing (the horizon gates' window counts) keep
+    * their own builds — only the identical raw index is shared. */
+  private def bandIndex(s: SparkSession, d: String): DataFrame =
+    graft.operators.SharedStage(s, s"bandIndex:$d") {
+      graft.api.GraftOps.minhashBands(docsOf(s, d), "doc_id", "text")
+    }
+
   /** Shared core of mm_video_keep_best / pipeline_video_retention:
     * one demux pass → per-bucket STAR edges (salted under the 4096
     * cap) → fixpoint CC → argmax-frames retention flag per cluster.
@@ -2511,8 +2528,7 @@ object TextOps {
     // (band_idx, band_hash) key — one co-partitioned shuffle family,
     // no corpus rescan, which is the entire write path at 100 TB.
     "idx_band_upsert" -> ((s, d) => {
-      val bands = graft.api.GraftOps
-        .minhashBands(docsOf(s, d), "doc_id", "text").localCheckpoint()
+      val bands = bandIndex(s, d) // the stored index (see its Scaladoc)
       val base = bands.filter(col("doc_id") % 5 =!= 0)
         .groupBy("band_idx", "band_hash")
         .agg(min("doc_id").cast("long").as("owner"))
@@ -2527,8 +2543,7 @@ object TextOps {
 
     "dedup_incremental" -> ((s, d) => {
       val docs = docsOf(s, d)
-      val bands = graft.api.GraftOps
-        .minhashBands(docs, "doc_id", "text").localCheckpoint()
+      val bands = bandIndex(s, d) // the stored index (see its Scaladoc)
       val ex = bands.filter(col("doc_id") % 5 =!= 0)
         .select("band_idx", "band_hash").distinct()
       val hits = bands.filter(col("doc_id") % 5 === 0)

@@ -347,6 +347,40 @@ class ScaleOpsSpec extends SparkSpec {
       s"retention rollup covers $rolledVideos of $nVideos videos")
   }
 
+  test("SharedStage: idx_band_upsert and dedup_incremental share ONE " +
+      "stored band index, and their outputs respect its ownership split") {
+    // r16: both registrations declare the same minhashBands table "a
+    // stored index" (write path / read path) and previously each paid
+    // a private localCheckpoint of the identical build. Same contract
+    // as the LPA and video cores: at most one build across both
+    // consumers in a live session. Cross-checks pin the ownership
+    // semantics the shared index feeds: only new docs (%5==0) can own
+    // an 'ingest' bucket, only old docs a 'base' bucket, and no
+    // ingest-generation bucket may collide with a base bucket.
+    val d = "/root/testdata/sf0.001"
+    val key = s"bandIndex:$d"
+    val before = graft.operators.SharedStage.buildsFor(spark, key)
+    val upsert = SparkEntry.queries("idx_band_upsert")(spark, d)
+      .collect()
+    val mid = graft.operators.SharedStage.buildsFor(spark, key)
+    assert(mid == before + 1 || (before > 0 && mid == before),
+      s"first consumer: builds went $before -> $mid")
+    val inc = SparkEntry.queries("dedup_incremental")(spark, d)
+      .collect()
+    assert(graft.operators.SharedStage.buildsFor(spark, key) == mid,
+      "dedup_incremental rebuilt the band index despite live blocks")
+    assert(upsert.nonEmpty && inc.nonEmpty)
+    val badOwner = upsert.filter { r =>
+      val owner = r.getLong(r.fieldIndex("owner"))
+      r.getString(r.fieldIndex("generation")) match {
+        case "ingest" => owner % 5 != 0
+        case _ => owner % 5 == 0
+      }
+    }
+    assert(badOwner.isEmpty,
+      s"${badOwner.length} buckets owned by the wrong generation")
+  }
+
   test("SharedStage: graph_modularity consumes graph_label_prop's LPA " +
       "core without rebuilding it, and scores exactly those labels") {
     // r14 VERDICT item 4: modularity previously re-ran the three LPA

@@ -86,34 +86,28 @@ object ShuffleAudit {
         GraftMetricsHook.drainListenerBus(spark.sparkContext, 60000L)
         val before = acc.snapshot
         // Static shuffle-exchange count from the FINAL DataFrame's
-        // executed-plan tree (fn may run whole jobs building it — loop
+        // executed plan (fn may run whole jobs building it — loop
         // queries — so fn is called exactly once and the plan is read
-        // off the same instance that is then executed). Counted from
-        // the tree STRING: exchanges are inserted by the preparation
-        // rules (EnsureRequirements) downstream of `sparkPlan`, and
-        // under AQE the physical subtree hides inside
-        // AdaptiveSparkPlanExec where a plan collect() cannot see it —
-        // the printed tree shows it either way. BroadcastExchange is
-        // deliberately NOT counted (broadcasts are the cheap shape the
-        // plans choose on purpose; the trap is for shuffles) and
-        // neither is ReusedExchange (a reuse reads an existing
-        // shuffle's files; only the original moved data). The count is
-        // plan-TEXT occurrences, so a multi-branch tree that prints a
-        // shared un-reused subtree twice counts it twice — stable for
-        // fixed code, which is all a trap needs. Loop queries whose
-        // registered frame is a checkpoint scan count 0 here (their
-        // exchanges ran inside the loop); the byte columns carry their
-        // true cost. This is the registry-wide plan-shape trap: a refactor
-        // that quietly adds an Exchange to a one-shuffle query moves
-        // this number even when AQE/local speed hides it from
-        // wall-clock.
+        // off the same instance that is then executed). Counted by
+        // NODE WALK (ExchangeCount — r16 ADVICE replaced the
+        // treeString regex): ShuffleExchangeLike nodes, descending
+        // into AdaptiveSparkPlanExec/QueryStageExec/subquery subtrees;
+        // BroadcastExchange is deliberately NOT counted (broadcasts
+        // are the cheap shape the plans choose on purpose; the trap
+        // is for shuffles) and neither is ReusedExchange (a reuse
+        // reads an existing shuffle's files; only the original moved
+        // data). Loop queries whose registered frame is a checkpoint
+        // scan count 0 here (their exchanges ran inside the loop);
+        // the byte columns carry their true cost. This is the
+        // registry-wide plan-shape trap: a refactor that quietly adds
+        // an Exchange to a one-shuffle query moves this number even
+        // when AQE/local speed hides it from wall-clock.
         var exchanges = -1
         val ok =
           try {
             val df = fn(spark, sfDir)
-            exchanges = "(?<!Broadcast)(?<!Reused)Exchange ".r
-              .findAllMatchIn(df.queryExecution.executedPlan.treeString)
-              .size
+            exchanges = ExchangeCount.shuffleExchanges(
+              df.queryExecution.executedPlan)
             df.write.mode("overwrite").format("noop").save()
             true
           } catch { case e: Throwable =>
@@ -137,15 +131,59 @@ object ShuffleAudit {
 
     def fmtMB(b: Long): String =
       String.format(java.util.Locale.ROOT, "%.2f", Double.box(b / 1048576.0))
-    val json = rows.map { case (n, in, sw, sr, ms, ds, tk, ex) =>
+    // Standing reference gate (r16 VERDICT item 3): shuffle_ref.json
+    // is a COMMITTED known-good audit (same format as this artifact's
+    // "queries" map); any query whose shuffle-written bytes grow
+    // >1.5x over its pin — with a 1 MB absolute floor so kilobyte
+    // jitter from compression/codegen layout never flags — self-flags
+    // in the artifact. This is the network-cost regression trap the
+    // wall-clock bench cannot provide: shuffle bytes predict the
+    // 1000-executor cost, and they are deterministic enough to pin
+    // where wall-clock is not. Discipline mirrors bench_ref: a flag
+    // means adjudicate the plan change, then re-pin deliberately —
+    // never bump blind. Only comparable at the pin's scale factor.
+    val refShuffle: Map[String, Double] =
+      try {
+        val s = java.nio.file.Files.readString(
+          java.nio.file.Paths.get("shuffle_ref.json"))
+        val refSf = "\"sf\":\\s*\"([^\"]+)\"".r.findFirstMatchIn(s)
+          .map(_.group(1)).getOrElse("")
+        if (refSf != sfDir) Map.empty
+        else ("\"([A-Za-z0-9_]+)\":\\s*\\{\"input_mb\":[^}]*" +
+          "\"shuffle_write_mb\":\\s*([0-9.]+)").r
+          .findAllMatchIn(s)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      } catch { case _: Throwable => Map.empty }
+    val flagged = rows.flatMap { case (n, _, sw, _, _, _, _, _) =>
+      val swMb = sw / 1048576.0
+      refShuffle.get(n).collect {
+        case ref if swMb > ref * 1.5 && swMb - ref > 1.0 =>
+          n -> (if (ref > 0) swMb / ref else Double.PositiveInfinity)
+      }
+    }.sortBy(-_._2)
+    val qjson = rows.map { case (n, in, sw, sr, ms, ds, tk, ex) =>
       val ratio =
         if (in > 0) String.format(java.util.Locale.ROOT, "%.4f",
           Double.box(sw.toDouble / in))
         else "0.0"
       s"""  "$n": {"input_mb": ${fmtMB(in)}, "shuffle_write_mb": ${fmtMB(sw)}, "shuffle_read_mb": ${fmtMB(sr)}, "spill_mem_mb": ${fmtMB(ms)}, "spill_disk_mb": ${fmtMB(ds)}, "tasks": $tk, "exchanges": $ex, "shuffle_over_input": $ratio}"""
-    }.mkString("{\n", ",\n", "\n}\n")
-    java.nio.file.Files.writeString(java.nio.file.Paths.get(outJson), json)
+    }.mkString("{\n", ",\n", "\n}")
+    val flaggedJson = flagged.map { case (n, r) =>
+      "\"" + n + "\":" + String.format(java.util.Locale.ROOT, "%.2f",
+        Double.box(r))
+    }.mkString("{", ",", "}")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(outJson),
+      s"""{"sf": "$sfDir", "ref_queries": ${refShuffle.size}, """ +
+        s""""flagged_vs_ref": $flaggedJson,\n"queries": $qjson\n}\n""")
 
+    if (flagged.nonEmpty) {
+      println(s"[audit] SHUFFLE REGRESSION vs shuffle_ref.json " +
+        s"(${flagged.size} queries >1.5x pin):")
+      flagged.foreach { case (n, r) =>
+        println(f"[audit]   $n%-28s ${r}%.2fx pin") }
+    } else if (refShuffle.nonEmpty)
+      println(s"[audit] shuffle_ref gate: ${refShuffle.size} pins, " +
+        "0 flagged")
     val zero = rows.count(_._3 == 0)
     val spilled = rows.filter(r => r._5 + r._6 > 0)
     println(s"[audit] sf=$sfDir queries=${rows.size} " +

@@ -1467,10 +1467,16 @@ object GraftOps {
       textCol: String, num: Int, den: Int, stageKey: Option[String])
       : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     require(num > 0 && num <= den, s"threshold $num/$den not in (0, 1]")
+    // The memo key carries EVERY parameter the staged frames depend on
+    // (threshold num/den and both column names), not just the caller's
+    // stageKey: setSimilarityJoin is public and exposes stageKey, so
+    // two same-key calls with different thresholds must derive two
+    // cores — a key of stageKey alone would silently hand the second
+    // caller the first caller's materialization (r16 ADVICE, medium).
     def stage(part: String)(build: => DataFrame): DataFrame =
       stageKey match {
-        case Some(k) => graft.operators.SharedStage(
-          docs.sparkSession, s"simjoin:$k:$part")(build)
+        case Some(k) => graft.operators.SharedStage(docs.sparkSession,
+          s"simjoin:$k:$num/$den:$idCol:$textCol:$part")(build)
         case None => build.localCheckpoint()
       }
     // (id, setid) membership + one representative array per set.

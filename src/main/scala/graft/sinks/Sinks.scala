@@ -98,9 +98,30 @@ object Sinks {
     * each partition opens one connection and streams single-row
     * INSERTs; at real scale the same shape batches inserts against
     * the connector's keyed store. Returns the number of rows actually
-    * inserted (attempted − duplicate-key skips). */
+    * inserted (attempted − duplicate-key skips). BEST-EFFORT under
+    * Spark task retries: a retried partition re-attempts rows its
+    * failed predecessor already landed, and those register as
+    * duplicate-key skips — the STORE's content stays exactly right
+    * (that is the idempotence the PK provides), but the returned
+    * count can undercount "inserted by this call". A caller needing
+    * an exact figure should take a store-side count delta around the
+    * call. */
   def insertDocCollectionJdbc(df: DataFrame, payload: Column,
       url: String, table: String): Long = {
+    // The table name is interpolated into SQL (prepared-statement
+    // parameters cannot carry identifiers), so VALIDATE it: each
+    // dot-separated segment must be a plain identifier, which closes
+    // the injection/syntax hazard — a caller-supplied `docs; DROP
+    // TABLE x` fails fast here instead of reaching the store.
+    // Deliberately interpolated UNQUOTED after validation: quoting
+    // would switch the name to case-sensitive resolution and break
+    // every caller relying on the store's own identifier folding
+    // (Derby/Postgres fold unquoted names; `docstore` means DOCSTORE
+    // to Derby only while unquoted).
+    table.split('.').foreach { seg =>
+      require(seg.matches("[A-Za-z_][A-Za-z0-9_]*"),
+        s"invalid table identifier segment '$seg' in '$table'")
+    }
     val docs = df
       .select(docId(payload).as("_id"), to_json(payload).as("doc"))
       .dropDuplicates("_id")
@@ -112,26 +133,27 @@ object Sinks {
           val ps = conn.prepareStatement(
             s"""INSERT INTO $table ("_id", "doc") VALUES (?, ?)""")
           var n = 0L
+          // "Already stored" is ONLY a unique/PK violation. SQLState
+          // class 23 covers every integrity violation (NOT NULL 23502,
+          // CHECK 23513/23514, FK 23503) — swallowing those would drop
+          // a row the store REJECTED for a non-uniqueness reason while
+          // reporting it present (r16 ADVICE). So: 23505 (the standard
+          // unique-violation state — Derby, PostgreSQL, H2, HSQLDB) or
+          // the drivers that signal dup-key as generic 23000 plus a
+          // vendor code (MySQL 1062, SQL Server 2601/2627, Oracle
+          // ORA-00001 = code 1). Everything else — other class-23
+          // states included — propagates and fails the task.
+          def isDuplicateKey(e: java.sql.SQLException): Boolean =
+            e.getSQLState == "23505" ||
+              (e.getSQLState == "23000" &&
+                Set(1, 1062, 2601, 2627).contains(e.getErrorCode))
           it.foreach { r =>
             ps.setString(1, r.getString(0))
             ps.setString(2, r.getString(1))
             try { ps.executeUpdate(); n += 1 }
             catch {
-              // Derby and most JVM-side stores throw the dedicated
-              // subclass; several major drivers (PostgreSQL among
-              // them) signal a duplicate key as a plain SQLException
-              // carrying SQLState class 23 (integrity violation) —
-              // match the STANDARD SQLState, not one driver's type
-              // hierarchy, so "the same shape runs against the
-              // connector's keyed store" actually holds. Anything
-              // else (connection loss, syntax) still propagates and
-              // fails the task.
-              case _: java.sql.SQLIntegrityConstraintViolationException =>
+              case e: java.sql.SQLException if isDuplicateKey(e) =>
                 () // the store says it's already there — contract met
-              case e: java.sql.SQLException
-                  if e.getSQLState != null &&
-                    e.getSQLState.startsWith("23") =>
-                () // same verdict via the standard SQLState class
             }
           }
           Iterator.single(n)

@@ -79,14 +79,16 @@ class RegistryPlanSpec extends SparkSpec {
     // End-to-end twin of the ShuffleAudit artifact's `exchanges`
     // column, pinned in CI for a representative spread of families so
     // a refactor that quietly adds an Exchange to a flagship query
-    // fails HERE, not in a post-hoc artifact diff. The count is
-    // plan-TEXT occurrences of shuffle exchanges (broadcast and
-    // reused excluded) in the executed-plan tree at sf0.001 — stable
-    // for fixed code; a changed number means re-derive the plan and
-    // record WHY in PLANS.md, never bump the pin blind. Counts can
-    // legitimately differ at larger SFs (AQE swaps broadcast joins to
-    // shuffle joins past the threshold); the pin is for shape
-    // stability, not for the sf0.1 artifact's numbers.
+    // fails HERE, not in a post-hoc artifact diff. The count is a
+    // NODE WALK over the executed plan (ExchangeCount — broadcast and
+    // reused excluded, AQE/stage/subquery subtrees descended; r16
+    // ADVICE replaced the treeString regex, whose text format was not
+    // a stable API) at sf0.001 — stable for fixed code; a changed
+    // number means re-derive the plan and record WHY in PLANS.md,
+    // never bump the pin blind. Counts can legitimately differ at
+    // larger SFs (AQE swaps broadcast joins to shuffle joins past the
+    // threshold); the pin is for shape stability, not for the sf0.1
+    // artifact's numbers.
     val pinned = Map(
       "s1_filtered_scan" -> 0, "f1_pushdown_filter" -> 0,
       "members_doc" -> 0, "j5_semi_join" -> 0,
@@ -97,9 +99,8 @@ class RegistryPlanSpec extends SparkSpec {
       "dedup_minhash_pairs" -> 3, "txt_ngram_novelty" -> 3,
       "j16_bloom_join" -> 3)
     val bad = pinned.toSeq.sortBy(_._1).flatMap { case (name, want) =>
-      val got = "(?<!Broadcast)(?<!Reused)Exchange ".r
-        .findAllMatchIn(SparkEntry.queries(name)(spark, sf)
-          .queryExecution.executedPlan.treeString).size
+      val got = ExchangeCount.shuffleExchanges(
+        SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan)
       if (got == want) None else Some(s"$name: pinned $want, got $got")
     }
     assert(bad.isEmpty, s"exchange-count drift:\n${bad.mkString("\n")}")

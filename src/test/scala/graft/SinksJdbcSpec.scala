@@ -91,4 +91,47 @@ class SinksJdbcSpec extends SparkSpec {
       payloads(20L, 21L), pay, url, "docstore") == 1L)
     assert(stored().forall(_._2 == 1))
   }
+
+  test("a non-uniqueness integrity violation PROPAGATES, not skipped") {
+    // r16 ADVICE: the old matcher accepted ANY SQLState class 23 as
+    // "duplicate key, already stored" — a row rejected by a CHECK or
+    // NOT NULL constraint (Derby 23513/23502, same class) was silently
+    // dropped yet reported present. A CHECK-constrained store must
+    // fail the write loudly; only the PK/unique rejection (23505) is
+    // the already-stored verdict.
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      try st.execute("DROP TABLE checkedstore")
+      catch { case _: Exception => () }
+      st.execute("""CREATE TABLE checkedstore (
+        "_id" VARCHAR(64) PRIMARY KEY, "doc" VARCHAR(4096),
+        CHECK (LENGTH("doc") < 5))""")
+      st.close()
+    } finally conn.close()
+    // Every real payload serializes past 5 chars → Derby CHECK
+    // violation (SQLState 23513, class 23 but NOT a dup key).
+    val e = intercept[Exception] {
+      Sinks.insertDocCollectionJdbc(
+        payloads(30L), pay, url, "checkedstore")
+    }
+    def hasCheckViolation(t: Throwable): Boolean =
+      t != null && (t.isInstanceOf[java.sql.SQLException] &&
+        t.asInstanceOf[java.sql.SQLException].getSQLState == "23513" ||
+        hasCheckViolation(t.getCause))
+    assert(hasCheckViolation(e),
+      s"expected the CHECK violation (23513) to propagate, got: $e")
+  }
+
+  test("a caller-supplied table name that is not an identifier fails " +
+      "fast on the driver") {
+    val e = intercept[IllegalArgumentException] {
+      Sinks.insertDocCollectionJdbc(
+        payloads(40L), pay, url, "docstore; DROP TABLE docstore")
+    }
+    assert(e.getMessage.contains("invalid table identifier"))
+    // Schema-qualified names remain accepted (each segment quoted).
+    assert(Sinks.insertDocCollectionJdbc(
+      payloads(41L), pay, url, "APP.docstore") == 1L)
+  }
 }

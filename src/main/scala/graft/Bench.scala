@@ -40,7 +40,19 @@ import org.apache.spark.sql.SparkSession
   *      lockstep the artifact self-flags `suspect_contention` with the
   *      offending (query, ratio) pairs, and the stdout line carries
   *      the count so the judge sees the flag without opening the full
-  *      artifact.
+  *      artifact;
+  *   4. end-of-run re-adjudication (r16) — after the sweep, the
+  *      still-inflated set is re-run once the host load drops below
+  *      SPARK_GRAFT_QUIET_LOAD (bounded by SPARK_GRAFT_QUIET_WAIT_S),
+  *      each touched entry annotated `readjudicated`, so the official
+  *      artifact self-repairs from a transient co-tenant spike
+  *      without manual ABBench.
+  *
+  * The artifact also aggregates `core_build_cost_s` (the one-time
+  * SharedStage core builds, separated from the warm-plan mins that
+  * `total` sums) and `drift_p50`/`drift_max` (sub-slack drift over the
+  * unflagged pinned queries, so slow creep spread across many small
+  * pins is visible in one number).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -132,59 +144,80 @@ object Bench {
     // raw vs_ref ratio is recorded per query in bench_full.json so
     // even sub-slack drift stays visible in the artifact.
     def slackFor(r: Double): Double = (0.5 * r).max(0.1).min(0.2)
-    final case class QStat(times: Seq[Double], okTimes: Seq[Double],
+    // One repeat = (elapsed s, succeeded, SharedStage cores built).
+    final case class QStat(runs: Seq[(Double, Boolean, Int)],
       order: Int, loadPre: Double, memPre: Double, escalated: Int,
-      coreBuilds: Seq[Int]) {
-      def failures: Int = times.size - okTimes.size
+      nReadj: Int = 0, readjLoad: Double = -1.0) {
+      def times: Seq[Double] = runs.map(_._1)
+      def okTimes: Seq[Double] = runs.filter(_._2).map(_._1)
+      def coreBuilds: Seq[Int] = runs.map(_._3)
+      def failures: Int = runs.size - okTimes.size
       // All repeats failed → the sentinel keeps min well-defined and
       // makes the failure loud in the total (times themselves are of a
       // fast-failing query and would understate).
       def min: Double = if (okTimes.nonEmpty) okTimes.min else 9999.0
+      // One-time SharedStage core cost this query paid: the gap
+      // between its cheapest cold (core-building) repeat and its
+      // cheapest warm one. Counted once per core key across the whole
+      // bench pass by construction — cores live for the pass, so only
+      // the repeat that built a core shows builds > 0. Zero when the
+      // query never paid a build (or has no warm repeat to difference
+      // against — then the cost is not separable and claiming one
+      // would be a guess).
+      def coreCost: Double = {
+        val ok = runs.filter(_._2)
+        val cold = ok.filter(_._3 > 0).map(_._1)
+        val warm = ok.filter(_._3 == 0).map(_._1)
+        if (cold.nonEmpty && warm.nonEmpty) (cold.min - warm.min).max(0.0)
+        else 0.0
+      }
+    }
+    def oneRun(name: String,
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : (Double, Boolean, Int) = {
+      val b0 = graft.operators.SharedStage.totalBuilds(spark)
+      val t0 = System.nanoTime()
+      val ok =
+        try {
+          fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+          true
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          false
+        }
+      val dt = (System.nanoTime() - t0) / 1e9
+      // SharedStage cores built during this run: a repeat that paid
+      // a cold core build is attributable in bench_full.json
+      // (core_builds), so its time is read as cold, not variance.
+      val built = graft.operators.SharedStage.totalBuilds(spark) - b0
+      // Iterative queries localCheckpoint intermediates; their blocks
+      // are only reclaimed when the dead RDD is GC'd, so across 100+
+      // queries they silently eat the unified memory pool and make
+      // UNRELATED later queries spill. Drop them eagerly — by this
+      // point the query's DataFrames are dead, so nothing can still
+      // need the blocks. BLOCKING: r8's tail showed RDD-reclaim
+      // warnings bleeding into later queries — wait for the blocks
+      // to actually go before the next timer starts. EXCEPT the
+      // SharedStage cores (r15 VERDICT item 6): those are the
+      // declared long-lived-session materializations — sweeping
+      // them forced every repeat of every SharedStage pipeline to
+      // rebuild its cores cold (media_retention's 5.5→24 s repeat
+      // swings), so they now live for the whole bench pass and the
+      // artifact measures the marginal plan, with the one cold
+      // build visible via core_builds on the repeat that paid it.
+      val keep = graft.operators.SharedStage.liveRddIds(spark)
+      spark.sparkContext.getPersistentRDDs.values
+        .filterNot(r => keep.contains(r.id))
+        .foreach(_.unpersist(blocking = true))
+      (dt, ok, built)
     }
     var execIdx = -1
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map {
+    val swept = SparkEntry.queries.toSeq.sortBy(_._1).map {
       case (name, fn) =>
         execIdx += 1
         val lPre = load1
         val mPre = memAvailGiB
-        def oneRun(): (Double, Boolean, Int) = {
-          val b0 = graft.operators.SharedStage.totalBuilds(spark)
-          val t0 = System.nanoTime()
-          val ok =
-            try {
-              fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-              true
-            } catch { case e: Throwable =>
-              System.err.println(s"[bench] $name failed: ${e.getMessage}")
-              false
-            }
-          val dt = (System.nanoTime() - t0) / 1e9
-          // SharedStage cores built during this run: a repeat that paid
-          // a cold core build is attributable in bench_full.json
-          // (core_builds), so its time is read as cold, not variance.
-          val built = graft.operators.SharedStage.totalBuilds(spark) - b0
-          // Iterative queries localCheckpoint intermediates; their blocks
-          // are only reclaimed when the dead RDD is GC'd, so across 100+
-          // queries they silently eat the unified memory pool and make
-          // UNRELATED later queries spill. Drop them eagerly — by this
-          // point the query's DataFrames are dead, so nothing can still
-          // need the blocks. BLOCKING: r8's tail showed RDD-reclaim
-          // warnings bleeding into later queries — wait for the blocks
-          // to actually go before the next timer starts. EXCEPT the
-          // SharedStage cores (r15 VERDICT item 6): those are the
-          // declared long-lived-session materializations — sweeping
-          // them forced every repeat of every SharedStage pipeline to
-          // rebuild its cores cold (media_retention's 5.5→24 s repeat
-          // swings), so they now live for the whole bench pass and the
-          // artifact measures the marginal plan, with the one cold
-          // build visible via core_builds on the repeat that paid it.
-          val keep = graft.operators.SharedStage.liveRddIds(spark)
-          spark.sparkContext.getPersistentRDDs.values
-            .filterNot(r => keep.contains(r.id))
-            .foreach(_.unpersist(blocking = true))
-          (dt, ok, built)
-        }
-        var runs = (1 to repeatsFor(name)).map(_ => oneRun())
+        var runs = (1 to repeatsFor(name)).map(_ => oneRun(name, fn))
         // Repeat escalation (r13 VERDICT item 1): a >2x spread across
         // successful repeats means at least one repeat ran degraded —
         // add up to 2 repeats so min reflects steady state. Skipped
@@ -199,7 +232,7 @@ object Bench {
           ok.size >= 2 && ok.max / ok.min.max(1e-9) > 2.0
         }
         while (repeatBase > 1 && extra < 2 && spreadTooWide) {
-          runs = runs :+ oneRun(); extra += 1
+          runs = runs :+ oneRun(name, fn); extra += 1
         }
         // Reference escalation (r14 VERDICT item 1): internal spread
         // cannot catch a query whose EVERY repeat ran contended — the
@@ -220,23 +253,90 @@ object Bench {
               ok.min - r > slackFor(r))
         }
         while (repeatBase > 1 && extra < 4 && minVsRefTooHigh) {
-          runs = runs :+ oneRun(); extra += 1
+          runs = runs :+ oneRun(name, fn); extra += 1
         }
-        name -> QStat(runs.map(_._1), runs.filter(_._2).map(_._1),
-          execIdx, lPre, mPre, extra, runs.map(_._3))
+        name -> QStat(runs, execIdx, lPre, mPre, extra)
+    }
+    def isInflated(name: String, s: QStat): Boolean =
+      refMins.get(name).exists(r => r > 0.05 &&
+        s.min / r > 1.5 && s.min - r > slackFor(r))
+    // END-OF-RUN RE-ADJUDICATION (r16 VERDICT item 1): the per-query
+    // escalations above re-measure a query IMMEDIATELY, while the
+    // co-tenant blip that inflated it is often still running — r16's
+    // official artifact carried 21 inflated entries even though the
+    // same-night manual re-run was clean. So after the sweep, requeue
+    // exactly the still-inflated set once more, first waiting (bounded)
+    // for the host to go quiet: poll load1 until it drops below a
+    // threshold or the wait budget (default 300 s) expires. The re-run
+    // is a legitimate extra repeat — min over successful repeats is
+    // still the recorded statistic, so it can only replace a flagged
+    // min downward — and every touched entry is annotated
+    // (readjudicated count + the load1 the re-run actually saw), so
+    // the artifact distinguishes "re-measured quiet, still slow" (a
+    // real regression) from "never got a quiet window". The official
+    // record stops depending on which run the driver happens to take.
+    def fmt0(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+    val results: Seq[(String, QStat)] = {
+      val flaggedNow = swept.filter { case (n, s) => isInflated(n, s) }
+      if (flaggedNow.isEmpty || repeatBase == 1) swept
+      else {
+        val quietLoad = sys.env.getOrElse(
+          "SPARK_GRAFT_QUIET_LOAD", "3.0").toDouble
+        val waitBudgetS = sys.env.getOrElse(
+          "SPARK_GRAFT_QUIET_WAIT_S", "300").toLong
+        System.err.println(s"[bench] re-adjudicating " +
+          s"${flaggedNow.size} inflated queries (load1=${fmt0(load1)})")
+        val deadline = System.nanoTime() + waitBudgetS * 1000000000L
+        // The sweep's own work inflates load1 (1-minute decay), so a
+        // wait is useful even with zero co-tenants.
+        while (load1 > quietLoad && System.nanoTime() < deadline)
+          Thread.sleep(15000L)
+        val readj = flaggedNow.map { case (name, _) =>
+          name -> (load1, (1 to 2).map(_ =>
+            oneRun(name, SparkEntry.queries(name))))
+        }.toMap
+        swept.map { case (name, s) =>
+          readj.get(name) match {
+            case Some((l, extraRuns)) => name ->
+              s.copy(runs = s.runs ++ extraRuns,
+                nReadj = extraRuns.size, readjLoad = l)
+            case None => name -> s
+          }
+        }
+      }
     }
     val total = results.map(_._2.min).sum
+    // One-time SharedStage core cost, aggregated (r16 VERDICT item 2):
+    // `total` sums warm-plan mins — the marginal cost of each query in
+    // a long-lived session — so the cold core builds only appeared
+    // per-repeat (core_builds). This aggregate makes total+cores the
+    // honest end-to-end number and a core that silently becomes
+    // expensive visible in one field.
+    val coreBuildCost = results.map(_._2.coreCost).sum
     // Contention self-flag: queries whose min inflates >1.5x over the
     // committed reference. A handful inflating is a real regression
     // signal (code changed); >=10 inflating TOGETHER — across families,
     // including untouched trivial queries — is the r13 contention
     // signature, and the artifact says so itself.
     val inflated = results.collect {
-      case (name, s) if refMins.get(name).exists(r => r > 0.05 &&
-        s.min / r > 1.5 && s.min - r > slackFor(r)) =>
+      case (name, s) if isInflated(name, s) =>
         name -> (s.min / refMins(name))
     }.sortBy(-_._2)
     val contentionSuspected = inflated.size >= 10
+    // Sub-slack drift aggregate (r16 ADVICE residue): inflation flags
+    // only fire above slackFor, so slow creep spread across many small
+    // pins was invisible. Summarize min/ref over the UNFLAGGED pinned
+    // queries: drift_p50 creeping above ~1.1 means the whole registry
+    // got slower without any single query tripping its flag.
+    val driftRatios = results.collect {
+      case (name, s) if refMins.get(name).exists(_ > 0.05) &&
+        !isInflated(name, s) => s.min / refMins(name)
+    }.sorted
+    val driftP50 =
+      if (driftRatios.isEmpty) -1.0
+      else driftRatios(driftRatios.size / 2)
+    val driftMax = if (driftRatios.isEmpty) -1.0 else driftRatios.last
     // The driver extracts this line from a bounded tail window of the sbt
     // output (~2000 chars; BENCH_r01/r02 both came back parsed:null — r02's
     // full-precision 75-query line overran the window). Keep the line
@@ -256,7 +356,12 @@ object Bench {
       val fl = if (fails > 0) s""","repeat_failures":$fails""" else ""
       val ct = if (contentionSuspected)
         s""","suspect_contention":${inflated.size}""" else ""
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$m$om$fl$ct,"sf":"$sfDir","load1_start":${fmt(loadStart)},"load1_max":${fmt(loadMax)},"load1_end":${fmt(load1)}}"""
+      val cc = if (coreBuildCost > 0.005)
+        s""","core_build_cost_s":${fmt(coreBuildCost)}""" else ""
+      val dr = if (driftP50 >= 0)
+        s""","drift_p50":${fmt(driftP50)},"drift_max":${fmt(driftMax)}"""
+      else ""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$m$om$fl$ct$cc$dr,"sf":"$sfDir","load1_start":${fmt(loadStart)},"load1_max":${fmt(loadMax)},"load1_end":${fmt(load1)}}"""
     }
     val bySlowest = results.sortBy(-_._2.min)
     val maxLen = 1600
@@ -276,10 +381,17 @@ object Bench {
       val cb = if (s.coreBuilds.exists(_ > 0))
         s""","core_builds":${s.coreBuilds.mkString("[", ",", "]")}"""
       else ""
+      // Re-adjudicated entries: the LAST `readjudicated` entries of
+      // `times` ran after the end-of-sweep quiet-window wait, at the
+      // recorded load1 — "still inflated after this" means a real
+      // regression, not a contended first pass.
+      val rj = if (s.nReadj > 0)
+        s""","readjudicated":${s.nReadj},"readj_load1":${fmt(s.readjLoad)}"""
+      else ""
       "\"" + k + "\":{\"min\":" + s.min + ",\"times\":" + ts +
         ",\"order\":" + s.order + ",\"failures\":" + s.failures +
         ",\"load1_pre\":" + fmt(s.loadPre) +
-        ",\"mem_avail_gib\":" + fmt(s.memPre) + esc + vr + cb + "}"
+        ",\"mem_avail_gib\":" + fmt(s.memPre) + esc + vr + cb + rj + "}"
     }.mkString("{", ",", "}")
     val suspectJson = inflated.map { case (k, r) =>
       "\"" + k + "\":" + fmt(r)
@@ -289,6 +401,8 @@ object Bench {
         s""""load1_max":$loadMax,"load1_end":$load1,""" +
         s""""suspect_contention":$contentionSuspected,""" +
         s""""inflated_vs_ref":$suspectJson,""" +
+        s""""core_build_cost_s":${fmt(coreBuildCost)},""" +
+        s""""drift_p50":${fmt(driftP50)},"drift_max":${fmt(driftMax)},""" +
         s""""ref_queries":${refMins.size},""" +
         s""""queries":$full}""" + "\n")
     // Generated registry index (r10 VERDICT item 7): one line per

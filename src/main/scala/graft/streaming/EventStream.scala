@@ -106,6 +106,71 @@ object EventStream {
       .dropDuplicatesWithinWatermark("doc_id")
       .select(col("doc_id"), col("ts"))
 
+  /** Streaming MAINTENANCE of the stored MinHash band index — the
+    * stream twin of the batch `idx_band_upsert` write path (r16
+    * VERDICT item 6): until now the batch path wrote the index and
+    * the streaming gates only READ it; this foreachBatch sink closes
+    * the loop so an ingest stream keeps the index current under the
+    * same FIRST-WINS ownership invariant the batch Scaladoc states —
+    * an existing bucket keeps its canonical owner; only genuinely new
+    * buckets insert.
+    *
+    * Exactly-once recipe (`Sinks.writeBatchIdempotent`'s shape,
+    * specialized to an anti-joined upsert): each micro-batch computes
+    * its band buckets with per-batch min-doc owners, anti-joins
+    * against the buckets owned by STRICTLY EARLIER batches
+    * (`batch_id < current` — partition-pruned, no index rescan), and
+    * DYNAMIC-overwrites its own `batch_id=` partition with the
+    * survivors. A replayed batch (restart between sink write and
+    * checkpoint commit) sees the same earlier-batch ownership set —
+    * its own prior write is excluded by the strict inequality, NOT
+    * consulted — so it recomputes the identical survivor set and
+    * overwrites its own partition byte-for-byte: ownership can never
+    * be stolen by a replay, and no duplicate bucket rows can appear.
+    * Relies on Structured Streaming's guarantee that a given batchId
+    * replays the same source offsets. Both sides aggregate/probe on
+    * the same (band_idx, band_hash) key — one co-partitioned shuffle
+    * family per micro-batch, which is the entire write path at
+    * 100 TB, exactly like the batch upsert. */
+  def upsertBandIndexBatch(indexPath: String)
+      (docsBatch: DataFrame, batchId: Long): Unit = {
+    val spark = docsBatch.sparkSession
+    val fresh = graft.api.GraftOps
+      .minhashBands(docsBatch, "doc_id", "text")
+      .groupBy("band_idx", "band_hash")
+      .agg(min("doc_id").cast("long").as("owner"))
+    val earlier =
+      try spark.read.parquet(indexPath)
+        .filter(col("batch_id") < batchId)
+        .select("band_idx", "band_hash")
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getMessage.contains("PATH_NOT_FOUND") ||
+              e.getMessage.toLowerCase.contains("path does not exist") =>
+          spark.emptyDataFrame
+            .select(lit(0).as("band_idx"), lit("").as("band_hash"))
+            .limit(0)
+      }
+    fresh.join(earlier, Seq("band_idx", "band_hash"), "left_anti")
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
+      .parquet(indexPath)
+  }
+
+  /** Driver for `upsertBandIndexBatch`: a doc stream (doc_id, text)
+    * maintaining the stored band index at `indexPath`, restartable
+    * from `checkpointDir`. The gates (`nearDupGateStream`,
+    * `dedup_incremental`'s probe shape) read the same path. */
+  def bandIndexMaintenanceStream(docs: DataFrame, indexPath: String,
+      checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch(upsertBandIndexBatch(indexPath) _)
+      .option("checkpointLocation", checkpointDir)
+      .start()
+
   /** Streaming import classifier — the stream side of
     * `jobs.ImportJob.importDelta`: entity rows arrive as a stream of
     * (`idCol`, `hashCol`) where the hash is the full-document content

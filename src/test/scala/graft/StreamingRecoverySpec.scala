@@ -370,4 +370,90 @@ class StreamingRecoverySpec extends SparkSpec {
     assert(Seq("inserted", "changed", "unchanged")
       .forall(s => byStatus.getOrElse(s, 0) > 0), byStatus.toString)
   }
+
+  // --- streaming band-index maintenance (r16 VERDICT item 6) ---
+
+  private val textA = "the quick brown fox jumps over the lazy dog"
+  private val textB = "pack my box with five dozen liquor jugs today"
+  private val textC = "sphinx of black quartz judge my vow tonight"
+
+  private def bandsOf(text: String) = {
+    import spark.implicits._
+    graft.api.GraftOps
+      .minhashBands(Seq((0L, text)).toDF("doc_id", "text"),
+        "doc_id", "text")
+      .select("band_idx", "band_hash")
+      .as[(Int, String)].collect().toSet
+  }
+
+  test("band-index maintenance restarted from checkpoint equals the " +
+      "uninterrupted first-wins index state") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-ckpt-idx").toString
+    val idxDir = java.nio.file.Files
+      .createTempDirectory("graft-band-idx").toString + "/index"
+
+    val stream = MemoryStream[(Long, String)]
+    def start() = EventStream.bandIndexMaintenanceStream(
+      stream.toDF().toDF("doc_id", "text"), idxDir, ckpt)
+
+    // Phase 1: docs 10 (text A) and 11 (text B) land, commit, stop.
+    stream.addData(Seq((10L, textA), (11L, textB)))
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    // Phase 2: restart from the SAME checkpoint. Doc 5 re-offers
+    // text A with a SMALLER id — first-wins means it must NOT steal
+    // the A buckets from doc 10; doc 12 brings genuinely new buckets.
+    stream.addData(Seq((5L, textA), (12L, textC)))
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+
+    val idx = spark.read.parquet(idxDir)
+      .select("band_idx", "band_hash", "owner", "batch_id")
+      .as[(Int, String, Long, Long)].collect().toSet
+    val expected =
+      bandsOf(textA).map { case (bi, bh) => (bi, bh, 10L, 0L) } ++
+      bandsOf(textB).map { case (bi, bh) => (bi, bh, 11L, 0L) } ++
+      bandsOf(textC).map { case (bi, bh) => (bi, bh, 12L, 1L) }
+    assert(idx == expected,
+      s"restarted maintenance must equal first-wins state:\n" +
+        s" got  $idx\n want $expected")
+  }
+
+  test("a replayed index-upsert micro-batch cannot steal ownership " +
+      "or duplicate buckets") {
+    import spark.implicits._
+    val idxDir = java.nio.file.Files
+      .createTempDirectory("graft-band-replay").toString + "/index"
+    val sink = EventStream.upsertBandIndexBatch(idxDir) _
+
+    def snapshot() = spark.read.parquet(idxDir)
+      .select("band_idx", "band_hash", "owner", "batch_id")
+      .as[(Int, String, Long, Long)].collect().toSet
+
+    // Batch 0 stores text A under doc 10; batch 1 re-offers text A
+    // under the SMALLER doc 5 (must not own) plus new text C (must).
+    val batch0 = Seq((10L, textA)).toDF("doc_id", "text")
+    val batch1 = Seq((5L, textA), (12L, textC)).toDF("doc_id", "text")
+    sink(batch0, 0L)
+    sink(batch1, 1L)
+    val committed = snapshot()
+    assert(committed ==
+      bandsOf(textA).map { case (bi, bh) => (bi, bh, 10L, 0L) } ++
+      bandsOf(textC).map { case (bi, bh) => (bi, bh, 12L, 1L) })
+
+    // Replay window: a restart between sink write and checkpoint
+    // commit re-runs the SAME batchId with the same offsets. The
+    // strict `batch_id < current` probe plus dynamic overwrite of the
+    // batch's own partition must reproduce the state byte-for-byte —
+    // doc 5 still cannot claim the A buckets on the second attempt.
+    sink(batch1, 1L)
+    assert(snapshot() == committed,
+      "replaying batch 1 changed the index")
+    sink(batch0, 0L)
+    assert(snapshot() == committed,
+      "replaying batch 0 changed the index")
+  }
 }

@@ -81,6 +81,11 @@ object ShuffleAudit {
       } catch { case _: Throwable => () }
     }
 
+    // Failed queries are recorded in the artifact, not just stderr:
+    // the constrained-memory registry pass (r16 VERDICT item 4) runs
+    // this same audit at a deliberately small heap, and "which queries
+    // died and which spilled" IS that artifact's payload.
+    val failed = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val rows = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         GraftMetricsHook.drainListenerBus(spark.sparkContext, 60000L)
@@ -112,6 +117,9 @@ object ShuffleAudit {
             true
           } catch { case e: Throwable =>
             System.err.println(s"[audit] $name failed: ${e.getMessage}")
+            failed.put(name, s"${e.getClass.getSimpleName}: " +
+              String.valueOf(e.getMessage).replaceAll("[\"\\\\\n\r]", " ")
+                .take(160))
             false
           }
         GraftMetricsHook.drainListenerBus(spark.sparkContext, 60000L)
@@ -172,8 +180,12 @@ object ShuffleAudit {
       "\"" + n + "\":" + String.format(java.util.Locale.ROOT, "%.2f",
         Double.box(r))
     }.mkString("{", ",", "}")
+    val failedJson = failed.map { case (n, m) =>
+      "\"" + n + "\": \"" + m + "\""
+    }.mkString("{", ", ", "}")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outJson),
       s"""{"sf": "$sfDir", "ref_queries": ${refShuffle.size}, """ +
+        s""""n_failed": ${failed.size}, "failed": $failedJson, """ +
         s""""flagged_vs_ref": $flaggedJson,\n"queries": $qjson\n}\n""")
 
     if (flagged.nonEmpty) {

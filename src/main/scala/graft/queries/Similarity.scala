@@ -387,13 +387,13 @@ object Similarity {
     // ulp (components are unit-bounded, so the integer part fits ~1e5
     // members per cluster — widen for more).
     "emb_kmeans_iter" -> ((s, d) =>
-      kmeansAssign(s, d).select("vec_id", "cluster", "score")),
+      storedCells(s, d).select("vec_id", "cluster", "score")),
 
     // IVF search over the k-means cells just produced — the composed
     // end-to-end ANN path (cluster → probe own cell → top-k), replacing
     // emb_ivf_topk's label stand-in with real learned cells.
     "emb_ivf_kmeans_topk" -> ((s, d) => {
-      val cells = kmeansAssign(s, d).select("vec_id", "u", "cluster")
+      val cells = storedCells(s, d).select("vec_id", "u", "cluster")
       val q = cells.filter(col("vec_id") < 5)
         .select(col("vec_id").as("q_id"), col("cluster").as("q_cluster"),
           col("u").as("q_u"))
@@ -456,7 +456,7 @@ object Similarity {
     // that tells you whether the IVF cells are semantically coherent
     // (exact counts; one double division).
     "emb_cluster_purity" -> ((s, d) => {
-      val a = kmeansAssign(s, d).select("vec_id", "cluster")
+      val a = storedCells(s, d).select("vec_id", "cluster")
         .join(unitVecs(s, d).select("vec_id", "label"), "vec_id")
       val counts = a.groupBy("cluster", "label")
         .agg(count(lit(1)).as("n"))
@@ -485,7 +485,7 @@ object Similarity {
     // the whole chain cluster → pair → drop is the production
     // semantic-dedup path in one declarative plan.
     "dedup_semantic" -> ((s, d) => {
-      val cells = kmeansAssign(s, d).select("vec_id", "u", "cluster")
+      val cells = storedCells(s, d).select("vec_id", "u", "cluster")
       val dropped = graft.api.GraftOps
         .semanticDupIds(cells, "vec_id", "u", "cluster", 0.3)
         .select(col("right_id").as("vec_id"))
@@ -544,8 +544,8 @@ object Similarity {
     // scanned, never corpus passes.
     "emb_ivf_nprobe" -> ((s, d) => {
       def dot(a: Column, b: Column) = call_function("graft_vec_dot", a, b)
-      val cells = kmeansAssign(s, d).select("vec_id", "u", "cluster")
-      val cents = kmeansCentroids(s, d)
+      val cells = storedCells(s, d).select("vec_id", "u", "cluster")
+      val cents = storedCentroids(s, d)
       val q0 = cells.filter(col("vec_id") < 5)
         .select(col("vec_id").as("q_id"), col("u").as("q_u"))
       val wCell = Window.partitionBy("q_id")
@@ -577,9 +577,9 @@ object Similarity {
     // The assignment table is checkpointed — three consumers.
     "emb_nprobe_sweep" -> ((s, d) => {
       def dot(a: Column, b: Column) = call_function("graft_vec_dot", a, b)
-      val cells = kmeansAssign(s, d).select("vec_id", "u", "cluster")
+      val cells = storedCells(s, d).select("vec_id", "u", "cluster")
         .localCheckpoint()
-      val cents = kmeansCentroids(s, d)
+      val cents = storedCentroids(s, d)
       val q0 = cells.filter(col("vec_id") < 5)
         .select(col("vec_id").as("q_id"), col("u").as("q_u"))
       val wCell = Window.partitionBy("q_id")
@@ -646,9 +646,9 @@ object Similarity {
       // query set, fine rerank, brute-force eval); materialize it once
       // or the whole k-means subtree re-derives per consumer (~6× in
       // the unchecked plan — audited).
-      val cells = kmeansAssign(s, d).select("vec_id", "u", "cluster")
+      val cells = storedCells(s, d).select("vec_id", "u", "cluster")
         .localCheckpoint()
-      val cents = kmeansCentroids(s, d)
+      val cents = storedCentroids(s, d)
       val t = cells
         .select(col("vec_id"), col("cluster"), slice(col("u"), 1, 16).as("t16"))
         .withColumn("tn", sqrt(dot(col("t16"), col("t16"))))
@@ -987,9 +987,9 @@ object Similarity {
   private def ivfPqTopK(s: SparkSession, d: String): DataFrame = {
       graft.expressions.VectorExpressions.register(s)
       def dot(a: Column, b: Column) = call_function("graft_vec_dot", a, b)
-      val cells = kmeansAssign(s, d).select("vec_id", "u", "cluster")
+      val cells = storedCells(s, d).select("vec_id", "u", "cluster")
         .localCheckpoint() // three consumers: codes, candidates, rerank
-      val cents = kmeansCentroids(s, d)
+      val cents = storedCentroids(s, d)
       def subSplit(src: DataFrame, idAs: String, vecAs: String) =
         src.select(col(idAs), posexplode(
           transform(sequence(lit(0), lit(EmbDim / 8 - 1)),
@@ -1088,6 +1088,26 @@ object Similarity {
         transform(col("raw"), x => x / col("nrm")).as("cu"))
   }
 
+  /** The STORED trained IVF index — centroids and cell assignments as
+    * SharedStage cores (the bandIndex/pairTable discipline applied to
+    * the ANN side): in deployment a trained index is THE canonical
+    * stored artifact — it is trained once and served, never retrained
+    * per query — while until r17 every IVF/kmeans consumer re-ran
+    * the k-means iteration privately. One build per session
+    * (centroids feed the cell build, chained cores); Bench attributes
+    * the cold training via core_builds/core_build_cost_s, Verify's
+    * sweep keeps correctness runs independent, and the per-query warm
+    * plan is the actual serving path: probe ranking + in-cell scan. */
+  private def storedCentroids(s: SparkSession, d: String): DataFrame =
+    graft.operators.SharedStage(s, s"ivfCentroids:$d") {
+      kmeansCentroids(s, d)
+    }
+
+  private def storedCells(s: SparkSession, d: String): DataFrame =
+    graft.operators.SharedStage(s, s"ivfCells:$d") {
+      kmeansAssign(s, d)
+    }
+
   private def kmeansAssign(s: SparkSession, d: String,
       k: Int = 4): DataFrame = {
     graft.expressions.VectorExpressions.register(s)
@@ -1095,7 +1115,8 @@ object Similarity {
     val e = unitVecs(s, d).select("vec_id", "u")
     val wBest = Window.partitionBy("vec_id")
       .orderBy(col("sc").desc, col("cid"))
-    val c1 = kmeansCentroids(s, d, k)
+    val c1 =
+      if (k == 4) storedCentroids(s, d) else kmeansCentroids(s, d, k)
     e.crossJoin(broadcast(c1))
       .select(col("vec_id"), col("u"), col("cid"),
         round(dot(col("u"), col("cu")), 6).as("sc"))

@@ -337,6 +337,22 @@ object Bench {
       if (driftRatios.isEmpty) -1.0
       else driftRatios(driftRatios.size / 2)
     val driftMax = if (driftRatios.isEmpty) -1.0 else driftRatios.last
+    // Micro-pin drift aggregate (r17 VERDICT item 2): both the
+    // inflation flag and drift_* above require pin > 0.05 s, so the
+    // sub-50 ms pin class was invisible to EVERY aggregate — an entry
+    // at 8x its 32 ms pin appeared nowhere. Absolute cost of that
+    // class is trivial (sum of pins < 1 s), so no flagging/escalation
+    // — but the ratios are now RECORDED so creep across the whole
+    // micro class shows up as micro_drift_p50 rising, and any single
+    // outlier is visible as micro_drift_max.
+    val microRatios = results.collect {
+      case (name, s) if refMins.get(name).exists(r => r > 0 && r <= 0.05) =>
+        s.min / refMins(name)
+    }.sorted
+    val microP50 =
+      if (microRatios.isEmpty) -1.0
+      else microRatios(microRatios.size / 2)
+    val microMax = if (microRatios.isEmpty) -1.0 else microRatios.last
     // The driver extracts this line from a bounded tail window of the sbt
     // output (~2000 chars; BENCH_r01/r02 both came back parsed:null — r02's
     // full-precision 75-query line overran the window). Keep the line
@@ -361,7 +377,10 @@ object Bench {
       val dr = if (driftP50 >= 0)
         s""","drift_p50":${fmt(driftP50)},"drift_max":${fmt(driftMax)}"""
       else ""
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$m$om$fl$ct$cc$dr,"sf":"$sfDir","load1_start":${fmt(loadStart)},"load1_max":${fmt(loadMax)},"load1_end":${fmt(load1)}}"""
+      val mdr = if (microP50 >= 0)
+        s""","micro_drift_p50":${fmt(microP50)},"micro_drift_max":${fmt(microMax)}"""
+      else ""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$m$om$fl$ct$cc$dr$mdr,"sf":"$sfDir","load1_start":${fmt(loadStart)},"load1_max":${fmt(loadMax)},"load1_end":${fmt(load1)}}"""
     }
     val bySlowest = results.sortBy(-_._2.min)
     val maxLen = 1600
@@ -403,6 +422,8 @@ object Bench {
         s""""inflated_vs_ref":$suspectJson,""" +
         s""""core_build_cost_s":${fmt(coreBuildCost)},""" +
         s""""drift_p50":${fmt(driftP50)},"drift_max":${fmt(driftMax)},""" +
+        s""""micro_drift_p50":${fmt(microP50)},""" +
+        s""""micro_drift_max":${fmt(microMax)},""" +
         s""""ref_queries":${refMins.size},""" +
         s""""queries":$full}""" + "\n")
     // Generated registry index (r10 VERDICT item 7): one line per

@@ -166,7 +166,12 @@ object ShuffleAudit {
       val swMb = sw / 1048576.0
       refShuffle.get(n).collect {
         case ref if swMb > ref * 1.5 && swMb - ref > 1.0 =>
-          n -> (if (ref > 0) swMb / ref else Double.PositiveInfinity)
+          // Divide by max(ref, 1 MB): a 0.00 MB pin (111 of the
+          // committed pins) would otherwise yield Infinity, which
+          // String.format renders as a bare non-JSON token exactly
+          // when the gate fires. Against the 1 MB floor the ratio
+          // stays finite and reads as "MB over the floor".
+          n -> (swMb / math.max(ref, 1.0))
       }
     }.sortBy(-_._2)
     val qjson = rows.map { case (n, in, sw, sr, ms, ds, tk, ex) =>

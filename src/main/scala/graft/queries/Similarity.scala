@@ -1098,14 +1098,27 @@ object Similarity {
     * the cold training via core_builds/core_build_cost_s, Verify's
     * sweep keeps correctness runs independent, and the per-query warm
     * plan is the actual serving path: probe ranking + in-cell scan. */
+  /** The served index configuration. The core keys embed BOTH
+    * parameters the trained frames depend on (k and the iteration
+    * count), so a key can never silently serve a frame trained under
+    * different parameters — the set-similarity key discipline (r17
+    * VERDICT item 7). A non-served k (the emb_kmeans_k sweep's ad-hoc
+    * values) deliberately BYPASSES the cores: sweeps probing candidate
+    * configurations must not populate session state, only the one
+    * served configuration is stored. */
+  private val ServedK = 4
+  private val ServedIters = 1
+
   private def storedCentroids(s: SparkSession, d: String): DataFrame =
-    graft.operators.SharedStage(s, s"ivfCentroids:$d") {
-      kmeansCentroids(s, d)
+    graft.operators.SharedStage(s,
+      s"ivfCentroids:$d:k=$ServedK:iters=$ServedIters") {
+      kmeansCentroids(s, d, ServedK)
     }
 
   private def storedCells(s: SparkSession, d: String): DataFrame =
-    graft.operators.SharedStage(s, s"ivfCells:$d") {
-      kmeansAssign(s, d)
+    graft.operators.SharedStage(s,
+      s"ivfCells:$d:k=$ServedK:iters=$ServedIters") {
+      kmeansAssign(s, d, ServedK)
     }
 
   private def kmeansAssign(s: SparkSession, d: String,
@@ -1116,7 +1129,8 @@ object Similarity {
     val wBest = Window.partitionBy("vec_id")
       .orderBy(col("sc").desc, col("cid"))
     val c1 =
-      if (k == 4) storedCentroids(s, d) else kmeansCentroids(s, d, k)
+      if (k == ServedK) storedCentroids(s, d)
+      else kmeansCentroids(s, d, k)
     e.crossJoin(broadcast(c1))
       .select(col("vec_id"), col("u"), col("cid"),
         round(dot(col("u"), col("cu")), 6).as("sc"))

@@ -118,7 +118,11 @@ object Sinks {
     // every caller relying on the store's own identifier folding
     // (Derby/Postgres fold unquoted names; `docstore` means DOCSTORE
     // to Derby only while unquoted).
-    table.split('.').foreach { seg =>
+    // split with limit=-1 so trailing empty segments are kept and
+    // rejected: Java's default split drops them, letting "docstore."
+    // or "a..." through to fail store-side with malformed SQL instead
+    // of here (r17 ADVICE — the fail-fast contract above).
+    table.split("\\.", -1).foreach { seg =>
       require(seg.matches("[A-Za-z_][A-Za-z0-9_]*"),
         s"invalid table identifier segment '$seg' in '$table'")
     }

@@ -144,9 +144,17 @@ object EventStream {
         .filter(col("batch_id") < batchId)
         .select("band_idx", "band_hash")
       catch {
+        // Missing path AND schema-less path both mean "no earlier
+        // ownership": a directory that exists but holds no parquet
+        // footers (zero-row first micro-batch wrote only _SUCCESS, or
+        // a crash left an empty dir) throws UNABLE_TO_INFER_SCHEMA on
+        // every later batch — without this arm the stream would fail
+        // permanently, including on replay.
         case e: org.apache.spark.sql.AnalysisException
             if e.getMessage.contains("PATH_NOT_FOUND") ||
-              e.getMessage.toLowerCase.contains("path does not exist") =>
+              e.getMessage.toLowerCase.contains("path does not exist") ||
+              e.getMessage.contains("UNABLE_TO_INFER_SCHEMA") ||
+              e.getMessage.toLowerCase.contains("unable to infer schema") =>
           spark.emptyDataFrame
             .select(lit(0).as("band_idx"), lit("").as("band_hash"))
             .limit(0)

@@ -406,4 +406,39 @@ class ScaleOpsSpec extends SparkSpec {
       == nCommunities,
       "modularity's community count diverged from the shared label table")
   }
+
+  test("SharedStage: IVF core keys carry full parameters; a non-served " +
+      "k bypasses the stored cores") {
+    // r17 VERDICT item 7: the IVF core keys carried only the scale dir
+    // and k=4 reached the core via a default-parameter branch — safe
+    // only while the default never moves. The keys now embed k and the
+    // iteration count, and a sweep's ad-hoc k must NOT populate session
+    // state: only the served configuration is a stored core.
+    // emb_ivf_k_recall exercises both paths in one query (k=4 and
+    // k=ceil(sqrt(n))).
+    val d = "/root/testdata/sf0.001"
+    val servedKey = s"ivfCentroids:$d:k=4:iters=1"
+    val n = Tables.embeddings(spark, d).count()
+    val kBig = math.ceil(math.sqrt(n.toDouble)).toInt
+    val before = graft.operators.SharedStage.buildsFor(spark, servedKey)
+    val rows = SparkEntry.queries("emb_ivf_k_recall")(spark, d).collect()
+    assert(rows.nonEmpty)
+    val after = graft.operators.SharedStage.buildsFor(spark, servedKey)
+    assert(after == before + 1 || (before > 0 && after == before),
+      s"served-k centroid core: builds went $before -> $after")
+    if (kBig != 4) {
+      assert(graft.operators.SharedStage.buildsFor(spark,
+        s"ivfCentroids:$d:k=$kBig:iters=1") == 0,
+        "non-served k populated a centroid core")
+      assert(graft.operators.SharedStage.buildsFor(spark,
+        s"ivfCells:$d:k=$kBig:iters=1") == 0,
+        "non-served k populated a cell core")
+    }
+    // The pre-r18 parameterless keys must be dead: a key that omits
+    // parameters the frame depends on can serve a wrong frame.
+    assert(graft.operators.SharedStage.buildsFor(spark,
+      s"ivfCentroids:$d") == 0, "legacy parameterless centroid key used")
+    assert(graft.operators.SharedStage.buildsFor(spark,
+      s"ivfCells:$d") == 0, "legacy parameterless cell key used")
+  }
 }

@@ -134,4 +134,19 @@ class SinksJdbcSpec extends SparkSpec {
     assert(Sinks.insertDocCollectionJdbc(
       payloads(41L), pay, url, "APP.docstore") == 1L)
   }
+
+  test("trailing/empty dot segments fail fast on the driver, not " +
+      "store-side (r17 ADVICE)") {
+    // Java's default split drops trailing empty segments, so
+    // "docstore." and "a..." previously passed validation and reached
+    // the store as malformed SQL — breaking the fail-fast contract
+    // even though no injection was possible.
+    for (bad <- Seq("docstore.", "a...", ".docstore", "..")) {
+      val e = intercept[IllegalArgumentException] {
+        Sinks.insertDocCollectionJdbc(payloads(42L), pay, url, bad)
+      }
+      assert(e.getMessage.contains("invalid table identifier"),
+        s"'$bad' was not rejected on the driver")
+    }
+  }
 }

@@ -456,4 +456,28 @@ class StreamingRecoverySpec extends SparkSpec {
     assert(snapshot() == committed,
       "replaying batch 0 changed the index")
   }
+
+  test("an index directory with no parquet footers reads as empty " +
+      "ownership, not a permanent stream failure (r17 ADVICE)") {
+    import spark.implicits._
+    val idxDir = java.nio.file.Files
+      .createTempDirectory("graft-band-emptydir").toString + "/index"
+    // The failure shape: the directory EXISTS but holds no footers
+    // (a zero-row first micro-batch wrote only _SUCCESS, or a crash
+    // left an empty dir) — spark.read.parquet then throws
+    // UNABLE_TO_INFER_SCHEMA, not PATH_NOT_FOUND, and without the
+    // schema-less fallback every later batch fails, including replays.
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(idxDir))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(idxDir, "_SUCCESS"), "")
+    val sink = EventStream.upsertBandIndexBatch(idxDir) _
+    sink(Seq((10L, textA)).toDF("doc_id", "text"), 1L)
+    val idx = spark.read.parquet(idxDir)
+      .select("band_idx", "band_hash", "owner", "batch_id")
+      .as[(Int, String, Long, Long)].collect().toSet
+    assert(idx ==
+      bandsOf(textA).map { case (bi, bh) => (bi, bh, 10L, 1L) },
+      "the schema-less index dir did not recover to first-batch state")
+  }
 }

@@ -229,6 +229,25 @@ object ImportJob {
       nonNull("vendors").as("vendors")).as("payload"))
   }
 
+  /** The document-store leg of the import through the NATIVE connector
+    * surface (r17 VERDICT item 3): the same (content-hash `_id`,
+    * serialized payload) rows [[graft.sinks.Sinks.insertDocCollection]]
+    * lands, but written via `format("graft-docs")` so commit
+    * adjudication — task retries, speculative attempts, replayed batch
+    * jobs — is the CONNECTOR's commit protocol, not caller code. A
+    * replayed `batchId` replaces its own `batch_id=` partition
+    * (idempotent restart); a new extraction lands under a new id. */
+  def writeImportDocsV2(s: SparkSession, d: String, store: String,
+      batchId: Long = 0L,
+      extractedEpoch: Long = PinnedExtractEpoch): Unit =
+    payloads(s, d, extractedEpoch)
+      .select(graft.sinks.Sinks.docId(col("payload")).as("_id"),
+        to_json(col("payload")).as("doc"))
+      .write.format("graft-docs")
+      .option("path", store)
+      .option("batchId", batchId)
+      .mode("append").save()
+
   /** The flattened registry/oracle twin of [[payloads]]: one row per
     * org with the payload's audit flags, stamp, and per-entity counts —
     * what a DuckDB oracle can hash-compare (the nested bytes themselves

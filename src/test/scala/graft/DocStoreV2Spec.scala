@@ -1,0 +1,144 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import graft.jobs.ImportJob
+import graft.sinks.Sinks
+
+/** The DataSource V2 document sink (`format("graft-docs")`): commit
+  * protocol semantics — idempotent replayed batches, schema
+  * enforcement, streaming restart parity — plus the ImportJob leg that
+  * writes through it (r17 VERDICT item 3). */
+class DocStoreV2Spec extends SparkSpec {
+  import spark.implicits._
+
+  private val DocSchema = StructType(Seq(
+    StructField("_id", StringType, nullable = false),
+    StructField("doc", StringType, nullable = true)))
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString + "/store"
+
+  private def readStore(path: String) =
+    spark.read.schema(DocSchema).json(path)
+
+  test("batch write lands under its batch_id partition and reads back " +
+      "value-exactly, including JSON-hostile characters") {
+    val store = tmp("graft-docs-batch")
+    val docs = Seq(
+      ("a1", """{"k":"plain"}"""),
+      ("a2", "line1\nline2\t\"quoted\" \\slash ctl"),
+      ("a3", null)).toDF("_id", "doc")
+    docs.write.format("graft-docs")
+      .option("path", store).option("batchId", 7L)
+      .mode("append").save()
+    val back = readStore(store)
+    // the batch_id layout surfaces as a partition column for free
+    assert(back.columns.toSet == Set("_id", "doc", "batch_id"))
+    val rows = back.select("_id", "doc").as[(String, String)]
+      .collect().toMap
+    assert(rows == Map("a1" -> """{"k":"plain"}""",
+      "a2" -> "line1\nline2\t\"quoted\" \\slash ctl",
+      "a3" -> null),
+      s"round-trip mismatch: $rows")
+    assert(back.select("batch_id").distinct.as[Long].collect()
+      .toSeq == Seq(7L))
+  }
+
+  test("a replayed batch id replaces its own partition; a new batch id " +
+      "appends — the idempotent-restart contract") {
+    val store = tmp("graft-docs-replay")
+    def write(ids: Seq[String], batchId: Long): Unit =
+      ids.map(i => (i, s"""{"v":"$i"}""")).toDF("_id", "doc")
+        .write.format("graft-docs")
+        .option("path", store).option("batchId", batchId)
+        .mode("append").save()
+    write(Seq("a", "b"), 0L)
+    write(Seq("c"), 1L)
+    val committed = readStore(store)
+      .as[(String, String, Long)].collect().toSet
+    assert(committed.map(r => (r._1, r._3)) ==
+      Set(("a", 0L), ("b", 0L), ("c", 1L)))
+    // replay batch 0 (retried job / restarted driver): store unchanged
+    write(Seq("a", "b"), 0L)
+    assert(readStore(store).as[(String, String, Long)].collect().toSet
+      == committed, "replaying batch 0 changed the store")
+    // a replayed batch REPLACES its partition — a shrunken recompute
+    // cannot leave stale rows behind
+    write(Seq("a"), 0L)
+    assert(readStore(store).filter(col("batch_id") === 0L)
+      .select("_id").as[String].collect().toSeq == Seq("a"),
+      "replaced batch 0 left stale rows")
+  }
+
+  test("the fixed store schema is enforced at plan time") {
+    val store = tmp("graft-docs-schema")
+    val e = intercept[Exception] {
+      Seq((1, "x")).toDF("id", "doc")
+        .write.format("graft-docs").option("path", store)
+        .mode("append").save()
+    }
+    assert(e.getMessage.contains("graft-docs writes exactly"),
+      s"wrong error: ${e.getMessage}")
+    val e2 = intercept[Exception] {
+      Seq(("a", "x")).toDF("_id", "doc")
+        .write.format("graft-docs").mode("append").save()
+    }
+    assert(e2.getMessage.toLowerCase.contains("path"),
+      s"wrong error: ${e2.getMessage}")
+  }
+
+  test("streaming write: restart from checkpoint cannot duplicate a " +
+      "committed epoch; each epoch owns one batch_id partition") {
+    implicit val sqlCtx = spark.sqlContext
+    val store = tmp("graft-docs-stream")
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-docs-ckpt").toString
+    val stream = MemoryStream[(String, String)]
+    def start() = stream.toDF().toDF("_id", "doc")
+      .writeStream.format("graft-docs")
+      .option("path", store).option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+
+    stream.addData(Seq(("s1", "d1"), ("s2", "d2")))
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    // restart from the SAME checkpoint — committed epoch 0 must not
+    // re-emit; the new data lands in the next epoch's partition
+    stream.addData(Seq(("s3", "d3")))
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+
+    val rows = readStore(store).as[(String, String, Long)]
+      .collect().toSet
+    assert(rows == Set(("s1", "d1", 0L), ("s2", "d2", 0L),
+      ("s3", "d3", 1L)),
+      s"restarted stream state wrong: $rows")
+  }
+
+  test("ImportJob writes through the connector: same ids and payload " +
+      "bytes as the adapter path, replayed batch idempotent") {
+    val d = "/root/testdata/sf0.001"
+    val store = tmp("graft-docs-import")
+    ImportJob.writeImportDocsV2(spark, d, store)
+    val v2 = readStore(store).select("_id", "doc")
+      .as[(String, String)].collect().toMap
+    // the adapter path's exact (content-hash id, serialized payload)
+    val expect = ImportJob.payloads(spark, d)
+      .select(Sinks.docId(col("payload")).cast("string"),
+        to_json(col("payload")))
+      .as[(String, String)].collect().toMap
+    assert(v2 == expect, "V2 store differs from the adapter contract")
+    // replayed import (same batchId): byte-identical store
+    ImportJob.writeImportDocsV2(spark, d, store)
+    assert(readStore(store).select("_id", "doc")
+      .as[(String, String)].collect().toMap == expect)
+    // a new extraction stamp is a NEW batch — appends, never mutates
+    ImportJob.writeImportDocsV2(spark, d, store, batchId = 1L,
+      extractedEpoch = 1700000001L)
+    val after = readStore(store)
+    assert(after.count() == expect.size * 2L)
+    assert(after.filter(col("batch_id") === 0L).count() == expect.size)
+  }
+}

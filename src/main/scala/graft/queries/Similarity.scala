@@ -389,6 +389,31 @@ object Similarity {
     "emb_kmeans_iter" -> ((s, d) =>
       storedCells(s, d).select("vec_id", "cluster", "score")),
 
+    // IVF index MAINTENANCE — the batch twin of the streaming
+    // `EventStream.upsertIvfCellsBatch` (r17 VERDICT item 4) and the
+    // ANN analogue of idx_band_upsert: vectors already in the stored
+    // cell table (vec_id % 5 != 0 stands in for the indexed corpus)
+    // keep their cells under FIRST-WINS per vec_id; an ingest batch
+    // (% 5 == 0) is assigned against the STORED centroids — serving,
+    // not retraining — and only genuinely new ids insert (anti-join on
+    // vec_id, the partition-pruned probe shape at 100 TB). `drifted`
+    // is the retrain-trigger signal: an ingest vector whose best-cell
+    // score fell below the threshold no longer belongs to any trained
+    // cell. The DuckDB oracle recomputes the full assignment
+    // independently, pinning that the maintenance path's assignments
+    // are byte-identical to the stored-core ones.
+    "idx_ivf_upsert" -> ((s, d) => {
+      val cells = storedCells(s, d) // the stored trained index
+        .select(col("vec_id"), col("cluster"), col("score"))
+      val base = cells.filter(col("vec_id") % 5 =!= 0)
+      val fresh = cells.filter(col("vec_id") % 5 === 0)
+        .join(base.select("vec_id"), Seq("vec_id"), "left_anti")
+      base.withColumn("generation", lit("base"))
+        .unionByName(fresh.withColumn("generation", lit("ingest")))
+        .withColumn("drifted",
+          col("generation") === "ingest" && col("score") < 0.5)
+    }),
+
     // IVF search over the k-means cells just produced — the composed
     // end-to-end ANN path (cluster → probe own cell → top-k), replacing
     // emb_ivf_topk's label stand-in with real learned cells.
@@ -1468,6 +1493,13 @@ object Similarity {
     "emb_kmeans_iter" ->
       s"""WITH $KmeansCte
          |SELECT vec_id, cluster, score FROM a2""".stripMargin,
+    "idx_ivf_upsert" ->
+      s"""WITH $KmeansCte
+         |SELECT vec_id, cluster, score,
+         |  CASE WHEN vec_id % 5 = 0 THEN 'ingest' ELSE 'base' END
+         |    AS generation,
+         |  (vec_id % 5 = 0 AND score < 0.5) AS drifted
+         |FROM a2""".stripMargin,
     "emb_ivf_kmeans_topk" ->
       s"""WITH $KmeansCte,
          |q AS (SELECT vec_id AS q_id, cluster AS q_cluster, u AS q_u

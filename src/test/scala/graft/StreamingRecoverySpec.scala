@@ -457,6 +457,88 @@ class StreamingRecoverySpec extends SparkSpec {
       "replaying batch 0 changed the index")
   }
 
+  test("a replayed IVF-cells micro-batch cannot reassign a vector or " +
+      "duplicate it; drift stats are replay-stable") {
+    import spark.implicits._
+    val cellsDir = java.nio.file.Files
+      .createTempDirectory("graft-ivf-replay").toString + "/cells"
+    // fixed TRAINED centroids — the maintenance path serves them,
+    // never retrains
+    val cents = Seq((0L, Seq(1.0, 0.0)), (1L, Seq(0.0, 1.0)))
+      .toDF("cid", "cu")
+    val sink = EventStream
+      .upsertIvfCellsBatch(cellsDir, cents, driftThreshold = 0.9) _
+
+    def cells() = spark.read.parquet(cellsDir)
+      .select("vec_id", "cluster", "score", "drifted", "batch_id")
+      .as[(Long, Long, Double, Boolean, Long)].collect().toSet
+
+    // batch 0: vec 10 → cell 0 (score 1.0, not drifted at 0.9);
+    // vec 11 = [0.6, 0.8] → cell 1 (score 0.8, drifted); vec 13 is
+    // zero-norm and must be dropped, not assigned.
+    sink(Seq((10L, Seq(1.0, 0.0)), (11L, Seq(0.6, 0.8)),
+      (13L, Seq(0.0, 0.0))).toDF("vec_id", "embedding"), 0L)
+    // batch 1: vec 10 RE-OFFERED with bytes that would flip it to
+    // cell 1 — first-wins must keep cell 0; vec 12 is genuinely new.
+    sink(Seq((10L, Seq(0.0, 1.0)), (12L, Seq(0.0, 1.0)))
+      .toDF("vec_id", "embedding"), 1L)
+    val committed = cells()
+    assert(committed == Set(
+      (10L, 0L, 1.0, false, 0L), (11L, 1L, 0.8, true, 0L),
+      (12L, 1L, 1.0, false, 1L)),
+      s"committed cell state wrong: $committed")
+
+    // replay both batches (restart between sink write and checkpoint
+    // commit): byte-identical state — no reassignment, no duplicates
+    sink(Seq((10L, Seq(0.0, 1.0)), (12L, Seq(0.0, 1.0)))
+      .toDF("vec_id", "embedding"), 1L)
+    assert(cells() == committed, "replaying batch 1 changed the cells")
+    sink(Seq((10L, Seq(1.0, 0.0)), (11L, Seq(0.6, 0.8)),
+      (13L, Seq(0.0, 0.0))).toDF("vec_id", "embedding"), 0L)
+    assert(cells() == committed, "replaying batch 0 changed the cells")
+
+    // drift counter: batch 0 had 1 of 2 new vectors below 0.9; batch 1
+    // had 0 of 1 (vec 10's re-offer is not NEW). Replays above must
+    // have overwritten, not appended, the per-batch summaries.
+    val drift = EventStream.ivfDriftStats(spark, cellsDir)
+      .select("batch_id", "n_new", "n_drifted", "drift_share")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(drift == Set((0L, 2L, 1L, 0.5), (1L, 1L, 0L, 0.0)),
+      s"drift stats wrong: $drift")
+  }
+
+  test("IVF maintenance stream restarted from checkpoint equals the " +
+      "first-wins state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val cellsDir = java.nio.file.Files
+      .createTempDirectory("graft-ivf-restart").toString + "/cells"
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-ivf-ckpt").toString
+    val cents = Seq((0L, Seq(1.0, 0.0)), (1L, Seq(0.0, 1.0)))
+      .toDF("cid", "cu")
+    val stream = MemoryStream[(Long, Seq[Double])]
+    def start() = EventStream.ivfCellsMaintenanceStream(
+      stream.toDF().toDF("vec_id", "embedding"), cents, cellsDir, ckpt,
+      driftThreshold = 0.9)
+
+    stream.addData(Seq((10L, Seq(1.0, 0.0)), (11L, Seq(0.6, 0.8))))
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    // restart from the SAME checkpoint; vec 10 re-arrives with flipped
+    // bytes (must keep its cell), vec 12 is new
+    stream.addData(Seq((10L, Seq(0.0, 1.0)), (12L, Seq(0.0, 1.0))))
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+
+    val cells = spark.read.parquet(cellsDir)
+      .select("vec_id", "cluster", "score", "batch_id")
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(cells == Set((10L, 0L, 1.0, 0L), (11L, 1L, 0.8, 0L),
+      (12L, 1L, 1.0, 1L)),
+      s"restarted maintenance state wrong: $cells")
+  }
+
   test("an index directory with no parquet footers reads as empty " +
       "ownership, not a permanent stream failure (r17 ADVICE)") {
     import spark.implicits._

@@ -974,9 +974,21 @@ object GraftOps {
       // serialized disk-spillable blocks + eager release of older round
       // states, so a memory-squeezed run degrades by percent, not 3-7×.
       val rc = new graft.operators.RoundCut()
+      // Small-heap degradation (r17 VERDICT item 5): Catalyst
+      // broadcasts the rank snapshot into the round-loop join at test
+      // scale (it is ~10 MB at sf0.1 — a fine local plan), but under a
+      // ~1 GiB JVM Spark's driver-side broadcast-build guard ABORTS the
+      // query instead of degrading. A heap that small cannot hold the
+      // build budget, so pin the rank side to a shuffle hash join there
+      // — the query then completes (spilling if it must), which is the
+      // graceful floor. Any realistic executor (>2 GiB) keeps the
+      // optimizer's choice; at 100 TB the rank table is cluster-sized
+      // and the co-partitioned shuffle join is the right plan anyway.
+      val tightHeap = Runtime.getRuntime.maxMemory < (3L << 29) // <1.5GiB
       (1 to rounds).foreach { i =>
         val contrib = e
-          .join(pr, col("__src") === col("__id"))
+          .join(if (tightHeap) pr.hint("shuffle_hash") else pr,
+            col("__src") === col("__id"))
           .select(col("__dst"),
             (col("rank") / col("__deg") * 1e15).cast("long").as("__c"))
           .groupBy("__dst")

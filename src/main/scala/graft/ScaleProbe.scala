@@ -27,9 +27,11 @@ import org.apache.spark.sql.functions._
   * could in principle grow with replication) and the salted-band
   * horizon gate (dedup_first_in_horizon's shape).
   *
-  * Usage: runMain graft.ScaleProbe <sfDir> <mult> [repeats]
+  * Usage: runMain graft.ScaleProbe <sfDir> <mult> [repeats] [only]
   * (times are min over repeats of a noop-sink materialization,
-  * same discipline as Bench). */
+  * same discipline as Bench; `only` is a comma list of probe-name
+  * substrings — unmatched probes AND their input materializations are
+  * skipped, so a targeted run doesn't pay the full setup). */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
@@ -41,6 +43,11 @@ object ScaleProbe {
     val mults = (if (args.length > 1) args(1) else "10")
       .split(",").map(_.trim.toInt).toSeq
     val reps = if (args.length > 2) args(2).toInt else 3
+    val only = if (args.length > 3)
+      args(3).split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    else Seq.empty
+    def selected(name: String): Boolean =
+      only.isEmpty || only.exists(name.contains)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -150,11 +157,43 @@ object ScaleProbe {
       dir
     }
 
-    println(s"[scale] sf=$sfDir mults=${mults.mkString(",")} reps=$reps")
+    // TPC-H-shaped corpus (r17 VERDICT item 6): FACTS grow k×, dims
+    // stay fixed — the deployment shape (a fixed entity universe
+    // accumulating k× history). Replica r of an order keeps one order
+    // spine (o_orderkey·k + r) and its lineitems follow the same remap,
+    // so the order⋈lineitem hit rate is constant while per-supplier /
+    // per-part / per-customer groups grow k×. The probed rows run the
+    // REAL registry plans against the grown dir.
+    def tpchDir(k: Int): String = {
+      val dir = s"/tmp/scaleprobe/tpch$k"
+      def rep(df: DataFrame, keyCol: String): DataFrame =
+        if (k == 1) df
+        else df
+          .withColumn("__r", explode(sequence(lit(0), lit(k - 1))))
+          .withColumn(keyCol,
+            (col(keyCol).cast("long") * k + col("__r")))
+          .drop("__r")
+      rep(Tables.lineitem(spark, sfDir), "l_orderkey")
+        .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+      rep(Tables.orders(spark, sfDir), "o_orderkey")
+        .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+      Seq("region", "nation", "customer", "supplier", "part").foreach {
+        t =>
+          spark.read.parquet(s"$sfDir/$t.parquet")
+            .write.mode("overwrite").parquet(s"$dir/$t.parquet")
+      }
+      dir
+    }
+
+    println(s"[scale] sf=$sfDir mults=${mults.mkString(",")} reps=$reps" +
+      (if (only.nonEmpty) s" only=${only.mkString(",")}" else ""))
     val results = (1 +: mults).distinct.sorted.map { k =>
-      val docs = materialize(s"docs$k", replicate(k))
-      val frames = materialize(s"frames$k", frameLike(k))
-      val corpus = corpusDir(k)
+      // All inputs are LAZY: a probe filtered out by `only` never pays
+      // its materialization either.
+      lazy val docs = materialize(s"docs$k", replicate(k))
+      lazy val frames = materialize(s"frames$k", frameLike(k))
+      lazy val corpus = corpusDir(k)
+      lazy val tpch = tpchDir(k)
       // Incremental-CC probe (r14): the INGEST IS FIXED while the
       // corpus grows k× — new docs are replica 0's doc_id%5==0 slice
       // only (id = orig·k, so `id%k==0 && (id/k)%5==0`; at k=1 the
@@ -163,22 +202,22 @@ object ScaleProbe {
       // reads); what's timed is contract → contracted fixpoint →
       // propagate. The contrast row recomputes CC from scratch on the
       // same pair table — incremental must grow strictly slower.
-      val pairsK = materialize(s"pairs$k", graft.api.GraftOps
+      lazy val pairsK = materialize(s"pairs$k", graft.api.GraftOps
         .minhashCandidatePairs(docs, "doc_id", "text"))
       def isNew(name: String) =
         col(name) % k === 0 && expr(s"$name DIV $k") % 5 === 0
-      val newNodesK = materialize(s"newnodes$k",
+      lazy val newNodesK = materialize(s"newnodes$k",
         docs.filter(isNew("doc_id")).select("doc_id"))
-      val deltaK = materialize(s"delta$k", pairsK.filter(
+      lazy val deltaK = materialize(s"delta$k", pairsK.filter(
         isNew("left_id") || isNew("right_id")))
-      val baseLblK = materialize(s"basecc$k",
+      lazy val baseLblK = materialize(s"basecc$k",
         graft.api.GraftOps.connectedComponentsFixpoint(
           docs.filter(!isNew("doc_id")).select("doc_id"), "doc_id",
           pairsK.filter(!isNew("left_id") && !isNew("right_id")),
           "left_id", "right_id")._1)
       // Candidate-vs-output series for the global PPJoin (counts run
       // OUTSIDE any timer; checkpoint blocks dropped after).
-      locally {
+      if (selected("global PPJoin")) {
         val (cands, setPairs, _, _) =
           graft.queries.TextOps.ppjoinGlobalCore(docs)
         val nCand = cands.count()
@@ -189,33 +228,55 @@ object ScaleProbe {
         spark.sparkContext.getPersistentRDDs.values
           .foreach(_.unpersist(blocking = true))
       }
-      k -> Seq(
+      k -> Seq[(String, () => Double)](
         "incremental CC merge (FIXED ingest)" ->
-          time(() => graft.api.GraftOps.incrementalComponents(
+          (() => time(() => graft.api.GraftOps.incrementalComponents(
             baseLblK, "doc_id", newNodesK, deltaK,
-            "left_id", "right_id")),
+            "left_id", "right_id"))),
         "full CC recompute (contrast)" ->
-          time(() => graft.api.GraftOps.connectedComponentsFixpoint(
-            docs.select("doc_id"), "doc_id", pairsK,
-            "left_id", "right_id")._1),
+          (() => time(() => graft.api.GraftOps
+            .connectedComponentsFixpoint(
+              docs.select("doc_id"), "doc_id", pairsK,
+              "left_id", "right_id")._1)),
         "dedup_exact (hash groupBy)" ->
-          time(() => graft.api.GraftOps.dedupExact(docs, "doc_id", "text")),
+          (() => time(() => graft.api.GraftOps
+            .dedupExact(docs, "doc_id", "text"))),
         "minhashCandidatePairs (LSH collect path)" ->
-          time(() => graft.api.GraftOps
-            .minhashCandidatePairs(docs, "doc_id", "text")),
+          (() => time(() => graft.api.GraftOps
+            .minhashCandidatePairs(docs, "doc_id", "text"))),
         "cappedKeyPairCounts (salted join, cap 4096)" ->
-          time(() => graft.api.GraftOps
-            .cappedKeyPairCounts(frames, "fhash", "media_id")),
+          (() => time(() => graft.api.GraftOps
+            .cappedKeyPairCounts(frames, "fhash", "media_id"))),
         "cappedKeyPairCounts (OVER-cap, cap 64)" ->
-          time(() => graft.api.GraftOps
-            .cappedKeyPairCounts(frames, "fhash", "media_id", 64)),
+          (() => time(() => graft.api.GraftOps
+            .cappedKeyPairCounts(frames, "fhash", "media_id", 64))),
         "star edges + fixpoint CC (video keep-best)" ->
-          time(() => starCc(frames)),
+          (() => time(() => starCc(frames))),
         "horizon gate (salted band self-join)" ->
-          time(() => horizonGate(docs)),
+          (() => time(() => horizonGate(docs))),
         "emb_ivf_pq (probe + ADC, real registry plan)" ->
-          time(() => graft.queries.Similarity
-            .queries("emb_ivf_pq")(spark, corpus)),
+          (() => time(() => graft.queries.Similarity
+            .queries("emb_ivf_pq")(spark, corpus))),
+        // The heaviest RELATIONAL shapes (r17 VERDICT item 6): the
+        // three TPC-H-shaped registry joins get fitted exponents like
+        // the dedup/graph backbones, on k×-history fact tables over a
+        // fixed dim universe. q9: fact ⋈ three broadcast dims + group
+        // on (nation, year) — should track the scan, ~k. q18: self-agg
+        // on l_orderkey then order/customer joins — order COUNT grows
+        // k×, per-order group size fixed, ~k. q21: the triple
+        // lineitem self-join (semi + anti on l_orderkey) — per-order
+        // fan-in fixed, key count grows, ~k. Super-linear growth in
+        // any of them means a join side stopped partitioning on the
+        // grown key.
+        "q9_product_profit (real registry plan)" ->
+          (() => time(() => SparkEntry
+            .queries("q9_product_profit")(spark, tpch))),
+        "q18_large_orders (real registry plan)" ->
+          (() => time(() => SparkEntry
+            .queries("q18_large_orders")(spark, tpch))),
+        "q21_waiting_supplier (real registry plan)" ->
+          (() => time(() => SparkEntry
+            .queries("q21_waiting_supplier")(spark, tpch))),
         // Disorder spine (r14 VERDICT item 3): FIXED row count, id
         // RANGE grown k× (event_id·k keeps arrival order and the
         // lateness result identical). Under the old fixed DIV 4096 the
@@ -223,13 +284,13 @@ object ScaleProbe {
         // range-derived divisor pins it ≤4096 rows, so this row must
         // stay FLAT (growth ≈ 1) — the one probe where "linear" would
         // be a regression.
-        "disorder spine (FIXED rows, kx id range)" -> {
+        "disorder spine (FIXED rows, kx id range)" -> (() => {
           val evK = materialize(s"ev$k", evBase.select(
             (col("event_id") * k).cast("long").as("event_id"),
             col("ts_us")))
           time(() => graft.api.GraftOps
             .disorderReport(evK, "event_id", "ts_us"))
-        },
+        }),
         // Global PPJoin (r15 VERDICT item 2): the slowest registered
         // query gets its replication row. Candidate rows (set pairs
         // surviving collapse+prefix+positional+length, BEFORE verify)
@@ -241,7 +302,10 @@ object ScaleProbe {
         // outgrow it (candidate/output ratio ~flat), and the time row
         // here is the full doc-pair expansion.
         "global PPJoin (collapse+prefix+positional)" ->
-          time(() => graft.queries.TextOps.ppjoinGlobalPairs(docs)))
+          (() => time(() =>
+            graft.queries.TextOps.ppjoinGlobalPairs(docs))))
+        .filter(p => selected(p._1))
+        .map { case (n, thunk) => n -> thunk() }
     }
     val ks = results.map(_._1)
     val byName = results.map { case (k, rows) => k -> rows.toMap }.toMap

@@ -7,13 +7,16 @@ import scala.jdk.CollectionConverters._
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
-import org.apache.spark.sql.sources.DataSourceRegister
-import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
 
 /** DataSource V2 document-collection sink — `format("graft-docs")`
   * (r17 VERDICT item 3).
@@ -62,12 +65,21 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * FileFormatWriter commit pays), and nothing funnels data through the
   * driver. Single-writer per (path, batch id), like every
   * non-transactional file sink.
+  *
+  * Reads (`spark.read.format("graft-docs")`): one input partition per
+  * committed file, with COLUMN PRUNING and `batch_id` PARTITION
+  * PRUNING pushed into the scan — a batch_id predicate is resolved
+  * against directory names on the driver, so "read since horizon"
+  * never lists or opens the store's older history; `_id`/`doc`
+  * predicates are declined and re-evaluated by Spark post-scan.
   */
 class GraftDocsProvider extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-docs"
 
+  // Reads surface the batch_id layout as a partition column, exactly
+  // like the parquet/json file sources do for `k=v` directories.
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    GraftDocs.Schema
+    GraftDocs.ReadSchema
 
   // The store's schema is FIXED; reject anything else at plan time so a
   // wrong projection fails on the driver, not as malformed store rows.
@@ -75,13 +87,21 @@ class GraftDocsProvider extends TableProvider with DataSourceRegister {
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: java.util.Map[String, String]): Table = {
-    require(schema.fields.map(f => (f.name, f.dataType)).toSeq ==
-      GraftDocs.Schema.fields.map(f => (f.name, f.dataType)).toSeq,
-      s"graft-docs writes exactly (_id STRING, doc STRING); got $schema")
+    def shape(s: StructType) = s.fields.map(f => (f.name, f.dataType)).toSeq
+    // Writes arrive with the store schema; reads with the store schema
+    // plus the batch_id partition column. Anything else is a caller
+    // bug — fail at plan time, not as malformed store rows.
+    require(shape(schema) == shape(GraftDocs.Schema) ||
+      shape(schema) == shape(GraftDocs.ReadSchema),
+      s"graft-docs serves (_id STRING, doc STRING[, batch_id BIGINT]); " +
+        s"got $schema")
     val path = Option(properties.get("path")).getOrElse(
       throw new IllegalArgumentException(
         "graft-docs requires the 'path' option"))
-    new GraftDocsTable(path)
+    // The table carries the schema Spark resolved for THIS use: the
+    // 2-column write shape for AppendData by-name resolution, the
+    // 3-column read shape for scans.
+    new GraftDocsTable(path, schema)
   }
 }
 
@@ -89,6 +109,36 @@ private[sinks] object GraftDocs {
   val Schema: StructType = StructType(Seq(
     StructField("_id", StringType, nullable = false),
     StructField("doc", StringType, nullable = true)))
+
+  /** Read-side schema: the store columns plus the `batch_id` partition
+    * column the commit layout provides for free. */
+  val ReadSchema: StructType =
+    Schema.add(StructField("batch_id", LongType, nullable = false))
+
+  /** Committed batch directories under `path`, optionally pruned by
+    * the pushed batch_id predicates — the partition-pruning this
+    * layout exists for: a predicate like `batch_id >= horizon` lists
+    * and reads ONLY the matching directories, never the store's full
+    * history. */
+  def committedBatches(conf: Configuration, path: String,
+      pruners: Seq[Long => Boolean]): Seq[(Long, Seq[String])] = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(conf)
+    if (!fs.exists(root)) return Seq.empty
+    fs.listStatus(root).toSeq
+      .filter(st => st.isDirectory &&
+        st.getPath.getName.startsWith("batch_id="))
+      .flatMap { dir =>
+        scala.util.Try(
+            dir.getPath.getName.stripPrefix("batch_id=").toLong)
+          .toOption
+          .filter(id => pruners.forall(p => p(id)))
+          .map(id => id -> fs.listStatus(dir.getPath).toSeq
+            .filter(f => f.isFile && f.getPath.getName.endsWith(".jsonl"))
+            .map(_.getPath.toString))
+      }
+      .sortBy(_._1)
+  }
 
   /** Minimal JSON string escaping (quote, backslash, control chars) —
     * the doc payload is itself a JSON string VALUE on the wire, so it
@@ -159,14 +209,24 @@ private[sinks] class SerializableHadoopConf(
   }
 }
 
-private[sinks] class GraftDocsTable(path: String)
-    extends Table with SupportsWrite {
+private[sinks] class GraftDocsTable(path: String,
+    tableSchema: StructType) extends Table
+    with SupportsWrite with SupportsRead {
   override def name(): String = s"graft-docs(`$path`)"
-  override def schema(): StructType = GraftDocs.Schema
+  override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
-    Set(TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.STREAMING_WRITE).asJava
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap)
+      : ScanBuilder =
+    new GraftDocsScanBuilder(path, tableSchema)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    require(info.schema().fields.map(f => (f.name, f.dataType)).toSeq ==
+      GraftDocs.Schema.fields.map(f => (f.name, f.dataType)).toSeq,
+      s"graft-docs writes exactly (_id STRING, doc STRING) — batch_id " +
+        s"is commit-assigned, never caller-supplied; got ${info.schema()}")
     val batchId = Option(info.options.get("batchId")).map(_.toLong)
       .getOrElse(0L)
     new WriteBuilder {
@@ -285,4 +345,117 @@ private[sinks] class GraftDocsWriter(conf: Configuration, stagingDir: String,
 
   override def close(): Unit =
     try writer.close() catch { case _: Exception => () }
+}
+
+/** Read side of the connector: column pruning plus PARTITION PRUNING
+  * on `batch_id` — the two pushdowns that matter for this layout. A
+  * `batch_id` comparison/IN predicate is resolved against directory
+  * NAMES on the driver (no data touched, claimed as fully pushed so
+  * Spark never re-evaluates it); `_id`/`doc` predicates are declined
+  * and stay post-scan. At 100 TB the batch axis is the store's time
+  * axis, so "read since horizon" scans only the matching directories. */
+private[sinks] class GraftDocsScanBuilder(path: String,
+    tableSchema: StructType) extends ScanBuilder
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+  private var required: StructType = tableSchema
+  private var pushed: Array[Filter] = Array.empty
+
+  private def batchIdPruner(f: Filter): Option[Long => Boolean] =
+    f match {
+      case EqualTo("batch_id", v: Long) => Some(_ == v)
+      case GreaterThan("batch_id", v: Long) => Some(_ > v)
+      case GreaterThanOrEqual("batch_id", v: Long) => Some(_ >= v)
+      case LessThan("batch_id", v: Long) => Some(_ < v)
+      case LessThanOrEqual("batch_id", v: Long) => Some(_ <= v)
+      case In("batch_id", vs) if vs.forall(_.isInstanceOf[Long]) =>
+        val set = vs.map(_.asInstanceOf[Long]).toSet
+        Some(set.contains)
+      case _ => None
+    }
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (prunable, residual) =
+      filters.partition(f => batchIdPruner(f).isDefined)
+    pushed = prunable
+    residual // Spark re-evaluates these after the scan
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan =
+    new GraftDocsScan(path, required,
+      pushed.flatMap(batchIdPruner).toSeq)
+}
+
+private[sinks] case class GraftDocsInputPartition(file: String,
+    batchId: Long) extends InputPartition
+
+private[sinks] class GraftDocsScan(path: String, required: StructType,
+    pruners: Seq[Long => Boolean]) extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-docs(`$path`) PushedBatchIdPredicates: ${pruners.size}"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val conf = org.apache.spark.sql.SparkSession.active
+      .sparkContext.hadoopConfiguration
+    GraftDocs.committedBatches(conf, path, pruners).flatMap {
+      case (id, files) => files.map(GraftDocsInputPartition(_, id))
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftDocsReaderFactory(
+      new SerializableHadoopConf(org.apache.spark.sql.SparkSession.active
+        .sparkContext.hadoopConfiguration),
+      required.fields.map(_.name))
+}
+
+private[sinks] class GraftDocsReaderFactory(conf: SerializableHadoopConf,
+    columns: Array[String]) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition)
+      : PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[GraftDocsInputPartition]
+    new GraftDocsPartitionReader(conf.value, p.file, p.batchId, columns)
+  }
+}
+
+/** Streams one staged-then-committed JSONL file; each line is the
+  * writer's own `{"_id": ..., "doc": ...}` wire format (parsed with
+  * Jackson — the writer's escaping round-trips exactly). */
+private[sinks] class GraftDocsPartitionReader(conf: Configuration,
+    file: String, batchId: Long, columns: Array[String])
+    extends PartitionReader[InternalRow] {
+  private val reader = new java.io.BufferedReader(
+    new java.io.InputStreamReader(
+      new Path(file).getFileSystem(conf).open(new Path(file)),
+      java.nio.charset.StandardCharsets.UTF_8))
+  private val mapper =
+    new com.fasterxml.jackson.databind.ObjectMapper()
+  private var line: String = _
+
+  override def next(): Boolean = {
+    line = reader.readLine()
+    line != null
+  }
+
+  override def get(): InternalRow = {
+    val node = mapper.readTree(line)
+    new GenericInternalRow(columns.map {
+      case "_id" => UTF8String.fromString(node.get("_id").asText())
+      case "doc" =>
+        val d = node.get("doc")
+        if (d == null || d.isNull) null
+        else UTF8String.fromString(d.asText())
+      case "batch_id" => batchId
+      case other => throw new IllegalStateException(
+        s"graft-docs scan: unknown column $other")
+    }.asInstanceOf[Array[Any]])
+  }
+
+  override def close(): Unit = reader.close()
 }

@@ -79,7 +79,7 @@ class DocStoreV2Spec extends SparkSpec {
         .write.format("graft-docs").option("path", store)
         .mode("append").save()
     }
-    assert(e.getMessage.contains("graft-docs writes exactly"),
+    assert(e.getMessage.contains("graft-docs serves"),
       s"wrong error: ${e.getMessage}")
     val e2 = intercept[Exception] {
       Seq(("a", "x")).toDF("_id", "doc")
@@ -115,6 +115,54 @@ class DocStoreV2Spec extends SparkSpec {
     assert(rows == Set(("s1", "d1", 0L), ("s2", "d2", 0L),
       ("s3", "d3", 1L)),
       s"restarted stream state wrong: $rows")
+  }
+
+  test("native read path: equals the raw-JSON read, prunes batch_id " +
+      "partitions at the directory level, prunes columns, and keeps " +
+      "_id predicates post-scan") {
+    val store = tmp("graft-docs-read")
+    for (b <- 0L to 2L)
+      Seq((s"id-$b-1", s"doc-$b-1"), (s"id-$b-2", "x\n\"y\\z"))
+        .toDF("_id", "doc")
+        .write.format("graft-docs")
+        .option("path", store).option("batchId", b)
+        .mode("append").save()
+
+    // full native read == the schema'd json read of the same layout
+    val native = spark.read.format("graft-docs").load(store)
+    assert(native.schema.fieldNames.toSeq ==
+      Seq("_id", "doc", "batch_id"))
+    assert(native.as[(String, String, Long)].collect().toSet ==
+      readStore(store).as[(String, String, Long)].collect().toSet)
+
+    // batch_id >= 1 must plan only the two matching directories'
+    // files — pruning happens in planInputPartitions, not post-scan
+    val pruned = native.filter(col("batch_id") >= 1L)
+    val scans = pruned.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2
+        .BatchScanExec => b
+    }
+    assert(scans.nonEmpty, "no BatchScanExec in the native read plan")
+    val all = native.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2
+        .BatchScanExec => b
+    }
+    assert(scans.head.inputPartitions.size <
+      all.head.inputPartitions.size,
+      s"batch_id predicate did not prune partitions " +
+        s"(${scans.head.inputPartitions.size} of " +
+        s"${all.head.inputPartitions.size})")
+    assert(pruned.select("batch_id").distinct.as[Long].collect()
+      .toSet == Set(1L, 2L))
+
+    // column pruning: a projection narrower than the store schema
+    assert(spark.read.format("graft-docs").load(store)
+      .select("_id").as[String].collect().toSet ==
+      (for (b <- 0 to 2; i <- 1 to 2) yield s"id-$b-$i").toSet)
+
+    // a declined (_id) predicate still evaluates correctly post-scan
+    assert(native.filter(col("_id") === "id-1-2")
+      .select("doc").as[String].collect().toSeq == Seq("x\n\"y\\z"))
   }
 
   test("ImportJob writes through the connector: same ids and payload " +

@@ -105,7 +105,7 @@ class GraftDocsProvider extends TableProvider with DataSourceRegister {
   }
 }
 
-private[sinks] object GraftDocs {
+private[graft] object GraftDocs {
   val Schema: StructType = StructType(Seq(
     StructField("_id", StringType, nullable = false),
     StructField("doc", StringType, nullable = true)))

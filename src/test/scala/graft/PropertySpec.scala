@@ -334,4 +334,26 @@ class PropertySpec extends SparkSpec {
     }
     assert(qualifying > 0, "no threshold/corpus produced pairs")
   }
+
+  test("graft-docs wire format round-trips arbitrary unicode strings " +
+      "through the writer's escaping and the reader's Jackson parse") {
+    // The connector's writer emits hand-escaped JSONL and the scan
+    // parses it with Jackson — the two must agree on EVERY string, not
+    // just the ones the suite happens to write. Exercise the exact
+    // wire line the writer builds (DocStoreV2's write()) against the
+    // exact parse the reader does (readTree + asText).
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val hostile = Gen.listOfN(12, Gen.oneOf(
+      Gen.alphaNumStr.map(_.take(8)),
+      Gen.oneOf("\"", "\\", "\n", "\r", "\t", " ", "",
+        "{\"k\":1}", "\\u0041", "∑unicode≠", "a\"b\\c\nd")))
+      .map(_.mkString)
+    cases(hostile, 150).foreach { s =>
+      val line =
+        s"""{"_id":"${graft.sinks.GraftDocs.jsonEscape("id")}","doc":"${graft.sinks.GraftDocs.jsonEscape(s)}"}"""
+      val node = mapper.readTree(line)
+      assert(node.get("doc").asText() == s,
+        s"round-trip mismatch for ${s.map(_.toInt).mkString(",")}")
+    }
+  }
 }

@@ -64,6 +64,22 @@ object Demo {
     println(s"[demo] sinks: $nJson json docs written; " +
       s"$nIds distinct _ids in collection")
 
+    // DataSource V2 connector round-trip: write two batches through
+    // format("graft-docs"), read back with a batch_id predicate that
+    // prunes at the directory level.
+    val pay = struct(members.columns.toIndexedSeq.map(col): _*)
+    val docsDf = members.select(
+      sinks.Sinks.docId(pay).as("_id"), to_json(pay).as("doc"))
+    for (b <- 0L to 1L)
+      docsDf.write.format("graft-docs")
+        .option("path", s"$outDir/members_v2").option("batchId", b)
+        .mode("append").save()
+    val sinceB1 = spark.read.format("graft-docs")
+      .load(s"$outDir/members_v2")
+      .filter(col("batch_id") >= 1L).count()
+    println(s"[demo] graft-docs connector: wrote 2 batches, " +
+      s"since-horizon read returned $sinceB1 docs")
+
     // Scale ops: salted join parity on a skewed key distribution.
     val li = Tables.lineitem(spark, sfDir)
     val su = Tables.supplier(spark, sfDir)

@@ -11,6 +11,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual}
@@ -72,6 +73,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * against directory names on the driver, so "read since horizon"
   * never lists or opens the store's older history; `_id`/`doc`
   * predicates are declined and re-evaluated by Spark post-scan.
+  *
+  * Streaming reads (`spark.readStream.format("graft-docs")`): the
+  * commit layout doubles as a changelog — each committed batch is one
+  * offset unit, so a stream TAILS the store exactly-once across
+  * restarts (offsets checkpoint as plain batch ids).
   */
 class GraftDocsProvider extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-docs"
@@ -215,8 +221,8 @@ private[sinks] class GraftDocsTable(path: String,
   override def name(): String = s"graft-docs(`$path`)"
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.STREAMING_WRITE).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap)
       : ScanBuilder =
@@ -400,6 +406,18 @@ private[sinks] class GraftDocsScan(path: String, required: StructType,
   override def description(): String =
     s"graft-docs(`$path`) PushedBatchIdPredicates: ${pruners.size}"
 
+  /** Streaming read — TAIL the store: each committed `batch_id=`
+    * directory is one source offset unit, so the store's write-side
+    * commit log IS the read-side changelog (the CDC shape a doc-store
+    * connector serves). Offsets are exclusive upper batch ids;
+    * `latestOffset` lists directory NAMES only. Committed batches are
+    * immutable under the single-writer contract (a replayed writer
+    * epoch reproduces its partition byte-for-byte), which is what
+    * makes re-reading a planned range after a crash deterministic. */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : MicroBatchStream =
+    new GraftDocsMicroBatchStream(path, required, pruners)
+
   override def planInputPartitions(): Array[InputPartition] = {
     val conf = org.apache.spark.sql.SparkSession.active
       .sparkContext.hadoopConfiguration
@@ -413,6 +431,49 @@ private[sinks] class GraftDocsScan(path: String, required: StructType,
       new SerializableHadoopConf(org.apache.spark.sql.SparkSession.active
         .sparkContext.hadoopConfiguration),
       required.fields.map(_.name))
+}
+
+private[sinks] case class GraftDocsOffset(nextBatchId: Long)
+    extends Offset {
+  override def json(): String = nextBatchId.toString
+}
+
+private[sinks] class GraftDocsMicroBatchStream(path: String,
+    required: StructType, pruners: Seq[Long => Boolean])
+    extends MicroBatchStream {
+  private val conf = org.apache.spark.sql.SparkSession.active
+    .sparkContext.hadoopConfiguration
+
+  override def initialOffset(): Offset = GraftDocsOffset(0L)
+
+  override def latestOffset(): Offset = {
+    val ids = GraftDocs.committedBatches(conf, path, Seq.empty)
+      .map(_._1)
+    GraftDocsOffset(if (ids.isEmpty) 0L else ids.max + 1L)
+  }
+
+  override def planInputPartitions(start: Offset, end: Offset)
+      : Array[InputPartition] = {
+    val lo = start.asInstanceOf[GraftDocsOffset].nextBatchId
+    val hi = end.asInstanceOf[GraftDocsOffset].nextBatchId
+    // Any pushed batch_id predicates compose with the offset range —
+    // a filtered tail reads even fewer directories.
+    val rangePruners = pruners ++
+      Seq[Long => Boolean](id => id >= lo && id < hi)
+    GraftDocs.committedBatches(conf, path, rangePruners).flatMap {
+      case (id, files) => files.map(GraftDocsInputPartition(_, id))
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftDocsReaderFactory(new SerializableHadoopConf(conf),
+      required.fields.map(_.name))
+
+  override def deserializeOffset(json: String): Offset =
+    GraftDocsOffset(json.trim.toLong)
+
+  override def commit(end: Offset): Unit = () // nothing store-side
+  override def stop(): Unit = ()
 }
 
 private[sinks] class GraftDocsReaderFactory(conf: SerializableHadoopConf,

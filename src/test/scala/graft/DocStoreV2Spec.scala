@@ -165,6 +165,42 @@ class DocStoreV2Spec extends SparkSpec {
       .select("doc").as[String].collect().toSeq == Seq("x\n\"y\\z"))
   }
 
+  test("streaming read tails committed batches exactly once across a " +
+      "restart from checkpoint") {
+    val store = tmp("graft-docs-tail")
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-docs-tail-ckpt").toString
+    val out = java.nio.file.Files
+      .createTempDirectory("graft-docs-tail-out").toString
+    def writeBatch(ids: Seq[String], b: Long): Unit =
+      ids.map(i => (i, s"d-$i")).toDF("_id", "doc")
+        .write.format("graft-docs")
+        .option("path", store).option("batchId", b)
+        .mode("append").save()
+    def start() = spark.readStream.format("graft-docs").load(store)
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .start()
+
+    // phase 1: two committed batches exist before the stream starts
+    writeBatch(Seq("t0"), 0L)
+    writeBatch(Seq("t1"), 1L)
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    assert(spark.read.parquet(out).select("_id").as[String]
+      .collect().toSet == Set("t0", "t1"))
+
+    // phase 2: a batch lands while the stream is DOWN; the restart
+    // must emit exactly it — never re-emit the checkpointed range
+    writeBatch(Seq("t2"), 2L)
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    val rows = spark.read.parquet(out)
+      .select("_id", "batch_id").as[(String, Long)].collect().toSeq
+    assert(rows.sorted == Seq(("t0", 0L), ("t1", 1L), ("t2", 2L)),
+      s"restarted tail emitted $rows")
+  }
+
   test("ImportJob writes through the connector: same ids and payload " +
       "bytes as the adapter path, replayed batch idempotent") {
     val d = "/root/testdata/sf0.001"

@@ -255,11 +255,33 @@ object Bench {
         while (repeatBase > 1 && extra < 4 && minVsRefTooHigh) {
           runs = runs :+ oneRun(name, fn); extra += 1
         }
+        // Micro-pin escalation (r18 VERDICT item 2): the branch above
+        // requires pin > 0.05 s, so a micro-pin query at 7x its 29 ms
+        // pin got the minimum 2 repeats and its outlier ratio was
+        // displayed (micro_drift_max) but never re-measured. Micro
+        // outliers — ratio > 3x AND > 50 ms absolute over the pin, so
+        // this host's 0.08-0.14 s scheduler floor on trivial queries
+        // can't flag — now spend up to 2 extra repeats and join the
+        // end-of-run quiet re-measure below, same chain as the big
+        // pins; they still do NOT enter inflated_vs_ref/contention
+        // flags (absolute cost of the whole class is < 1 s).
+        def minVsMicroRefTooHigh: Boolean = {
+          val ok = runs.filter(_._2).map(_._1)
+          ok.nonEmpty && refMins.get(name)
+            .exists(r => r > 0 && r <= 0.05 && ok.min / r > 3.0 &&
+              ok.min - r > 0.05)
+        }
+        while (repeatBase > 1 && extra < 4 && minVsMicroRefTooHigh) {
+          runs = runs :+ oneRun(name, fn); extra += 1
+        }
         name -> QStat(runs, execIdx, lPre, mPre, extra)
     }
     def isInflated(name: String, s: QStat): Boolean =
       refMins.get(name).exists(r => r > 0.05 &&
         s.min / r > 1.5 && s.min - r > slackFor(r))
+    def isMicroOutlier(name: String, s: QStat): Boolean =
+      refMins.get(name).exists(r => r > 0 && r <= 0.05 &&
+        s.min / r > 3.0 && s.min - r > 0.05)
     // END-OF-RUN RE-ADJUDICATION (r16 VERDICT item 1): the per-query
     // escalations above re-measure a query IMMEDIATELY, while the
     // co-tenant blip that inflated it is often still running — r16's
@@ -278,7 +300,10 @@ object Bench {
     def fmt0(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
     val results: Seq[(String, QStat)] = {
-      val flaggedNow = swept.filter { case (n, s) => isInflated(n, s) }
+      // Micro-pin outliers share the quiet re-measure (r18 VERDICT
+      // item 2) — adjudication, not just the visibility r18 added.
+      val flaggedNow = swept.filter { case (n, s) =>
+        isInflated(n, s) || isMicroOutlier(n, s) }
       if (flaggedNow.isEmpty || repeatBase == 1) swept
       else {
         val quietLoad = sys.env.getOrElse(
@@ -415,6 +440,15 @@ object Bench {
     val suspectJson = inflated.map { case (k, r) =>
       "\"" + k + "\":" + fmt(r)
     }.mkString("{", ",", "}")
+    // Micro-pin outliers still standing AFTER their escalation +
+    // quiet re-measure — recorded separately from inflated_vs_ref
+    // (they never feed the contention flag; sum of the whole class's
+    // pins is < 1 s), so a persistent micro regression is visible by
+    // name, not only as micro_drift_max.
+    val microOutlierJson = results.collect {
+      case (k, s) if isMicroOutlier(k, s) => "\"" + k + "\":" +
+        fmt(s.min / refMins(k))
+    }.mkString("{", ",", "}")
     java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_full.json"),
       s"""{"total":$total,"sf":"$sfDir","load1_start":$loadStart,""" +
         s""""load1_max":$loadMax,"load1_end":$load1,""" +
@@ -424,6 +458,7 @@ object Bench {
         s""""drift_p50":${fmt(driftP50)},"drift_max":${fmt(driftMax)},""" +
         s""""micro_drift_p50":${fmt(microP50)},""" +
         s""""micro_drift_max":${fmt(microMax)},""" +
+        s""""micro_outliers":$microOutlierJson,""" +
         s""""ref_queries":${refMins.size},""" +
         s""""queries":$full}""" + "\n")
     // Generated registry index (r10 VERDICT item 7): one line per

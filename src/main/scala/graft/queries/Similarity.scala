@@ -393,20 +393,32 @@ object Similarity {
     // `EventStream.upsertIvfCellsBatch` (r17 VERDICT item 4) and the
     // ANN analogue of idx_band_upsert: vectors already in the stored
     // cell table (vec_id % 5 != 0 stands in for the indexed corpus)
-    // keep their cells under FIRST-WINS per vec_id; an ingest batch
-    // (% 5 == 0) is assigned against the STORED centroids — serving,
-    // not retraining — and only genuinely new ids insert (anti-join on
-    // vec_id, the partition-pruned probe shape at 100 TB). `drifted`
+    // keep their cells under FIRST-WINS per vec_id; an ingest batch is
+    // assigned against the STORED centroids — serving, not retraining
+    // — and only genuinely new ids insert (anti-join on vec_id, the
+    // partition-pruned probe shape at 100 TB). The ingest OFFERS
+    // overlap the base generation (r18 VERDICT item 5: disjoint
+    // generations made the anti-join vacuous): ids with % 7 == 0 that
+    // the base already owns are re-offered carrying a deliberately
+    // PERTURBED assignment (cluster+100, score −1), so if the
+    // keep-existing rule were violated the perturbed values would
+    // leak into the output and break the hash — the DuckDB twin must
+    // reproduce first-wins, not just the assignment math. `drifted`
     // is the retrain-trigger signal: an ingest vector whose best-cell
     // score fell below the threshold no longer belongs to any trained
-    // cell. The DuckDB oracle recomputes the full assignment
-    // independently, pinning that the maintenance path's assignments
-    // are byte-identical to the stored-core ones.
+    // cell.
     "idx_ivf_upsert" -> ((s, d) => {
       val cells = storedCells(s, d) // the stored trained index
         .select(col("vec_id"), col("cluster"), col("score"))
       val base = cells.filter(col("vec_id") % 5 =!= 0)
-      val fresh = cells.filter(col("vec_id") % 5 === 0)
+      val offers = cells
+        .filter(col("vec_id") % 5 === 0 || col("vec_id") % 7 === 0)
+        .select(col("vec_id"),
+          when(col("vec_id") % 5 =!= 0, col("cluster") + 100L)
+            .otherwise(col("cluster")).as("cluster"),
+          when(col("vec_id") % 5 =!= 0, lit(-1.0))
+            .otherwise(col("score")).as("score"))
+      val fresh = offers
         .join(base.select("vec_id"), Seq("vec_id"), "left_anti")
       base.withColumn("generation", lit("base"))
         .unionByName(fresh.withColumn("generation", lit("ingest")))
@@ -1134,15 +1146,86 @@ object Similarity {
   private val ServedK = 4
   private val ServedIters = 1
 
+  /** Served-index VERSION register + the retrain hook that CONSUMES
+    * the drift signal (r18 VERDICT item 6): `ivfDriftStats` is the
+    * per-batch summary [[graft.streaming.EventStream.upsertIvfCellsBatch]]
+    * maintains; until now nothing acted on it. The core keys embed a
+    * serving version alongside k/iters, so a retrain builds the new
+    * centroid/cell frames under the NEXT version's keys and swaps the
+    * pointer — in-flight readers holding the old DataFrames keep
+    * reading the old, still-alive cores (key-versioned swap, never an
+    * in-place mutation), while every subsequent probe plans against
+    * the new ones. Replay-safe: the trigger is keyed to the newest
+    * drift batch id, so a replayed/repeated evaluation of the same
+    * signal window cannot double-retrain. */
+  private object IvfServing {
+    private val versions =
+      scala.collection.concurrent.TrieMap.empty[String, Long]
+    private val lastTrigger =
+      scala.collection.concurrent.TrieMap.empty[String, Long]
+    private def key(s: SparkSession, d: String): String =
+      s"${System.identityHashCode(s)}:$d"
+    def current(s: SparkSession, d: String): Long =
+      versions.getOrElse(key(s, d), 0L)
+    def bumpIfFresh(s: SparkSession, d: String, triggerBatch: Long)
+        : Boolean = synchronized {
+      val k = key(s, d)
+      if (lastTrigger.get(k).exists(_ >= triggerBatch)) false
+      else {
+        lastTrigger.put(k, triggerBatch)
+        versions.put(k, current(s, d) + 1L)
+        true
+      }
+    }
+  }
+
+  /** The serving version the stored IVF cores currently carry —
+    * bumped only by [[maybeRetrainIvf]]. */
+  def servedIvfVersion(s: SparkSession, d: String): Long =
+    IvfServing.current(s, d)
+
+  /** Retrain-if-drifted (r18 VERDICT item 6): pool the trailing-k
+    * drift summaries (newest first — the one-row-per-batch frames the
+    * maintenance stream writes under `cellsPath/_drift`); when the
+    * pooled share of new vectors scoring below their cell threshold
+    * reaches `threshold`, rebuild centroids+cells under the next
+    * version's keys and swap. Returns whether a retrain happened.
+    * The collect is bounded: trailingK pre-aggregated one-row
+    * summaries, never vector data. */
+  def maybeRetrainIvf(s: SparkSession, d: String, cellsPath: String,
+      threshold: Double = 0.5, trailingK: Int = 3): Boolean = {
+    val row = graft.streaming.EventStream.ivfDriftStats(s, cellsPath)
+      .limit(trailingK)
+      .agg(coalesce(sum(col("n_drifted")), lit(0L)).cast("double")
+          .as("nd"),
+        coalesce(sum(col("n_new")), lit(0L)).cast("double").as("nn"),
+        max(col("batch_id")).cast("long").as("mb"))
+      .collect()(0)
+    if (row.isNullAt(2)) return false // no drift history yet
+    val share = if (row.getDouble(1) > 0) row.getDouble(0) / row.getDouble(1)
+      else 0.0
+    if (share < threshold) false
+    else if (!IvfServing.bumpIfFresh(s, d, row.getLong(2))) false
+    else {
+      // Eager rebuild under the new keys: the swap is complete before
+      // this returns, so the next probe serves the retrained index.
+      storedCentroids(s, d)
+      storedCells(s, d)
+      true
+    }
+  }
+
   private def storedCentroids(s: SparkSession, d: String): DataFrame =
     graft.operators.SharedStage(s,
-      s"ivfCentroids:$d:k=$ServedK:iters=$ServedIters") {
+      s"ivfCentroids:$d:k=$ServedK:iters=$ServedIters" +
+        s":v=${IvfServing.current(s, d)}") {
       kmeansCentroids(s, d, ServedK)
     }
 
   private def storedCells(s: SparkSession, d: String): DataFrame =
     graft.operators.SharedStage(s,
-      s"ivfCells:$d:k=$ServedK:iters=$ServedIters") {
+      s"ivfCells:$d:k=$ServedK:iters=$ServedIters" +
+        s":v=${IvfServing.current(s, d)}") {
       kmeansAssign(s, d, ServedK)
     }
 
@@ -1494,12 +1577,22 @@ object Similarity {
       s"""WITH $KmeansCte
          |SELECT vec_id, cluster, score FROM a2""".stripMargin,
     "idx_ivf_upsert" ->
-      s"""WITH $KmeansCte
-         |SELECT vec_id, cluster, score,
-         |  CASE WHEN vec_id % 5 = 0 THEN 'ingest' ELSE 'base' END
-         |    AS generation,
-         |  (vec_id % 5 = 0 AND score < 0.5) AS drifted
-         |FROM a2""".stripMargin,
+      s"""WITH $KmeansCte,
+         |b AS (SELECT vec_id, cluster, score FROM a2
+         |  WHERE vec_id % 5 <> 0),
+         |o AS (SELECT vec_id,
+         |    CASE WHEN vec_id % 5 <> 0 THEN cluster + 100
+         |      ELSE cluster END AS cluster,
+         |    CASE WHEN vec_id % 5 <> 0 THEN CAST(-1.0 AS DOUBLE)
+         |      ELSE score END AS score
+         |  FROM a2 WHERE vec_id % 5 = 0 OR vec_id % 7 = 0),
+         |f AS (SELECT * FROM o
+         |  WHERE vec_id NOT IN (SELECT vec_id FROM b))
+         |SELECT vec_id, cluster, score, 'base' AS generation,
+         |  FALSE AS drifted FROM b
+         |UNION ALL
+         |SELECT vec_id, cluster, score, 'ingest' AS generation,
+         |  score < 0.5 AS drifted FROM f""".stripMargin,
     "emb_ivf_kmeans_topk" ->
       s"""WITH $KmeansCte,
          |q AS (SELECT vec_id AS q_id, cluster AS q_cluster, u AS q_u

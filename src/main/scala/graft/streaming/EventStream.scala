@@ -260,11 +260,17 @@ object EventStream {
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("batch_id")
       .parquet(cellsPath)
+    // Global agg, not groupBy(batch_id): a batch whose vectors are all
+    // re-offers or zero-norm has NO fresh rows, and a groupBy would
+    // emit no summary at all — a stream dominated by re-offered ids
+    // would look healthy instead of stagnant (r18 ADVICE). The global
+    // agg yields exactly one row per processed batch (n_new = 0
+    // included), stamped with the literal batch id.
     fresh
-      .groupBy("batch_id")
       .agg(count(lit(1)).as("n_new"),
-        sum(when(col("drifted"), 1L).otherwise(0L)).as("n_drifted"))
-      .select(col("batch_id"), col("n_new"), col("n_drifted"),
+        coalesce(sum(when(col("drifted"), 1L).otherwise(0L)), lit(0L))
+          .as("n_drifted"))
+      .select(lit(batchId).as("batch_id"), col("n_new"), col("n_drifted"),
         when(col("n_new") > 0,
           round(col("n_drifted").cast("double") / col("n_new"), 6))
           .otherwise(lit(0.0)).as("drift_share"))

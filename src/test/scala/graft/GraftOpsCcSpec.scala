@@ -115,6 +115,58 @@ class GraftOpsCcSpec extends SparkSpec {
     assert(Seq(2L, 3L, 4L, 5L).map(got).distinct.size == 1) // symmetry
   }
 
+  test("pageRank's small-heap degradation follows the session conf, " +
+      "not the local JVM heap (r18 VERDICT item 7)") {
+    // This test JVM has a large heap, so a Runtime.maxMemory probe
+    // alone would NEVER pin the join here — the shuffle-hash pin
+    // appearing under the conf proves the gate is conf-driven (the
+    // portable form: on a cluster a small DRIVER heap says nothing
+    // about executor memory).
+    val n = Seq(1L, 2L, 3L).toDF("id")
+    val e = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
+    // AdaptiveSparkPlanExec is a leaf to `collect` (the ExchangeCount
+    // lesson) — walk into adaptive/stage subtrees explicitly.
+    def shjCount(df: org.apache.spark.sql.DataFrame): Int = {
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      def walk(p: SparkPlan): Int = p match {
+        case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+        case q: QueryStageExec => walk(q.plan)
+        case j: org.apache.spark.sql.execution.joins
+          .ShuffledHashJoinExec => 1 + j.children.map(walk).sum
+        case other => other.children.map(walk).sum
+      }
+      df.collect() // finalize AQE so the walk sees the real join nodes
+      walk(df.queryExecution.executedPlan)
+    }
+    def run() = GraftOps.pageRank(n, "id", e, "a", "b", rounds = 1)
+    val expected = run().as[(Long, Double)].collect().toMap
+    // default posture at test scale: the rank join broadcasts
+    assert(shjCount(run()) == 0,
+      "default plan unexpectedly pinned a shuffle-hash join")
+    try {
+      spark.conf.set("graft.pagerank.broadcast", "false")
+      val pinned = run()
+      assert(shjCount(pinned) > 0,
+        "graft.pagerank.broadcast=false did not pin the rank join " +
+          "to shuffle-hash on a large-heap JVM")
+      assert(pinned.as[(Long, Double)].collect().toMap == expected,
+        "the pinned plan changed the answer")
+      // an explicit opt-IN trusts the optimizer regardless of heap
+      spark.conf.set("graft.pagerank.broadcast", "true")
+      assert(shjCount(run()) == 0,
+        "broadcast=true still pinned shuffle-hash")
+    } finally spark.conf.unset("graft.pagerank.broadcast")
+    // a session whose broadcast machinery is OFF pins the
+    // co-partitioned join the operator knows it needs
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      assert(shjCount(run()) > 0,
+        "autoBroadcastJoinThreshold=-1 did not pin shuffle-hash")
+    } finally
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
   test("connectedComponentsFixpoint: exact on a 60-node chain in " +
       "~log rounds, exact on a random graph") {
     // Chain 0-1-...-59: diameter 59. Plain min-label needs 59 rounds;

@@ -417,7 +417,10 @@ class ScaleOpsSpec extends SparkSpec {
     // emb_ivf_k_recall exercises both paths in one query (k=4 and
     // k=ceil(sqrt(n))).
     val d = "/root/testdata/sf0.001"
-    val servedKey = s"ivfCentroids:$d:k=4:iters=1"
+    // r19: keys additionally carry the serving version maybeRetrainIvf
+    // bumps — pinned here at whatever this session currently serves.
+    val v = graft.queries.Similarity.servedIvfVersion(spark, d)
+    val servedKey = s"ivfCentroids:$d:k=4:iters=1:v=$v"
     val n = Tables.embeddings(spark, d).count()
     val kBig = math.ceil(math.sqrt(n.toDouble)).toInt
     val before = graft.operators.SharedStage.buildsFor(spark, servedKey)
@@ -428,10 +431,10 @@ class ScaleOpsSpec extends SparkSpec {
       s"served-k centroid core: builds went $before -> $after")
     if (kBig != 4) {
       assert(graft.operators.SharedStage.buildsFor(spark,
-        s"ivfCentroids:$d:k=$kBig:iters=1") == 0,
+        s"ivfCentroids:$d:k=$kBig:iters=1:v=$v") == 0,
         "non-served k populated a centroid core")
       assert(graft.operators.SharedStage.buildsFor(spark,
-        s"ivfCells:$d:k=$kBig:iters=1") == 0,
+        s"ivfCells:$d:k=$kBig:iters=1:v=$v") == 0,
         "non-served k populated a cell core")
     }
     // The pre-r18 parameterless keys must be dead: a key that omits

@@ -562,4 +562,83 @@ class StreamingRecoverySpec extends SparkSpec {
       bandsOf(textA).map { case (bi, bh) => (bi, bh, 10L, 1L) },
       "the schema-less index dir did not recover to first-batch state")
   }
+
+  test("a batch of only re-offers still emits a drift summary row " +
+      "(n_new = 0), so a stagnant stream is visible (r18 ADVICE)") {
+    import spark.implicits._
+    val cellsDir = java.nio.file.Files
+      .createTempDirectory("graft-ivf-stagnant").toString + "/cells"
+    val cents = Seq((0L, Seq(1.0, 0.0)), (1L, Seq(0.0, 1.0)))
+      .toDF("cid", "cu")
+    val sink = graft.streaming.EventStream
+      .upsertIvfCellsBatch(cellsDir, cents, driftThreshold = 0.9) _
+    sink(Seq((10L, Seq(1.0, 0.0))).toDF("vec_id", "embedding"), 0L)
+    // batch 1 is ALL re-offers (vec 10 again) — zero fresh rows; the
+    // old groupBy(batch_id) emitted nothing for it, so a stream
+    // dominated by re-offers looked healthy rather than stagnant
+    sink(Seq((10L, Seq(0.0, 1.0))).toDF("vec_id", "embedding"), 1L)
+    // batch 2 is only a zero-norm vector — also zero fresh rows
+    sink(Seq((13L, Seq(0.0, 0.0))).toDF("vec_id", "embedding"), 2L)
+    val drift = graft.streaming.EventStream.ivfDriftStats(spark, cellsDir)
+      .select("batch_id", "n_new", "n_drifted", "drift_share")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(drift == Set((0L, 1L, 0L, 0.0), (1L, 0L, 0L, 0.0),
+      (2L, 0L, 0L, 0.0)),
+      s"every processed batch must appear in the signal: $drift")
+  }
+
+  test("maybeRetrainIvf consumes the drift signal: key-versioned core " +
+      "swap, replay-safe trigger (r18 VERDICT item 6)") {
+    import spark.implicits._
+    val d = "/root/testdata/sf0.001"
+    val cellsDir = java.nio.file.Files
+      .createTempDirectory("graft-ivf-retrain").toString + "/cells"
+    val cents = Seq((0L, Seq(1.0, 0.0)), (1L, Seq(0.0, 1.0)))
+      .toDF("cid", "cu")
+    // driftThreshold 2.0: every new vector scores below it → the
+    // pooled drift share is 1.0, far past the retrain threshold
+    val sink = graft.streaming.EventStream
+      .upsertIvfCellsBatch(cellsDir, cents, driftThreshold = 2.0) _
+    sink(Seq((10L, Seq(1.0, 0.0)), (11L, Seq(0.6, 0.8)))
+      .toDF("vec_id", "embedding"), 0L)
+
+    val v0 = graft.queries.Similarity.servedIvfVersion(spark, d)
+    // materialize the currently-served core; hold a frame on it
+    val before = SparkEntry.queries("emb_kmeans_iter")(spark, d)
+      .collect().toSet
+    def buildsAt(v: Long): Int = graft.operators.SharedStage
+      .buildsFor(spark, s"ivfCentroids:$d:k=4:iters=1:v=$v")
+    val builtV0 = buildsAt(v0)
+    assert(builtV0 >= 1, "served core not materialized")
+
+    // drift share 1.0 >= 0.5 → retrain: version bumps, new cores
+    // build eagerly under the NEW keys, old core untouched
+    assert(graft.queries.Similarity.maybeRetrainIvf(spark, d, cellsDir,
+      threshold = 0.5, trailingK = 3), "drift past threshold must retrain")
+    val v1 = graft.queries.Similarity.servedIvfVersion(spark, d)
+    assert(v1 == v0 + 1, s"version did not bump: $v0 -> $v1")
+    assert(buildsAt(v1) == 1, "retrain did not build the new core")
+    assert(buildsAt(v0) == builtV0,
+      "retrain rebuilt/mutated the old core instead of key-swapping")
+
+    // a replayed/repeated evaluation of the SAME signal window must
+    // not double-retrain (the trigger is keyed to the newest batch id)
+    assert(!graft.queries.Similarity.maybeRetrainIvf(spark, d, cellsDir,
+      threshold = 0.5, trailingK = 3), "same signal retrained twice")
+    assert(graft.queries.Similarity.servedIvfVersion(spark, d) == v1)
+
+    // subsequent probes serve the new version (and, trained on the
+    // same corpus, reproduce the same assignments)
+    val after = SparkEntry.queries("emb_kmeans_iter")(spark, d)
+      .collect().toSet
+    assert(buildsAt(v1) == 1, "probe after retrain rebuilt the core")
+    assert(after == before, "retrained-on-same-data assignments moved")
+
+    // NEW drift evidence (a later batch past the threshold) retrains
+    // again — the guard is per-trigger, not once-ever
+    sink(Seq((12L, Seq(0.0, 1.0))).toDF("vec_id", "embedding"), 1L)
+    assert(graft.queries.Similarity.maybeRetrainIvf(spark, d, cellsDir,
+      threshold = 0.5, trailingK = 3), "fresh drift evidence ignored")
+    assert(graft.queries.Similarity.servedIvfVersion(spark, d) == v1 + 1)
+  }
 }

@@ -10,8 +10,8 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxFiles, SupportsAdmissionControl}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual}
@@ -102,7 +102,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * start (checkpoints take over after): `earliest` (default — the
   * smallest committed id, so low/negative ids are never skipped),
   * `latest` (only batches committed after the stream starts), or an
-  * explicit numeric batch id.
+  * explicit numeric batch id. `maxBatchesPerTrigger` bounds how many
+  * committed batches one micro-batch admits (admission control), so
+  * a fresh `earliest` tail of a deep store catches up in bounded
+  * steps instead of planning all history as one trigger.
+  *
+  * The scan also reports its post-pruning byte size from the commit
+  * metadata (`SupportsReportStatistics`), so joining a small store
+  * slice against a fact table broadcast-plans on its true size.
   */
 class GraftDocsProvider extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-docs"
@@ -318,7 +325,8 @@ private[sinks] class GraftDocsTable(path: String,
     new GraftDocsScanBuilder(path, tableSchema,
       Option(options.get("startingOffsets")).getOrElse("earliest"),
       Option(options.get("maxPartitionBytes")).map(_.toLong)
-        .getOrElse(128L << 20))
+        .getOrElse(128L << 20),
+      Option(options.get("maxBatchesPerTrigger")).map(_.toInt))
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(info.schema().fields.map(f => (f.name, f.dataType)).toSeq ==
@@ -454,7 +462,8 @@ private[sinks] class GraftDocsWriter(conf: Configuration, stagingDir: String,
   * axis, so "read since horizon" scans only the matching directories. */
 private[sinks] class GraftDocsScanBuilder(path: String,
     tableSchema: StructType, startingOffsets: String,
-    maxPartitionBytes: Long) extends ScanBuilder
+    maxPartitionBytes: Long, maxBatchesPerTrigger: Option[Int])
+    extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
   private var required: StructType = tableSchema
   private var pushed: Array[Filter] = Array.empty
@@ -487,7 +496,7 @@ private[sinks] class GraftDocsScanBuilder(path: String,
   override def build(): Scan =
     new GraftDocsScan(path, required,
       pushed.flatMap(batchIdPruner).toSeq, startingOffsets,
-      maxPartitionBytes)
+      maxPartitionBytes, maxBatchesPerTrigger)
 }
 
 /** One scan task: a bin-packed run of committed files, each tagged
@@ -498,11 +507,31 @@ private[sinks] case class GraftDocsInputPartition(
 
 private[sinks] class GraftDocsScan(path: String, required: StructType,
     pruners: Seq[Long => Boolean], startingOffsets: String,
-    maxPartitionBytes: Long) extends Scan with Batch {
+    maxPartitionBytes: Long, maxBatchesPerTrigger: Option[Int])
+    extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"graft-docs(`$path`) PushedBatchIdPredicates: ${pruners.size}"
+
+  /** Post-pruning size estimate from the commit metadata the driver
+    * already lists — one directory listing, no data touched. Without
+    * it Spark costs a DSv2 scan at the default "unknown" size, so a
+    * small store read could never be chosen as the broadcast side of
+    * a join; with it, joining a pruned store slice against a fact
+    * table gets the plan its true size deserves. */
+  override def estimateStatistics(): Statistics = {
+    val conf = org.apache.spark.sql.SparkSession.active
+      .sparkContext.hadoopConfiguration
+    val bytes = GraftDocs.committedBatches(conf, path, pruners)
+      .flatMap(_._2).map(_._2).sum
+    new Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(bytes)
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.empty()
+    }
+  }
 
   /** Streaming read — TAIL the store: each committed `batch_id=`
     * directory is one source offset unit, so the store's write-side
@@ -515,7 +544,7 @@ private[sinks] class GraftDocsScan(path: String, required: StructType,
   override def toMicroBatchStream(checkpointLocation: String)
       : MicroBatchStream =
     new GraftDocsMicroBatchStream(path, required, pruners,
-      startingOffsets, maxPartitionBytes)
+      startingOffsets, maxPartitionBytes, maxBatchesPerTrigger)
 
   override def planInputPartitions(): Array[InputPartition] = {
     val conf = org.apache.spark.sql.SparkSession.active
@@ -538,10 +567,40 @@ private[sinks] case class GraftDocsOffset(nextBatchId: Long)
 
 private[sinks] class GraftDocsMicroBatchStream(path: String,
     required: StructType, pruners: Seq[Long => Boolean],
-    startingOffsets: String, maxPartitionBytes: Long)
-    extends MicroBatchStream {
+    startingOffsets: String, maxPartitionBytes: Long,
+    maxBatchesPerTrigger: Option[Int])
+    extends MicroBatchStream with SupportsAdmissionControl {
   private val conf = org.apache.spark.sql.SparkSession.active
     .sparkContext.hadoopConfiguration
+
+  /** Admission control (`maxBatchesPerTrigger`): a fresh `earliest`
+    * tail of a year-deep store must catch up in BOUNDED micro-batches
+    * — without a limit the first trigger plans the entire history as
+    * one batch, which at 100 TB is an executor-memory and
+    * checkpoint-granularity disaster. The unit is committed store
+    * batches (each an immutable directory), surfaced through Spark's
+    * maxFiles-shaped ReadLimit; ids may be gapped, so the limit takes
+    * the next N COMMITTED ids past the start, not start+N. */
+  override def getDefaultReadLimit: ReadLimit =
+    maxBatchesPerTrigger.map(n => ReadLimit.maxFiles(n))
+      .getOrElse(ReadLimit.allAvailable())
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val ids = GraftDocs.committedBatches(conf, path, Seq.empty)
+      .map(_._1)
+    val lo = start.asInstanceOf[GraftDocsOffset].nextBatchId
+    val pending = ids.filter(_ >= lo)
+    if (pending.isEmpty) start
+    else limit match {
+      case f: ReadMaxFiles =>
+        GraftDocsOffset(pending.take(f.maxFiles()).max + 1L)
+      case _ => GraftDocsOffset(pending.max + 1L)
+    }
+  }
+
+  /** The true tip, independent of any read limit — lets the engine
+    * report how far behind a rate-limited tail is running. */
+  override def reportLatestOffset(): Offset = latestOffset()
 
   /** Where a FRESH tail starts (r18 VERDICT item 3; checkpointed
     * offsets take over on restart, so this resolves exactly once per

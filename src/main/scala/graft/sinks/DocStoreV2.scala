@@ -294,6 +294,28 @@ private[graft] object GraftDocs {
     val fs = staging.getFileSystem(conf)
     if (fs.exists(staging)) fs.delete(staging, true)
   }
+
+  /** RETENTION — drop every committed batch with id < `keepFrom`
+    * (returns the dropped ids). The operational twin of
+    * `startingOffsets`: a store tailed for a year accumulates history
+    * no reader wants; this is the Kafka-retention shape for the
+    * commit layout. Driver metadata-only (one recursive delete per
+    * expired directory). Contract, exactly like log retention vs
+    * consumer lag: vacuum only below every active tail's checkpointed
+    * offset — a tail planning a range whose directories vanish
+    * mid-plan reads fewer rows, the same race every file source has
+    * with external deletes. The monotonic-id guard keys off the MAX
+    * committed id, so vacuuming history never re-opens low ids for
+    * reuse by accident (fresh ids must still exceed the surviving
+    * max), and an `earliest` tail started after a vacuum begins at
+    * the new smallest id. */
+  def vacuumBelow(conf: Configuration, path: String, keepFrom: Long)
+      : Seq[Long] =
+    committedBatches(conf, path, Seq(_ < keepFrom)).map { case (id, _) =>
+      val dir = new Path(s"$path/batch_id=$id")
+      dir.getFileSystem(conf).delete(dir, true)
+      id
+    }
 }
 
 /** Serializable Hadoop-conf carrier (Hadoop's own Writable round-trip;

@@ -23,6 +23,14 @@ object Sinks {
     * (utils.py:123-146) with something reproducible and shard-safe. */
   def docId(payload: Column): Column = sha2(to_json(payload), 256)
 
+  /** Retention for `format("graft-docs")` stores: drop every committed
+    * batch below `keepFrom`, returning the dropped ids — see
+    * [[GraftDocs.vacuumBelow]] for the consumer-lag contract. */
+  def vacuumDocStore(spark: org.apache.spark.sql.SparkSession,
+      path: String, keepFrom: Long): Seq[Long] =
+    GraftDocs.vacuumBelow(spark.sparkContext.hadoopConfiguration,
+      path, keepFrom)
+
   /** S5+S9: JSON-lines sink with bounded file sizes. `orderBy` before
     * write pins deterministic output for golden comparisons (the analogue
     * of the reference's sort_keys+indent dumps). */

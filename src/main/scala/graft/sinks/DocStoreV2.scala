@@ -268,6 +268,15 @@ private[graft] object GraftDocs {
           s"committed id ${existing.max} and is not a replay; tails " +
           s"checkpoint past ${existing.max} would never read it — " +
           s"batch ids must be monotonically increasing per store")
+    // Sweep this id's orphaned swap dirs first (a driver that crashed
+    // between staging and swap leaves one behind — invisible to
+    // readers, but a replayed publish is the natural janitor).
+    val stagingRoot = new Path(s"$path/_staging")
+    if (fs.exists(stagingRoot))
+      fs.listStatus(stagingRoot).toSeq
+        .filter(st => st.isDirectory &&
+          st.getPath.getName.startsWith(s".publish-$id-"))
+        .foreach(st => fs.delete(st.getPath, true))
     val tmp = new Path(
       s"$path/_staging/.publish-$id-${UUID.randomUUID().toString.take(8)}")
     fs.mkdirs(tmp)
@@ -524,7 +533,7 @@ private[sinks] class GraftDocsScanBuilder(path: String,
 /** One scan task: a bin-packed run of committed files, each tagged
   * with the batch id its directory carries (a pack may span batches —
   * the reader emits the right partition-column value per file). */
-private[sinks] case class GraftDocsInputPartition(
+private[graft] case class GraftDocsInputPartition(
     files: Seq[(String, Long)]) extends InputPartition
 
 private[sinks] class GraftDocsScan(path: String, required: StructType,

@@ -70,6 +70,15 @@ class DocStoreV2Spec extends SparkSpec {
     assert(readStore(store).filter(col("batch_id") === 0L)
       .select("_id").as[String].collect().toSeq == Seq("a"),
       "replaced batch 0 left stale rows")
+    // a crashed publish's orphaned swap dir (staged but never swapped)
+    // is swept by the replayed publish of the same id
+    val orphan = java.nio.file.Paths.get(store, "_staging",
+      ".publish-0-deadbeef")
+    java.nio.file.Files.createDirectories(orphan)
+    java.nio.file.Files.writeString(orphan.resolve("part-x.jsonl"), "junk")
+    write(Seq("a"), 0L)
+    assert(!java.nio.file.Files.exists(orphan),
+      "replayed publish did not sweep its crashed predecessor's orphan")
   }
 
   test("the fixed store schema is enforced at plan time") {

@@ -356,4 +356,45 @@ class PropertySpec extends SparkSpec {
         s"round-trip mismatch for ${s.map(_.toInt).mkString(",")}")
     }
   }
+
+  test("graft-docs bin-packing invariants hold for arbitrary stores: " +
+      "every file exactly once, order preserved, no pack exceeds the " +
+      "target unless it is a single oversized file") {
+    // (batch id, file sizes) stores: gapped/negative ids, empty
+    // batches, zero-byte and oversized files all generated (sizes
+    // derived deterministically per case so the property stays a
+    // one-job batch).
+    val storeGen = for {
+      nBatches <- Gen.chooseNum(0, 8)
+      ids <- Gen.listOfN(nBatches, Gen.chooseNum(-3L, 40L)).map(_.distinct)
+      counts <- Gen.listOfN(ids.size.max(1), Gen.chooseNum(0, 5))
+      szSeed <- Gen.chooseNum(0L, 997L)
+      target <- Gen.chooseNum(1L, 600L)
+    } yield (ids.zip(counts), szSeed, target)
+    cases(storeGen, 120).foreach { case (batches, szSeed, target) =>
+      val named = batches.sortBy(_._1).map { case (id, k) =>
+        id -> (0 until k).map(i =>
+          (f"b$id%03d-f$i%02d", (id * 31 + i * 17 + szSeed) % 401 match {
+            case s if s < 0 => -s
+            case s => s
+          }))
+      }
+      val packs = graft.sinks.GraftDocs.packPartitions(named, target)
+        .map(_.asInstanceOf[graft.sinks.GraftDocsInputPartition])
+      val flat = packs.flatMap(_.files).toSeq
+      // every (file, batch) exactly once, global order preserved
+      val want = named.flatMap { case (id, fs) =>
+        fs.sortBy(_._1).map { case (f, _) => (f, id) } }
+      assert(flat == want, s"pack lost/reordered files: $flat vs $want")
+      // byte bound: a pack over target must be a single oversized file
+      val size = named.flatMap(_._2).toMap
+      packs.foreach { p =>
+        val bytes = p.files.map(f => size(f._1)).sum
+        assert(bytes <= target || p.files.size == 1,
+          s"pack of ${p.files.size} files at $bytes bytes exceeds $target")
+      }
+      // no empty packs
+      assert(packs.forall(_.files.nonEmpty))
+    }
+  }
 }

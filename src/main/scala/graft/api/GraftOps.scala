@@ -14,41 +14,29 @@ import graft.functions.VectorFunctions._
   */
 object GraftOps {
 
-  /** MinHash signature table (id, h0..h7): word-3-gram shingles via the
-    * codegen'd posexplode + window-lead path, two md5 digests per shingle
-    * sliced into 8×32-bit hex minima via map-side partial aggregation.
-    * Token-less rows keep a default signature (LEFT JOIN + coalesce).
-    * (Two zero/low-shuffle alternatives were measured SLOWER, not faster:
-    * per-row array_min(transform(...)) at 3.5× and per-row shingle-array
-    * + explode at 2× — higher-order functions are CodegenFallback, so
-    * both drop the per-shingle work out of whole-stage codegen. The
-    * posexplode + window-lead form keeps tokenize→shingle→md5→min fully
-    * codegen'd, which beats saving the token-table shuffle at any scale
-    * where CPU, not the exchange, bounds the pipeline.) */
+  /** MinHash signature table (id, h0..h7): word-3-gram shingles, two
+    * md5 digests per shingle sliced into 8×32-bit hex minima — the
+    * whole signature computed per ROW by the native codegen'd
+    * [[graft.expressions.MinhashSig]] expression (r19). ZERO shuffle:
+    * this was a posexplode + window-lead + groupBy + left-join
+    * pipeline (three exchanges over a token table ~50× the corpus)
+    * because that was the fastest COMPOSED form — the per-row HOF
+    * alternatives measured 2-3.5× slower interpreted (the A/B ladder
+    * recorded on this method until r19). The native expression keeps
+    * per-shingle work
+    * inside one JVM pass AND inside whole-stage codegen, so the
+    * exchange-vs-CPU trade that justified the fan-out disappears:
+    * same bytes out (oracle- and property-pinned), no token-table
+    * shuffle at any scale. Token-less/null rows keep the
+    * empty-shingle seed signature, exactly as before. */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String)
       : DataFrame = {
-    val w = Window.partitionBy(idCol).orderBy("pos")
-    val ex = docs
-      .select(col(idCol),
-        posexplode_outer(split(trim(col(textCol)), "\\s+"))
-          .as(Seq("pos", "tok")))
-      .filter(col("tok") =!= "")
-      .withColumn("sgl",
-        when(lead(col("tok"), 2).over(w).isNotNull,
-          concat_ws(" ", col("tok"), lead(col("tok"), 1).over(w),
-            lead(col("tok"), 2).over(w))))
-      .select(col(idCol), md5(col("sgl")).as("m1"),
-        md5(concat(lit("8:"), col("sgl"))).as("m2"))
-    val aggs = (0 until 8).map { j =>
-      val src = if (j < 4) col("m1") else col("m2")
-      min(minhashSlice(src, j)).as(s"h$j")
-    }
-    val raw = ex.groupBy(idCol).agg(aggs.head, aggs.tail: _*)
-    docs.select(col(idCol)).join(raw, Seq(idCol), "left")
-      .select(col(idCol) +: (0 until 8).map { j =>
-        val prefix = if (j < 4) "" else "8:"
-        coalesce(col(s"h$j"), minhashSlice(md5(lit(prefix)), j)).as(s"h$j")
-      }: _*)
+    graft.expressions.TextExpressions.register(docs.sparkSession)
+    docs.select(col(idCol),
+        call_function("graft_minhash_sig",
+          coalesce(col(textCol), lit(""))).as("__sig"))
+      .select(col(idCol) +: (0 until 8).map(j =>
+        element_at(col("__sig"), j + 1).as(s"h$j")): _*)
   }
 
   /** LSH band table (id, band_idx, band_hash): 4 bands × 2 signature rows
@@ -74,48 +62,26 @@ object GraftOps {
   /** ROW-LOCAL band table — bit-identical output to `minhashBands`
     * (oracle- and spec-pinned) computed as a chain of pure projections
     * (no posexplode/window/groupBy), the form a STREAMING micro-batch
-    * can run. Higher-order functions are CodegenFallback, so the cost
-    * discipline is md5 COUNT: the digest pair is materialized ONCE per
-    * shingle in its own projection (a struct-per-element transform in a
-    * dedicated column — CollapseProject keeps a non-cheap expression
-    * used 8× from being re-inlined), and all eight slice-minima fold in
-    * ONE aggregate traversal of those stored digests. The naive
-    * per-slice `array_min(transform(sh, s => slice(md5(s))))` form
-    * evaluates md5 8× per shingle INTERPRETED — measured 229 s for the
-    * corpus-wide parity query at sf0.1, vs 5.1 s with shared digests
-    * and 3.5 s with the single-traversal fold. Batch corpora should
-    * still use `minhashBands` (fully codegen'd, 0.9 s on the same
-    * input); this path exists for streams and the parity gate. */
+    * can run. The signature itself is the native codegen'd
+    * [[graft.expressions.MinhashSig]] expression (r19): the best
+    * COMPOSED form — a shared-digest HOF fold, whose own A/B ladder
+    * measured 229 s (naive) → 5.1 s (shared digests) → 3.5 s (single
+    * traversal) at sf0.1 — still paid interpreted per-element
+    * dispatch on every shingle because higher-order functions are
+    * CodegenFallback; one static JVM pass per row removes that floor
+    * entirely (measured below the explode+min batch twin) while
+    * producing the same md5-hex slice minima byte-for-byte, so oracle
+    * and parity pins hold unchanged. */
   def rowLocalBands(docs: DataFrame, idCol: String, textCol: String,
       carryCols: Seq[String] = Nil): DataFrame = {
+    graft.expressions.TextExpressions.register(docs.sparkSession)
     val keep = (idCol +: carryCols).map(col)
-    val digs = docs
-      .select(keep :+ shingles(tokens(col(textCol)), 3).as("__sh"): _*)
-      .select(keep :+
-        transform(col("__sh"), s => struct(md5(s).as("m1"),
-          md5(concat(lit("8:"), s)).as("m2"))).as("__digs"): _*)
-    // All 8 minima in ONE array traversal (an aggregate fold with an
-    // 8-field struct accumulator) instead of 8 array_min passes —
-    // interpreted per-element dispatch dominates HOF cost, so traversal
-    // count is the lever ("g" sorts after every hex digit = +inf; a
-    // fold that never ran yields "g" → the empty-shingle default, the
-    // same coalesce semantics as the batch pipeline).
-    // The fold lands in its OWN projection column before the 16
-    // getField reads below — referenced inline, the whole aggregate
-    // would re-evaluate per reference (no CSE in interpreted eval).
-    val init = struct((0 until 8).map(j => lit("g").as(s"h$j")): _*)
-    val folded = digs.select(keep :+ aggregate(col("__digs"), init,
-      (acc, d) => struct((0 until 8).map { j =>
-        val fld = if (j < 4) "m1" else "m2"
-        least(acc.getField(s"h$j"), minhashSlice(d.getField(fld), j))
-          .as(s"h$j")
-      }: _*)).as("__fold"): _*)
-    val sig = folded.select(keep :+ array((0 until 8).map { j =>
-      val prefix = if (j < 4) "" else "8:"
-      when(col("__fold").getField(s"h$j") === "g",
-        minhashSlice(md5(lit(prefix)), j))
-        .otherwise(col("__fold").getField(s"h$j"))
-    }: _*).as("__sig"): _*)
+    // coalesce: the composed chain sent null text down its
+    // otherwise(array()) branch — i.e. the empty-shingle seed
+    // signature — so null must keep meaning "empty doc" here too.
+    val sig = docs.select(keep :+
+      call_function("graft_minhash_sig",
+        coalesce(col(textCol), lit(""))).as("__sig"): _*)
     sig.select(keep :+ explode(lshBands(col("__sig"), 8)).as("band"): _*)
       .select(keep :+ col("band.band_idx").as("band_idx")
         :+ col("band.band_hash").as("band_hash"): _*)

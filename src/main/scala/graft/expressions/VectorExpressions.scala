@@ -18,9 +18,10 @@ import org.apache.spark.sql.SparkSession
   * same left-to-right fold order as both the HOF version and DuckDB's
   * list_dot_product, so oracle parity is bit-exact.
   *
-  * This is the ONLY custom Catalyst piece in the engine: everything else
-  * is expressible as codegen-friendly built-ins (SURVEY §4/§7.4 stance);
-  * here composition works but is profiling-proven slow, which is the
+  * One of exactly TWO custom Catalyst pieces in the engine (the other
+  * is [[MinhashSig]], r19): everything else is expressible as
+  * codegen-friendly built-ins (SURVEY §4/§7.4 stance); here
+  * composition works but is profiling-proven slow, which is the
   * stated bar for dropping down a level.
   */
 case class VecDot(left: Expression, right: Expression)
@@ -70,14 +71,21 @@ case class VecDot(left: Expression, right: Expression)
 
 /** SparkSessionExtensions entry point: start a session with
   * `--conf spark.sql.extensions=graft.expressions.GraftExtensions` and
-  * `graft_vec_dot` is available in SQL and `expr()` everywhere. */
+  * `graft_vec_dot` / `graft_minhash_sig` are available in SQL and
+  * `expr()` everywhere. */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier(VectorExpressions.FuncName),
       new ExpressionInfo(classOf[VecDot].getName,
         VectorExpressions.FuncName),
       (children: Seq[Expression]) => VecDot(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier(TextExpressions.SigFuncName),
+      new ExpressionInfo(classOf[MinhashSig].getName,
+        TextExpressions.SigFuncName),
+      (children: Seq[Expression]) => MinhashSig(children.head)))
+  }
 }
 
 object VectorExpressions {

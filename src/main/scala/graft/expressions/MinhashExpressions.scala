@@ -65,6 +65,10 @@ case class MinhashSig(child: Expression) extends UnaryExpression {
 object MinhashSig {
   private val Hex = "0123456789abcdef".toCharArray
   private val Seed = "8:".getBytes(UTF_8)
+  // String.split(regex) recompiles the pattern per call; the shared
+  // compiled Pattern has identical split semantics (limit 0 — trailing
+  // empties removed, leading empty kept and filtered below).
+  private val Ws = java.util.regex.Pattern.compile("\\s+")
   private val Md = new ThreadLocal[MessageDigest] {
     override def initialValue(): MessageDigest =
       MessageDigest.getInstance("MD5")
@@ -100,7 +104,7 @@ object MinhashSig {
     // Java-regex split produces at most one extra leading/trailing
     // empty token, which the filter removes, so skipping the trim is
     // value-identical.
-    val toks = text.toString.split("\\s+")
+    val toks = Ws.split(text.toString)
     var nToks = 0
     var t = 0
     while (t < toks.length) {

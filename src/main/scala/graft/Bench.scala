@@ -271,7 +271,11 @@ object Bench {
             .exists(r => r > 0 && r <= 0.05 && ok.min / r > 3.0 &&
               ok.min - r > 0.05)
         }
-        while (repeatBase > 1 && extra < 4 && minVsMicroRefTooHigh) {
+        // Own budget: up to 2 extra repeats as documented above (r19
+        // ADVICE — sharing the big-pin `extra < 4` cap let a micro
+        // outlier spend 4, since the big-pin loop never runs for it).
+        val microCap = extra + 2
+        while (repeatBase > 1 && extra < microCap && minVsMicroRefTooHigh) {
           runs = runs :+ oneRun(name, fn); extra += 1
         }
         name -> QStat(runs, execIdx, lPre, mPre, extra)

@@ -1194,7 +1194,22 @@ object Similarity {
     * summaries, never vector data. */
   def maybeRetrainIvf(s: SparkSession, d: String, cellsPath: String,
       threshold: Double = 0.5, trailingK: Int = 3): Boolean = {
-    val row = graft.streaming.EventStream.ivfDriftStats(s, cellsPath)
+    // No drift history yet (store never written, or an empty first
+    // batch left a footer-less dir): same missing-path arm as
+    // upsertIvfCellsBatch's first-batch read — "no evidence of drift"
+    // is false, not an AnalysisException (r19 ADVICE).
+    val drift =
+      try graft.streaming.EventStream.ivfDriftStats(s, cellsPath)
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getMessage.contains("PATH_NOT_FOUND") ||
+              e.getMessage.toLowerCase.contains("path does not exist") ||
+              e.getMessage.contains("UNABLE_TO_INFER_SCHEMA") ||
+              e.getMessage.toLowerCase.contains(
+                "unable to infer schema") =>
+          return false
+      }
+    val row = drift
       .limit(trailingK)
       .agg(coalesce(sum(col("n_drifted")), lit(0L)).cast("double")
           .as("nd"),

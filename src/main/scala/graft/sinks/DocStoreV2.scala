@@ -253,30 +253,52 @@ private[graft] object GraftDocs {
     * per committed task file plus the swap — O(#tasks), the same cost
     * every FileFormatWriter commit pays.
     *
-    * Monotonic-id guard: a NEW id below the store's max committed id
-    * is rejected (replays of an existing id pass) — tails checkpoint
-    * a high-water batch id, so a lower fresh id would be permanently
-    * invisible to any tail already past it. */
+    * Monotonic-id guard: a NEW id below the store's max KNOWN id is
+    * rejected (replays pass) — tails checkpoint a high-water batch id,
+    * so a lower fresh id would be permanently invisible to any tail
+    * already past it. The max bound comes from `batch_id=` directory
+    * NAMES alone — ONE root listStatus, no per-directory marker or
+    * file listing (r19 ADVICE, medium: the old `committedBatches`
+    * call made every commit O(total batches × files) in driver FS
+    * metadata RPCs; a name-only bound is strictly safer — an
+    * uncommitted dir's id only tightens the guard, never loosens it).
+    * "Replay" is likewise evidence-based and checked BEFORE the guard
+    * (r19 ADVICE, low): an existing `batch_id=<id>` dir OR an orphaned
+    * `.publish-<id>-` staging dir proves a prior commit/replay of this
+    * id — without the staging-dir arm, a replay that crashed between
+    * delete(dest) and swap would trip the guard forever (id gone from
+    * the committed set but still below max). */
   def publish(conf: Configuration, path: String, id: Long,
       messages: Array[WriterCommitMessage]): Unit = {
     val dest = new Path(s"$path/batch_id=$id")
     val fs = dest.getFileSystem(conf)
-    val existing = committedBatches(conf, path, Seq.empty).map(_._1)
-    if (existing.nonEmpty && id < existing.max && !existing.contains(id))
-      throw new IllegalArgumentException(
-        s"graft-docs commit: batch id $id is below the store's max " +
-          s"committed id ${existing.max} and is not a replay; tails " +
-          s"checkpoint past ${existing.max} would never read it — " +
-          s"batch ids must be monotonically increasing per store")
-    // Sweep this id's orphaned swap dirs first (a driver that crashed
-    // between staging and swap leaves one behind — invisible to
-    // readers, but a replayed publish is the natural janitor).
+    val root = new Path(path)
+    val knownIds: Seq[Long] =
+      if (!fs.exists(root)) Seq.empty
+      else fs.listStatus(root).toSeq
+        .filter(st => st.isDirectory &&
+          st.getPath.getName.startsWith("batch_id="))
+        .flatMap(st => scala.util.Try(
+          st.getPath.getName.stripPrefix("batch_id=").toLong).toOption)
     val stagingRoot = new Path(s"$path/_staging")
-    if (fs.exists(stagingRoot))
-      fs.listStatus(stagingRoot).toSeq
+    // This id's orphaned swap dirs: replay evidence first, then swept
+    // below (a driver that crashed between staging and swap leaves one
+    // behind — invisible to readers; the replayed publish is the
+    // natural janitor).
+    val orphans: Seq[Path] =
+      if (!fs.exists(stagingRoot)) Seq.empty
+      else fs.listStatus(stagingRoot).toSeq
         .filter(st => st.isDirectory &&
           st.getPath.getName.startsWith(s".publish-$id-"))
-        .foreach(st => fs.delete(st.getPath, true))
+        .map(_.getPath)
+    val isReplay = knownIds.contains(id) || orphans.nonEmpty
+    if (!isReplay && knownIds.nonEmpty && id < knownIds.max)
+      throw new IllegalArgumentException(
+        s"graft-docs commit: batch id $id is below the store's max " +
+          s"known id ${knownIds.max} and is not a replay; tails " +
+          s"checkpointed past ${knownIds.max} would never read it — " +
+          s"batch ids must be monotonically increasing per store")
+    orphans.foreach(p => fs.delete(p, true))
     val tmp = new Path(
       s"$path/_staging/.publish-$id-${UUID.randomUUID().toString.take(8)}")
     fs.mkdirs(tmp)

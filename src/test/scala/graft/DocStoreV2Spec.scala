@@ -361,6 +361,42 @@ class DocStoreV2Spec extends SparkSpec {
       .select("_id").as[String].collect().toSet == Set("a", "b"))
   }
 
+  test("a replay that crashed between delete(dest) and swap is not " +
+      "locked out by the monotonic guard (r19 ADVICE): the orphaned " +
+      "staging dir is evidence of a prior replay") {
+    val store = tmp("graft-docs-lockout")
+    def write(id: String, b: Long): Unit =
+      Seq((id, "d")).toDF("_id", "doc")
+        .write.format("graft-docs")
+        .option("path", store).option("batchId", b)
+        .mode("append").save()
+    write("a", 1L); write("b", 2L); write("c", 3L)
+    // Simulate a replayed publish of id=2 that crashed AFTER
+    // delete(dest) but BEFORE rename(tmp, dest): the id is gone from
+    // the committed set (and below max=3), only its staged swap dir
+    // remains.
+    val dest = java.nio.file.Paths.get(store, "batch_id=2")
+    def rmTree(p: java.nio.file.Path): Unit = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.delete)
+    }
+    rmTree(dest)
+    val orphan = java.nio.file.Paths.get(store, "_staging",
+      ".publish-2-cafecafe")
+    java.nio.file.Files.createDirectories(orphan)
+    java.nio.file.Files.writeString(
+      orphan.resolve("part-x.jsonl"), "junk")
+    // The next replay of id=2 must publish, not trip the guard.
+    write("b2", 2L)
+    assert(!java.nio.file.Files.exists(orphan),
+      "replay did not sweep its crashed predecessor's staging dir")
+    assert(readStore(store).as[(String, String, Long)].collect()
+      .toSet.map((r: (String, String, Long)) => (r._1, r._3)) ==
+      Set(("a", 1L), ("b2", 2L), ("c", 3L)),
+      "crashed replay's batch is permanently unpublishable")
+  }
+
   test("maxBatchesPerTrigger: a deep-history catch-up runs in bounded " +
       "micro-batches, never one giant trigger") {
     val store = tmp("graft-docs-admission")

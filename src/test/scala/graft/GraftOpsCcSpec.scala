@@ -163,8 +163,20 @@ class GraftOpsCcSpec extends SparkSpec {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       assert(shjCount(run()) > 0,
         "autoBroadcastJoinThreshold=-1 did not pin shuffle-hash")
+      // "0" also disables broadcast (r19 ADVICE): Spark's planner
+      // treats any non-positive threshold as off, so must the gate
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "0")
+      assert(shjCount(run()) > 0,
+        "autoBroadcastJoinThreshold=0 did not pin shuffle-hash")
     } finally
       spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    // the conf is validated, not truthiness-coerced (r19 ADVICE): a
+    // typo must fail fast, not silently pin the degraded plan
+    try {
+      spark.conf.set("graft.pagerank.broadcast", "yes")
+      val e = intercept[IllegalArgumentException] { run().collect() }
+      assert(e.getMessage.contains("graft.pagerank.broadcast"))
+    } finally spark.conf.unset("graft.pagerank.broadcast")
   }
 
   test("connectedComponentsFixpoint: exact on a 60-node chain in " +

@@ -595,6 +595,11 @@ class StreamingRecoverySpec extends SparkSpec {
       .createTempDirectory("graft-ivf-retrain").toString + "/cells"
     val cents = Seq((0L, Seq(1.0, 0.0)), (1L, Seq(0.0, 1.0)))
       .toDF("cid", "cu")
+    // before ANY maintenance batch: no drift history is "no", not an
+    // AnalysisException on the missing _drift path (r19 ADVICE)
+    assert(!graft.queries.Similarity.maybeRetrainIvf(spark, d, cellsDir,
+      threshold = 0.5, trailingK = 3),
+      "missing drift history must mean no-retrain, not a throw")
     // driftThreshold 2.0: every new vector scores below it → the
     // pooled drift share is 1.0, far past the retrain threshold
     val sink = graft.streaming.EventStream

@@ -473,6 +473,24 @@ object TextOps {
       |    AND a.band_val = b.band_val AND a.media_id < b.media_id
       |  GROUP BY 1, 2)""".stripMargin
 
+  /** The frame-hash table — ONE real MP4 demux pass (full
+    * stsz/stsc/stco sample-table walk + md5 over each sample's actual
+    * bytes) — is itself a SHARED STAGE (r19 VERDICT item 3): it was
+    * the most expensive per-query stage in the registry (the demux
+    * dominates mm_frame_dedup's 4.08 s pin), and THREE consumers need
+    * exactly this table — mm_frame_dedup's scored pairs, and the
+    * keep-best/retention pair via [[videoKeepBest]] (which chains its
+    * own core off this one, the pairTable-off-bandIndex discipline).
+    * SharedStage's eager localCheckpoint IS the localCheckpoint each
+    * consumer previously took privately, so plans and oracle hashes
+    * are unchanged; a long-lived session now demuxes once. */
+  private def frameHashCore(s: SparkSession, d: String): DataFrame =
+    graft.operators.SharedStage(s, s"frameHashes:$d") {
+      graft.multimodal.Multimodal.extractFrameHashes(
+        graft.multimodal.Multimodal.synthMp4FramesShared(
+          Tables.documents(s, d).select(col("doc_id")), "doc_id", 5))
+    }
+
   /** The video keep-best core is a SHARED STAGE (r13 VERDICT item 8):
     * mm_video_keep_best and pipeline_video_retention both consume this
     * table, and under the one-query-one-plan registry contract each
@@ -484,10 +502,7 @@ object TextOps {
   private def videoKeepBest(s: SparkSession, d: String): DataFrame =
     graft.operators.SharedStage(s, s"videoKeepBest:$d") {
     import org.apache.spark.sql.expressions.Window
-    val frames = graft.multimodal.Multimodal.extractFrameHashes(
-      graft.multimodal.Multimodal.synthMp4FramesShared(
-        Tables.documents(s, d).select(col("doc_id")), "doc_id", 5))
-      .localCheckpoint()
+    val frames = frameHashCore(s, d)
     val nf = frames.groupBy("media_id")
       .agg(count(lit(1)).as("nf"))
     val wB = Window.partitionBy("fhash", "__sub")
@@ -1605,8 +1620,9 @@ object TextOps {
 
     // FRAME-LEVEL VIDEO NEAR-DUP (r11 item 6) — the composition the
     // demux enables: ONE extractFrameHashes pass (real stsz/stsc/stco
-    // walk + md5 over each sample's actual bytes, localCheckpointed so
-    // no consumer re-demuxes) feeds frame-CONTENT-hash co-occurrence
+    // walk + md5 over each sample's actual bytes — the frameHashes
+    // SharedStage core, so no video consumer re-demuxes in a live
+    // session) feeds frame-CONTENT-hash co-occurrence
     // counting — videos sharing >= 1 identical frame pair up, scored
     // by shared-frame Jaccard. Pair emission goes through
     // GraftOps.cappedKeyPairCounts — the multiplicity-preserving
@@ -1622,10 +1638,7 @@ object TextOps {
     // oracle recomputes every hash from the byte arithmetic — a
     // demux or slicing bug anywhere breaks the gate.
     "mm_frame_dedup" -> ((s, d) => {
-      val frames = graft.multimodal.Multimodal.extractFrameHashes(
-        graft.multimodal.Multimodal.synthMp4FramesShared(
-          Tables.documents(s, d).select(col("doc_id")), "doc_id", 5))
-        .localCheckpoint()
+      val frames = frameHashCore(s, d)
       val nf = frames.groupBy("media_id")
         .agg(count(lit(1)).as("nf"))
       val shared = graft.api.GraftOps.cappedKeyPairCounts(

@@ -323,7 +323,10 @@ class ScaleOpsSpec extends SparkSpec {
     // unchanged oracle hashes).
     val d = "/root/testdata/sf0.001"
     val key = s"videoKeepBest:$d"
+    val demuxKey = s"frameHashes:$d"
     val before = graft.operators.SharedStage.buildsFor(spark, key)
+    val demuxBefore = graft.operators.SharedStage
+      .buildsFor(spark, demuxKey)
     val keep = SparkEntry.queries("mm_video_keep_best")(spark, d)
       .collect()
     val mid = graft.operators.SharedStage.buildsFor(spark, key)
@@ -338,6 +341,20 @@ class ScaleOpsSpec extends SparkSpec {
       spark, d).collect()
     assert(graft.operators.SharedStage.buildsFor(spark, key) == mid,
       "second consumer rebuilt the stage despite live blocks")
+    // r19 VERDICT item 3: the DEMUX itself is a core one level down —
+    // the third video consumer (mm_frame_dedup) must read the same
+    // frame-hash blocks, never re-demux, across all three consumers.
+    val demuxMid = graft.operators.SharedStage
+      .buildsFor(spark, demuxKey)
+    assert(demuxMid == demuxBefore + 1 ||
+      (demuxBefore > 0 && demuxMid == demuxBefore),
+      s"keep-best chain: demux builds went $demuxBefore -> $demuxMid")
+    val pairs = SparkEntry.queries("mm_frame_dedup")(spark, d)
+      .collect()
+    assert(pairs.nonEmpty)
+    assert(graft.operators.SharedStage.buildsFor(spark, demuxKey)
+      == demuxMid,
+      "mm_frame_dedup re-demuxed despite a live frame-hash core")
     assert(keep.nonEmpty && retention.nonEmpty)
     // Cross-check: the rollup's totals reconcile with the keep table.
     val nVideos = keep.length.toLong

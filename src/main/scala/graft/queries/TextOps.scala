@@ -1361,13 +1361,24 @@ object TextOps {
       // every doc 2-3x (measured 15 s vs 4.0 s at sf0.1 for exactly
       // that shape). In generator form the tokenize+shingle pass runs
       // once per branch; per-doc gram totals are the exploded row
-      // count (arrays are array_distinct'd), so no size() re-derivation
+      // count (arrays are distinct'd), so no size() re-derivation
       // is needed. A localCheckpoint of the gram table would merge the
       // two scans (measured 3.4 s) but materializes ~corpus-sized state
       // at 100 TB; the two linear, embarrassingly-parallel scans (4.0 s,
       // vs 3.8 s for the skew-prone window form) are the better trade.
-      def grams = docsOf(s, d).select(col("doc_id"),
-        explode(array_distinct(shingles(tokens(col("text")), 3))).as("g"))
+      //
+      // r20 (r19 VERDICT item 4, profile-first): the generator itself
+      // was the cost — one composed array_distinct(shingles(tokens))
+      // scan measured 2.60 s at sf0.1 vs 0.17 s for tokenize alone, so
+      // ~75% of the query was shingle-array allocation, not shuffle.
+      // The native graft_distinct_shingles expression (same bytes out,
+      // parity-pinned) cuts the scan to the hash-set pass.
+      def grams = {
+        graft.expressions.TextExpressions.register(s)
+        docsOf(s, d).select(col("doc_id"),
+          explode(call_function("graft_distinct_shingles",
+            col("text"), lit(3))).as("g"))
+      }
       val perDoc = grams.groupBy("doc_id")
         .agg(count(lit(1)).as("n_grams"))
       val novel = grams
@@ -2920,9 +2931,11 @@ object TextOps {
       // broadcasts when small).
       val pairIds = pairs.select(col("left_id").as("doc_id"))
         .union(pairs.select(col("right_id").as("doc_id"))).distinct()
+      graft.expressions.TextExpressions.register(s)
       val sets = docs.join(broadcast(pairIds), Seq("doc_id"), "left_semi")
         .select(col("doc_id"),
-          array_distinct(shingles(tokens(col("text")), 3)).as("sh"))
+          call_function("graft_distinct_shingles",
+            col("text"), lit(3)).as("sh"))
       agree
         .join(sets.select(col("doc_id").as("left_id"),
           col("sh").as("sh_l")), Seq("left_id"), "left")

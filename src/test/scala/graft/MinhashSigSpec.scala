@@ -78,4 +78,42 @@ class MinhashSigSpec extends SparkSpec {
       .collect().head
     assert((0 until 8).map(j => arr.getUTF8String(j).toString) == viaDf)
   }
+
+  test("graft_distinct_shingles equals the composed " +
+      "array_distinct(shingles(tokens(...), n)) on adversarial inputs, " +
+      "order included, for n in 1..4 (r19 VERDICT item 4)") {
+    graft.expressions.TextExpressions.register(spark)
+    val df = adversarial.zipWithIndex.map(_.swap).toDF("i", "t")
+    for (n <- 1 to 4) {
+      val got = df.select($"i",
+          call_function("graft_distinct_shingles", $"t", lit(n)).as("sh"))
+        .as[(Int, Seq[String])].collect().toMap
+      val want = df.select($"i",
+          array_distinct(shingles(tokens($"t"), n)).as("sh"))
+        .as[(Int, Seq[String])].collect().toMap
+      adversarial.indices.foreach { i =>
+        assert(got(i) == want(i),
+          s"n=$n input $i (${adversarial(i).take(30)}…): " +
+            s"${got(i)} vs ${want(i)}")
+      }
+    }
+    // the one-arg form defaults to n=3, and both evaluation modes agree
+    val one = df.select(
+        call_function("graft_distinct_shingles", $"t").as("sh"))
+      .as[Seq[String]].collect().toSeq
+    val three = df.select(
+        call_function("graft_distinct_shingles", $"t", lit(3)).as("sh"))
+      .as[Seq[String]].collect().toSeq
+    assert(one == three, "one-arg default is not n=3")
+    val expr = graft.expressions.DistinctShingles(
+      org.apache.spark.sql.catalyst.expressions.Literal(
+        org.apache.spark.unsafe.types.UTF8String.fromString(
+          "a b c a b c d")), 3)
+    val arr = expr.eval(null)
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    assert((0 until arr.numElements())
+      .map(j => arr.getUTF8String(j).toString) ==
+      Seq("a b c", "b c a", "c a b", "b c d"),
+      "interpreted eval mismatch")
+  }
 }

@@ -31,6 +31,19 @@ object Sinks {
     GraftDocs.vacuumBelow(spark.sparkContext.hadoopConfiguration,
       path, keepFrom)
 
+  /** OPTIMIZE for `format("graft-docs")` stores: rewrite runs of small
+    * committed batches below `keepFrom` into packed ones under the
+    * same atomic `_SUCCESS`/monotonic-id protocol — see
+    * [[GraftDocs.compactBelow]] for the full contract (tails at or
+    * past the horizon never re-read; replayed writes of absorbed
+    * epochs are idempotent no-ops). Returns the (lo, hi) ranges
+    * packed. */
+  def compactDocStore(spark: org.apache.spark.sql.SparkSession,
+      path: String, keepFrom: Long,
+      targetBytes: Long = 128L << 20): Seq[(Long, Long)] =
+    GraftDocs.compactBelow(spark.sparkContext.hadoopConfiguration,
+      path, keepFrom, targetBytes)
+
   /** S5+S9: JSON-lines sink with bounded file sizes. `orderBy` before
     * write pins deterministic output for golden comparisons (the analogue
     * of the reference's sort_keys+indent dumps). */

@@ -85,12 +85,19 @@ def fast_compare(con, got_glob, sql):
 _W = {}
 
 
+def _table_src(sf_dir, t):
+    # a driver table is one file; a ScaleData-generated table is a
+    # directory of part files (Spark layout) — glob it for DuckDB
+    p = f"{sf_dir}/{t}.parquet"
+    return f"{p}/*.parquet" if os.path.isdir(p) else p
+
+
 def _worker_init(sf_dir, threads):
     con = duckdb.connect()
     con.execute(f"PRAGMA threads={threads}")
     for t in TABLES:
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+            f"CREATE VIEW {t} AS SELECT * FROM '{_table_src(sf_dir, t)}'")
     _W["con"] = con
 
 
@@ -145,7 +152,7 @@ def main():
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+            f"CREATE VIEW {t} AS SELECT * FROM '{_table_src(sf_dir, t)}'")
     for name, sql in sorted(oracle.items()):
         try:
             # The driver's comparator hashes a pandas frame and crashes on

@@ -6,7 +6,7 @@ tiebreaks are invisible at sf0.01 where every bucket sits under its cap.
 Runs tools/check.py against an sf0.1 Verify dump and wraps the result
 into a CORRECTNESS-style JSON artifact.
 
-Usage: python3 tools/gate_sf01.py <sfDir> <verifyOutDir> <artifactPath>
+Usage: python3 tools/gate_sf01.py <sfDir> <verifyOutDir> <artifactPath> [sf]
 """
 import json
 import re
@@ -16,6 +16,7 @@ import sys
 
 def main():
     sf_dir, out_dir, artifact = sys.argv[1], sys.argv[2], sys.argv[3]
+    sf = float(sys.argv[4]) if len(sys.argv) > 4 else 0.1
     # --fast (r15 VERDICT item 7): the in-DuckDB EXCEPT ALL compare keeps
     # this full-registry gate minutes-scale at sf0.1 instead of ~35 min
     # of Python tuple compares; the driver's sf0.01 gate stays strict.
@@ -40,7 +41,7 @@ def main():
                                    "reason": m.group(2)[:300]}
     n_pass = sum(1 for q in queries.values() if q["pass"])
     doc = {
-        "sf": 0.1,
+        "sf": sf,
         "gate": "heavy-subset oracle (cap/horizon/threshold families)",
         "n_pass": n_pass,
         "n_fail": len(queries) - n_pass,

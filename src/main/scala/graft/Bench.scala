@@ -211,6 +211,27 @@ object Bench {
         .foreach(_.unpersist(blocking = true))
       (dt, ok, built)
     }
+    // Untimed per-JVM warm-up for the recurring flag-prone class (r19
+    // VERDICT item 5): ev_disorder_report flagged three rounds running
+    // and mm_audio_* joined it in r19 — each time adjudicated as
+    // JIT-warm-up/host-state, never a regression. One untimed execution
+    // of each before the sweep warms the codegen/JNI paths those plans
+    // hit first, so their timed repeats measure steady state and the
+    // self-defending artifact stops crying wolf. SharedStage cores a
+    // warm-up happens to build are dropped afterwards: the warm-up may
+    // pre-pay JVM state (unmeasured by design) but must NOT pre-pay
+    // core materializations the timed pass attributes via core_builds.
+    // Env-overridable; skipped under explicit REPEAT=1.
+    if (repeatBase > 1) {
+      val warmNames = sys.env.getOrElse("SPARK_GRAFT_BENCH_WARM",
+          "ev_disorder_report,mm_audio_energy,mm_audio_features")
+        .split(",").map(_.trim).filter(_.nonEmpty)
+      warmNames.foreach { n =>
+        SparkEntry.queries.get(n).foreach { fn => oneRun(n, fn) }
+      }
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
+    }
     var execIdx = -1
     val swept = SparkEntry.queries.toSeq.sortBy(_._1).map {
       case (name, fn) =>

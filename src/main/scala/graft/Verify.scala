@@ -48,8 +48,27 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    // A FILTERED local-iteration run must not clobber a full dump's
+    // oracle map (check.py iterates this file): with `only` set, keep
+    // every existing entry and overwrite just the re-dumped ones.
+    val keep: Map[String, String] =
+      if (only.isEmpty) Map.empty
+      else {
+        val p = Paths.get(s"$outDir/oracle_sql.json")
+        if (!Files.exists(p)) Map.empty
+        else {
+          val s = Files.readString(p)
+          // parse of our own writer's output: top-level string pairs
+          val m = new com.fasterxml.jackson.databind.ObjectMapper()
+            .readTree(s)
+          import scala.jdk.CollectionConverters._
+          m.properties().asScala
+            .map(e => e.getKey -> e.getValue.asText()).toMap
+        }
+      }
+    val merged = keep ++ SparkEntry.oracleSql
       .filter { case (k, _) => only.isEmpty || only(k) }
+    val json = merged
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

@@ -844,22 +844,30 @@ object GraftOps {
         .as("n_redacted"))
   }
 
-  /** SemDeDup (Abbas et al. 2023) drop set with a BOUNDED per-cell pair
-    * cost: ids that have a lower-id neighbor with cosine ≥ `tau` inside
-    * the same cluster cell. The naive within-cell all-pairs join is
-    * quadratic in the LARGEST cell — at 100 TB one hot k-means cell
-    * (dead-center embeddings, near-duplicate floods) turns the whole job
-    * quadratic. Cells above `cellCap` members are therefore split into
-    * `ceil(n/cellCap)` sub-cells by a deterministic content-hash salt
-    * before the pair join, bounding join groups at `cellCap` EXPECTED
-    * rows (hash-balanced; pair cost ~Σ ceil(n/cap)·cap² instead of
-    * Σ n²). Pairs spanning
-    * two sub-cells of one hot cell are NOT compared — the published
-    * algorithm's own degradation mode (SemDeDup re-clusters or samples
-    * oversized cells for exactly this reason); for every cell ≤ cellCap
-    * the result is bit-identical to the unbounded join. Choose cellCap
-    * above the expected cell size so the bound is a safety net, not a
-    * sampler. Expects unit vectors and a registered `graft_vec_dot`.
+  /** SemDeDup (Abbas et al. 2023) drop set with BOUNDED join tasks and
+    * EXACT semantics: ids that have a lower-id neighbor with cosine ≥
+    * `tau` inside the same cluster cell. The naive within-cell
+    * all-pairs join puts the LARGEST cell in one join group — at
+    * 100 TB one hot k-means cell (dead-center embeddings,
+    * near-duplicate floods) concentrates a quadratic task on a single
+    * executor. Cells above `cellCap` members are therefore decomposed
+    * into `B = ceil(n/cellCap)` content-hash blocks and EVERY BLOCK
+    * PAIR (i ≤ j) becomes its own equi-join key — the triangle-join
+    * decomposition — so each join group holds ~2·cellCap expected rows
+    * (hash-balanced) and every pair is still compared exactly ONCE:
+    * same-block pairs under key (i,i) with the id< guard, cross-block
+    * pairs under key (min,max) with the lower-numbered block always on
+    * the build side. The r19 salt-split form skipped cross-sub pairs
+    * entirely — an approximation documented as the published
+    * algorithm's degradation mode, until the sf1 gate measured it: the
+    * 4-cell test clustering crossed the cap at 20k vectors and 363
+    * duplicates went undetected. Exactness within a cell is the
+    * operator's CONTRACT (the oracle's unbounded join); the quadratic
+    * total cost of a hot cell is inherent to that contract, and the
+    * decomposition distributes it evenly (replication factor B on the
+    * hot cell only) instead of silently dropping work. For every cell
+    * ≤ cellCap, B = 1 and the plan is the old single-key join
+    * unchanged. Expects unit vectors and a registered `graft_vec_dot`.
     * Cell sizes come from a broadcast k-row count table, so the only
     * full-data shuffle is the pair join itself. The broadcast hint
     * assumes k (cluster count) stays in SemDeDup's published regime
@@ -871,19 +879,32 @@ object GraftOps {
     require(cellCap >= 1, "semanticDupIds: cellCap must be >= 1")
     val sizes = cells.groupBy(clusterCol).agg(count(lit(1)).as("__cell_n"))
     val sub = cells.join(broadcast(sizes), Seq(clusterCol))
-      .withColumn("__n_sub",
+      .withColumn("__nb",
         ceil(col("__cell_n").cast("double") / cellCap).cast("long"))
-      .withColumn("__sub", pmod(xxhash64(col(idCol)), col("__n_sub")))
-    val a = sub.select(col(clusterCol).as("__cl_a"), col("__sub").as("__sub_a"),
-      col(idCol).as("left_id"), col(vecCol).as("ua"))
-    val b = sub.select(col(clusterCol).as("__cl_b"), col("__sub").as("__sub_b"),
-      col(idCol).as("right_id"), col(vecCol).as("ub"))
+      .withColumn("__blk", pmod(xxhash64(col(idCol)), col("__nb")))
+    // Side a carries block i under every key (i, j), j ≥ i; side b
+    // carries block j under every key (i, j), i ≤ j. A cross-block
+    // pair {x ∈ i, y ∈ j} therefore meets exactly once (x on a, y on
+    // b); a same-block pair meets under (i, i) on both orientations
+    // and the id< guard keeps one.
+    val a = sub.select(col(clusterCol).as("__cl_a"),
+        col("__blk").as("__lo"),
+        explode(sequence(col("__blk"), col("__nb") - 1)).as("__hi"),
+        col(idCol).as("left_id"), col(vecCol).as("ua"))
+    val b = sub.select(col(clusterCol).as("__cl_b"),
+        explode(sequence(lit(0L), col("__blk"))).as("__lo_b"),
+        col("__blk").as("__hi_b"),
+        col(idCol).as("right_id"), col(vecCol).as("ub"))
     a.join(b, col("__cl_a") === col("__cl_b") &&
-        col("__sub_a") === col("__sub_b") &&
-        col("left_id") < col("right_id"))
+        col("__lo") === col("__lo_b") && col("__hi") === col("__hi_b") &&
+        (col("__lo") =!= col("__hi") ||
+          col("left_id") < col("right_id")))
       .filter(round(call_function("graft_vec_dot", col("ua"), col("ub")), 6)
         >= tau)
-      .select(col("right_id")).distinct()
+      // cross-block orientation is block-ordered, not id-ordered — the
+      // dropped member is always the HIGHER id of the pair
+      .select(greatest(col("left_id"), col("right_id")).as("right_id"))
+      .distinct()
   }
 
   /** Bounded-round PageRank over an UNDIRECTED graph (edges are

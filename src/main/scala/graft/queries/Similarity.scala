@@ -514,11 +514,14 @@ object Similarity {
     // dedup_embedding; production uses ~0.95). Greedy min-id canonical —
     // the same keep-rule as dedup_exact. The cell restriction is what scales:
     // candidate pairs are O(Σ|cell|²) like the MinHash bands / IVF
-    // probes, never corpus² — and GraftOps.semanticDupIds additionally
-    // salt-splits any cell above 4096 members, so one hot cell can never
-    // turn the job quadratic (a no-op at the tested SFs: max cell ≤ 2000
-    // vectors, so the oracle result is bit-identical to the unbounded
-    // join). Reuses the learned k-means cells (shared kmeansAssign), so
+    // probes, never corpus² — and GraftOps.semanticDupIds decomposes
+    // any cell above 4096 members into block PAIRS (triangle join), so
+    // a hot cell's inherent quadratic distributes across bounded tasks
+    // while every pair is still compared exactly once (the sf1 gate
+    // caught the earlier salt-split approximation losing 363 dups when
+    // the 4-cell clustering crossed the cap at 20k vectors; the result
+    // is now bit-identical to the unbounded join at every scale).
+    // Reuses the learned k-means cells (shared kmeansAssign), so
     // the whole chain cluster → pair → drop is the production
     // semantic-dedup path in one declarative plan.
     "dedup_semantic" -> ((s, d) => {

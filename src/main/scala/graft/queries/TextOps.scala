@@ -2710,9 +2710,17 @@ object TextOps {
             .cast("long"))
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_tokens"), sum("nll").as("snll"))
+        // Mean micro-nats via EXACT integer half-up division — the
+        // obvious round(S/1e6/n, 6) hits genuine half-ties (S/n ending
+        // in .5 micro-nats; 19 docs at sf1) where Spark's
+        // BigDecimal-HALF_UP and DuckDB's multiply-then-std::round
+        // resolve the tie from opposite sides of the double's
+        // representation error. (2S+n) DIV 2n is tie-free in both
+        // engines, and /1e6 of an exact integer is one correctly-
+        // rounded IEEE op — cross-engine identical.
         .select(col("doc_id"), col("n_tokens"),
-          round(col("snll").cast("double") / 1000000.0 / col("n_tokens"),
-            6).as("mean_nll"))
+          (expr("(snll * 2 + n_tokens) DIV (n_tokens * 2)")
+            .cast("double") / 1000000.0).as("mean_nll"))
     }),
 
     // Closes the mixture-rebalancing loop: the per-language uniform
@@ -4180,8 +4188,8 @@ object TextOps {
          |    * 1000000 + 0.5) AS BIGINT) AS nll
          |  FROM tok JOIN cnt USING (term) CROSS JOIN tot)
          |SELECT doc_id, count(*) AS n_tokens,
-         |  round(CAST(sum(nll) AS DOUBLE) / 1000000 / count(*), 6)
-         |    AS mean_nll
+         |  CAST((sum(nll) * 2 + count(*)) // (count(*) * 2) AS DOUBLE)
+         |    / 1000000 AS mean_nll
          |FROM sc GROUP BY doc_id""".stripMargin,
     "samp_weighted" ->
       """WITH c AS (SELECT coalesce(lang, '') AS lk, count(*) AS n_docs

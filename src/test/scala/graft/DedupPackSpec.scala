@@ -161,7 +161,7 @@ class DedupPackSpec extends SparkSpec {
   }
 
   test("semanticDupIds: under-cap cells bit-identical to unbounded " +
-      "all-pairs; over-cap cells salt-split to a bounded pair join") {
+      "all-pairs; over-cap cells block-pair decomposed, still exact") {
     graft.expressions.VectorExpressions.register(spark)
     // One hot cell of 30 near-identical unit vectors (all dup against
     // the min id) + one small cell of 3 orthogonal-ish vectors.
@@ -182,16 +182,16 @@ class DedupPackSpec extends SparkSpec {
     // hot id except the min, plus 103 (cosine(101,103) ≈ 1 > 0.9).
     val unbounded = ids(4096)
     assert(unbounded == ((2L to 30L).toSet + 103L))
-    // Cap below the hot cell size ⇒ only same-sub-cell pairs compared:
-    // a SUBSET of the unbounded drop set (never an invented dup), still
-    // finding dups inside each sub-cell, while the small cell (≤ cap)
-    // is untouched — 103 must still drop.
-    val capped = ids(8)
-    assert(capped.subsetOf(unbounded) && capped.contains(103L))
-    assert(capped.size < unbounded.size && capped.nonEmpty)
-    // The salt is ceil(n/cap)-way: re-derive the sub-cell sizes with the
-    // operator's own formula and check the split actually sharded the
-    // hot cell (no sub-cell holds the whole cell).
+    // Cap below the hot cell size ⇒ the triangle-join decomposition
+    // replicates blocks across block-pair keys but compares EVERY pair
+    // exactly once — the drop set must be bit-identical to the
+    // unbounded join (the r19 salt-split form lost cross-sub pairs;
+    // the sf1 gate measured 363 undetected dups).
+    assert(ids(8) == unbounded)
+    assert(ids(1) == unbounded) // extreme decomposition, one row/block
+    // The decomposition is ceil(n/cap)-way: re-derive the block sizes
+    // with the operator's own formula and check it actually sharded the
+    // hot cell (no block holds the whole cell).
     val subSizes = cells.filter($"cluster" === 0)
       .select(pmod(xxhash64($"vec_id"), lit(math.ceil(30.0 / 8).toLong))
         .as("sub"))

@@ -9,6 +9,7 @@ into a CORRECTNESS-style JSON artifact.
 Usage: python3 tools/gate_sf01.py <sfDir> <verifyOutDir> <artifactPath> [sf]
 """
 import json
+import os
 import re
 import subprocess
 import sys
@@ -24,7 +25,7 @@ def main():
     # naive oracle plans that stop fitting the sandbox fall back to an
     # honest rows-only record; see check.py --timeout).
     timeout = sys.argv[5] if len(sys.argv) > 5 else None
-    cmd = [sys.executable, "tools/check.py", "--fast", "--jobs", "6"]
+    cmd = [sys.executable, "tools/check.py", "--fast", "--jobs", os.environ.get("GATE_JOBS", "6")]
     if timeout:
         cmd += ["--timeout", timeout]
     proc = subprocess.run(cmd + [sf_dir, out_dir],

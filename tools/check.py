@@ -141,6 +141,8 @@ def _proc_main(task, sf_dir, threads, mem_gb, q):
     # Per-task temp dir: a worker the parent kills mid-spill can't
     # clean up after itself — the parent removes this dir instead (a
     # killed 6-worker sf1 run once left 67 GB of orphaned spill).
+    # DuckDB only mkdirs the leaf, so create the parent chain here.
+    os.makedirs(f".tmp/gate-{os.getpid()}", exist_ok=True)
     _W["con"].execute(f"SET temp_directory='.tmp/gate-{os.getpid()}'")
     _W["con"].execute("SET max_temp_directory_size='40GiB'")
     q.put(_fast_one(task))

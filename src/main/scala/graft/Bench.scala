@@ -66,6 +66,16 @@ object Bench {
       // read them as TIMESTAMP, not TIMESTAMP_NTZ
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // AQE coalescing's BYTE floor (default 1m) decides post-shuffle
+      // parallelism, but this engine's expensive stages are CPU-dense
+      // and byte-light (set verify, pair scoring, demux) — at sf0.1 a
+      // 1-2 MB exchange coalesced to ONE task serialized a 54 s verify
+      // stage while 31 cores idled (StageProfile r21, guide §2.2/2.6).
+      // A 16k floor lets parallelism-first coalescing actually reach
+      // defaultParallelism on small exchanges; at production shuffle
+      // sizes the size-based target dominates and this is a no-op.
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("SPARK_GRAFT_AQE_MINPART", "16k"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

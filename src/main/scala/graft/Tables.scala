@@ -44,7 +44,50 @@ object Tables {
     val path = s"$sfDir/$name.parquet"
     val schema = schemaCache.getOrElseUpdate(path,
       spark.read.parquet(path).schema)
-    spark.read.schema(schema).parquet(path)
+    spread(spark, spark.read.schema(schema).parquet(path), path)
+  }
+
+  // File-size cache for the spread decision (same immutable-testdata
+  // rationale as the schema cache; sizes only gate a repartition, so a
+  // stale size can never corrupt results).
+  private val sizeCache =
+    scala.collection.concurrent.TrieMap.empty[String, Long]
+
+  /** Scale-ADAPTIVE scan spread (optimization guide §2.5, "input skew:
+    * one huge unsplittable file — repartition immediately after the
+    * read"). The harness tables are single-file, single-ROW-GROUP
+    * parquet, so no split config can ever give the scan more than one
+    * task: every narrow derivation (tokenize, shingle, demux, sketch)
+    * ran single-threaded while the other 31 cores idled — StageProfile
+    * r21 measured the ppjoin verify at 54 s on ONE task. When the file
+    * layout cannot feed the session (estimated splits at the session's
+    * own maxPartitionBytes < defaultParallelism), spread rows
+    * round-robin once right after the scan; on a production layout
+    * (many files / row groups) the estimate exceeds the core count and
+    * this is a NO-OP — the rule adapts with scale instead of pinning a
+    * local constant, and the one tiny exchange it adds locally is paid
+    * back ~30× by the map stages it parallelizes. Sub-256 KB dims
+    * (region, nation, ...) stay unspread: they broadcast anyway, the
+    * exchange would be pure overhead. Filters/pruning still reach the
+    * scan — Catalyst pushes predicates through Repartition (verified:
+    * f1_pushdown_filter's PushedFilters plan pin stays green).
+    * SPARK_GRAFT_SPREAD_SCANS=0 restores the raw scan for A/B runs. */
+  private def spread(spark: SparkSession, df: DataFrame, path: String)
+      : DataFrame = {
+    if (sys.env.getOrElse("SPARK_GRAFT_SPREAD_SCANS", "1") == "0") return df
+    val bytes = sizeCache.getOrElseUpdate(path,
+      try {
+        val p = new org.apache.hadoop.fs.Path(path)
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .getContentSummary(p).getLength
+      } catch { case _: Throwable => 0L })
+    val maxSplit = org.apache.spark.network.util.JavaUtils
+      .byteStringAsBytes(spark.conf.get(
+        "spark.sql.files.maxPartitionBytes", "128m"))
+    val estSplits = (bytes + maxSplit - 1) / maxSplit.max(1L)
+    val par = spark.sparkContext.defaultParallelism
+    if (bytes < 262144L || estSplits >= par) df
+    else df.repartition(par)
   }
 
   def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")

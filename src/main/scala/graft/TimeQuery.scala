@@ -18,6 +18,8 @@ object TimeQuery {
       // naive parquet timestamps are UTC instants (oracle parity):
       // read them as TIMESTAMP, not TIMESTAMP_NTZ
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("SPARK_GRAFT_AQE_MINPART", "16k"))  // see Bench
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

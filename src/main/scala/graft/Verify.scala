@@ -18,6 +18,11 @@ object Verify {
       // naive parquet timestamps are UTC instants (oracle parity):
       // read them as TIMESTAMP, not TIMESTAMP_NTZ
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      // Same AQE coalescing floor as Bench: the hash gate must execute
+      // under the exact config the bench times (a layout-sensitive
+      // query would otherwise pass here and diverge there).
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("SPARK_GRAFT_AQE_MINPART", "16k"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -44,35 +44,39 @@ object Tables {
     val path = s"$sfDir/$name.parquet"
     val schema = schemaCache.getOrElseUpdate(path,
       spark.read.parquet(path).schema)
-    spread(spark, spark.read.schema(schema).parquet(path), path)
+    spark.read.schema(schema).parquet(path)
   }
 
-  // File-size cache for the spread decision (same immutable-testdata
-  // rationale as the schema cache; sizes only gate a repartition, so a
-  // stale size can never corrupt results).
+  // File-size cache for the spreadCpuDense decision (same
+  // immutable-testdata rationale as the schema cache; sizes only gate a
+  // repartition, so a stale size can never corrupt results).
   private val sizeCache =
     scala.collection.concurrent.TrieMap.empty[String, Long]
 
-  /** Scale-ADAPTIVE scan spread (optimization guide §2.5, "input skew:
-    * one huge unsplittable file — repartition immediately after the
-    * read"). The harness tables are single-file, single-ROW-GROUP
-    * parquet, so no split config can ever give the scan more than one
-    * task: every narrow derivation (tokenize, shingle, demux, sketch)
-    * ran single-threaded while the other 31 cores idled — StageProfile
-    * r21 measured the ppjoin verify at 54 s on ONE task. When the file
-    * layout cannot feed the session (estimated splits at the session's
-    * own maxPartitionBytes < defaultParallelism), spread rows
-    * round-robin once right after the scan; on a production layout
-    * (many files / row groups) the estimate exceeds the core count and
-    * this is a NO-OP — the rule adapts with scale instead of pinning a
-    * local constant, and the one tiny exchange it adds locally is paid
-    * back ~30× by the map stages it parallelizes. Sub-256 KB dims
-    * (region, nation, ...) stay unspread: they broadcast anyway, the
-    * exchange would be pure overhead. Filters/pruning still reach the
-    * scan — Catalyst pushes predicates through Repartition (verified:
-    * f1_pushdown_filter's PushedFilters plan pin stays green).
-    * SPARK_GRAFT_SPREAD_SCANS=0 restores the raw scan for A/B runs. */
-  private def spread(spark: SparkSession, df: DataFrame, path: String)
+  /** Scale-ADAPTIVE scan spread for CPU-DENSE consumers ONLY
+    * (optimization guide §2.5, "input skew: one huge unsplittable file
+    * — repartition immediately after the read"). The harness tables are
+    * single-file, single-ROW-GROUP parquet, so no split config can give
+    * the scan more than one task; a per-row-expensive derivation
+    * (pixel decode, PII regex battery, per-row vector math) then runs
+    * single-threaded while 31 cores idle. When the file layout cannot
+    * feed the session (estimated splits at the session's own
+    * maxPartitionBytes < defaultParallelism), spread rows round-robin
+    * once right after the scan; on a production layout (many files /
+    * row groups) the estimate exceeds the core count and this is a
+    * NO-OP — the rule adapts with scale instead of pinning a local
+    * constant. Sub-256 KB inputs stay unspread (they broadcast anyway).
+    *
+    * DELIBERATELY opt-in per call site, NOT applied inside `table()`:
+    * r21 A/B-measured the blanket version at +58 s across the 287-query
+    * registry at sf0.1 (181.4 s vs 123.0 s) — an extra full-table
+    * exchange (plus its sort-before-repartition) taxes every scan-light
+    * aggregation/join to parallelize the few scan-heavy maps. Only the
+    * ~13 queries whose per-row scan work is the measured bottleneck
+    * (image decode, PII scrub, lang-id, unit-vector scoring) win from
+    * it, so only those call it. SPARK_GRAFT_SPREAD_SCANS=0 disables it
+    * everywhere for A/B runs. */
+  def spreadCpuDense(spark: SparkSession, df: DataFrame, path: String)
       : DataFrame = {
     if (sys.env.getOrElse("SPARK_GRAFT_SPREAD_SCANS", "1") == "0") return df
     val bytes = sizeCache.getOrElseUpdate(path,
@@ -89,6 +93,12 @@ object Tables {
     if (bytes < 262144L || estSplits >= par) df
     else df.repartition(par)
   }
+
+  /** [[spreadCpuDense]] keyed by harness table name. */
+  def tableSpread(spark: SparkSession, sfDir: String, name: String)
+      : DataFrame =
+    spreadCpuDense(spark, table(spark, sfDir, name),
+      s"$sfDir/$name.parquet")
 
   def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")

@@ -28,6 +28,35 @@ import org.apache.spark.sql.types._
   */
 object Multimodal {
 
+  /** Scale-adaptive input spread for the synth→decode paths — every
+    * synth here is CPU-dense per row (real PNG/WAV/MP4 encode), and the
+    * harness corpus is single-file single-row-group parquet, so the id
+    * scan plans ONE task and the whole synth+decode chain inherits it:
+    * StageProfile (r21) measured the video demux core at 31 idle cores.
+    * When the incoming ids DataFrame has fewer partitions than the
+    * session's parallelism, spread it round-robin ONCE before the
+    * mapPartitions; on a production layout (many files / row groups)
+    * the scan already feeds the cores and this is a NO-OP. The id rows
+    * are 8 bytes each, so the exchange is noise next to the encode work
+    * it parallelizes (r21 A/B: mm_image_phash 0.79→0.18 s at sf0.1).
+    * Applied to the PNG paths (per-row pixel encode/decode) and the
+    * MP4 paths (the demux cores — core_build 41.4→37.2 s); the WAV
+    * paths measured WORSE with it (mm_audio_energy 0.29→0.71 s — the
+    * PCM window sums are too cheap to pay for the extra stage) and
+    * keep the raw scan.
+    * SPARK_GRAFT_SPREAD_SCANS=0 disables for A/B runs. Determinism:
+    * round-robin repartition is deterministic (sort-before-repartition)
+    * and every consumer is row-wise then aggregated — the 4-vs-32-core
+    * determinism gate pins it. */
+  private def spreadIds(ids: DataFrame, idCol: String)
+      : org.apache.spark.rdd.RDD[Row] = {
+    val base = ids.select(col(idCol).cast("long"))
+    val par = ids.sparkSession.sparkContext.defaultParallelism
+    if (sys.env.getOrElse("SPARK_GRAFT_SPREAD_SCANS", "1") == "0" ||
+        base.rdd.getNumPartitions >= par) base.rdd
+    else base.repartition(par).rdd
+  }
+
   /** Typed media-metadata schema carried beside the binary payload. */
   val mediaSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
@@ -151,7 +180,7 @@ object Multimodal {
     * checks — the image twin of `synthWav`/`synthMp4`. */
   def synthPng(ids: DataFrame, idCol: String): DataFrame = {
     val spark = ids.sparkSession
-    val rdd = ids.select(col(idCol).cast("long")).rdd.mapPartitions { it =>
+    val rdd = spreadIds(ids, idCol).mapPartitions { it =>
       javax.imageio.ImageIO.setUseCache(false)
       it.map { r =>
         val id = r.getLong(0)
@@ -176,7 +205,7 @@ object Multimodal {
     * (the header paths stop at dimensions). */
   def synthPngPattern(ids: DataFrame, idCol: String): DataFrame = {
     val spark = ids.sparkSession
-    val rdd = ids.select(col(idCol).cast("long")).rdd.mapPartitions { it =>
+    val rdd = spreadIds(ids, idCol).mapPartitions { it =>
       javax.imageio.ImageIO.setUseCache(false)
       it.map { r =>
         val id = r.getLong(0)
@@ -236,7 +265,7 @@ object Multimodal {
     * decode actual bytes (extractAHash) to recover the grid. */
   def synthPngFamilies(ids: DataFrame, idCol: String): DataFrame = {
     val spark = ids.sparkSession
-    val rdd = ids.select(col(idCol).cast("long")).rdd.mapPartitions { it =>
+    val rdd = spreadIds(ids, idCol).mapPartitions { it =>
       javax.imageio.ImageIO.setUseCache(false)
       val md = java.security.MessageDigest.getInstance("MD5")
       it.map { r =>
@@ -982,7 +1011,7 @@ object Multimodal {
     * arithmetically (k DIV L). */
   def synthMp4Scenes(ids: DataFrame, idCol: String): DataFrame = {
     val spark = ids.sparkSession
-    val rdd = ids.select(col(idCol).cast("long")).rdd.mapPartitions { it =>
+    val rdd = spreadIds(ids, idCol).mapPartitions { it =>
       it.map { r =>
         val id = r.getLong(0)
         val n = 6 + (id % 5).toInt
@@ -1010,7 +1039,7 @@ object Multimodal {
     * oracle contract for `mm_frame_bytes`. */
   def synthMp4Frames(ids: DataFrame, idCol: String): DataFrame = {
     val spark = ids.sparkSession
-    val rdd = ids.select(col(idCol).cast("long")).rdd.mapPartitions { it =>
+    val rdd = spreadIds(ids, idCol).mapPartitions { it =>
       it.map { r =>
         val id = r.getLong(0)
         val n = 3 + (id % 4).toInt
@@ -1035,7 +1064,7 @@ object Multimodal {
   def synthMp4FramesShared(ids: DataFrame, idCol: String,
       familyMod: Int): DataFrame = {
     val spark = ids.sparkSession
-    val rdd = ids.select(col(idCol).cast("long")).rdd.mapPartitions { it =>
+    val rdd = spreadIds(ids, idCol).mapPartitions { it =>
       it.map { r =>
         val id = r.getLong(0)
         val fam = id % familyMod
@@ -1212,7 +1241,7 @@ object Multimodal {
     * this arithmetic while Spark must expand the actual stts bytes. */
   def synthMp4Stts(ids: DataFrame, idCol: String): DataFrame = {
     val spark = ids.sparkSession
-    val rdd = ids.select(col(idCol).cast("long")).rdd.mapPartitions { it =>
+    val rdd = spreadIds(ids, idCol).mapPartitions { it =>
       it.map { r =>
         val id = r.getLong(0)
         val mts = 1000 + (id % 3).toInt * 500
@@ -1235,7 +1264,7 @@ object Multimodal {
     * 240+(id%3)·120. */
   def synthMp4(ids: DataFrame, idCol: String): DataFrame = {
     val spark = ids.sparkSession
-    val rdd = ids.select(col(idCol).cast("long")).rdd.mapPartitions { it =>
+    val rdd = spreadIds(ids, idCol).mapPartitions { it =>
       it.map { r =>
         val id = r.getLong(0)
         val ts = 600 + (id % 5).toInt * 300

@@ -39,6 +39,20 @@ object TextOps {
   private def docsOf(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
 
+  /** docsOf spread across the session's cores — ONLY for consumers
+    * whose per-row scan work is the measured bottleneck (the PII regex
+    * battery, the 64-column simhash fold): the harness corpus is one
+    * single-row-group parquet file, so those projections otherwise run
+    * on ONE task (Tables.spreadCpuDense rationale). Each call site is
+    * individually A/B-measured (r21): txt_pii_scrub 0.47→0.32 s and
+    * dedup_simhash 0.97→0.79 s keep it; txt_quality / txt_lang_id /
+    * txt_span_removal measured neutral-to-worse (their scan work is
+    * too light to pay for the exchange) and were reverted to the raw
+    * scan — a blanket spread was measured at +58 s across the registry,
+    * so the default everywhere else stays unspread. */
+  private def docsSpread(s: SparkSession, d: String): DataFrame =
+    Tables.spreadCpuDense(s, docsOf(s, d), s"$d/documents.parquet")
+
   /** The samp_epoch_plan core (see its registry comment): per-source
     * token counts → target-weighted, 4×-capped epoch repeat factors.
     * Shared by the plan query and pipeline_train_manifest. */
@@ -737,7 +751,7 @@ object TextOps {
     // match identically.
     "txt_pii_scrub" -> ((s, d) =>
       graft.api.GraftOps.scrubPii(
-        Tables.documents(s, d)
+        docsSpread(s, d)
           .select(col("doc_id"),
             concat(col("text"),
               lit(" contact user"), col("doc_id").cast("string"),
@@ -1019,7 +1033,7 @@ object TextOps {
     // slower; 64-wide partial aggregation shuffles one 64-int row per doc
     // regardless of document length).
     "dedup_simhash" -> ((s, d) =>
-      graft.api.GraftOps.simhash(docsOf(s, d), "doc_id", "text")),
+      graft.api.GraftOps.simhash(docsSpread(s, d), "doc_id", "text")),
 
     // SimHash near-dup candidates: 4×16-bit band bucketing (any equal
     // band → candidate). Pigeonhole guarantees a shared band only for
